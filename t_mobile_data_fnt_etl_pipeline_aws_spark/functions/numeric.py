@@ -1,0 +1,127 @@
+"""Order-independent numeric aggregation helpers (oracle-parity critical).
+
+Why these exist (SURVEY.md §5.5): the driver's correctness gate is an EXACT
+order-insensitive value-hash against DuckDB. Floating-point SUM/AVG/STDDEV
+are order-dependent, and Spark's partial-aggregate merge order varies with
+shuffle-block arrival — a plain ``F.sum(double)`` is not even stable across
+two Spark runs, let alone equal to DuckDB's sequential sum.
+
+The scheme (each step verified bit-exact between engines at sf0.01):
+
+1. Per-row derived arithmetic stays in DOUBLE — IEEE ops are deterministic
+   given identical inputs, and both engines read identical parquet doubles.
+2. Cross-row accumulation is DECIMAL(30,10) — exact, associative,
+   commutative, hence merge-order independent. (Verified: Spark and DuckDB
+   round double→decimal(30,10) identically on all 60k lineitem rows.)
+3. The finish NEVER casts a wide decimal straight to double — DuckDB
+   converts decimal→double as ``(double)int128 / 10^scale``, which rounds
+   TWICE when the scaled integer exceeds 2^53 and can land 1 ulp away from
+   Spark's correctly-rounded BigDecimal.doubleValue(). Instead we first cast
+   to a narrow ``decimal(38, s)`` with ``|value| * 10^s < 2^53``: the scaled
+   integer is then exactly representable, the single division correctly
+   rounds in both engines, and the doubles match bit-for-bit.
+4. ``round(double, n)`` is BANNED in oracle SQL — DuckDB implements it with
+   float multiply/divide and drifts (e.g. 3758439620.06 vs …060001).
+
+Scale choice rule: pick ``s`` with ``|x| * 10^s < 9e15``. Defaults: sums
+s=4 (|sum| < 9e11 — holds through sf1), means/ratios s=6 (|x| < 9e9).
+
+At 100 TB this costs one decimal accumulator per aggregate in the
+partial-agg buffer — still one shuffle with map-side combine; no extra pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Accumulation type: 20 integer digits + 10 fraction digits.
+DEC = "decimal(30,10)"
+
+
+def finish(col: Column, scale: int = 6) -> Column:
+    """Deterministic double finish: HALF_UP round via decimal(38,s) cast.
+
+    Spark's cast rounds HALF_UP for both double and decimal inputs.
+    """
+    return col.cast(f"decimal(38,{scale})").cast("double")
+
+
+def sql_finish_dbl(expr: str, scale: int = 6) -> str:
+    """DuckDB finish for a DOUBLE expression (cast rounds like Spark's)."""
+    return f"cast(cast(({expr}) as decimal(38,{scale})) as double)"
+
+
+def sql_finish_dec(expr: str, scale: int = 6) -> str:
+    """DuckDB finish for a DECIMAL expression.
+
+    DuckDB TRUNCATES on decimal→decimal downcast (Spark rounds HALF_UP), so
+    round() — exact half-away-from-zero on decimals, == HALF_UP — must run
+    before the downcast.
+    """
+    return f"cast(cast(round(({expr}), {scale}) as decimal(38,{scale})) as double)"
+
+
+def dsum(col: Column, alias: str, scale: int = 4) -> Column:
+    """Exact-decimal SUM of a double expression, finished to double."""
+    return finish(F.sum(col.cast(DEC)), scale).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
+    return sql_finish_dec(f"sum(cast(({expr}) as {DEC}))", scale) + f" as {alias}"
+
+
+def davg(col: Column, alias: str) -> Column:
+    """Order-independent AVG: exact sum (finished at s=4) / count, s=6."""
+    s1 = finish(F.sum(col.cast(DEC)), 4)
+    return finish(s1 / F.count(col), 6).alias(alias)
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    s1 = sql_finish_dec(f"sum(cast(({expr}) as {DEC}))", 4)
+    return sql_finish_dbl(f"{s1} / count({expr})", 6) + f" as {alias}"
+
+
+def _moments(col: Column, prescale: int) -> tuple[Column, Column, Column]:
+    """(n, s1, s2) over y = x/prescale, each finished to exact doubles.
+
+    Prescaling keeps s2 = Σy² small enough for the 2^53 finish rule even at
+    large SF; var(x) = var(y)·prescale², stddev(x) = stddev(y)·prescale.
+    """
+    y = col / F.lit(float(prescale))
+    n = F.count(col)
+    s1 = finish(F.sum(y.cast(DEC)), 6)
+    s2 = finish(F.sum((y * y).cast(DEC)), 6)
+    return n, s1, s2
+
+
+def dvar_samp(col: Column, alias: str, prescale: int = 10000) -> Column:
+    n, s1, s2 = _moments(col, prescale)
+    var_y = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return finish(var_y * F.lit(float(prescale) ** 2), 2).alias(alias)
+
+
+def dstddev_samp(col: Column, alias: str, prescale: int = 10000) -> Column:
+    n, s1, s2 = _moments(col, prescale)
+    var_y = (s2 - s1 * s1 / n) / (n - F.lit(1))
+    return finish(F.sqrt(var_y) * F.lit(float(prescale)), 6).alias(alias)
+
+
+def _sql_moments(expr: str, prescale: int) -> tuple[str, str, str]:
+    y = f"(({expr}) / {float(prescale)!r})"
+    n = f"count({expr})"
+    s1 = sql_finish_dec(f"sum(cast({y} as {DEC}))", 6)
+    s2 = sql_finish_dec(f"sum(cast(({y} * {y}) as {DEC}))", 6)
+    return n, s1, s2
+
+
+def sql_dvar_samp(expr: str, alias: str, prescale: int = 10000) -> str:
+    n, s1, s2 = _sql_moments(expr, prescale)
+    var_y = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    return sql_finish_dbl(f"{var_y} * {float(prescale) ** 2!r}", 2) + f" as {alias}"
+
+
+def sql_dstddev_samp(expr: str, alias: str, prescale: int = 10000) -> str:
+    n, s1, s2 = _sql_moments(expr, prescale)
+    var_y = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
+    return sql_finish_dbl(f"sqrt({var_y}) * {float(prescale)!r}", 6) + f" as {alias}"

@@ -1,0 +1,324 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All double-valued aggregates go through functions/numeric.py so results are
+merge-order independent and hash-match the DuckDB oracle exactly. Spark
+plans every groupBy().agg() as partial → shuffle-on-keys → final (map-side
+combine), which is the two-phase aggregation contract of §2.4; nothing to
+hand-roll. At 100 TB the shuffle width is the group-key cardinality, tiny
+for all of these — partial aggregation does the heavy lifting scan-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import (
+    DEC,
+    davg,
+    dstddev_samp,
+    dsum,
+    dvar_samp,
+    finish,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+    sql_dvar_samp,
+)
+from ..registry import query
+from ..sources.tables import load
+
+_Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@query(
+    "q_agg_hash",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (entry()): TPC-H-Q1-shaped pricing summary over lineitem.
+
+    Scan → pushed filter → hash partial-agg → single shuffle on the 2-key
+    group → final agg. Derived measures are per-row double products (exact
+    given inputs); accumulation is decimal (see functions/numeric.py).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    price, disc, tax = F.col("l_extendedprice"), F.col("l_discount"), F.col("l_tax")
+    return (
+        l.filter(F.col("l_shipdate") <= F.expr(f"TIMESTAMP_NTZ '{_Q1_CUTOFF}'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(price, "sum_base_price"),
+            dsum(price * (1 - disc), "sum_disc_price"),
+            dsum(price * (1 - disc) * (1 + tax), "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(price, "avg_price"),
+            davg(disc, "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q_agg_multi",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_rows,
+           count(o_totalprice) AS n_price,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           {sql_dsum('o_totalprice', 'sum_price')},
+           {sql_davg('o_totalprice', 'avg_price')},
+           {sql_dstddev_samp('o_totalprice', 'std_price')},
+           {sql_dvar_samp('o_totalprice', 'var_price')}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full aggregate battery per order status.
+
+    stddev/var use the explicit (s2 - s1²/n)/(n-1) form over exact decimal
+    sums — native stddev_samp merges partial moments in shuffle-arrival
+    order and is not bit-stable across runs (SURVEY.md §5.5).
+    """
+    o = load(spark, sf_dir, "orders")
+    price = F.col("o_totalprice")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(price).alias("n_price"),
+        # min/max select existing doubles — already order-independent, no
+        # rounding needed (round(double,n) is banned; see functions/numeric).
+        F.min(price).alias("min_price"),
+        F.max(price).alias("max_price"),
+        dsum(price, "sum_price"),
+        davg(price, "avg_price"),
+        dstddev_samp(price, "std_price"),
+        dvar_samp(price, "var_price"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(o_custkey) AS n_orders,
+           cast(cast(round(sum(DISTINCT cast(o_totalprice as {DEC})), 4) as decimal(38,4)) as double)
+               AS sum_distinct_price,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed distinct / non-distinct aggregates per priority (expand-based)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.count("o_custkey").alias("n_orders"),
+        finish(F.sum_distinct(F.col("o_totalprice").cast(DEC)), 4).alias(
+            "sum_distinct_price"
+        ),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimate differs from DuckDB's
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd=0.01).
+
+    Rows-only by design: Spark's HLL++ estimate is engine-specific. At
+    100 TB this is THE distinct-count operator — no expand, no second
+    shuffle, fixed-size sketch merged map-side.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_agg_having",
+    oracle=f"""
+    SELECT o_custkey,
+           {sql_dsum('o_totalprice', 'total_spend')},
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING sum(cast(o_totalprice as {DEC})) > 1500000
+    """,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation filter (HAVING): big-spend customers.
+
+    The HAVING predicate compares the EXACT decimal sum (not the rounded
+    double) so the group membership can't flip at a rounding boundary.
+    """
+    o = load(spark, sf_dir, "orders")
+    exact = F.sum(F.col("o_totalprice").cast(DEC))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            exact.alias("_exact_spend"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("_exact_spend") > 1500000)
+        .select(
+            "o_custkey",
+            finish(F.col("_exact_spend"), 4).alias("total_spend"),
+            "n_orders",
+        )
+    )
+
+
+@query(
+    "q_agg_rollup",
+    oracle=f"""
+    SELECT n_name, c_mktsegment,
+           cast(grouping(n_name) as int) AS g_nation,
+           cast(grouping(c_mktsegment) as int) AS g_segment,
+           count(*) AS n_custs,
+           {sql_dsum('c_acctbal', 'sum_bal')}
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals (nation → segment → grand total)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .rollup("n_name", "c_mktsegment")
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(F.col("c_acctbal"), "sum_bal"),
+        )
+    )
+
+
+@query(
+    "q_agg_cube",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           cast(grouping(o_orderstatus) as int) AS g_status,
+           cast(grouping(o_orderpriority) as int) AS g_priority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping combinations over (status, priority)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
+@query(
+    "q_agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets ((a,b),(a),()) via SQL entry point."""
+    o = load(spark, sf_dir, "orders")
+    view = "gs_orders"
+    o.createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               cast(cast(sum(cast(o_totalprice as {DEC})) as decimal(38,4)) as double) AS sum_price
+        FROM {view}
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+@query(
+    "q_agg_collect_sorted",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           array_agg(o_orderkey ORDER BY o_orderkey) AS order_keys
+    FROM orders
+    WHERE o_custkey <= 50
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordered key list (list-building primitive for doc pipelines)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") <= 50)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+        )
+    )
+
+
+@query(
+    "q_agg_conditional",
+    oracle=f"""
+    SELECT user_id,
+           {sql_dsum("case when event_type = 'click' then value end", 'click_value')},
+           {sql_dsum("case when event_type = 'purchase' then value end", 'purchase_value')},
+           {sql_dsum("case when event_type = 'view' then value end", 'view_value')},
+           count(case when event_type = 'error' then 1 end) AS n_errors
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: one measure column per event type.
+
+    The when()-without-otherwise form yields NULL for non-matching rows,
+    which sum() skips — identical to SQL CASE. (df.groupBy().pivot() plans
+    to the same conditional-agg shape; the explicit form keeps column names
+    under our control for the oracle.)
+    """
+    e = load(spark, sf_dir, "events")
+
+    def tagged(event_type: str, alias: str):
+        return dsum(F.when(F.col("event_type") == event_type, F.col("value")), alias)
+
+    return e.groupBy("user_id").agg(
+        tagged("click", "click_value"),
+        tagged("purchase", "purchase_value"),
+        tagged("view", "view_value"),
+        F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("n_errors"),
+    )
