@@ -1,1 +1,290 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Join operators (SURVEY.md §2.3) — full strategy + type surface.
+
+Scale notes (100 TB):
+  * dim joins (nation/region/part) are explicit ``broadcast()`` — no
+    shuffle of the fact side;
+  * fact-fact joins shuffle on the equi key (sort-merge; AQE may demote to
+    shuffled-hash) — the key is the natural co-partitioning column, so a
+    bucketed layout would eliminate the exchange entirely;
+  * the theta/band join pre-filters BOTH sides with pushed-down range
+    predicates before the nested-loop pairing, bounding the quadratic term;
+  * the as-of join is equi-join + per-group window pick-latest — shuffle on
+    the equi key once, no cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+
+def _c_n_r(spark: SparkSession, sf_dir: str, use_broadcast: bool) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    if use_broadcast:
+        n, r = F.broadcast(n), F.broadcast(r)
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey, "inner")
+        .join(r, n.n_regionkey == r.r_regionkey, "inner")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+_CNR_SQL = """
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+@query("q_join_inner_hash", oracle=_CNR_SQL)
+def q_join_inner_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join customer ⋈ nation ⋈ region (planner/AQE-chosen)."""
+    return _c_n_r(spark, sf_dir, use_broadcast=False)
+
+
+@query("q_join_broadcast", oracle=_CNR_SQL)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same join with the dimension sides pinned broadcast (plan-invariant
+    result; the 100-TB default for any dim that fits an executor)."""
+    return _c_n_r(spark, sf_dir, use_broadcast=True)
+
+
+@query(
+    "q_join_sortmerge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderpriority,
+           l_linenumber, l_extendedprice, l_quantity
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_totalprice > 250000
+    """,
+)
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large orders ⋈ lineitem pinned to sort-merge via hint."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(l, o.o_orderkey == l.l_orderkey, "inner")
+        .select(
+            "o_orderkey", "o_totalprice", "o_orderpriority",
+            "l_linenumber", "l_extendedprice", "l_quantity",
+        )
+    )
+
+
+# Outer joins: the right side is a filtered slice so unmatched rows exist
+# (every sf0.001 customer has orders — FIXTURES.md), exercising NULL fill.
+_BIG = 300000
+
+
+@query(
+    "q_join_left",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer c
+    LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > {_BIG}) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_right",
+    oracle=f"""
+    SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM orders WHERE o_totalprice > {_BIG}) o
+    RIGHT JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return o.join(c, c.c_custkey == o.o_custkey, "right").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_full",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_acctbal, o.o_orderkey, o.o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal < 0) c
+    FULL JOIN (SELECT * FROM orders WHERE o_totalprice > {_BIG}) o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join preserving both unmatched sides."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {_BIG})
+    """,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers having ≥1 big order — left semi (no right columns)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > {_BIG})
+    """,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no big orders — left anti."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > _BIG)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, n_name, n_nationkey + r_regionkey AS key_sum
+    FROM region CROSS JOIN nation
+    """,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cartesian product of the two smallest dims + projection."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_name",
+        "n_name",
+        (F.col("n_nationkey") + F.col("r_regionkey")).alias("key_sum"),
+    )
+
+
+@query(
+    "q_join_theta_range",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, p_partkey, p_retailprice
+    FROM lineitem JOIN part
+      ON p_retailprice >= l_extendedprice * 0.9
+     AND p_retailprice <= l_extendedprice * 1.1
+    WHERE l_extendedprice < 3300
+    """,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi band join: parts priced within ±10% of a line's price.
+
+    The pushed-down ``l_extendedprice < 3300`` bound (retail prices top out
+    ~3 k) shrinks the nested-loop left side before the quadratic pairing —
+    the generic way to keep BNLJ feasible at scale when no equi key exists.
+    """
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") < 3300)
+    p = load(spark, sf_dir, "part")
+    band = (F.col("p_retailprice") >= F.col("l_extendedprice") * 0.9) & (
+        F.col("p_retailprice") <= F.col("l_extendedprice") * 1.1
+    )
+    return l.join(F.broadcast(p), band, "inner").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "p_partkey", "p_retailprice"
+    )
+
+
+@query(
+    "q_join_interval",
+    oracle="""
+    SELECT o_orderkey, o_orderdate, l_linenumber, l_shipdate
+    FROM orders JOIN lineitem
+      ON o_orderkey = l_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-containment join: lines shipped within 30 days of the order.
+
+    Equi key carries the shuffle; the interval predicate is a residual
+    filter — no range-partitioning machinery needed.
+    """
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(l, on=[o.o_orderkey == l.l_orderkey], how="inner")
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        )
+        .select("o_orderkey", "o_orderdate", "l_linenumber", "l_shipdate")
+    )
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    SELECT event_id, ts, user_id, o_orderkey AS last_orderkey,
+           o_orderdate AS last_orderdate
+    FROM (
+        SELECT e.event_id, e.ts, e.user_id, o.o_orderkey, o.o_orderdate,
+               row_number() OVER (PARTITION BY e.event_id
+                                  ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the latest order of that customer with
+    o_orderdate <= ts (strict tie-break on o_orderkey for determinism).
+
+    Spark has no native ASOF JOIN; the idiomatic form is equi-join +
+    windowed pick-latest — one shuffle on the equi key, then a per-event
+    top-1 (WindowGroupLimit prunes to the first row per group since 3.5).
+    DuckDB's ASOF JOIN is the oracle-side equivalent; the window form is
+    used there too so tie-handling matches exactly.
+    """
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    j = e.join(
+        o,
+        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts.cast("timestamp_ntz")),
+        "inner",
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "ts",
+            "user_id",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+    )
