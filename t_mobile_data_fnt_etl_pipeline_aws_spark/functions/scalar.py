@@ -1,1 +1,381 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Scalar function surface (SURVEY.md §2.8): string / date / math /
+conditional / cast / array / map / json / struct.
+
+All JVM-side built-ins (whole-stage codegen keeps these fused into the
+scan stage — zero Python in the hot path). Dialect parity notes live next
+to each query; the recurring ones:
+  * DuckDB ceil/floor return DOUBLE (Spark BIGINT) → cast.
+  * DuckDB date_trunc returns DATE (Spark TIMESTAMP) → cast.
+  * Spark weekday (Mon=0) == DuckDB isodow-1.
+  * DuckDB regexp_replace needs the 'g' flag to match Spark's
+    replace-all semantics.
+  * datediff arg order: Spark (end, start) == DuckDB date_diff('day',
+    start, end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import IntegerType
+
+from ..functions.numeric import finish, sql_finish_dbl
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_string_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           lower(p_type) AS type_lower,
+           trim(concat('  ', p_name, ' ')) AS name_trimmed,
+           substring(p_name, 1, 4) AS name_prefix,
+           cast(length(p_name) as int) AS name_len,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           replace(p_name, ' ', '_') AS name_snake,
+           lpad(cast(p_size as varchar), 3, '0') AS size_padded,
+           string_split(p_name, ' ') AS name_words,
+           regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled
+    FROM part
+    """,
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String battery over part (upper/lower/trim/substr/length/concat_ws/
+    replace/lpad/split/regexp_extract/regexp_replace)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.trim(F.concat(F.lit("  "), F.col("p_name"), F.lit(" "))).alias(
+            "name_trimmed"
+        ),
+        F.substring("p_name", 1, 4).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.split("p_name", " ").alias("name_words"),
+        F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
+    )
+
+
+@query(
+    "q_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           cast(year(o_orderdate) as int) AS order_year,
+           cast(month(o_orderdate) as int) AS order_month,
+           cast(dayofmonth(o_orderdate) as int) AS order_dom,
+           cast(isodow(o_orderdate) - 1 as int) AS order_weekday,
+           cast(quarter(o_orderdate) as int) AS order_quarter,
+           cast(date_trunc('month', o_orderdate) as timestamp) AS order_month_start,
+           cast(cast(o_orderdate as date) + 30 as timestamp) AS due_date,
+           cast(date_diff('day', o_orderdate,
+                          TIMESTAMP '2002-01-01 00:00:00') as int) AS days_to_2002,
+           cast(last_day(cast(o_orderdate as date)) as timestamp) AS month_end,
+           epoch_us(o_orderdate) // 1000000 AS order_epoch
+    FROM orders
+    """,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time battery over o_orderdate (see module parity notes).
+
+    DATE values never reach the output — they are upcast to timestamp:
+    DuckDB's pandas bridge widens DATE to datetime64 while Spark returns
+    datetime.date objects, so a DATE output column can never hash-match.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_dom"),
+        F.weekday("o_orderdate").alias("order_weekday"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp_ntz")
+        .alias("due_date"),
+        F.datediff(
+            F.expr("TIMESTAMP_NTZ '2002-01-01 00:00:00'"), F.col("o_orderdate")
+        ).alias("days_to_2002"),
+        F.last_day(F.col("o_orderdate").cast("date"))
+        .cast("timestamp_ntz")
+        .alias("month_end"),
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+    )
+
+
+@query(
+    "q_math_funcs",
+    oracle=f"""
+    SELECT c_custkey,
+           abs(c_acctbal) AS bal_abs,
+           cast(ceil(c_acctbal) as bigint) AS bal_ceil,
+           cast(floor(c_acctbal) as bigint) AS bal_floor,
+           cast(sign(c_acctbal) as int) AS bal_sign,
+           {sql_finish_dbl('sqrt(abs(c_acctbal))', 6)} AS bal_sqrt,
+           {sql_finish_dbl('ln(abs(c_acctbal) + 1)', 6)} AS bal_ln,
+           {sql_finish_dbl('exp(c_acctbal / 10000)', 6)} AS bal_exp,
+           {sql_finish_dbl('pow(c_acctbal / 1000, 2)', 6)} AS bal_pow2,
+           cast(c_custkey % 7 as bigint) AS key_mod7,
+           greatest(c_acctbal, 0.0) AS bal_pos,
+           least(c_acctbal, 0.0) AS bal_neg
+    FROM customer
+    """,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math battery over c_acctbal (negatives exist — FIXTURES.md).
+
+    Transcendentals (ln/exp/sqrt/pow) go through finish(6): libm vs
+    java.lang.Math may differ in the final ulp, and a 6-dp decimal round
+    collapses that. round(double,n) itself is banned (numeric.py).
+    """
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("bal_abs"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.floor(bal).alias("bal_floor"),
+        F.signum(bal).cast("int").alias("bal_sign"),
+        finish(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        finish(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
+        finish(F.exp(bal / 10000), 6).alias("bal_exp"),
+        finish(F.pow(bal / 1000, F.lit(2)), 6).alias("bal_pow2"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).cast("bigint").alias("key_mod7"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_pos"),
+        F.least(bal, F.lit(0.0)).alias("bal_neg"),
+    )
+
+
+@query(
+    "q_conditional",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS bal_tier,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+           nullif(c_nationkey, 0) AS nation_nz,
+           CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0.0 END AS bal_clamped
+    FROM customer
+    """,
+)
+def q_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN tiering + coalesce + nullif + if()."""
+    c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.when(bal < 0, "delinquent")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("bal_tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        F.nullif(F.col("c_nationkey"), F.lit(0)).alias("nation_nz"),
+        F.expr("if(c_acctbal >= 0, c_acctbal, 0.0d)").alias("bal_clamped"),
+    )
+
+
+@query(
+    "q_cast_types",
+    oracle="""
+    SELECT o_orderkey,
+           cast(o_orderkey as varchar) AS key_str,
+           cast(cast(o_orderkey as varchar) as bigint) AS key_roundtrip,
+           cast(cast(o_totalprice as decimal(12,2)) as double) AS price_dec2dbl,
+           cast(cast(o_totalprice as decimal(12,2)) as varchar) AS price_str,
+           cast(trunc(o_totalprice) as bigint) AS price_int,
+           cast(o_custkey as double) AS cust_dbl,
+           cast(cast(o_orderdate as date) as varchar) AS order_date_str,
+           cast(cast(o_orderdate as date) as timestamp) AS date_roundtrip
+    FROM orders
+    """,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast matrix: string↔int↔double↔decimal(12,2)↔date↔timestamp.
+
+    Parity notes: Spark's double→bigint cast TRUNCATES while DuckDB's
+    ROUNDS — the oracle pins DuckDB to trunc(); double→decimal rounds
+    HALF_UP-compatibly in both; decimal→varchar renders the fixed scale
+    identically in both. DECIMAL and DATE values are exercised but leave
+    the output as double/varchar/timestamp (pandas-bridge portability —
+    DuckDB hands decimals to pandas as float64 and dates as datetime64).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("o_totalprice")
+        .cast("decimal(12,2)")
+        .cast("double")
+        .alias("price_dec2dbl"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string").alias("price_str"),
+        F.col("o_totalprice").cast("bigint").alias("price_int"),
+        F.col("o_custkey").cast("double").alias("cust_dbl"),
+        F.col("o_orderdate").cast("date").cast("string").alias("order_date_str"),
+        F.col("o_orderdate").cast("date").cast("timestamp_ntz").alias(
+            "date_roundtrip"
+        ),
+    )
+
+
+@query(
+    "q_array_funcs",
+    oracle=f"""
+    SELECT vec_id,
+           cast(len(embedding) as int) AS dim,
+           cast(embedding[1] as double) AS first_val,
+           list_transform(embedding[1:4], x -> cast(x as double)) AS head4,
+           cast(list_max(embedding) as double) AS vmax,
+           cast(list_min(embedding) as double) AS vmin,
+           {sql_finish_dbl('''sqrt(list_reduce(
+               list_transform(embedding, x -> cast(x as double) * cast(x as double)),
+               (a, b) -> a + b))''', 6)} AS l2_norm,
+           cast(len(list_filter(embedding, x -> x > 0)) as int) AS n_positive
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array battery on the embedding column: size/element_at/slice/min/max
+    + higher-order transform/filter/aggregate (L2 norm).
+
+    float32 elements are cast to double BEFORE arithmetic on both sides;
+    the left-fold order of F.aggregate matches DuckDB's list_reduce, so
+    the per-row reduction is bit-identical (finish(6) guards the sqrt).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    as_dbl = F.transform(emb, lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_val"),
+        F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double")).alias("head4"),
+        F.array_max(emb).cast("double").alias("vmax"),
+        F.array_min(emb).cast("double").alias("vmin"),
+        finish(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(as_dbl, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("l2_norm"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "q_explode_posexplode",
+    oracle="""
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           cast(unnest(embedding) as double) AS val
+    FROM embeddings
+    WHERE vec_id < 10
+    """,
+)
+def q_explode_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unnest vectors to (vec_id, pos, val) rows — posexplode is 0-based,
+    DuckDB's generate_subscripts is 1-based, hence the -1."""
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 10)
+    return e.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+@query(
+    "q_json_funcs",
+    oracle="""
+    SELECT event_id,
+           cast(json_extract_string(props, '$.k') as int) AS k_path,
+           cast(json_extract_string(props, '$.k') as int) AS k_struct,
+           json_extract_string(props, '$.k') IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from events.props — path form (get_json_object) and
+    full parse (from_json to struct, then field access)."""
+    e = load(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_path"),
+        parsed.getField("k").alias("k_struct"),
+        F.get_json_object("props", "$.k").isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    SELECT event_id,
+           ['k'] AS mkeys,
+           [cast(json_extract_string(props, '$.k') as int)] AS mvals,
+           cast(json_extract_string(props, '$.k') as int) AS k_val,
+           cast(json_extract_string(props, '$.k') as int) IS NOT NULL AS k_present
+    FROM events
+    """,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map construction + entries ops: create_map / map_keys / map_values /
+    element_at. The map itself never reaches the output (map literal
+    semantics differ across engines); the oracle checks the extracted
+    keys/values arrays and lookups instead."""
+    e = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("k"), F.get_json_object("props", "$.k").cast("int")
+    )
+    return e.select(
+        "event_id",
+        F.map_keys(m).alias("mkeys"),
+        F.map_values(m).alias("mvals"),
+        F.element_at(m, F.lit("k")).alias("k_val"),
+        F.map_contains_key(m, F.lit("k")).alias("k_present"),
+    )
+
+
+@query(
+    "q_struct_funcs",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """named_struct pack → struct as GROUP KEY → dot-access unpack.
+
+    The struct participates in the aggregation key (exercising struct
+    hashing/equality); outputs are the unpacked scalar fields so the
+    oracle compares plain columns."""
+    o = load(spark, sf_dir, "orders")
+    s = F.struct(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    return (
+        o.select(s.alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.col("s.status").alias("status"),
+            F.col("s.priority").alias("priority"),
+            "n_orders",
+        )
+    )

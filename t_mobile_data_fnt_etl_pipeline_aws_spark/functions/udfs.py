@@ -1,1 +1,195 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.10).
+
+Patterns follow the public pandas-UDF idioms (SNIPPETS.md:30-58, 134-180):
+Arrow-batched vectorized UDFs, grouped-agg reductions, grouped-map
+applyInPandas, a Python UDTF, and a SQL-registered row UDF.
+
+Parity discipline for Python-side float math: summations use math.fsum
+(correctly-rounded exact sum — merge-order independent, matching an exact
+decimal accumulation of the same addends when those addends are exactly
+representable); per-row arithmetic is plain IEEE, identical to the JVM's.
+
+Performance: pandas UDFs move Arrow batches across the executor↔Python
+boundary (~10-100× the throughput of row-at-a-time UDFs); the registered
+row UDF exists to cover the API surface and is NOT a hot-path pattern —
+q_udf_registered_sql documents that explicitly.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from ..functions.numeric import DEC, finish, sql_finish_dbl, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 40
+    """,
+)
+def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized scalar pandas UDF: net price over Arrow batches.
+
+    pd.Series arithmetic is element-wise IEEE — bit-identical to the JVM
+    computing the same expression, so the SQL oracle is exact.
+    """
+
+    @pandas_udf("double")
+    def net_price(price: pd.Series, discount: pd.Series) -> pd.Series:
+        return price * (1.0 - discount)
+
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 40)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        net_price("l_extendedprice", "l_discount").alias("net_price"),
+    )
+
+
+@query(
+    "q_udaf_grouped_agg",
+    oracle=f"""
+    SELECT l_returnflag,
+           {sql_finish_dbl(
+               f"cast(cast(sum(cast(l_extendedprice * l_quantity as {DEC})) as decimal(38,2)) as double)"
+               f" / cast(cast(sum(cast(l_quantity as {DEC})) as decimal(38,2)) as double)", 6)}
+               AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF: quantity-weighted mean price per flag.
+
+    math.fsum returns the correctly-rounded exact sum of the double
+    addends. Both w·x (2dp × small int) and w are exactly representable,
+    so fsum equals the oracle's exact-decimal sum finished at the same
+    scale — bit-exact parity despite a Python reduction.
+    """
+
+    @pandas_udf("double")
+    def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
+        num = math.fsum((price * qty).tolist())
+        den = math.fsum(qty.tolist())
+        return num / den
+
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(weighted_avg("l_extendedprice", "l_quantity").alias("_wavg"))
+        .select("l_returnflag", finish(F.col("_wavg"), 6).alias("weighted_avg_price"))
+    )
+
+
+@query(
+    "q_udtf_grouped_map",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CASE WHEN mx = mn THEN 0.5 ELSE (o_totalprice - mn) / (mx - mn) END
+               AS price_scaled
+    FROM (
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               min(o_totalprice) OVER (PARTITION BY o_custkey) AS mn,
+               max(o_totalprice) OVER (PARTITION BY o_custkey) AS mx
+        FROM orders
+    )
+    """,
+)
+def q_udtf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas: per-customer min-max normalization.
+
+    min/max are exact selections and the per-row rescale is one IEEE
+    division — exactly reproducible by the window-form oracle (a z-score
+    variant would need decimal moment sums; min-max keeps the grouped-map
+    pattern bit-portable).
+    """
+
+    def rescale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["o_totalprice"].min(), pdf["o_totalprice"].max()
+        if mx == mn:
+            pdf["price_scaled"] = 0.5
+        else:
+            pdf["price_scaled"] = (pdf["o_totalprice"] - mn) / (mx - mn)
+        return pdf[["o_orderkey", "o_custkey", "o_totalprice", "price_scaled"]]
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return o.groupBy("o_custkey").applyInPandas(
+        rescale,
+        schema="o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+        "price_scaled double",
+    )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+    FROM documents
+    WHERE doc_id < 25
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF: explode each document into (word, pos) rows via a
+    lateral table function (@udtf, Spark ≥3.5)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, pos int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield w, i
+
+    spark.udtf.register("split_words", SplitWords)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        "SELECT doc_id, s.word, s.pos "
+        "FROM udtf_docs, LATERAL split_words(text) s"
+    )
+
+
+@query(
+    "q_udf_registered_sql",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'delinquent'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier
+    FROM customer
+    """,
+)
+def q_udf_registered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDF registered for the SQL entry point (spark.sql string).
+
+    Row-at-a-time UDFs serialize per row — covered for API completeness;
+    the hot-path equivalent is the CASE expression in q_conditional.
+    """
+
+    def tier(bal: float) -> str:
+        if bal < 0:
+            return "delinquent"
+        if bal < 5000:
+            return "standard"
+        return "premium"
+
+    spark.udf.register("acct_tier", tier, "string")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("udf_customer")
+    return spark.sql(
+        "SELECT c_custkey, acct_tier(c_acctbal) AS tier FROM udf_customer"
+    )

@@ -1,1 +1,208 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Window functions (SURVEY.md §2.5).
+
+Determinism rules (§5.5): every ROW-framed window orders by a UNIQUE key
+chain; rank/dense_rank may order by a non-unique key (their outputs depend
+only on the key values); windowed SUMs of doubles accumulate in decimal —
+DuckDB evaluates window aggregates with segment trees, a different
+summation order from Spark's running accumulation, so float window sums
+are not portable but exact decimal ones are.
+
+Scale: one shuffle on partitionBy keys per window spec; q_topk_per_group's
+rank-filter plans as WindowGroupLimit (Spark ≥3.5) which prunes per
+partition BEFORE the sort — the per-group top-k that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, finish, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_window_rank",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk
+    FROM orders
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number / rank / dense_rank of orders per customer by price.
+
+    row_number gets a unique tiebreak (o_orderkey); rank/dense_rank
+    deliberately order by the non-unique measure alone — their values are
+    functions of the key values, hence still deterministic.
+    """
+    o = load(spark, sf_dir, "orders")
+    w_unique = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    w_ties = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"))
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w_unique).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+    )
+
+
+@query(
+    "q_window_analytic",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice,
+           lag(o_totalprice)  OVER w AS prev_price,
+           lead(o_totalprice) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+               AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag / lead / first_value / last_value over each customer's history."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w_full).alias("last_price"),
+    )
+
+
+@query(
+    "q_window_running",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           {sql_finish_dec(f'''sum(cast(o_totalprice as {DEC})) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)''', 4)}
+               AS running_spend,
+           count(*) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running_orders
+    FROM orders
+    """,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum/count per customer (ROWS unbounded-preceding frame)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        finish(F.sum(F.col("o_totalprice").cast(DEC)).over(w), 4).alias(
+            "running_spend"
+        ),
+        F.count(F.lit(1)).over(w).alias("running_orders"),
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle=f"""
+    SELECT event_id, user_id, ts,
+           {sql_finish_dec(f'''sum(cast(value as {DEC})) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)''', 6)}
+               AS trailing_1h_value,
+           count(*) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+               AS trailing_1h_events
+    FROM events
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range frame: trailing-1-hour sum of event values per user.
+
+    RANGE frames are defined by ORDER-key VALUE offsets (epoch seconds), so
+    ties are included symmetrically and no unique tiebreak is needed.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        finish(F.sum(F.col("value").cast(DEC)).over(w), 6).alias("trailing_1h_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_1h_events"),
+    )
+
+
+@query(
+    "q_window_distribution",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           ntile(4)       OVER w AS quartile,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over balances per market segment.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist are single IEEE divisions
+    of integers — identical in both engines, no finishing needed.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — WindowGroupLimit-optimized rank filter."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
