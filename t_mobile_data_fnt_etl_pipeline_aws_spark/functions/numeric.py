@@ -22,6 +22,15 @@ The scheme (each step verified bit-exact between engines at sf0.01):
    rounds in both engines, and the doubles match bit-for-bit.
 4. ``round(double, n)`` is BANNED in oracle SQL — DuckDB implements it with
    float multiply/divide and drifts (e.g. 3758439620.06 vs …060001).
+5. NEVER finish() the result of a division or other per-row IEEE
+   expression whose operands already match bit-for-bit: the quotient is
+   identical in both engines by construction, while finishing it risks a
+   rounding-boundary split — ratios of small integers (k/2^a5^b) terminate
+   EXACTLY at a 6-dp tie (e.g. 1/128 = 0.0078125), where Spark's exact
+   BigDecimal HALF_UP and DuckDB's float-path double→decimal cast can
+   disagree. finish() is for (a) decimal accumulations crossing rows and
+   (b) transcendentals (ln/exp/pow), whose full-mantissa outputs make an
+   exact tie measure-zero.
 
 Scale choice rule: pick ``s`` with ``|x| * 10^s < 9e15``. Defaults: sums
 s=4 (|sum| < 9e11 — holds through sf1), means/ratios s=6 (|x| < 9e9).
@@ -72,14 +81,20 @@ def sql_dsum(expr: str, alias: str, scale: int = 4) -> str:
 
 
 def davg(col: Column, alias: str) -> Column:
-    """Order-independent AVG: exact sum (finished at s=4) / count, s=6."""
+    """Order-independent AVG: exact sum (finished at s=4) / count.
+
+    NO finish after the division: both engines divide the identical
+    finished-sum double by the identical count, so the quotients are
+    bit-identical already — and finishing a quotient is actively unsafe
+    (see module docstring rule 5).
+    """
     s1 = finish(F.sum(col.cast(DEC)), 4)
-    return finish(s1 / F.count(col), 6).alias(alias)
+    return (s1 / F.count(col)).alias(alias)
 
 
 def sql_davg(expr: str, alias: str) -> str:
     s1 = sql_finish_dec(f"sum(cast(({expr}) as {DEC}))", 4)
-    return sql_finish_dbl(f"{s1} / count({expr})", 6) + f" as {alias}"
+    return f"({s1} / count({expr})) as {alias}"
 
 
 def _moments(col: Column, prescale: int) -> tuple[Column, Column, Column]:
@@ -96,15 +111,17 @@ def _moments(col: Column, prescale: int) -> tuple[Column, Column, Column]:
 
 
 def dvar_samp(col: Column, alias: str, prescale: int = 10000) -> Column:
+    # no final finish: s1/s2 are identical doubles in both engines, and
+    # the remaining expression is fixed IEEE arithmetic (rule 5).
     n, s1, s2 = _moments(col, prescale)
     var_y = (s2 - s1 * s1 / n) / (n - F.lit(1))
-    return finish(var_y * F.lit(float(prescale) ** 2), 2).alias(alias)
+    return (var_y * F.lit(float(prescale) ** 2)).alias(alias)
 
 
 def dstddev_samp(col: Column, alias: str, prescale: int = 10000) -> Column:
     n, s1, s2 = _moments(col, prescale)
     var_y = (s2 - s1 * s1 / n) / (n - F.lit(1))
-    return finish(F.sqrt(var_y) * F.lit(float(prescale)), 6).alias(alias)
+    return (F.sqrt(var_y) * F.lit(float(prescale))).alias(alias)
 
 
 def _sql_moments(expr: str, prescale: int) -> tuple[str, str, str]:
@@ -118,10 +135,10 @@ def _sql_moments(expr: str, prescale: int) -> tuple[str, str, str]:
 def sql_dvar_samp(expr: str, alias: str, prescale: int = 10000) -> str:
     n, s1, s2 = _sql_moments(expr, prescale)
     var_y = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
-    return sql_finish_dbl(f"{var_y} * {float(prescale) ** 2!r}", 2) + f" as {alias}"
+    return f"({var_y} * {float(prescale) ** 2!r}) as {alias}"
 
 
 def sql_dstddev_samp(expr: str, alias: str, prescale: int = 10000) -> str:
     n, s1, s2 = _sql_moments(expr, prescale)
     var_y = f"(({s2} - {s1} * {s1} / {n}) / ({n} - 1))"
-    return sql_finish_dbl(f"sqrt({var_y}) * {float(prescale)!r}", 6) + f" as {alias}"
+    return f"(sqrt({var_y}) * {float(prescale)!r}) as {alias}"

@@ -119,7 +119,7 @@ def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            cast(ceil(c_acctbal) as bigint) AS bal_ceil,
            cast(floor(c_acctbal) as bigint) AS bal_floor,
            cast(sign(c_acctbal) as int) AS bal_sign,
-           {sql_finish_dbl('sqrt(abs(c_acctbal))', 6)} AS bal_sqrt,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
            {sql_finish_dbl('ln(abs(c_acctbal) + 1)', 6)} AS bal_ln,
            {sql_finish_dbl('exp(c_acctbal / 10000)', 6)} AS bal_exp,
            {sql_finish_dbl('pow(c_acctbal / 1000, 2)', 6)} AS bal_pow2,
@@ -144,7 +144,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(bal).alias("bal_ceil"),
         F.floor(bal).alias("bal_floor"),
         F.signum(bal).cast("int").alias("bal_sign"),
-        finish(F.sqrt(F.abs(bal)), 6).alias("bal_sqrt"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
         finish(F.log(F.abs(bal) + 1), 6).alias("bal_ln"),
         finish(F.exp(bal / 10000), 6).alias("bal_exp"),
         finish(F.pow(bal / 1000, F.lit(2)), 6).alias("bal_pow2"),
@@ -239,9 +239,9 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
            list_transform(embedding[1:4], x -> cast(x as double)) AS head4,
            cast(list_max(embedding) as double) AS vmax,
            cast(list_min(embedding) as double) AS vmin,
-           {sql_finish_dbl('''sqrt(list_reduce(
+           sqrt(list_reduce(
                list_transform(embedding, x -> cast(x as double) * cast(x as double)),
-               (a, b) -> a + b))''', 6)} AS l2_norm,
+               (a, b) -> a + b)) AS l2_norm,
            cast(len(list_filter(embedding, x -> x > 0)) as int) AS n_positive
     FROM embeddings
     """,
@@ -264,15 +264,12 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double")).alias("head4"),
         F.array_max(emb).cast("double").alias("vmax"),
         F.array_min(emb).cast("double").alias("vmin"),
-        finish(
-            F.sqrt(
-                F.aggregate(
-                    F.transform(as_dbl, lambda x: x * x),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
-            6,
+        F.sqrt(
+            F.aggregate(
+                F.transform(as_dbl, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
         ).alias("l2_norm"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
     )

@@ -62,9 +62,8 @@ def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_udaf_grouped_agg",
     oracle=f"""
     SELECT l_returnflag,
-           {sql_finish_dbl(
-               f"cast(cast(sum(cast(l_extendedprice * l_quantity as {DEC})) as decimal(38,2)) as double)"
-               f" / cast(cast(sum(cast(l_quantity as {DEC})) as decimal(38,2)) as double)", 6)}
+           {sql_finish_dec(f'sum(cast(l_extendedprice * l_quantity as {DEC}))', 2)}
+               / {sql_finish_dec(f'sum(cast(l_quantity as {DEC}))', 2)}
                AS weighted_avg_price
     FROM lineitem
     GROUP BY l_returnflag
@@ -73,23 +72,35 @@ def q_udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF: quantity-weighted mean price per flag.
 
-    math.fsum returns the correctly-rounded exact sum of the double
-    addends. Both w·x (2dp × small int) and w are exactly representable,
-    so fsum equals the oracle's exact-decimal sum finished at the same
-    scale — bit-exact parity despite a Python reduction.
+    The Python reduction mirrors the engine's decimal-accumulation
+    contract digit for digit: each double product quantizes to 10 dp
+    HALF_UP (== both engines' double→decimal(30,10) cast), sums exactly,
+    finishes at 2 dp HALF_UP (== sql_finish_dec), converts once to
+    double. The closing division then matches the oracle bit-for-bit.
+    (A bare float sum would NOT: products carry ~ulp noise that the
+    decimal pipeline snaps away.)
     """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10, q2 = Decimal("1e-10"), Decimal("0.01")
+
+    def dec_sum(values) -> float:
+        total = sum(
+            Decimal(v).quantize(q10, ROUND_HALF_UP) for v in values
+        )
+        return float(total.quantize(q2, ROUND_HALF_UP))
 
     @pandas_udf("double")
     def weighted_avg(price: pd.Series, qty: pd.Series) -> float:
-        num = math.fsum((price * qty).tolist())
-        den = math.fsum(qty.tolist())
+        num = dec_sum((price * qty).tolist())
+        den = dec_sum(qty.tolist())
         return num / den
 
     l = load(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_returnflag")
         .agg(weighted_avg("l_extendedprice", "l_quantity").alias("_wavg"))
-        .select("l_returnflag", finish(F.col("_wavg"), 6).alias("weighted_avg_price"))
+        .select("l_returnflag", F.col("_wavg").alias("weighted_avg_price"))
     )
 
 

@@ -1,1 +1,313 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.11).
+
+Five dedup families over ``documents`` / ``embeddings``:
+  exact (hash groupBy) · MinHash+LSH (shingle → signature → band-bucket
+  join → verified Jaccard) · SimHash (bitwise majority fingerprint) ·
+  n-gram Jaccard (bounded exact pairs) · embedding-cosine near-dup.
+
+Scale design (100 TB): the LSH paths never form the O(n²) pair space —
+candidates come from a band-hash shuffle whose fan-in is the bucket size;
+exact verification runs only on candidates. Hashes are Spark's xxhash64
+(seeded, deterministic across runs/executors — SURVEY.md §7 requires
+stable rows-only output). The bounded exact-pair queries are the
+correctness oracles for the approximate paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import finish, sql_finish_dbl
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           min(lang) AS lang
+    FROM documents
+    GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on text: one kept representative (min doc_id) per
+    distinct text, with its copy count.
+
+    One hash-aggregate shuffle keyed on the full text. (At 100 TB the
+    group key would be sha2(text) to shrink shuffle bytes — same plan
+    shape.) The fixture plants exact duplicates only at sf0.1
+    (8 groups; sf0.001/sf0.01 have none), so the output is the kept-rows
+    table rather than dup-groups-only — non-degenerate at every SF.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.groupBy("text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("lang").alias("lang"),
+        )
+        .select("keep_doc_id", "n_copies", "lang")
+    )
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tokens, k: int = 3):
+    """Distinct word k-shingles as strings (1-based element_at)."""
+    n = F.size(tokens)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(tokens, i),
+                F.element_at(tokens, i + 1),
+                F.element_at(tokens, i + 2),
+            ),
+        )
+    )
+
+
+#: MinHash parameters: 64 permutations = 16 bands × 4 rows.
+_N_PERM, _N_BANDS, _ROWS_PER_BAND = 64, 16, 4
+_JACCARD_TAU = 0.6
+
+
+@query("q_dedup_fuzzy_minhash")  # rows-only: xxhash64 permutations are engine-specific
+def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
+
+    Pipeline (all DataFrame ops, one plan):
+      1. shingle: distinct word 3-shingles per doc;
+      2. sign: sig[j] = min over shingles of xxhash64(shingle, salt j)
+         (j = 0..63) — computed with nested higher-order functions, no
+         explode of the shingle set;
+      3. band: 16 band keys of 4 signature slots each; explode ONLY the
+         64→16 band axis;
+      4. bucket-join: self-join on (band_id, band_hash) with doc_a < doc_b
+         → candidate pairs (the LSH shuffle — never O(n²));
+      5. verify: exact Jaccard on the shingle sets via
+         array_intersect/array_union sizes, keep ≥ 0.6.
+
+    Rows-only: the permutation family is Spark's xxhash64; the DuckDB
+    q_dedup_ngram_jaccard query is the exact-oracle counterpart.
+    """
+    d = load(spark, sf_dir, "documents")
+    docs = d.select("doc_id", _shingles(_tokens()).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    sig = docs.withColumn(
+        "sig",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
+            lambda j: F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s: F.xxhash64(s, j),
+                )
+            ),
+        ),
+    )
+    bands = sig.select(
+        "doc_id",
+        "shingles",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("sig"), b * _ROWS_PER_BAND + 1, _ROWS_PER_BAND)
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        "band_id",
+        "band_hash",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        "band_id",
+        "band_hash",
+    )
+    cand = (
+        left.join(right, on=["band_id", "band_hash"], how="inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= _JACCARD_TAU)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("q_dedup_simhash")  # rows-only: xxhash64 token hashes are engine-specific
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints: 48-bit bitwise-majority token sketch.
+
+    For each bit i, sum ±1 over token hashes' bit i; fingerprint sets bit
+    i when the majority is positive. Identical fingerprints → near-dup
+    group. Pure higher-order-function fold — no explode, no shuffle until
+    the final fingerprint groupBy. 48 bits keeps the power-of-two
+    reconstruction inside exact BIGINT range.
+    """
+    n_bits = 48
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", _tokens().alias("toks"))
+    bit_counts = F.aggregate(
+        F.col("toks"),
+        F.transform(F.sequence(F.lit(0), F.lit(n_bits - 1)), lambda i: F.lit(0)),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bits - 1)),
+                lambda i: F.when(F.getbit(F.xxhash64(t), i) == 1, 1).otherwise(-1),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            bit_counts,
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
+            # shiftleft needs a literal bit count; 2^i via pow stays exact
+            # for i < 48 (inside double's integer range).
+            lambda c, i: F.when(
+                c > 0, F.pow(F.lit(2.0), i).cast("bigint")
+            ).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        toks.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("keep_doc_id")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS shingles
+        FROM documents WHERE doc_id < 150
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           cast(len(list_intersect(a.shingles, b.shingles)) as double) /
+           cast(len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles)) as double)
+               AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE cast(len(list_intersect(a.shingles, b.shingles)) as double) /
+          cast(len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles)) as double) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (word 3-shingle) Jaccard similarity on a bounded slice.
+
+    The exact quadratic counterpart of q_dedup_fuzzy_minhash — bounded to
+    doc_id < 150 so the pair space stays fixed at any SF (the fixture's
+    planted near-dups are sparse; this window holds pairs with J ≥ 0.95
+    at sf0.001/sf0.01). |A∪B| is |A|+|B|-|A∩B| (set identity) for DuckDB
+    parity.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    sh = d.select("doc_id", _shingles(_tokens()).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (
+        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> cast(x as double)) AS e
+        FROM embeddings WHERE vec_id < 200
+    ),
+    n AS (
+        SELECT vec_id, label, e,
+               sqrt(list_reduce(list_transform(e, x -> x * x), (a, b) -> a + b))
+                   AS nrm
+        FROM v
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           list_reduce(list_transform(list_zip(a.e, b.e),
+               s -> cast(s[1] as double) * cast(s[2] as double)), (x, y) -> x + y)
+               / (a.nrm * b.nrm) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_reduce(list_transform(list_zip(a.e, b.e),
+              s -> cast(s[1] as double) * cast(s[2] as double)), (x, y) -> x + y)
+          / (a.nrm * b.nrm) >= 0.3
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs on a bounded slice.
+
+    Fixture embeddings are random (max pairwise cosine ≈ 0.40), so the
+    τ=0.3 threshold demonstrates the operator with non-empty output; a
+    production near-dup τ would be ~0.95 with LSH bucketing first
+    (q_knn_join_bucketed is the scale path).
+    """
+    e = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    as_dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(as_dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    v = e.select("vec_id", as_dbl.alias("e"), norm.alias("nrm"))
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    pairs = a.join(b, F.col("vec_a") < F.col("vec_b"))
+    cos = dot / (F.col("na") * F.col("nb"))
+    return (
+        pairs.withColumn("_cos", cos)
+        .filter(F.col("_cos") >= 0.3)
+        .select("vec_a", "vec_b", F.col("_cos").alias("cosine"))
+    )

@@ -1,1 +1,334 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Similarity search over embedding vectors (SURVEY.md §2.11).
+
+Brute-force cosine top-k is the exactness baseline; the scale paths are
+LSH bucketing (random-hyperplane signatures → bucket join → exact re-rank)
+and IVF (coarse centroids → probe only the nearest cell). The probe vector
+is always a one-row broadcast — scoring is a map-side pass over the
+embeddings scan, no shuffle until the final top-k (TakeOrderedAndProject).
+
+Vector math convention (oracle parity): float32 elements are cast to
+double FIRST; dot/norm are sequential left folds — Spark F.aggregate
+seeded with 0.0 equals DuckDB list_reduce's first-element seeding because
+0.0 + x == x exactly; results are finished at 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, finish, sql_finish_dbl, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+
+
+def _as_dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> cast(s[1] as double) * cast(s[2] as double)), (x, y) -> x + y)"
+)
+_SQL_NORM = (
+    "sqrt(list_reduce(list_transform({a},"
+    " x -> cast(x as double) * cast(x as double)), (y, z) -> y + z))"
+)
+
+
+@query(
+    "q_sim_cosine_pair",
+    oracle=f"""
+    WITH a AS (SELECT embedding AS ea FROM embeddings WHERE vec_id = 7),
+         b AS (SELECT embedding AS eb FROM embeddings WHERE vec_id = 42)
+    SELECT 7 AS vec_a, 42 AS vec_b,
+           {_SQL_DOT.format(a='ea', b='eb')}
+               / ({_SQL_NORM.format(a='ea')} * {_SQL_NORM.format(a='eb')}) AS cosine
+    FROM a CROSS JOIN b
+    """,
+)
+def q_sim_cosine_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine similarity between two vectors selected by vec_id."""
+    e = load(spark, sf_dir, "embeddings")
+    a = e.filter(F.col("vec_id") == 7).select(_as_dbl("embedding").alias("ea"))
+    b = e.filter(F.col("vec_id") == 42).select(_as_dbl("embedding").alias("eb"))
+    j = a.crossJoin(b)
+    cos = _dot(F.col("ea"), F.col("eb")) / (_norm(F.col("ea")) * _norm(F.col("eb")))
+    return j.select(
+        F.lit(7).alias("vec_a"), F.lit(42).alias("vec_b"), cos.alias("cosine")
+    )
+
+
+@query(
+    "q_sim_search_topk",
+    oracle=f"""
+    WITH probe AS (
+        SELECT list_transform(embedding, x -> cast(x as double)) AS pe,
+               {_SQL_NORM.format(a='embedding')} AS pn
+        FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {_SQL_DOT.format(a='e.embedding', b='probe.pe')}
+                   / ({_SQL_NORM.format(a='e.embedding')} * probe.pn) AS cos_raw
+        FROM embeddings e CROSS JOIN probe
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, cos_raw AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 neighbors of probe vec_id=0.
+
+    The probe is a one-row broadcast; scoring is embarrassingly parallel
+    over the scan and the final top-k is TakeOrderedAndProject — this
+    exact plan is the 100-TB baseline ANN answer (one pass, no shuffle).
+    Tiebreak on vec_id keeps the surviving row set deterministic.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        _as_dbl("embedding").alias("pe"),
+        _norm(_as_dbl("embedding")).alias("pn"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "label",
+            (
+                _dot(_as_dbl("embedding"), F.col("pe"))
+                / (_norm(_as_dbl("embedding")) * F.col("pn"))
+            ).alias("cos_raw"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.col("cos_raw").alias("cosine"))
+    )
+
+
+@query("q_knn_join_bucketed")  # rows-only: hyperplane family is engine-seeded
+def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN join via random-hyperplane LSH + in-bucket re-rank.
+
+    1. signature: 8 pseudo-random hyperplanes; plane p's component for
+       dimension i is a deterministic hash-derived value in [-1, 1]
+       (xxhash64(p, i) scaled) — seeded, reproducible, no Python RNG;
+    2. bucket = the 8-bit sign pattern of the projections;
+    3. self-join on bucket (the LSH shuffle — avoids O(n²) pairs);
+    4. exact cosine re-rank inside buckets, top-3 neighbors per vector.
+
+    Rows-only: bucket boundaries depend on the engine hash family; the
+    exact counterpart is q_sim_search_topk.
+    """
+    n_planes = 8
+    e = load(spark, sf_dir, "embeddings")
+    as_dbl = _as_dbl("embedding")
+
+    def plane_component(p, i):
+        # deterministic pseudo-random in [-1, 1): xxhash64 → scale
+        return (
+            F.pmod(F.xxhash64(F.lit("plane"), p, i), F.lit(2000001)).cast("double")
+            / 1000000.0
+            - 1.0
+        )
+
+    def projection(p):
+        return F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)), lambda i: plane_component(p, i)
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda p: F.when(
+                projection(p) > 0, F.pow(F.lit(2.0), p).cast("int")
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    v = e.select("vec_id", as_dbl.alias("e"), _norm(as_dbl).alias("nrm")).withColumn(
+        "bucket", sig
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        "bucket",
+    )
+    pairs = a.join(b, on="bucket").filter(F.col("vec_a") != F.col("vec_b"))
+    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_a").orderBy(F.desc("cos_raw"), F.asc("vec_b"))
+    return (
+        pairs.withColumn("cos_raw", cos)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("vec_a", "vec_b", "bucket", F.col("cos_raw").alias("cosine"))
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "q_sim_search_ivf",
+    oracle=f"""
+    WITH cent AS (
+        SELECT label,
+               pos,
+               {sql_finish_dec(f'sum(cast(val as {DEC}))', 6)} / count(*) AS cval
+        FROM (
+            SELECT label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   cast(unnest(embedding) as double) AS val
+            FROM embeddings
+        )
+        GROUP BY label, pos
+    ),
+    cvec AS (
+        SELECT label, array_agg(cval ORDER BY pos) AS ce FROM cent GROUP BY label
+    ),
+    probe AS (
+        SELECT list_transform(embedding, x -> cast(x as double)) AS pe
+        FROM embeddings WHERE vec_id = 0
+    ),
+    best AS (
+        SELECT cvec.label
+        FROM cvec CROSS JOIN probe
+        ORDER BY {_SQL_DOT.format(a='cvec.ce', b='probe.pe')}
+                 / ({_SQL_NORM.format(a='cvec.ce')} * {_SQL_NORM.format(a='probe.pe')})
+                 DESC, cvec.label ASC
+        LIMIT 1
+    )
+    SELECT e.vec_id, e.label,
+           {_SQL_DOT.format(a='e.embedding', b='probe.pe')}
+               / ({_SQL_NORM.format(a='e.embedding')}
+                  * {_SQL_NORM.format(a='probe.pe')}) AS cosine
+    FROM embeddings e CROSS JOIN probe
+    WHERE e.label = (SELECT label FROM best) AND e.vec_id <> 0
+    ORDER BY {_SQL_DOT.format(a='e.embedding', b='probe.pe')}
+             / ({_SQL_NORM.format(a='e.embedding')} * {_SQL_NORM.format(a='probe.pe')})
+             DESC, e.vec_id ASC
+    LIMIT 5
+    """,
+)
+def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse quantize by label centroids, probe one cell.
+
+    The inverted-file pattern: centroids (here the label centroids — the
+    fixture's stand-in for k-means cells) are a tiny broadcast table; the
+    probe picks its nearest centroid, then exact-scores ONLY that cell's
+    members — at 100 TB this turns a full scan into a 1/n_cells partition
+    scan (cells would be partition keys in the layout).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_as_dbl("embedding")).alias("pos", "val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (finish(F.sum(F.col("val").cast(DEC)), 6) / F.count(F.lit(1))).alias(
+                "cval"
+            )
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            "label", F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("ce")
+        )
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(_as_dbl("embedding").alias("pe"))
+    best = (
+        cent.crossJoin(F.broadcast(probe))
+        .select(
+            "label",
+            (_dot(F.col("ce"), F.col("pe")) / (_norm(F.col("ce")) * _norm(F.col("pe")))).alias(
+                "c"
+            ),
+        )
+        .orderBy(F.desc("c"), F.asc("label"))
+        .limit(1)
+        .select("label")
+    )
+    cell = e.join(F.broadcast(best), on="label").filter(F.col("vec_id") != 0)
+    scored = cell.crossJoin(F.broadcast(probe)).select(
+        "vec_id",
+        "label",
+        (
+            _dot(_as_dbl("embedding"), F.col("pe"))
+            / (_norm(_as_dbl("embedding")) * _norm(F.col("pe")))
+        ).alias("cos_raw"),
+    )
+    return (
+        scored.orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(5)
+        .select("vec_id", "label", F.col("cos_raw").alias("cosine"))
+    )
+
+
+@query(
+    "q_label_centroids",
+    oracle=f"""
+    SELECT label, pos,
+           {sql_finish_dec(f'sum(cast(val as {DEC}))', 6)} / count(*)
+               AS centroid_val,
+           count(*) AS n_vectors
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               cast(unnest(embedding) as double) AS val
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean) via posexplode → groupBy.
+
+    The clustering primitive behind IVF/dedup: explode to (label, pos,
+    val), aggregate with exact decimal sums. Output keeps the (label,
+    pos) long form — reassembly to vectors is q_sim_search_ivf's job.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_as_dbl("embedding")).alias("pos", "val")
+    )
+    return exploded.groupBy("label", "pos").agg(
+        (finish(F.sum(F.col("val").cast(DEC)), 6) / F.count(F.lit(1))).alias(
+            "centroid_val"
+        ),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -1,1 +1,274 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11).
+
+Token statistics, n-grams, per-document stats, corpus-trained language
+ID, quality scoring, and rolling-hash fingerprints — the filter/score
+stage of an LLM data pipeline, all expressed as JVM-side DataFrame ops
+(split/explode/groupBy + higher-order functions; zero Python UDFs).
+
+Determinism: every score is integer math or single IEEE expressions;
+ratios finish at 6 dp; ranking queries carry unique tiebreaks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import finish, sql_finish_dbl
+from ..registry import query
+from ..sources.tables import load
+
+#: tiny demo stopword list (matches the fixture's word-soup vocabulary)
+_STOPWORDS = ("the", "a", "of", "and", "to")
+_SW_SQL = "('" + "', '".join(_STOPWORDS) + "')"
+
+
+@query(
+    "q_text_token_stats",
+    oracle=f"""
+    SELECT lang, token, n_uses
+    FROM (
+        SELECT lang, token, count(*) AS n_uses,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, token ASC) AS rn
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token NOT IN {_SW_SQL}
+        GROUP BY lang, token
+    ) WHERE rn <= 5
+    """,
+)
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 non-stopword term frequencies per language.
+
+    tokenize → explode → stopword filter → count → per-group top-k
+    (WindowGroupLimit). At 100 TB: partial counts combine map-side, the
+    shuffle carries only (lang, token) partials.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("token")).filter(
+        ~F.col("token").isin(*_STOPWORDS)
+    )
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("n_uses"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n_uses"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "token", "n_uses")
+    )
+
+
+@query(
+    "q_text_ngrams",
+    oracle="""
+    SELECT bigram, n_uses
+    FROM (
+        SELECT word || ' ' || next_word AS bigram, count(*) AS n_uses
+        FROM (
+            SELECT word,
+                   lead(word) OVER (PARTITION BY doc_id ORDER BY pos) AS next_word
+            FROM (SELECT doc_id,
+                         unnest(string_split(text, ' ')) AS word,
+                         generate_subscripts(string_split(text, ' '), 1) AS pos
+                  FROM documents)
+        )
+        WHERE next_word IS NOT NULL
+        GROUP BY 1
+    )
+    ORDER BY n_uses DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams over the corpus.
+
+    Bigrams are built array-side (adjacent-slot concat via transform over
+    an index sequence) so each document explodes exactly once — no window
+    shuffle over the token stream, unlike the oracle's lag/lead form.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_uses"))
+        .orderBy(F.desc("n_uses"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_text_doc_stats",
+    oracle=f"""
+    SELECT doc_id, lang, source,
+           cast(length(text) as bigint) AS chars_measured,
+           length(text) = n_chars AS n_chars_valid,
+           cast(len(string_split(text, ' ')) as int) AS n_words,
+           cast(len(list_distinct(string_split(text, ' '))) as int) AS n_uniq_words,
+           cast(length(replace(text, ' ', '')) as double) /
+               len(string_split(text, ' ')) AS mean_word_len
+    FROM documents
+    """,
+)
+def q_text_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats; validates the fixture's n_chars column."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("chars_measured"),
+        (F.length("text") == F.col("n_chars")).alias("n_chars_valid"),
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_words"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("mean_word_len"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    profile AS (
+        SELECT d.lang, t.token, count(*) AS n
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents) t
+        JOIN documents d USING (doc_id)
+        GROUP BY d.lang, t.token
+    ),
+    scored AS (
+        SELECT tok.doc_id, profile.lang, cast(sum(profile.n) as bigint) AS score
+        FROM tok JOIN profile ON tok.token = profile.token
+        GROUP BY tok.doc_id, profile.lang
+    )
+    SELECT doc_id, lang AS predicted_lang, score
+    FROM (
+        SELECT doc_id, lang, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, lang ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via corpus-trained token profiles (n-gram heuristic).
+
+    A naive-Bayes-shaped heuristic kept in exact INTEGER math so the
+    argmax is engine-portable: score(doc, lang) = Σ_tokens count(token in
+    lang's corpus); predicted = argmax (ties → lang asc). The per-lang
+    profile is a self-aggregation of the corpus — the realistic shape of
+    bootstrap language ID over unlabeled crawl data.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    profile = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scored = (
+        tok.join(profile, on="token")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum("n").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("predicted_lang"), "score")
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_words,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '),
+                               t -> t IN {_SW_SQL})) AS n_stop,
+               length(replace(text, ' ', '')) AS n_alpha
+        FROM documents
+    )
+    SELECT doc_id, n_words,
+           cast(n_uniq as double) / n_words AS uniq_ratio,
+           cast(n_stop as double) / n_words AS stop_ratio,
+           0.5 * (cast(n_uniq as double) / n_words)
+               + 0.3 * (1.0 - cast(n_stop as double) / n_words)
+               + 0.2 * least(cast(n_words as double) / 50.0, 1.0)
+               AS quality_score
+    FROM s
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: lexical-diversity / stopword / length
+    signals combined into one score — the keep-or-drop stage of a corpus
+    cleaning pipeline. Integer counts + one fixed IEEE combination."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    s = d.select(
+        "doc_id",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(F.filter(toks, lambda t: t.isin(*_STOPWORDS))).alias("n_stop"),
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.col("n_words")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_words")
+    length_term = F.least(F.col("n_words").cast("double") / 50.0, F.lit(1.0))
+    return s.select(
+        "doc_id",
+        "n_words",
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        (
+            0.5 * uniq_ratio + 0.3 * (1.0 - stop_ratio) + 0.2 * length_term
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    WITH codes AS (
+        SELECT doc_id,
+               list_transform(string_split(text, ' '),
+                              t -> length(t) * 17 + ascii(t)) AS cs
+        FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(cs, (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+    FROM codes
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (document fingerprint).
+
+    fp = fold((acc, code) -> (acc*31 + code) mod 1e9+7) over per-token
+    codes — order-sensitive (unlike bag-of-words hashes), pure integer
+    math, engine-portable. Spark seeds the fold with the first element to
+    match DuckDB's list_reduce seeding.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    codes = F.transform(
+        toks, lambda t: (F.length(t) * 17 + F.ascii(t)).cast("bigint")
+    )
+    fp = F.aggregate(
+        F.slice(codes, 2, F.size(codes) - 1),
+        F.element_at(codes, 1),
+        lambda acc, c: (acc * 31 + c) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
