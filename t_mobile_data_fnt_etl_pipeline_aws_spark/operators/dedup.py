@@ -60,18 +60,22 @@ def _tokens(col: str = "text"):
 
 
 def _shingles(tokens, k: int = 3):
-    """Distinct word k-shingles as strings (1-based element_at)."""
+    """Distinct word 3-shingles as strings.
+
+    Built from three shifted slices zipped together, NOT per-index
+    element_at over a sequence: Catalyst's CollapseProject inlines the
+    tokens expression into every element access, so the element_at form
+    re-splits the text ~3× PER SHINGLE (measured: 7 s for 5 k docs at
+    sf0.1); the slice/zip_with form evaluates the split a constant
+    handful of times per row.
+    """
     n = F.size(tokens)
+    a = F.slice(tokens, 1, n - (k - 1))
+    b = F.slice(tokens, 2, n - (k - 1))
+    c = F.slice(tokens, 3, n - (k - 1))
+    pairs = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(tokens, i),
-                F.element_at(tokens, i + 1),
-                F.element_at(tokens, i + 2),
-            ),
-        )
+        F.zip_with(pairs, c, lambda x, y: F.concat_ws(" ", x, y))
     )
 
 
@@ -80,44 +84,94 @@ _N_PERM, _N_BANDS, _ROWS_PER_BAND = 64, 16, 4
 _JACCARD_TAU = 0.6
 
 
+def _perm_const(tag: str, j: int) -> int:
+    """Seeded universal-hash constant in [1, 2^31-2] (sha256-derived —
+    deterministic across runs/processes, no Python RNG state)."""
+    import hashlib
+
+    digest = hashlib.sha256(f"minhash-{tag}-{j}".encode()).digest()
+    return int.from_bytes(digest[:8], "big") % (2147483646) + 1
+
+
 @query("q_dedup_fuzzy_minhash")  # rows-only: xxhash64 permutations are engine-specific
 def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding, Jaccard-verified.
 
     Pipeline (all DataFrame ops, one plan):
       1. shingle: distinct word 3-shingles per doc;
-      2. sign: sig[j] = min over shingles of xxhash64(shingle, salt j)
-         (j = 0..63) — computed with nested higher-order functions, no
-         explode of the shingle set;
-      3. band: 16 band keys of 4 signature slots each; explode ONLY the
-         64→16 band axis;
-      4. bucket-join: self-join on (band_id, band_hash) with doc_a < doc_b
+      2. base-hash: each shingle string hashed ONCE (xxhash64 → reduced
+         mod the Mersenne prime 2^31-1) — the string-hash pass is the
+         expensive part, so it must not repeat per permutation (64×
+         fewer string hashes than the naive form);
+      3. sign: sig[j] = min over base hashes of (A_j·h + B_j) mod
+         (2^31-1) — the classic universal-hash permutation family;
+         products stay < 2^62 (Spark 4's ANSI mode makes bigint
+         overflow an ERROR, so wrap-around mixing is not an option);
+         A_j/B_j derive from xxhash64(j): seeded, deterministic;
+      4. band: 16 band keys of 4 signature slots each; explode ONLY the
+         64→16 band axis, carrying (doc_id, band) — NOT the shingle
+         arrays (they re-join per side at verify time; dragging arrays
+         through the band shuffle tripled its bytes);
+      5. bucket-join: self-join on (band_id, band_hash) with doc_a < doc_b
          → candidate pairs (the LSH shuffle — never O(n²));
-      5. verify: exact Jaccard on the shingle sets via
+      6. verify: exact Jaccard on the shingle sets via
          array_intersect/array_union sizes, keep ≥ 0.6.
 
-    Rows-only: the permutation family is Spark's xxhash64; the DuckDB
+    Rows-only: the permutation family is engine-seeded; the DuckDB
     q_dedup_ngram_jaccard query is the exact-oracle counterpart.
+
+    Physical-plan guardrails (measured at sf0.1, see git history):
+      * the fixture is ONE parquet row group → one input split; the
+        first repartition spreads raw rows so the interpreted
+        higher-order pipeline doesn't run single-threaded;
+      * the SECOND repartition (after shingle+base-hash projection) is a
+        deliberate materialization barrier: CollapseProject would
+        otherwise inline the ``hashes`` alias into all 64 permutation
+        lambdas and re-hash every shingle string 64× (the naive form ran
+        22-31 s; with barriers the whole operator is ~2 s). The exchange
+        is also reused (ReuseExchange) by the two verify-side joins.
     """
-    d = load(spark, sf_dir, "documents")
-    docs = d.select("doc_id", _shingles(_tokens()).alias("shingles")).filter(
-        F.size("shingles") > 0
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").repartition(par)
+    mersenne = F.lit(2147483647).cast("bigint")  # 2^31 - 1
+    docs = (
+        d.select("doc_id", _shingles(_tokens()).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .withColumn(
+            "hashes",
+            F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), mersenne)),
+        )
+        .repartition(par, "doc_id")  # barrier: materialize shingles+hashes
     )
-    sig = docs.withColumn(
-        "sig",
+    base = docs
+    # permutation constants hoisted to plan literals (seeded via sha256 in
+    # Python) — deriving them with xxhash64 inside the inner lambda would
+    # re-hash them once per shingle per permutation.
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(_perm_const("a", j)).cast("bigint").alias("a"),
+                F.lit(_perm_const("b", j)).cast("bigint").alias("b"),
+            )
+            for j in range(_N_PERM)
+        ]
+    )
+    sig = base.select(
+        "doc_id",
         F.transform(
-            F.sequence(F.lit(0), F.lit(_N_PERM - 1)),
-            lambda j: F.array_min(
+            params,
+            lambda p: F.array_min(
                 F.transform(
-                    F.col("shingles"),
-                    lambda s: F.xxhash64(s, j),
+                    F.col("hashes"),
+                    lambda h: F.pmod(
+                        p.getField("a") * h + p.getField("b"), mersenne
+                    ),
                 )
             ),
-        ),
-    )
+        ).alias("sig"),
+    ).repartition(par, "doc_id")  # barrier: stop sig inlining 16× into bands
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(_N_BANDS - 1)),
@@ -127,28 +181,38 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band_id", "band_hash"),
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("sh_a"),
-        "band_id",
-        "band_hash",
-    )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("sh_b"),
-        "band_id",
-        "band_hash",
-    )
     cand = (
-        left.join(right, on=["band_id", "band_hash"], how="inner")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .dropDuplicates(["doc_a", "doc_b"])
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            on=["band_id", "band_hash"],
+            how="inner",
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh = docs.select("doc_id", "shingles")
+    verified = (
+        cand.join(
+            sh.select(
+                F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+            ),
+            on="doc_a",
+        )
+        .join(
+            sh.select(
+                F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+            ),
+            on="doc_b",
+        )
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= _JACCARD_TAU)
         .select("doc_a", "doc_b", "jaccard")
         .orderBy("doc_a", "doc_b")

@@ -1,1 +1,157 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+Extract and load surface: parquet scans with schema contracts, CSV/JSON
+ingest round-trips, partitioned sinks, idempotent overwrite. Sinks write
+under a per-process temp dir (queries receive only (spark, sf_dir); the
+fixture tree is read-only).
+
+Scale notes: the partitioned sink is the 100-TB layout tool — readers
+prune on the partition column (DPP does it dynamically for joins);
+overwrite-mode rewrites are the idempotency primitive for re-runnable
+ETL loads.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from ..registry import query
+from ..sources.tables import SCHEMAS, load
+
+
+def _sink_dir(name: str) -> str:
+    base = os.path.join(tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    return os.path.join(base, name)
+
+
+@query(
+    "q_scan_parquet",
+    oracle="SELECT * FROM lineitem",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full parquet scan of the largest table, all columns projected
+    (vectorized columnar reader; the no-filter no-prune baseline)."""
+    return load(spark, sf_dir, "lineitem")
+
+
+@query(
+    "q_scan_schema_assert",
+    oracle="SELECT * FROM supplier",
+)
+def q_scan_schema_assert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan with an EXPLICIT schema (no footer inference) + drift check.
+
+    The canonical StructType is applied via .schema(...) — the pattern
+    for production readers where inference is a correctness risk — and
+    the loader's assert keeps it honest.
+    """
+    explicit = StructType.fromDDL(SCHEMAS["supplier"])
+    df = spark.read.schema(explicit).parquet(f"{sf_dir}/supplier.parquet")
+    if df.schema != explicit:
+        raise ValueError("schema drift on supplier scan")
+    return df
+
+
+@query(
+    "q_scan_csv_roundtrip",
+    oracle="SELECT r_regionkey, r_name FROM region",
+)
+def q_scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL ingest format check: write region to CSV (header), read back
+    with an explicit schema — int/string round-trip losslessly."""
+    out = _sink_dir("region_csv")
+    load(spark, sf_dir, "region").write.mode("overwrite").option(
+        "header", "true"
+    ).csv(out)
+    return spark.read.schema(StructType.fromDDL(SCHEMAS["region"])).option(
+        "header", "true"
+    ).csv(out)
+
+
+@query(
+    "q_scan_json_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value,
+           cast(json_extract_string(props, '$.k') as int) AS k
+    FROM events
+    """,
+)
+def q_scan_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events to JSON lines, read back with an explicit schema.
+
+    Doubles round-trip bit-exactly through Spark's JSON writer (shortest
+    round-trip repr); the nested props JSON-in-JSON is re-extracted after
+    the round-trip. Timestamps are excluded from the OUTPUT (their text
+    form round-trips, but exactness is already covered by parquet paths)
+    — kept in the file to exercise serialization.
+    """
+    out = _sink_dir("events_json")
+    load(spark, sf_dir, "events").write.mode("overwrite").json(out)
+    back = spark.read.schema(StructType.fromDDL(SCHEMAS["events"])).json(out)
+    return back.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+@query(
+    "q_sink_parquet_partitioned",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           count(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned parquet sink + pruned read-back.
+
+    write.partitionBy(priority) lays one directory per value; the
+    read-back groups on the partition column — at scale the scan for any
+    single priority touches only its directory (static pruning; DPP when
+    joined). Partition columns come back as strings; counts prove no
+    rows were lost or duplicated across the layout.
+    """
+    out = _sink_dir("orders_partitioned")
+    load(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+        "o_orderpriority"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy(
+        F.col("o_orderpriority").cast("string").alias("o_orderpriority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+    )
+
+
+@query(
+    "q_sink_overwrite_idempotent",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sink_overwrite_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent load: overwrite-mode sink written TWICE, read once.
+
+    The second write fully replaces the first (no append drift) — the
+    re-runnable-job property every scheduled ETL load depends on.
+    """
+    out = _sink_dir("orders_overwrite")
+    slice_df = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    slice_df.write.mode("overwrite").parquet(out)
+    slice_df.write.mode("overwrite").parquet(out)  # idempotent re-run
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))

@@ -1,1 +1,249 @@
-"""Placeholder — populated by build plan SURVEY.md §7."""
+"""Streaming operators (SURVEY.md §2.9) — batch-equivalent declared form.
+
+Structured Streaming runs the SAME DataFrame expressions incrementally,
+so each operator here is declared once in its batch form (bounded input →
+DuckDB-oracle-checkable, the §2.9 contract) and exercised as a genuine
+``readStream`` in tests/test_streaming.py (convergence + watermark
+late-drop + stateful processing). streaming/harness.py builds the
+streaming twins from the same building blocks.
+
+Event-time semantics notes:
+  * F.window aligns to the naive epoch (1970-01-01 00:00) — the oracle
+    reconstructs starts with integer epoch math;
+  * session_window is [first_ts, last_ts + gap) with a NEW session when
+    the gap is reached exactly (end-exclusive) — the oracle's
+    gaps-and-islands form uses >= for the split accordingly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, finish, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+
+_EPOCH = "TIMESTAMP '1970-01-01 00:00:00'"
+
+
+@query(
+    "q_stream_tumbling",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS w_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window count+sum per event type.
+
+    Day-tumbling window starts coincide with date_trunc('day') — the
+    streaming twin adds only a watermark (tests/test_streaming.py
+    asserts convergence to exactly this result).
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_sliding",
+    oracle=f"""
+    SELECT {_EPOCH} + (
+               (epoch_us(ts) // 1000000 // 21600) * 21600 - i.i * 21600
+           ) * (INTERVAL 1 SECOND) AS w_start,
+           event_type,
+           count(*) AS n_events,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS sum_value
+    FROM events CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i) i
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day windows sliding every 6 hours (each event in 4 windows).
+
+    The oracle expands the window-assignment rule explicitly: starts are
+    the epoch-aligned 6-hour grid points s = floor(epoch/21600)·21600 -
+    i·21600 for i ∈ 0..3 — every one satisfies s ≤ ts < s + 86400.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day", "6 hours").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_stream_session",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 30 MINUTE AS s_end,
+           count(*) AS n_events,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS sum_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap.
+
+    Declared with the native F.session_window (works in batch); the
+    oracle is the classic gaps-and-islands rewrite — lag + cumulative
+    session counter — proving the semantics match: session end = last
+    event + gap, end-exclusive split.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("s_start"),
+            F.col("s.end").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_watermark_late",
+    oracle="""
+    WITH arrivals AS (
+        SELECT ts, event_type,
+               max(ts) OVER (ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS max_seen
+        FROM events
+    )
+    SELECT date_trunc('day', ts) AS w_start,
+           event_type,
+           count(*) FILTER (ts >= max_seen - INTERVAL 1 HOUR) AS n_kept,
+           count(*) FILTER (ts <  max_seen - INTERVAL 1 HOUR) AS n_dropped
+    FROM arrivals
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data accounting, simulated on the bounded table.
+
+    Treats event_id as arrival order (the fixture's write order): a row
+    is late iff its event time trails the running max event time by more
+    than the 1-hour watermark — exactly the row-level drop rule of
+    ``withWatermark('ts', '1 hour')``. The real streaming drop (including
+    the per-microbatch watermark advance) is asserted in
+    tests/test_streaming.py via a two-phase checkpointed replay.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    arr = e.withColumn("max_seen", F.max("ts").over(w))
+    late = F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 1 HOUR")
+    return (
+        arr.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("w_start"), "event_type"
+        )
+        .agg(
+            F.count(F.when(~late, 1)).alias("n_kept"),
+            F.count(F.when(late, 1)).alias("n_dropped"),
+        )
+    )
+
+
+@query(
+    "q_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_raw,
+           count(DISTINCT (user_id, date_trunc('minute', ts))) AS n_deduped
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup on a derived idempotency key (user, minute bucket).
+
+    Batch form of dropDuplicates — the streaming twin
+    (dropDuplicatesWithinWatermark) keys the same columns and bounds
+    state by the watermark; raw event_ids are unique by construction so
+    the derived key makes the dedup observable.
+    """
+    e = load(spark, sf_dir, "events").withColumn(
+        "minute_bucket", F.date_trunc("minute", F.col("ts"))
+    )
+    raw = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_raw"))
+    deduped = (
+        e.dropDuplicates(["event_type", "user_id", "minute_bucket"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_deduped"))
+    )
+    return raw.join(deduped, on="event_type").select(
+        "event_type", "n_raw", "n_deduped"
+    )
+
+
+@query(
+    "q_stream_stateful_count",
+    oracle="""
+    WITH last AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT e.user_id,
+           count(*) AS n_events,
+           max(e.ts) AS last_ts,
+           min(last.event_type) AS last_event_type
+    FROM events e
+    JOIN last ON last.user_id = e.user_id AND last.rn = 1
+    GROUP BY e.user_id
+    """,
+)
+def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running state: event count + last-seen event.
+
+    The converged answer of an arbitrary-stateful streaming operator
+    (applyInPandasWithState keeps {count, last_ts, last_type} per user —
+    tests/test_streaming.py runs that form and asserts it lands exactly
+    here). max_by with the (ts, event_id) tiebreak keeps it
+    deterministic.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_type", F.struct("ts", "event_id")).alias(
+            "last_event_type"
+        ),
+    )

@@ -1,0 +1,94 @@
+"""Physical-plan contracts (SURVEY.md §4; the 100-TB design gate).
+
+Correctness tests prove the answers are right; these prove the PLANS are
+the ones that survive scale — filters pushed to the scan, columns
+pruned, dims broadcast, top-k never globally sorting, hot paths in
+whole-stage codegen. A regression here is a 100× slowdown waiting for a
+bigger cluster, even while every oracle still matches.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from t_mobile_data_fnt_etl_pipeline_aws_spark.plans.inspect import (
+    codegen_operator_count,
+    has_operator,
+    join_strategies,
+    plan_string,
+    pushed_filters,
+    scan_columns,
+)
+from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark, sf_dir):
+    df = QUERIES["q_filter_pred"](spark, sf_dir)
+    pushed = pushed_filters(df)
+    assert pushed, f"no PushedFilters in plan:\n{plan_string(df)}"
+    assert any("o_orderstatus" in p for p in pushed)
+
+
+def test_flagship_pushes_shipdate_filter(spark, sf_dir):
+    df = QUERIES["q_agg_hash"](spark, sf_dir)
+    assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    df = QUERIES["q_project_rename"](spark, sf_dir)
+    cols = scan_columns(df)
+    # lineitem has 11 columns; the query touches exactly these 5
+    assert cols == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_discount",
+        "l_quantity",
+    }, f"scan not pruned: {cols}"
+
+
+def test_dimension_join_broadcasts(spark, sf_dir):
+    df = QUERIES["q_join_broadcast"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_fact_fact_join_is_sort_merge(spark, sf_dir):
+    df = QUERIES["q_join_sortmerge"](spark, sf_dir)
+    assert "SortMergeJoin" in join_strategies(df)
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = QUERIES["q_topk_global"](spark, sf_dir)
+    assert has_operator(df, "TakeOrderedAndProject"), plan_string(df)
+
+
+def test_per_group_topk_uses_window_group_limit(spark, sf_dir):
+    df = QUERIES["q_topk_per_group"](spark, sf_dir)
+    assert has_operator(df, "WindowGroupLimit"), plan_string(df)
+
+
+def test_flagship_aggregates_in_codegen(spark, sf_dir):
+    df = QUERIES["q_agg_hash"](spark, sf_dir)
+    assert has_operator(df, "HashAggregate")
+    # AQE's formatted plan omits codegen spans until the final plan is
+    # chosen — materialize first, then read the executed plan.
+    df.collect()
+    assert codegen_operator_count(df) >= 1, plan_string(df)
+
+
+def test_ann_probe_is_broadcast(spark, sf_dir):
+    """The similarity probe must broadcast — a shuffled cross join here
+    would move the full embeddings table per query at scale."""
+    df = QUERIES["q_sim_search_topk"](spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in join_strategies(df)
+    assert has_operator(df, "TakeOrderedAndProject")
+
+
+def test_semi_anti_plan_as_joins_not_aggregates(spark, sf_dir):
+    semi = plan_string(QUERIES["q_join_semi"](spark, sf_dir))
+    anti = plan_string(QUERIES["q_join_anti"](spark, sf_dir))
+    assert "LeftSemi" in semi or "Semi" in semi
+    assert "LeftAnti" in anti or "Anti" in anti

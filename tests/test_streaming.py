@@ -1,0 +1,182 @@
+"""Structured Streaming convergence + watermark semantics (SURVEY.md §2.9).
+
+Each test replays the bounded events fixture through a REAL readStream
+and asserts against the batch-equivalent declared query — the streaming
+operators are the same DataFrame expressions run incrementally, so
+convergence is the correctness statement.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import DEC, finish
+from t_mobile_data_fnt_etl_pipeline_aws_spark.oracle import canonicalize
+from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_queries
+from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+    read_events_stream,
+    run_available_now,
+    stage_events,
+)
+
+QUERIES = all_queries()
+
+
+def test_stream_tumbling_converges_to_batch(spark, sf_dir, tmp_path):
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    s = read_events_stream(spark, stream_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+    run_available_now(agg, "tumbling_mem", str(tmp_path / "ckpt"), "complete")
+    streamed = spark.table("tumbling_mem").toPandas()
+    batch = QUERIES["q_stream_tumbling"](spark, sf_dir).toPandas()
+    assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_stream_stateful_count_converges_to_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState per-user running state == batch groupBy."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    s = read_events_stream(spark, stream_dir)
+
+    def update(key, pdfs, state):
+        count, last_us, last_type = (
+            state.get if state.exists else (0, -1, "")
+        )
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            count += len(pdf)
+            tail = pdf.iloc[-1]
+            ts_us = int(tail["ts"].value // 1000)
+            if ts_us > last_us:
+                last_us, last_type = ts_us, tail["event_type"]
+        state.update((count, last_us, last_type))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [count],
+                "last_ts_us": [last_us],
+                "last_event_type": [last_type],
+            }
+        )
+
+    stateful = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, n_events bigint, last_ts_us bigint, "
+            "last_event_type string"
+        ),
+        stateStructType="count bigint, last_us bigint, last_type string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_available_now(stateful, "stateful_mem", str(tmp_path / "ckpt"), "update")
+    streamed = spark.table("stateful_mem").toPandas()
+    # update-mode emits once per (user, microbatch); keep the final state
+    streamed = (
+        streamed.sort_values("n_events").groupby("user_id", as_index=False).last()
+    )
+    batch = (
+        QUERIES["q_stream_stateful_count"](spark, sf_dir)
+        .withColumn("last_ts_us", F.unix_micros(F.col("last_ts").cast("timestamp")))
+        .drop("last_ts")
+        .toPandas()
+    )
+    assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_stream_watermark_drops_late_rows(spark, sf_dir, tmp_path):
+    """Two-phase checkpointed replay: rows older than the advanced
+    watermark are dropped, not aggregated."""
+    import shutil
+
+    split = F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-10 00:00:00'")
+    stream_dir, hold_dir = stage_events(spark, sf_dir, str(tmp_path), split)
+    ckpt = str(tmp_path / "ckpt")
+
+    def windowed(s):
+        return (
+            s.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("w_start"), "n")
+        )
+
+    # memory sinks cannot resume from a checkpoint; foreachBatch can —
+    # it is also the §2.9 harness pattern (SURVEY.md §5.4).
+    def drain(phase: list):
+        def sink(batch_df, _batch_id):
+            phase.extend(batch_df.collect())
+
+        q = (
+            windowed(read_events_stream(spark, stream_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # phase A: recent events only -> watermark advances to ~max(ts) - 1h
+    emitted_a: list = []
+    drain(emitted_a)
+    assert len(emitted_a) > 0  # finalized mid-January windows emitted
+
+    # phase B: inject the OLD (pre-Jan-10) events and resume from the
+    # same checkpoint -> all are behind the watermark -> dropped
+    shutil.move(hold_dir, f"{stream_dir}/b")
+    emitted_b: list = []
+    drain(emitted_b)
+    assert len(emitted_b) == 0, (
+        f"late rows leaked through the watermark: {emitted_b}"
+    )
+
+    # control: a fresh non-streaming aggregation of the same late rows is
+    # non-empty, proving the emptiness above is the watermark's doing
+    late_batch = (
+        read_events_stream(spark, stream_dir)
+        .filter(~split)
+        .groupBy(F.window("ts", "1 day"))
+        .count()
+    )
+    # (streaming DF can't be counted directly; use the batch loader)
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    n_late = load(spark, sf_dir, "events").filter(~split).count()
+    assert n_late > 0
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark on the derived idempotency key
+    matches the batch dedup count."""
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    s = read_events_stream(spark, stream_dir).withColumn(
+        "minute_bucket", F.date_trunc("minute", F.col("ts"))
+    )
+    deduped = s.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_type", "user_id", "minute_bucket"]
+    )
+    run_available_now(deduped, "dedup_mem", str(tmp_path / "ckpt"), "append")
+    streamed_n = (
+        spark.table("dedup_mem").groupBy("event_type").count().toPandas()
+    )
+    batch = (
+        QUERIES["q_stream_dedup"](spark, sf_dir)
+        .select("event_type", F.col("n_deduped").alias("count"))
+        .toPandas()
+    )
+    assert canonicalize(streamed_n) == canonicalize(batch)
