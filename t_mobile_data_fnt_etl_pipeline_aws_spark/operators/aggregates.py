@@ -20,6 +20,7 @@ from ..functions.numeric import (
     dsum,
     dvar_samp,
     finish,
+    sql_finish_dec,
     sql_davg,
     sql_dstddev_samp,
     sql_dsum,
@@ -321,4 +322,108 @@ def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged("purchase", "purchase_value"),
         tagged("view", "view_value"),
         F.count(F.when(F.col("event_type") == "error", F.lit(1))).alias("n_errors"),
+    )
+
+
+@query(
+    "q_agg_median_exact",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderstatus, o_totalprice,
+               row_number() OVER (PARTITION BY o_orderstatus
+                                  ORDER BY o_totalprice, o_orderkey) AS rn,
+               count(*) OVER (PARTITION BY o_orderstatus) AS n
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           o_totalprice AS median_price,
+           n AS n_orders
+    FROM ranked
+    WHERE rn = (n + 1) // 2
+    """,
+)
+def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median by rank position (lower median for even groups).
+
+    percentile()/quantile_cont interpolation formulas differ subtly
+    across engines; selecting the order statistic at position
+    (n+1) div 2 under a total order is engine-portable and exact. At
+    100 TB this is one window shuffle — the approx path for wide groups
+    is approx_percentile (rows-only, like q_agg_approx_distinct).
+    """
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "o_orderstatus",
+        F.col("o_totalprice").alias("median_price"),
+        F.col("n").alias("n_orders"),
+    )
+
+
+@query(
+    "q_agg_stats_corr",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           (count(*) * {{sxy}} - {{sx}} * {{sy}})
+               / (sqrt(count(*) * {{sxx}} - {{sx}} * {{sx}})
+                  * sqrt(count(*) * {{syy}} - {{sy}} * {{sy}})) AS corr_qty_price,
+           (count(*) * {{sxy}} - {{sx}} * {{sy}})
+               / (count(*) * (count(*) - 1)) AS covar_samp_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """.format(
+        sx=sql_finish_dec(f"sum(cast(l_quantity / 100.0 as {DEC}))", 6),
+        sy=sql_finish_dec(f"sum(cast(l_extendedprice / 100000.0 as {DEC}))", 6),
+        sxy=sql_finish_dec(
+            f"sum(cast((l_quantity / 100.0) * (l_extendedprice / 100000.0) as {DEC}))",
+            6,
+        ),
+        sxx=sql_finish_dec(
+            f"sum(cast((l_quantity / 100.0) * (l_quantity / 100.0) as {DEC}))", 6
+        ),
+        syy=sql_finish_dec(
+            f"sum(cast((l_extendedprice / 100000.0) * (l_extendedprice / 100000.0)"
+            f" as {DEC}))",
+            6,
+        ),
+    ),
+)
+def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + sample covariance of (quantity, price).
+
+    Same recipe as dstddev_samp: exact decimal moment sums over
+    prescaled values (x/100, y/1e5 keep every moment inside the 2^53
+    finish window), then one fixed IEEE expression both engines evaluate
+    identically. corr is scale-invariant so the prescales cancel;
+    covar_samp is reported in the prescaled unit (documented contract).
+    Native corr()/covar_samp() merge float moments in shuffle order —
+    not hash-stable (SURVEY.md §5.5).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity") / 100.0
+    y = F.col("l_extendedprice") / 100000.0
+    n = F.count(F.lit(1))
+    sx = finish(F.sum(x.cast(DEC)), 6)
+    sy = finish(F.sum(y.cast(DEC)), 6)
+    sxy = finish(F.sum((x * y).cast(DEC)), 6)
+    sxx = finish(F.sum((x * x).cast(DEC)), 6)
+    syy = finish(F.sum((y * y).cast(DEC)), 6)
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    covar = (n * sxy - sx * sy) / (n * (n - F.lit(1)))
+    return l.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        corr.alias("corr_qty_price"),
+        covar.alias("covar_samp_qty_price"),
     )

@@ -272,3 +272,36 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, c: (acc * 31 + c) % 1000000007,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "q_text_dedup_normalized",
+    oracle="""
+    SELECT min(doc_id) AS keep_doc_id,
+           count(*) AS n_variants,
+           count(DISTINCT text) AS n_distinct_raw
+    FROM (
+        SELECT doc_id, text,
+               trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS norm_text
+        FROM documents
+    )
+    GROUP BY norm_text
+    """,
+)
+def q_text_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-then-dedup: lowercase, collapse whitespace, trim —
+    the canonical pre-dedup cleanup stage of a corpus pipeline. Groups
+    that differ only by normalization collapse (n_distinct_raw >
+    n_variants would flag a normalization bug)."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return (
+        d.withColumn("norm_text", norm)
+        .groupBy("norm_text")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+            F.countDistinct("text").alias("n_distinct_raw"),
+        )
+        .select("keep_doc_id", "n_variants", "n_distinct_raw")
+    )

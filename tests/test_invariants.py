@@ -1,0 +1,121 @@
+"""Cross-scale invariance spot-checks (SURVEY.md §5.4).
+
+The fixtures are deterministic per SF; these property-style tests assert
+relationships that must hold at EVERY scale — they catch operators whose
+logic accidentally depends on fixture size (absolute thresholds gone
+degenerate, empty approximation buckets, dropped groups) before the
+driver's single-SF gate would.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_queries
+from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+QUERIES = all_queries()
+
+
+def test_dedup_exact_partitions_the_corpus(spark, sf_dir):
+    """Kept representatives × copy counts must re-tile the corpus."""
+    total_docs = load(spark, sf_dir, "documents").count()
+    kept = QUERIES["q_dedup_exact"](spark, sf_dir)
+    assert kept.agg(F.sum("n_copies")).first()[0] == total_docs
+
+
+def test_union_all_is_sum_of_slices(spark, sf_dir):
+    a_plus_b = QUERIES["q_union_all"](spark, sf_dir).count()
+    o = load(spark, sf_dir, "orders")
+    n_a = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    n_b = o.filter(F.col("o_totalprice") > 150000).count()
+    assert a_plus_b == n_a + n_b
+
+
+def test_setop_inclusion_exclusion(spark, sf_dir):
+    """|A ∪set B| = |A set| + |B set| - |A ∩set B| over the projections."""
+    union_d = QUERIES["q_union_distinct"](spark, sf_dir).count()
+    inter = QUERIES["q_intersect"](spark, sf_dir).count()
+    a_only = QUERIES["q_except"](spark, sf_dir).count()
+    # union = a_only + intersection + b_only ; recover b_only from union
+    assert union_d >= inter + a_only
+    assert union_d - a_only - inter >= 0
+
+
+def test_semi_anti_partition_customers(spark, sf_dir):
+    n_customers = load(spark, sf_dir, "customer").count()
+    semi = QUERIES["q_join_semi"](spark, sf_dir).count()
+    anti = QUERIES["q_join_anti"](spark, sf_dir).count()
+    assert semi + anti == n_customers
+
+
+def test_topk_per_group_bounded(spark, sf_dir):
+    df = QUERIES["q_topk_per_group"](spark, sf_dir)
+    worst = (
+        df.groupBy("o_custkey").count().agg(F.max("count")).first()[0]
+    )
+    assert worst <= 3
+
+
+def test_window_running_final_equals_group_total(spark, sf_dir):
+    """The last running_spend per customer == that customer's total."""
+    running = QUERIES["q_window_running"](spark, sf_dir)
+    final = running.groupBy("o_custkey").agg(
+        F.max("running_orders").alias("n"),
+        F.max("running_spend").alias("total"),
+    )
+    direct = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_direct"))
+    )
+    joined = final.join(direct, on="o_custkey")
+    assert joined.filter(F.col("n") != F.col("n_direct")).count() == 0
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ at rsd=0.01 must track the exact count to a generous 5%."""
+    approx = QUERIES["q_agg_approx_distinct"](spark, sf_dir)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    joined = approx.join(exact, on="event_type").collect()
+    assert joined
+    for row in joined:
+        assert abs(row.approx_users - row.exact_users) <= max(
+            2, 0.05 * row.exact_users
+        ), row
+
+
+def test_minhash_recalls_exact_pairs(spark, sf_dir):
+    """Every exact-Jaccard pair ≥ τ inside the bounded window must be
+    recalled by the MinHash-LSH candidate pipeline (16×4 banding at
+    J ≥ 0.6 has recall ≈ 1 - (1-0.6⁴)¹⁶ ≈ 0.90; the fixture's planted
+    near-dups sit at J ≥ 0.95 where recall ≈ 1 - (1-0.81)¹⁶ ≈ 1-1e-12)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_ngram_jaccard"](spark, sf_dir).collect()
+        if r.jaccard >= 0.6
+    }
+    fuzzy = {
+        (r.doc_a, r.doc_b)
+        for r in QUERIES["q_dedup_fuzzy_minhash"](spark, sf_dir).collect()
+    }
+    assert exact, "bounded window lost its planted near-dups"
+    missed = exact - fuzzy
+    assert not missed, f"LSH missed planted near-dups: {missed}"
+
+
+def test_label_centroids_cover_all_positions(spark, sf_dir):
+    df = QUERIES["q_label_centroids"](spark, sf_dir)
+    n_labels = load(spark, sf_dir, "embeddings").select("label").distinct().count()
+    assert df.count() == n_labels * 64
+
+
+def test_doc_stats_nchars_always_valid(spark, sf_dir):
+    df = QUERIES["q_text_doc_stats"](spark, sf_dir)
+    assert df.filter(~F.col("n_chars_valid")).count() == 0
