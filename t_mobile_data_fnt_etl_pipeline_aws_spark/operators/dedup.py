@@ -281,7 +281,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                         string_split(text, ' ')[i+1] || ' ' ||
                         string_split(text, ' ')[i+2]
                )) AS shingles
-        FROM documents WHERE doc_id < 150
+        FROM documents WHERE doc_id < 500
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            cast(len(list_intersect(a.shingles, b.shingles)) as double) /
@@ -298,12 +298,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (word 3-shingle) Jaccard similarity on a bounded slice.
 
     The exact quadratic counterpart of q_dedup_fuzzy_minhash — bounded to
-    doc_id < 150 so the pair space stays fixed at any SF (the fixture's
-    planted near-dups are sparse; this window holds pairs with J ≥ 0.95
-    at sf0.001/sf0.01). |A∪B| is |A|+|B|-|A∩B| (set identity) for DuckDB
-    parity.
+    doc_id < 500 so the pair space stays fixed at any SF (the fixture's
+    planted near-dups are sparse; the first J ≥ 0.5 pair sits below
+    doc_id 12 / 134 / 491 at sf0.001 / 0.01 / 0.1 — measured). |A∪B| is
+    |A|+|B|-|A∩B| (set identity) for DuckDB parity.
     """
-    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sh = d.select("doc_id", _shingles(_tokens()).alias("shingles"))
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))

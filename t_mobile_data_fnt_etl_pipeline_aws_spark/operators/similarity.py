@@ -138,36 +138,42 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Rows-only: bucket boundaries depend on the engine hash family; the
     exact counterpart is q_sim_search_topk.
     """
+    import hashlib
+
     n_planes = 8
-    e = load(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    # one input split at fixture scale → repartition so the interpreted
+    # HOF pipeline parallelizes (same lesson as q_dedup_fuzzy_minhash).
+    e = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
     as_dbl = _as_dbl("embedding")
 
-    def plane_component(p, i):
-        # deterministic pseudo-random in [-1, 1): xxhash64 → scale
-        return (
-            F.pmod(F.xxhash64(F.lit("plane"), p, i), F.lit(2000001)).cast("double")
-            / 1000000.0
-            - 1.0
-        )
+    def plane_weight(p: int, i: int) -> float:
+        # seeded pseudo-random weight in [-1, 1) — sha256-derived plan
+        # LITERAL: deriving it with xxhash64 inside the lambda would
+        # re-hash per (row, plane, dim) = 1M+ hashes at fixture scale.
+        digest = hashlib.sha256(f"plane-{p}-{i}".encode()).digest()
+        return int.from_bytes(digest[:8], "big") % 2000001 / 1000000.0 - 1.0
 
-    def projection(p):
+    planes = F.array(
+        *[
+            F.array(*[F.lit(plane_weight(p, i)) for i in range(64)])
+            for p in range(n_planes)
+        ]
+    )
+
+    def projection(w):
         return F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)), lambda i: plane_component(p, i)
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(F.col("e"), w, lambda x, wi: x * wi),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
 
     sig = F.aggregate(
-        F.transform(
+        F.zip_with(
+            planes,
             F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(
-                projection(p) > 0, F.pow(F.lit(2.0), p).cast("int")
+            lambda w, p: F.when(
+                projection(w) > 0, F.pow(F.lit(2.0), p).cast("int")
             ).otherwise(F.lit(0)),
         ),
         F.lit(0),
@@ -175,7 +181,7 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     v = e.select("vec_id", as_dbl.alias("e"), _norm(as_dbl).alias("nrm")).withColumn(
         "bucket", sig
-    )
+    ).repartition(par, "vec_id")  # barrier: stop sig/e inlining into the self-join sides
     a = v.select(
         F.col("vec_id").alias("vec_a"),
         F.col("e").alias("ea"),
@@ -332,3 +338,44 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@query("q_sim_search_topk_vectorized")  # rows-only: BLAS accumulation order
+def q_sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 via Arrow batches + numpy matmul.
+
+    The THROUGHPUT form of q_sim_search_topk: mapInPandas receives Arrow
+    record batches, stacks the vector column into one (batch × 64)
+    float64 matrix, and scores every row against the broadcast probe with
+    a single BLAS matvec — per-batch vector math instead of per-element
+    interpreted lambdas (the 10-100× pandas-UDF claim, applied to ANN).
+    Emits per-batch local top-10; the final global top-k merges k·batches
+    rows. Rows-only: BLAS accumulation order differs from the sequential
+    fold the SQL oracle would do; tests/test_invariants.py asserts it
+    ranks exactly like the HOF form.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+    probe_row = e.filter(F.col("vec_id") == 0).select("embedding").first()
+    probe = np.asarray(probe_row[0], dtype=np.float64)
+    probe_unit = probe / np.linalg.norm(probe)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            cos = (mat @ probe_unit) / norms
+            out = pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "label": pdf["label"], "cosine": cos}
+            )
+            # local top-k per Arrow batch bounds the merge fan-in
+            yield out.nlargest(10, "cosine")
+
+    scored = e.filter(F.col("vec_id") != 0).mapInPandas(
+        score, schema="vec_id bigint, label int, cosine double"
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)

@@ -119,3 +119,13 @@ def test_label_centroids_cover_all_positions(spark, sf_dir):
 def test_doc_stats_nchars_always_valid(spark, sf_dir):
     df = QUERIES["q_text_doc_stats"](spark, sf_dir)
     assert df.filter(~F.col("n_chars_valid")).count() == 0
+
+
+def test_vectorized_ann_matches_hof_ranking(spark, sf_dir):
+    """The BLAS-vectorized ANN path must produce the same neighbor set,
+    order, and (to 1e-9) scores as the exact higher-order-function form."""
+    hof = QUERIES["q_sim_search_topk"](spark, sf_dir).collect()
+    vec = QUERIES["q_sim_search_topk_vectorized"](spark, sf_dir).collect()
+    assert [r.vec_id for r in hof] == [r.vec_id for r in vec]
+    for a, b in zip(hof, vec):
+        assert abs(a.cosine - b.cosine) < 1e-9, (a, b)
