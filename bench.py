@@ -59,6 +59,10 @@ HEADLINE = [
     "q_stream_session",      # session windows
     "q_scan_parquet",        # raw scan throughput
     "q_sink_parquet_partitioned",  # partitioned write+read
+    "q_pipeline_shipping_priority",  # TPC-H Q3 shape (3-way join + topk)
+    "q_pipeline_region_volume",      # TPC-H Q5 shape (6-way star join)
+    "q_etl_upsert",                  # full-join merge
+    "q_sim_search_topk_vectorized",  # BLAS ANN path
 ]
 
 RUNS = 3
