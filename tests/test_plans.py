@@ -92,3 +92,21 @@ def test_semi_anti_plan_as_joins_not_aggregates(spark, sf_dir):
     anti = plan_string(QUERIES["q_join_anti"](spark, sf_dir))
     assert "LeftSemi" in semi or "Semi" in semi
     assert "LeftAnti" in anti or "Anti" in anti
+
+
+def test_q5_star_join_broadcasts_dims(spark, sf_dir):
+    """The 6-table star join must broadcast its dimension sides — a
+    shuffled join against region/nation/supplier wastes a full fact
+    shuffle per dim at scale."""
+    df = QUERIES["q_pipeline_region_volume"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+
+
+def test_asof_prefilter_and_group_limit(spark, sf_dir):
+    """As-of: the right side is semi-join-prefiltered and the pick-latest
+    window prunes via WindowGroupLimit rather than full per-group sort."""
+    df = QUERIES["q_join_asof"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan or "Semi" in plan, plan
+    assert has_operator(df, "WindowGroupLimit"), plan
