@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.numeric import DEC, finish, sql_finish_dbl, sql_finish_dec
+from ..functions.numeric import DEC, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 

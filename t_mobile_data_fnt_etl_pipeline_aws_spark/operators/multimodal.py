@@ -18,7 +18,6 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import finish, sql_finish_dbl
 from ..registry import query
 from ..sources.tables import load
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, dsum, finish, sql_dsum
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.tables import load
 

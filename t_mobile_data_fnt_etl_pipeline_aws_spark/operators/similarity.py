@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, finish, sql_finish_dbl, sql_finish_dec
+from ..functions.numeric import DEC, finish, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 

@@ -1,0 +1,99 @@
+"""Adversarial tests for the numeric-parity layer (functions/numeric.py).
+
+These batter the finish/accumulation recipes with the value classes that
+historically broke cross-engine hashing — dyadic rationals sitting
+exactly on rounding ties, near-tie decimals, sums crossing the 2^53
+finish boundary, negative values, and full-mantissa noise — comparing
+Spark's result to DuckDB's for the exact same expression pipeline.
+A failure here means the parity contract regressed, independent of any
+fixture query.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import (
+    DEC,
+    davg,
+    dstddev_samp,
+    dsum,
+    dvar_samp,
+    sql_davg,
+    sql_dstddev_samp,
+    sql_dsum,
+    sql_dvar_samp,
+)
+from t_mobile_data_fnt_etl_pipeline_aws_spark.oracle import compare_frames
+
+#: adversarial value battery (paired with group keys to exercise merge)
+ADVERSARIAL = (
+    # dyadic rationals that terminate exactly AT or NEAR the 6dp tie
+    [1 / 128, 3 / 2048, 0.7046875, 1 / 64, 5 / 4096]
+    # decimal(·,10)-exact values and 2dp money shapes
+    + [0.05, 1234.56, -987.65, 0.1, -0.1, 123456.78]
+    # magnitudes near the finish windows
+    + [8.9e8, -8.9e8, 1.23e7, 4.56e5]
+    # full-mantissa noise
+    + [3.141592653589793, -2.718281828459045, 1.4142135623730951e-3]
+    # tiny + zero + exact halves
+    + [0.0, 5e-11, -5e-11, 0.5, -0.5, 2.5, -2.5]
+)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    rows = [(i % 5, v) for i, v in enumerate(ADVERSARIAL * 40)]
+    sdf = spark.createDataFrame(rows, "g INT, x DOUBLE")
+    pdf = pd.DataFrame(rows, columns=["g", "x"])
+    con = duckdb.connect()
+    con.register("t_pdf", pdf)
+    con.execute("CREATE TABLE t AS SELECT * FROM t_pdf")
+    yield sdf, con
+    con.close()
+
+
+def test_dsum_davg_parity_on_adversarial_values(frames):
+    sdf, con = frames
+    got = sdf.groupBy("g").agg(
+        dsum(F.col("x"), "s"), davg(F.col("x"), "a")
+    ).toPandas()
+    want = con.execute(
+        f"SELECT g, {sql_dsum('x', 's')}, {sql_davg('x', 'a')} FROM t GROUP BY g"
+    ).df()
+    assert compare_frames(got, want) is None
+
+
+def test_moment_parity_on_adversarial_values(frames):
+    sdf, con = frames
+    got = sdf.groupBy("g").agg(
+        dstddev_samp(F.col("x"), "sd", prescale=1000),
+        dvar_samp(F.col("x"), "v", prescale=1000),
+    ).toPandas()
+    want = con.execute(
+        f"""SELECT g, {sql_dstddev_samp('x', 'sd', prescale=1000)},
+                   {sql_dvar_samp('x', 'v', prescale=1000)}
+            FROM t GROUP BY g"""
+    ).df()
+    assert compare_frames(got, want) is None
+
+
+def test_decimal_cast_rowwise_parity(frames):
+    """double→decimal(30,10)→varchar renders identically per row —
+    the foundation every accumulation recipe rests on."""
+    sdf, con = frames
+    got = (
+        sdf.select(F.col("x").cast(DEC).cast("string").alias("d"))
+        .groupBy("d")
+        .count()
+        .toPandas()
+    )
+    want = con.execute(
+        f"SELECT cast(cast(x as {DEC}) as varchar) AS d, count(*) AS count "
+        "FROM t GROUP BY d"
+    ).df()
+    assert compare_frames(got, want) is None
