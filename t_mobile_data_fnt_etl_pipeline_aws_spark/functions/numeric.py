@@ -36,7 +36,13 @@ Scale choice rule: pick ``s`` with ``|x| * 10^s < 9e15``. Defaults: sums
 s=4 (|sum| < 9e11 — holds through sf1), means/ratios s=6 (|x| < 9e9).
 
 At 100 TB this costs one decimal accumulator per aggregate in the
-partial-agg buffer — still one shuffle with map-side combine; no extra pass.
+partial-agg buffer — still one shuffle with map-side combine; no extra
+pass. Measured cost of that exactness (flagship, sf0.1, local[32]):
+decimal sums 1.3 s vs plain-double sums 0.4 s — 3.3× on the agg-bound
+query, invariant to the decimal precision chosen (18,4) vs (30,10),
+because Spark's sum-over-decimal accumulator widens past the long-backed
+range either way. The premium buys bit-reproducible results across runs,
+partitionings, AND engines — the correctness gate this repo is built on.
 """
 
 from __future__ import annotations
