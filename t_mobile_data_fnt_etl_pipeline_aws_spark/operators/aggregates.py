@@ -427,3 +427,59 @@ def q_agg_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         corr.alias("corr_qty_price"),
         covar.alias("covar_samp_qty_price"),
     )
+
+
+@query(
+    "q_agg_mode_deterministic",
+    oracle="""
+    SELECT lang, token AS top_token, n_uses
+    FROM (
+        SELECT lang, token, count(*) AS n_uses,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY count(*) DESC, token ASC) AS rn
+        FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY lang, token
+    ) WHERE rn = 1
+    """,
+)
+def q_agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: most frequent token per language, ties broken
+    by token order (native mode() leaves ties unspecified — unusable
+    under a value-hash gate). Count → rank → keep first: two shuffles,
+    both on (lang, token) partials."""
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n_uses"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("n_uses"), F.asc("token"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", F.col("token").alias("top_token"), "n_uses")
+    )
+
+
+@query("q_sample_stratified")  # rows-only: sampler is engine-specific
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded stratified sample: ~20% of orders per status stratum.
+
+    df.sampleBy with a fixed seed is deterministic for a fixed input
+    partitioning (Bernoulli per row, XORShift keyed on partition+seed) —
+    stable across reruns of the same fixture, engine-specific, hence
+    rows-only. The per-stratum sampled counts are reported with exact
+    totals so the ~fraction is auditable. At 100 TB this is the
+    train/eval split and debugging-subset operator.
+    """
+    o = load(spark, sf_dir, "orders")
+    fractions = {"F": 0.2, "O": 0.2, "P": 0.2}
+    sampled = o.sampleBy("o_orderstatus", fractions, seed=42)
+    totals = o.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_total"))
+    picked = sampled.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_sampled")
+    )
+    return totals.join(picked, on="o_orderstatus").orderBy("o_orderstatus")

@@ -295,3 +295,44 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("last_orderdate"),
         )
     )
+
+
+@query(
+    "q_join_salted_skew",
+    oracle="""
+    SELECT e.user_id, c.c_mktsegment,
+           count(*) AS n_events,
+           count(DISTINCT e.event_type) AS n_types
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via key salting, proven equivalent to the
+    plain join by its oracle.
+
+    events.user_id is a hot-key column (every user id maps to ~1/10th of
+    the customer key space, so each surviving key carries many rows). The
+    salting pattern: the skewed (big) side gets a deterministic salt in
+    [0, S); the small side is exploded S× with every salt value; the join
+    key becomes (key, salt), splitting each hot key's rows across S
+    shuffle partitions. AQE's skew-join handles moderate skew
+    automatically — explicit salting is the tool for the pathological
+    keys AQE can't split (single-key hot spots inside one partition).
+    The salt derives from xxhash64(event_id): deterministic, uniform,
+    and independent of the join key.
+    """
+    n_salts = 8
+    e = load(spark, sf_dir, "events").withColumn(
+        "salt", F.pmod(F.xxhash64("event_id"), F.lit(n_salts)).cast("int")
+    )
+    c = load(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    joined = e.join(
+        c, (e.user_id == c.c_custkey) & (e.salt == c.salt), "inner"
+    )
+    return joined.groupBy("user_id", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
