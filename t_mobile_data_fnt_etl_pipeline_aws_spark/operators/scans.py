@@ -155,3 +155,55 @@ def q_sink_overwrite_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_df.write.mode("overwrite").parquet(out)  # idempotent re-run
     back = spark.read.parquet(out)
     return back.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+@query(
+    "q_bucketed_join_colocated",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_lines,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o_totalprice > 200000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table layout → exchange-free fact-fact join.
+
+    Writes orders and lineitem as tables bucketed 8 ways on the join key
+    (``bucketBy`` + sorted), then joins them: both sides arrive
+    pre-partitioned on o_orderkey/l_orderkey, so the sort-merge join
+    needs NO shuffle exchange (tests/test_plans.py asserts it). This is
+    the 100-TB co-location strategy the join-module notes promise: pay
+    the shuffle once at layout time, amortize it over every subsequent
+    join on that key. The oracle is the plain (exchange-ful) join —
+    layout must never change answers.
+    """
+    db = f"graft_buckets_{os.getpid()}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    loc = _sink_dir("bucketed")
+    for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        table = f"{db}.{name}_bucketed"
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        (
+            load(spark, sf_dir, name)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", os.path.join(loc, name))
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+    o = spark.table(f"{db}.orders_bucketed").filter(F.col("o_totalprice") > 200000)
+    l = spark.table(f"{db}.lineitem_bucketed")
+    # pin sort-merge: at fixture scale the planner would broadcast the
+    # small side and never touch the bucketed layout under test; at real
+    # scale SMJ is what the planner picks anyway.
+    return (
+        o.hint("merge").join(l, o.o_orderkey == l.l_orderkey, "inner")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )

@@ -110,3 +110,23 @@ def test_asof_prefilter_and_group_limit(spark, sf_dir):
     plan = plan_string(df)
     assert "LeftSemi" in plan or "Semi" in plan, plan
     assert has_operator(df, "WindowGroupLimit"), plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """The whole point of the bucketed layout: the fact-fact join reads
+    pre-bucketed tables and plans WITHOUT a shuffle exchange before the
+    join (only the final aggregation may exchange)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.plans.inspect import plan_string
+    import re
+
+    df = QUERIES["q_bucketed_join_colocated"](spark, sf_dir)
+    plan = plan_string(df)
+    join_pos = plan.find("SortMergeJoin")
+    assert join_pos != -1, plan
+    # physical tree is printed top-down: operators feeding the join appear
+    # AFTER it in the operator detail listing — assert no Exchange between
+    # the scans and the join in the tree section.
+    tree = plan.split("(1) Scan")[0]
+    join_line = next(i for i, ln in enumerate(tree.splitlines()) if "SortMergeJoin" in ln)
+    below_join = "\n".join(tree.splitlines()[join_line:])
+    assert "Exchange" not in below_join, below_join
