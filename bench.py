@@ -63,6 +63,7 @@ HEADLINE = [
     "q_pipeline_region_volume",      # TPC-H Q5 shape (6-way star join)
     "q_etl_upsert",                  # full-join merge
     "q_sim_search_topk_vectorized",  # BLAS ANN path
+    "q_join_salted_skew",            # skew-mitigated salted join
 ]
 
 RUNS = 3
