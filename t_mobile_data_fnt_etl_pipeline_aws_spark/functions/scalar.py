@@ -35,7 +35,8 @@ from ..sources.tables import load
            concat_ws('-', p_brand, p_type) AS brand_type,
            replace(p_name, ' ', '_') AS name_snake,
            lpad(cast(p_size as varchar), 3, '0') AS size_padded,
-           string_split(p_name, ' ') AS name_words,
+           array_to_string(string_split(p_name, ' '), '|') AS name_words,
+           cast(len(string_split(p_name, ' ')) as int) AS n_words,
            regexp_extract(p_brand, '#(\d+)', 1) AS brand_num,
            regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled
     FROM part
@@ -57,7 +58,10 @@ def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
         F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
-        F.split("p_name", " ").alias("name_words"),
+        # split is exercised, but the output is re-joined to a scalar string:
+        # array columns crash the driver's pandas canonicalizer (round 1).
+        F.array_join(F.split("p_name", " "), "|").alias("name_words"),
+        F.size(F.split("p_name", " ")).alias("n_words"),
         F.regexp_extract("p_brand", r"#(\d+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", "[aeiou]", "*").alias("name_devoweled"),
     )
@@ -235,7 +239,9 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id,
            cast(len(embedding) as int) AS dim,
            cast(embedding[1] as double) AS first_val,
-           list_transform(embedding[1:4], x -> cast(x as double)) AS head4,
+           list_reduce(
+               list_transform(embedding[1:4], x -> cast(x as double)),
+               (a, b) -> a + b) AS head4_sum,
            cast(list_max(embedding) as double) AS vmax,
            cast(list_min(embedding) as double) AS vmin,
            sqrt(list_reduce(
@@ -252,6 +258,8 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32 elements are cast to double BEFORE arithmetic on both sides;
     the left-fold order of F.aggregate matches DuckDB's list_reduce, so
     the per-row reduction is bit-identical (finish(6) guards the sqrt).
+    slice() is exercised via head4_sum (slice → fold), not as a raw array
+    column: array outputs crash the driver's pandas canonicalizer.
     """
     e = load(spark, sf_dir, "embeddings")
     emb = F.col("embedding")
@@ -260,7 +268,11 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.size(emb).alias("dim"),
         F.element_at(emb, 1).cast("double").alias("first_val"),
-        F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double")).alias("head4"),
+        F.aggregate(
+            F.transform(F.slice(emb, 1, 4), lambda x: x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head4_sum"),
         F.array_max(emb).cast("double").alias("vmax"),
         F.array_min(emb).cast("double").alias("vmin"),
         F.sqrt(
@@ -320,8 +332,9 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_map_funcs",
     oracle="""
     SELECT event_id,
-           ['k'] AS mkeys,
-           [cast(json_extract_string(props, '$.k') as int)] AS mvals,
+           'k' AS mkeys,
+           coalesce(cast(json_extract_string(props, '$.k') as int)::varchar,
+                    'null') AS mvals,
            cast(json_extract_string(props, '$.k') as int) AS k_val,
            cast(json_extract_string(props, '$.k') as int) IS NOT NULL AS k_present
     FROM events
@@ -329,17 +342,20 @@ def q_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map construction + entries ops: create_map / map_keys / map_values /
-    element_at. The map itself never reaches the output (map literal
-    semantics differ across engines); the oracle checks the extracted
-    keys/values arrays and lookups instead."""
+    element_at. Neither the map nor raw arrays reach the output (map
+    literal semantics differ across engines; array columns crash the
+    driver canonicalizer) — keys/values are comma-joined to strings with
+    an explicit 'null' placeholder so NULL values stay visible."""
     e = load(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("k"), F.get_json_object("props", "$.k").cast("int")
     )
     return e.select(
         "event_id",
-        F.map_keys(m).alias("mkeys"),
-        F.map_values(m).alias("mvals"),
+        F.array_join(F.map_keys(m), ",").alias("mkeys"),
+        F.array_join(
+            F.transform(F.map_values(m), lambda v: v.cast("string")), ",", "null"
+        ).alias("mvals"),
         F.element_at(m, F.lit("k")).alias("k_val"),
         F.map_contains_key(m, F.lit("k")).alias("k_present"),
     )

@@ -273,21 +273,29 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey,
            count(*) AS n_orders,
-           array_agg(o_orderkey ORDER BY o_orderkey) AS order_keys
+           array_to_string(array_agg(o_orderkey ORDER BY o_orderkey), ',') AS order_keys
     FROM orders
     WHERE o_custkey <= 50
     GROUP BY o_custkey
     """,
 )
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group ordered key list (list-building primitive for doc pipelines)."""
+    """Per-group ordered key list (list-building primitive for doc pipelines).
+
+    The list is emitted as a comma-joined string, not ArrayType: the driver's
+    canonicalizer pandas-sorts output columns and ndarray cells are unhashable
+    (round-1 hard fail) — scalar columns keep the contract hashable while the
+    sort_array ordering is still exercised.
+    """
     o = load(spark, sf_dir, "orders")
     return (
         o.filter(F.col("o_custkey") <= 50)
         .groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")), ","
+            ).alias("order_keys"),
         )
     )
 

@@ -68,10 +68,14 @@ def _shingles(tokens, k: int = 3):
     sf0.1); the slice/zip_with form evaluates the split a constant
     handful of times per row.
     """
-    n = F.size(tokens)
-    a = F.slice(tokens, 1, n - (k - 1))
-    b = F.slice(tokens, 2, n - (k - 1))
-    c = F.slice(tokens, 3, n - (k - 1))
+    # clamp: a doc with < k tokens would give slice() a negative length,
+    # which throws at runtime (the size(shingles)>0 filter runs too late
+    # to guard it); greatest(.., 0) yields an empty shingle array instead,
+    # matching the oracle's generate_series(1, n-2) → empty-list behavior.
+    n = F.greatest(F.size(tokens) - (k - 1), F.lit(0))
+    a = F.slice(tokens, 1, n)
+    b = F.slice(tokens, 2, n)
+    c = F.slice(tokens, 3, n)
     pairs = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
     return F.array_distinct(
         F.zip_with(pairs, c, lambda x, y: F.concat_ws(" ", x, y))
@@ -262,7 +266,12 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.min("doc_id").alias("keep_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            # comma-joined string, not ArrayType: the driver may hash
+            # rows-only output across runs and its canonicalizer crashes
+            # on ndarray cells.
+            F.array_join(
+                F.sort_array(F.collect_list("doc_id")), ","
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_docs") > 1)
         .orderBy("keep_doc_id")

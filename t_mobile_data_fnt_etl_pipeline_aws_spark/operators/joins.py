@@ -203,7 +203,9 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pushed-down ``l_extendedprice < 3300`` bound (retail prices top out
     ~3 k) shrinks the nested-loop left side before the quadratic pairing —
-    the generic way to keep BNLJ feasible at scale when no equi key exists.
+    this broadcast-BNLJ form is the small-dim fast path. When the build
+    side outgrows broadcast, use q_join_theta_bucketed: the same band
+    predicate as an equi-join on geometric price buckets.
     """
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") < 3300)
     p = load(spark, sf_dir, "part")
@@ -212,6 +214,60 @@ def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return l.join(F.broadcast(p), band, "inner").select(
         "l_orderkey", "l_linenumber", "l_extendedprice", "p_partkey", "p_retailprice"
+    )
+
+
+@query(
+    "q_join_theta_bucketed",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice, p_partkey, p_retailprice
+    FROM lineitem JOIN part
+      ON p_retailprice >= l_extendedprice * 0.9
+     AND p_retailprice <= l_extendedprice * 1.1
+    WHERE l_extendedprice < 3300
+    """,
+)
+def q_join_theta_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale-safe form of q_join_theta_range: equi-join on geometric
+    price buckets + residual band filter — NO broadcast, NO nested loop.
+
+    A ±10% relative band maps to geometric buckets g(x) =
+    floor(ln x / ln 1.1): for any p in [0.9·l, 1.1·l] the bucket offset
+    g(p) - g(l) lies in {-2,-1,0,1} (ln 0.9 / ln 1.1 ≈ -1.105, and
+    floor(x)-floor(y) stays inside the open interval (Δ-1, Δ+1)), so the
+    probe side explodes ×4 over those offsets and the join is a plain
+    shuffled equi-join on the bucket key — hash-partitionable, AQE-skew-
+    splittable, and independent of either side's size. The band predicate
+    stays as the exact residual filter. Bucket count grows with the log of
+    the price range; at heavy per-bucket skew, salt the bucket key.
+    """
+    import math
+
+    inv_ln = 1.0 / math.log(1.1)
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") < 3300)
+    p = load(spark, sf_dir, "part")
+    l_b = l.withColumn(
+        "g", F.floor(F.log(F.col("l_extendedprice")) * inv_ln)
+    ).withColumn(
+        "bucket",
+        F.explode(F.array(*[F.col("g") + d for d in (-2, -1, 0, 1)])),
+    )
+    p_b = p.withColumn(
+        "bucket", F.floor(F.log(F.col("p_retailprice")) * inv_ln)
+    )
+    band = (F.col("p_retailprice") >= F.col("l_extendedprice") * 0.9) & (
+        F.col("p_retailprice") <= F.col("l_extendedprice") * 1.1
+    )
+    return (
+        l_b.join(p_b, on="bucket", how="inner")
+        .filter(band)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            "p_partkey",
+            "p_retailprice",
+        )
     )
 
 

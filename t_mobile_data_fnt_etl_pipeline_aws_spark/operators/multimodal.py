@@ -72,7 +72,7 @@ def decode_media(payload: bytes, media_type: str):
     oracle="""
     SELECT doc_id,
            cast(octet_length(encode(text)) as bigint) AS n_bytes,
-           cast(ascii(text) as int) AS first_byte,
+           cast(ascii(text) as int) AS first_cp,
            cast(octet_length(encode(text)) % 256 as int) AS fake_width,
            cast(octet_length(encode(text)) // 256 as int) AS fake_height
     FROM documents
@@ -98,7 +98,12 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes": n_bytes.astype("int64"),
                     # STUB: real decode -> decode_media(payload, "image");
                     # stand-in features below are deterministic byte math.
-                    "first_byte": payload.map(lambda b: b[0]).astype("int32"),
+                    # first code point (not first byte): DuckDB's ascii()
+                    # returns the Unicode code point, and b[0] would both
+                    # diverge on non-ASCII leads and raise on empty text.
+                    "first_cp": payload.map(
+                        lambda b: ord(b.decode("utf-8")[0]) if b else 0
+                    ).astype("int32"),
                     "fake_width": (n_bytes % 256).astype("int32"),
                     "fake_height": (n_bytes // 256).astype("int32"),
                 }
@@ -109,6 +114,6 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.mapInPandas(
         extract,
-        schema="doc_id bigint, n_bytes bigint, first_byte int, "
+        schema="doc_id bigint, n_bytes bigint, first_cp int, "
         "fake_width int, fake_height int",
     )

@@ -124,23 +124,35 @@ def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: banded random-hyperplane LSH: 4 bands × 8 bits = 32 planes. Recall and
+#: in-bucket pair cost are tuned INDEPENDENTLY: more bits per band shrinks
+#: buckets (pair cost ~ n²/2^bits per band), more bands recovers recall
+#: (P[candidate] = 1-(1-p^bits)^bands). Round 1 shipped a single 8-bit
+#: signature — 256 buckets total, an O(n²/256) trap at 10^10 vectors; the
+#: banded form scales bits with data volume without giving up recall.
+_KNN_BANDS, _KNN_BITS = 4, 8
+
+
 @query("q_knn_join_bucketed")  # rows-only: hyperplane family is engine-seeded
 def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate kNN join via random-hyperplane LSH + in-bucket re-rank.
+    """Approximate kNN join via banded random-hyperplane LSH + exact re-rank.
 
-    1. signature: 8 pseudo-random hyperplanes; plane p's component for
-       dimension i is a deterministic hash-derived value in [-1, 1]
-       (xxhash64(p, i) scaled) — seeded, reproducible, no Python RNG;
-    2. bucket = the 8-bit sign pattern of the projections;
-    3. self-join on bucket (the LSH shuffle — avoids O(n²) pairs);
-    4. exact cosine re-rank inside buckets, top-3 neighbors per vector.
+    1. signatures: 32 pseudo-random hyperplanes (4 bands × 8 bits); plane
+       p's component for dimension i is a deterministic sha256-derived
+       value in [-1, 1] — seeded, reproducible, no Python RNG;
+    2. per-band bucket = that band's 8-bit sign pattern; explode only the
+       band axis (vec_id, band_id, bucket);
+    3. self-join on (band_id, bucket), union candidates across bands via
+       distinct — the LSH shuffle, never O(n²);
+    4. exact cosine re-rank over the candidate set, top-3 per vector.
 
     Rows-only: bucket boundaries depend on the engine hash family; the
-    exact counterpart is q_sim_search_topk.
+    exact counterpart is q_sim_search_topk (recall-vs-exact is pinned by
+    tests/test_invariants.py).
     """
     import hashlib
 
-    n_planes = 8
+    n_planes = _KNN_BANDS * _KNN_BITS
     par = spark.sparkContext.defaultParallelism
     # one input split at fixture scale → repartition so the interpreted
     # HOF pipeline parallelizes (same lesson as q_dedup_fuzzy_minhash).
@@ -161,40 +173,67 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def projection(w):
-        return F.aggregate(
-            F.zip_with(F.col("e"), w, lambda x, wi: x * wi),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    bits = F.transform(
+        planes,
+        lambda w: F.when(
+            F.aggregate(
+                F.zip_with(F.col("e"), w, lambda x, wi: x * wi),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    v = e.select("vec_id", as_dbl.alias("e"), _norm(as_dbl).alias("nrm"))
+    # barrier: materialize the 32 sign bits once per row — without it,
+    # CollapseProject inlines `bits` into every band expression and
+    # recomputes all 32 projections per band.
+    sig = v.withColumn("bits", bits).repartition(par, "vec_id")
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_KNN_BANDS - 1)),
+                lambda band: F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col("bits"), band * _KNN_BITS + 1, _KNN_BITS),
+                        F.sequence(F.lit(0), F.lit(_KNN_BITS - 1)),
+                        lambda bit, p: (
+                            bit.cast("double") * F.pow(F.lit(2.0), p)
+                        ).cast("int"),
+                    ),
+                    F.lit(0),
+                    lambda acc, x: acc + x,
+                ),
+            )
+        ).alias("band_id", "bucket"),
+    )
+    cand = (
+        bands.alias("l")
+        .join(bands.alias("r"), on=["band_id", "bucket"])
+        .filter(F.col("l.vec_id") != F.col("r.vec_id"))
+        .select(
+            F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
         )
-
-    sig = F.aggregate(
-        F.zip_with(
-            planes,
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda w, p: F.when(
-                projection(w) > 0, F.pow(F.lit(2.0), p).cast("int")
-            ).otherwise(F.lit(0)),
+        .distinct()  # union of candidates across bands
+    )
+    feats = sig.select("vec_id", "e", "nrm")
+    pairs = cand.join(
+        feats.select(
+            F.col("vec_id").alias("vec_a"),
+            F.col("e").alias("ea"),
+            F.col("nrm").alias("na"),
         ),
-        F.lit(0),
-        lambda acc, x: acc + x,
+        on="vec_a",
+    ).join(
+        feats.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("e").alias("eb"),
+            F.col("nrm").alias("nb"),
+        ),
+        on="vec_b",
     )
-    v = e.select("vec_id", as_dbl.alias("e"), _norm(as_dbl).alias("nrm")).withColumn(
-        "bucket", sig
-    ).repartition(par, "vec_id")  # barrier: stop sig/e inlining into the self-join sides
-    a = v.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-        "bucket",
-    )
-    b = v.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-        "bucket",
-    )
-    pairs = a.join(b, on="bucket").filter(F.col("vec_a") != F.col("vec_b"))
     cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     from pyspark.sql import Window
 
@@ -203,7 +242,7 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("cos_raw", cos)
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("vec_a", "vec_b", "bucket", F.col("cos_raw").alias("cosine"))
+        .select("vec_a", "vec_b", F.col("cos_raw").alias("cosine"))
         .orderBy("vec_a", "vec_b")
     )
 

@@ -35,7 +35,25 @@ def duck_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
-def _canon_cell(v: Any) -> Any:
+class ComplexCellError(TypeError):
+    """An oracle-compared output contained an array/map/struct cell.
+
+    The driver's canonicalizer pandas-sorts output columns; ndarray cells
+    are unhashable and crash it (round-1 q_agg_collect_sorted hard fail).
+    The local gate therefore REJECTS complex cells outright — stringify
+    (array_join) or restructure (explode) the query output instead.
+    """
+
+
+def _canon_cell(v: Any, strict: bool = False) -> Any:
+    if strict and (
+        isinstance(v, (list, tuple, dict, np.ndarray)) or hasattr(v, "asDict")
+    ):
+        raise ComplexCellError(
+            f"complex cell {type(v).__name__} in oracle-compared output; "
+            "de-array the query (array_join / explode) — the driver "
+            "canonicalizer cannot hash it"
+        )
     if v is None:
         return NULL
     if isinstance(v, (np.floating, float)):
@@ -66,20 +84,27 @@ def _canon_cell(v: Any) -> Any:
     return v
 
 
-def canonicalize(df: pd.DataFrame) -> tuple[list[str], list[tuple]]:
-    """(sorted column names, row multiset in canonical sorted order)."""
+def canonicalize(
+    df: pd.DataFrame, strict: bool = False
+) -> tuple[list[str], list[tuple]]:
+    """(sorted column names, row multiset in canonical sorted order).
+
+    strict=True (the SQL-oracled compare path) raises ComplexCellError on
+    any array/map/struct cell — keeping this gate strictly stronger than
+    the driver's hash, which crashes on such cells.
+    """
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False, name=None):
-        out.append(tuple(_canon_cell(v) for v in row))
+        out.append(tuple(_canon_cell(v, strict=strict) for v in row))
     out.sort(key=repr)
     return cols, out
 
 
 def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> str | None:
     """None if equal under the driver-style check, else a diff description."""
-    s_cols, s_rows = canonicalize(spark_pdf)
-    d_cols, d_rows = canonicalize(duck_pdf)
+    s_cols, s_rows = canonicalize(spark_pdf, strict=True)
+    d_cols, d_rows = canonicalize(duck_pdf, strict=True)
     if s_cols != d_cols:
         return f"column mismatch: spark={s_cols} duck={d_cols}"
     if len(s_rows) != len(d_rows):

@@ -91,7 +91,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_stream_session",
     oracle=f"""
     WITH flagged AS (
-        SELECT user_id, ts, value,
+        SELECT user_id, ts, event_id, value,
                CASE WHEN lag(ts) OVER w IS NULL
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_session
@@ -100,7 +100,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     numbered AS (
         SELECT user_id, ts, value,
-               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_no
         FROM flagged
     )
@@ -138,6 +138,10 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: arrival-order chunk for the two-pass prefix max (events per shard).
+_WM_SHARD = 1 << 16
+
+
 @query(
     "q_stream_watermark_late",
     oracle="""
@@ -164,10 +168,40 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``withWatermark('ts', '1 hour')``. The real streaming drop (including
     the per-microbatch watermark advance) is asserted in
     tests/test_streaming.py via a two-phase checkpointed replay.
+
+    Scale design — classic two-pass parallel prefix scan, NOT a global
+    window over the raw table (round 1 shipped ``Window.orderBy`` with no
+    partitionBy: every event through one task):
+      pass 1: per-shard running max, shard = event_id div 2^16 — fully
+              parallel, one partitioned window sort;
+      pass 2: per-shard totals (map-side-combined aggregate, n/2^16 rows)
+              get an exclusive prefix max via a single-partition window —
+              the ONLY sequential step, over the tiny boundary table —
+              then broadcast-join back; max_seen = greatest(local, prefix).
+    At 10^12 events the boundary table is ~1.5e7 rows — if that ever
+    mattered, the same construction recurses (hierarchical scan).
     """
-    e = load(spark, sf_dir, "events")
-    w = Window.orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
-    arr = e.withColumn("max_seen", F.max("ts").over(w))
+    e = load(spark, sf_dir, "events").withColumn(
+        "shard", F.floor(F.col("event_id") / _WM_SHARD)
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = e.withColumn("local_max", F.max("ts").over(w_local))
+    bounds = e.groupBy("shard").agg(F.max("ts").alias("shard_max"))
+    w_prefix = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = bounds.select(
+        "shard", F.max("shard_max").over(w_prefix).alias("prev_max")
+    )
+    # greatest() skips NULLs, so shard 0 (prev_max NULL) falls back to
+    # its local running max alone.
+    arr = local.join(F.broadcast(prefix), "shard").withColumn(
+        "max_seen", F.greatest(F.col("local_max"), F.col("prev_max"))
+    )
     late = F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 1 HOUR")
     return (
         arr.groupBy(

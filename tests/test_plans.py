@@ -130,3 +130,44 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     join_line = next(i for i, ln in enumerate(tree.splitlines()) if "SortMergeJoin" in ln)
     below_join = "\n".join(tree.splitlines()[join_line:])
     assert "Exchange" not in below_join, below_join
+
+
+def test_theta_bucketed_is_equi_join_not_nested_loop(spark, sf_dir):
+    """The bucketed band join must plan as a hash/sort-merge equi-join on
+    the geometric bucket key — never a nested loop or cartesian pairing
+    (the whole point of the variant: it survives a build side too big to
+    broadcast)."""
+    df = QUERIES["q_join_theta_bucketed"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies, plan_string(df)
+    assert all(
+        s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for s in strategies
+    ), strategies
+
+
+def test_no_unpartitioned_window_over_raw_input(spark, sf_dir):
+    """No registered query may run a partition-less window over base-table
+    rows — that funnels the whole input through ONE task at scale (the
+    round-1 q_stream_watermark_late defect). The only allowed global
+    window is that query's boundary prefix-max, which scans the tiny
+    per-shard aggregate (rows = n / 2^16), and the explicit global sorts
+    of q_sort_multi-style ORDER BY outputs (Sort, not Window).
+
+    A partition-less windowspecdefinition's first argument is an ORDER
+    column (`col ASC ...`); partitioned ones lead with bare partition
+    columns followed by a comma.
+    """
+    import re
+
+    partitionless = re.compile(
+        r"windowspecdefinition\([^,()]+ (?:ASC|DESC)"
+    )
+    allowed = {"q_stream_watermark_late": 1}
+    offenders = {}
+    for key, fn in QUERIES.items():
+        plan = plan_string(fn(spark, sf_dir))
+        n = len(partitionless.findall(plan))
+        if n > allowed.get(key, 0):
+            offenders[key] = n
+    assert not offenders, f"partition-less windows: {offenders}"
