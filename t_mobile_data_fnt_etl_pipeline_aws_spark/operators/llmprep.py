@@ -1,0 +1,361 @@
+"""LLM training-data preparation operators (SURVEY.md §2.11 extensions).
+
+The ops a 100-TB pretraining pipeline runs between raw corpus and
+tokenizer: overlapping chunking, weighted corpus mixing, train/eval
+contamination checks, PII redaction, and sequence packing. All built
+from JVM-side DataFrame primitives (split/slice/zip_with/explode/window)
+— no Python in any hot path — and all SQL-oracled.
+
+Scale notes are per-operator; the common theme: every shuffle is keyed
+on (doc-sized) grains that hash-partition evenly, and the only window
+functions are partitioned ones.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+
+def _kgrams(tokens, k: int):
+    """Distinct word k-grams as strings (generalizes dedup._shingles).
+
+    Built from k shifted slices zipped together — NOT per-index
+    element_at, which re-evaluates the split per gram under
+    CollapseProject (measured in round 1, dedup.py). The greatest()
+    clamp keeps docs with < k tokens at an empty gram list instead of a
+    negative-length slice error.
+    """
+    n = F.greatest(F.size(tokens) - (k - 1), F.lit(0))
+    acc = F.slice(tokens, 1, n)
+    for j in range(1, k):
+        acc = F.zip_with(
+            acc, F.slice(tokens, j + 1, n), lambda x, y: F.concat_ws(" ", x, y)
+        )
+    return F.array_distinct(acc)
+
+
+#: chunking grid: 40-token windows advancing 30 tokens (10-token overlap).
+_CHUNK, _STRIDE = 40, 30
+
+
+@query(
+    "q_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk
+        FROM documents
+    )
+    SELECT doc_id, lang,
+           cast(s.i // {_STRIDE} as int) AS chunk_id,
+           cast(len(tk[s.i + 1 : s.i + {_CHUNK}]) as int) AS n_chunk_tokens,
+           array_to_string(tk[s.i + 1 : s.i + {_CHUNK}], ' ') AS chunk_text
+    FROM toks,
+         LATERAL (
+             SELECT unnest(generate_series(
+                 0,
+                 ((greatest(len(tk) - {_CHUNK}, 0) + {_STRIDE} - 1)
+                  // {_STRIDE}) * {_STRIDE},
+                 {_STRIDE})) AS i
+         ) s
+    """,
+)
+def q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping token-window chunks.
+
+    The standard context-window prep: 40-token chunks, stride 30, so
+    consecutive chunks share a 10-token overlap; a doc shorter than one
+    window yields exactly one chunk. Explodes only the chunk-start axis
+    (sequence → posexplode) and slices the token array per start —
+    row count grows ~n_tokens/stride, embarrassingly parallel, and the
+    chunk text is re-joined to a scalar string (driver canonicalizer
+    contract). At 100 TB this is a pure map stage: no shuffle at all.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", F.split("text", " ").alias("tk"))
+    # last start CEILS to the next stride multiple ≥ n-window: a floor
+    # grid drops the tail tokens whenever (n - window) isn't a stride
+    # multiple (caught by tests/test_invariants.py coverage check); the
+    # final chunk simply truncates at the doc end.
+    overhang = F.greatest(F.size("tk") - _CHUNK, F.lit(0))
+    last_start = (
+        F.floor((overhang + (_STRIDE - 1)) / _STRIDE) * _STRIDE
+    ).cast("int")
+    starts = F.sequence(F.lit(0), last_start, F.lit(_STRIDE))
+    exploded = toks.select(
+        "doc_id", "lang", "tk", F.explode(starts).alias("start")
+    )
+    chunk = F.slice(F.col("tk"), F.col("start") + 1, _CHUNK)
+    return exploded.select(
+        "doc_id",
+        "lang",
+        (F.col("start") / _STRIDE).cast("int").alias("chunk_id"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+#: target corpus mix, permille kept per language (en-heavy pretraining mix).
+_MIX_PERMILLE = {"en": 900, "de": 500, "fr": 500, "es": 300}
+_MIX_DEFAULT = 200
+#: Knuth multiplicative constant — portable deterministic hash, identical
+#: integer arithmetic in Spark and DuckDB (no engine hash function).
+_KNUTH = 2654435761
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{lang}' THEN {pm}" for lang, pm in _MIX_PERMILLE.items()
+    )
+    return f"CASE {whens} ELSE {_MIX_DEFAULT} END"
+
+
+@query(
+    "q_corpus_mix_weighted",
+    oracle=f"""
+    SELECT lang,
+           count(*) AS n_total,
+           count(*) FILTER (
+               (doc_id * {_KNUTH}) % 1000 < {_mix_case_sql()}
+           ) AS n_kept
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (per-language keep rates).
+
+    Pretraining mixes re-weight sources/languages; sampling must be
+    deterministic and engine-portable, so the keep decision is pure
+    integer arithmetic — (doc_id · Knuth) mod 1000 < permille(lang) —
+    not rand() or an engine hash. One map-side pass plus a per-lang
+    aggregate; at 100 TB the filter fuses into the scan and the
+    aggregate is map-side-combined into a handful of groups.
+    """
+    d = load(spark, sf_dir, "documents")
+    permille = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pm))
+            for lang, pm in _MIX_PERMILLE.items()
+        ],
+        F.lit(_MIX_DEFAULT),
+    )
+    kept = (F.col("doc_id") * _KNUTH) % 1000 < permille
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+    )
+
+
+@query(
+    "q_contamination_ngram",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               unnest(list_distinct(list_transform(
+                   generate_series(1, len(tk) - 4),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+                        || ' ' || tk[i+3] || ' ' || tk[i+4]
+               ))) AS gram
+        FROM toks
+    ),
+    train AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 10 <> 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id, g.lang
+        FROM grams g JOIN train t ON g.gram = t.gram
+        WHERE g.doc_id % 10 = 0
+    )
+    SELECT e.lang,
+           count(*) AS n_eval_docs,
+           count(c.doc_id) AS n_contaminated
+    FROM (SELECT doc_id, lang FROM documents WHERE doc_id % 10 = 0) e
+    LEFT JOIN contaminated c ON c.doc_id = e.doc_id
+    GROUP BY e.lang
+    """,
+)
+def q_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination check via 5-gram overlap.
+
+    The held-out split (doc_id % 10 = 0 stands in for an eval set) is
+    scanned for any 5-gram that also appears in the training split —
+    the standard decontamination pass before training. Plan: both sides
+    explode to (gram, doc) rows, the train side distinct-reduces, and a
+    semi-join on the gram key marks contaminated eval docs. The gram
+    join key hash-partitions evenly (grams are near-unique), so the
+    shuffle scales linearly; at 100 TB you'd hash grams to 64-bit ints
+    (xxhash64) to shrink shuffle bytes — same plan shape, kept as
+    strings here for oracle parity.
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        "lang",
+        F.explode(_kgrams(F.split("text", " "), 5)).alias("gram"),
+    )
+    train = (
+        grams.filter(F.col("doc_id") % 10 != 0).select("gram").distinct()
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 10 == 0)
+    contaminated = (
+        eval_grams.join(train, on="gram", how="left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(1))
+    )
+    eval_docs = d.filter(F.col("doc_id") % 10 == 0).select("doc_id", "lang")
+    return (
+        eval_docs.join(contaminated, on="doc_id", how="left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_eval_docs"),
+            F.count("is_cont").alias("n_contaminated"),
+        )
+    )
+
+
+_EMAIL_RE = r"[a-z0-9._]+@[a-z0-9.]+"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id, lang,
+               text
+               || CASE WHEN doc_id % 17 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 23 = 0
+                       THEN ' call 555-' || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                       ELSE '' END AS t
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (len(regexp_extract_all(t, '{_EMAIL_RE}')) > 0
+                            OR len(regexp_extract_all(t, '{_PHONE_RE}')) > 0)
+               AS n_docs_with_pii,
+           cast(sum(len(regexp_extract_all(t, '{_EMAIL_RE}'))) as bigint)
+               AS n_emails,
+           cast(sum(len(regexp_extract_all(t, '{_PHONE_RE}'))) as bigint)
+               AS n_phones,
+           cast(sum(length(regexp_replace(
+                   regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_PHONE_RE}', '<PHONE>', 'g'))) as bigint)
+               AS redacted_chars
+    FROM aug
+    GROUP BY lang
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex-redact emails/phone patterns, count hits.
+
+    The fixtures carry no organic PII, so deterministic synthetic
+    addresses/numbers are appended to a doc_id-keyed subset first —
+    non-degenerate at every SF — then redacted with the same regexes on
+    both engines (Spark replaces all matches by default; DuckDB needs
+    the 'g' flag). Pure map-side regex work over the scan + a small
+    per-lang rollup: the 100-TB plan is one pass, no shuffle beyond the
+    final tiny aggregate.
+    """
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 17 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 23 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    t = d.select("doc_id", "lang", aug.alias("t"))
+    n_em = F.size(F.regexp_extract_all(F.col("t"), F.lit(_EMAIL_RE), F.lit(0)))
+    n_ph = F.size(F.regexp_extract_all(F.col("t"), F.lit(_PHONE_RE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when((n_em > 0) | (n_ph > 0), 1)).alias("n_docs_with_pii"),
+        F.sum(n_em).cast("bigint").alias("n_emails"),
+        F.sum(n_ph).cast("bigint").alias("n_phones"),
+        F.sum(F.length(redacted)).alias("redacted_chars"),
+    )
+
+
+#: sequence-packing capacity (tokens per packed training sequence).
+_PACK_CAP = 512
+
+
+@query(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    binned AS (
+        SELECT lang, doc_id, n_tok,
+               cast((sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                      ROWS UNBOUNDED PRECEDING) - n_tok)
+                    // {_PACK_CAP} as bigint) AS bin_id
+        FROM sized
+    )
+    SELECT lang, bin_id,
+           count(*) AS n_docs,
+           cast(sum(n_tok) as bigint) AS sum_tokens,
+           min(doc_id) AS first_doc_id
+    FROM binned
+    GROUP BY lang, bin_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill 512-token training bins per language.
+
+    Contiguous-fill packing (the streaming approximation of bin
+    packing): docs ordered by doc_id fill bins by exclusive running
+    token count div capacity — deterministic, window-expressible, no
+    per-bin reset recursion. A bin may overflow by one straddling doc's
+    remainder; true first-fit would need stateful iteration
+    (applyInPandas) for a ~2% density gain. The window partitions by
+    lang; at heavy per-lang volume, sub-shard exactly like
+    q_stream_watermark_late's two-pass prefix scan (per-shard cumsum +
+    broadcast shard-boundary offsets) — same construction, documented
+    once there.
+    """
+    d = load(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    binned = sized.withColumn(
+        "bin_id",
+        ((F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_CAP).cast("bigint"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

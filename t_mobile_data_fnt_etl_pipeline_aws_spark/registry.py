@@ -34,6 +34,7 @@ _QUERY_MODULES = [
     "operators.similarity",
     "operators.text",
     "operators.multimodal",
+    "operators.llmprep",
     "operators.pipelines",
     "functions.scalar",
     "functions.udfs",

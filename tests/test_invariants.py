@@ -200,13 +200,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 21 extras = 100 registered,
-    94 SQL-oracled / 6 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 26 extras = 105 registered,
+    99 SQL-oracled / 6 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 100
-    assert len(oracles) == 94
+    assert len(QUERIES) == 105
+    assert len(oracles) == 99
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -216,3 +216,45 @@ def test_registry_totals_match_survey():
         "q_agg_approx_distinct",
         "q_sample_stratified",
     }
+
+
+def test_chunking_covers_every_token(spark, sf_dir):
+    """Chunk windows must jointly cover each doc: the last chunk's start
+    + its length reaches the doc's token count, and chunk_ids are a
+    contiguous 0..k run (stride grid)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    chunks = QUERIES["q_chunk_overlap"](spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.max("chunk_id").alias("max_id"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_tokens").alias("tok_in_chunks"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    j = per_doc.join(docs, on="doc_id")
+    # contiguous chunk ids
+    assert j.filter(F.col("n_chunks") != F.col("max_id") + 1).count() == 0
+    # overlap means chunk tokens sum >= doc tokens (never loses a token)
+    assert j.filter(F.col("tok_in_chunks") < F.col("n_tok")).count() == 0
+
+
+def test_pack_sequences_conserves_tokens(spark, sf_dir):
+    """Packing re-tiles each language's token mass exactly: bin ids are
+    contiguous from 0 and per-lang token sums match the corpus."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    bins = QUERIES["q_pack_sequences"](spark, sf_dir)
+    per_lang = bins.groupBy("lang").agg(
+        F.sum("sum_tokens").alias("packed"),
+        F.max("bin_id").alias("max_bin"),
+        F.countDistinct("bin_id").alias("n_bins"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    totals = docs.groupBy("lang").agg(F.sum("n_tok").alias("corpus"))
+    j = per_lang.join(totals, on="lang")
+    assert j.filter(F.col("packed") != F.col("corpus")).count() == 0
+    assert j.filter(F.col("n_bins") != F.col("max_bin") + 1).count() == 0
