@@ -64,6 +64,10 @@ HEADLINE = [
     "q_etl_upsert",                  # full-join merge
     "q_sim_search_topk_vectorized",  # BLAS ANN path
     "q_join_salted_skew",            # skew-mitigated salted join
+    "q_join_theta_bucketed",         # geometric-bucket band equi-join
+    "q_chunk_overlap",               # token-window chunking (map-only explode)
+    "q_contamination_ngram",         # 5-gram decontamination semi-join
+    "q_pack_sequences",              # prefix-sum sequence packing
 ]
 
 RUNS = 3

@@ -14,6 +14,8 @@ seeded with 0.0 equals DuckDB list_reduce's first-element seeding because
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -139,75 +141,77 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     1. signatures: 32 pseudo-random hyperplanes (4 bands × 8 bits); plane
        p's component for dimension i is a deterministic sha256-derived
-       value in [-1, 1] — seeded, reproducible, no Python RNG;
-    2. per-band bucket = that band's 8-bit sign pattern; explode only the
-       band axis (vec_id, band_id, bucket);
+       value in [-1, 1] — seeded, reproducible, no Python RNG. Signs are
+       computed per Arrow batch with one BLAS matmul (batch×64 @ 64×32)
+       in mapInPandas — the per-plane HOF fold form this replaced spent
+       ~10 s at sf0.1 in Spark's interpreted lambda evaluator (HOFs are
+       not whole-stage-codegen'd);
+    2. per-band bucket = that band's 8-bit sign pattern, bit-packed in
+       the same numpy pass; one output row per (vec_id, band);
     3. self-join on (band_id, bucket), union candidates across bands via
-       distinct — the LSH shuffle, never O(n²);
-    4. exact cosine re-rank over the candidate set, top-3 per vector.
+       distinct — the LSH shuffle, never O(n²); recall and in-bucket pair
+       cost tune independently (bits per band vs band count);
+    4. exact cosine re-rank over the candidate set: unit vectors joined
+       in, per-pair dot via an Arrow-batched pandas UDF (einsum over the
+       stacked pair matrix), top-3 per vector via WindowGroupLimit.
 
-    Rows-only: bucket boundaries depend on the engine hash family; the
-    exact counterpart is q_sim_search_topk (recall-vs-exact is pinned by
+    Rows-only: bucket boundaries depend on the engine-seeded hyperplane
+    family and the re-rank dot uses BLAS accumulation order; the exact
+    counterpart is q_sim_search_topk (recall-vs-exact is pinned by
     tests/test_invariants.py).
     """
     import hashlib
+    from collections.abc import Iterator
+
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
 
     n_planes = _KNN_BANDS * _KNN_BITS
-    par = spark.sparkContext.defaultParallelism
-    # one input split at fixture scale → repartition so the interpreted
-    # HOF pipeline parallelizes (same lesson as q_dedup_fuzzy_minhash).
-    e = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
-    as_dbl = _as_dbl("embedding")
 
     def plane_weight(p: int, i: int) -> float:
-        # seeded pseudo-random weight in [-1, 1) — sha256-derived plan
-        # LITERAL: deriving it with xxhash64 inside the lambda would
-        # re-hash per (row, plane, dim) = 1M+ hashes at fixture scale.
+        # seeded pseudo-random weight in [-1, 1) — sha256-derived on the
+        # driver once; the (n_planes × 64) matrix ships to executors in
+        # the UDF closure (~16 KB), not as a 2048-literal expression tree
+        # (which made Catalyst itself a bottleneck across join branches).
         digest = hashlib.sha256(f"plane-{p}-{i}".encode()).digest()
         return int.from_bytes(digest[:8], "big") % 2000001 / 1000000.0 - 1.0
 
-    planes = F.array(
-        *[
-            F.array(*[F.lit(plane_weight(p, i)) for i in range(64)])
-            for p in range(n_planes)
-        ]
+    planes = np.array(
+        [[plane_weight(p, i) for i in range(64)] for p in range(n_planes)],
+        dtype=np.float64,
     )
+    pack = 2.0 ** np.arange(_KNN_BITS)
 
-    bits = F.transform(
-        planes,
-        lambda w: F.when(
-            F.aggregate(
-                F.zip_with(F.col("e"), w, lambda x, wi: x * wi),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
+    par = spark.sparkContext.defaultParallelism
+    # one input split at fixture scale → repartition so the Arrow batches
+    # parallelize (same lesson as q_dedup_fuzzy_minhash).
+    e = load(spark, sf_dir, "embeddings").repartition(par, "vec_id")
+
+    def signatures(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (mat @ planes.T) > 0  # n × 32 sign pattern
+            buckets = bits.reshape(len(pdf), _KNN_BANDS, _KNN_BITS) @ pack
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(_KNN_BANDS),
+                    "band_id": np.tile(
+                        np.arange(_KNN_BANDS), len(pdf)
+                    ).astype(np.int32),
+                    "bucket": buckets.astype(np.int64).reshape(-1),
+                }
             )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    v = e.select("vec_id", as_dbl.alias("e"), _norm(as_dbl).alias("nrm"))
-    # barrier: materialize the 32 sign bits once per row — without it,
-    # CollapseProject inlines `bits` into every band expression and
-    # recomputes all 32 projections per band.
-    sig = v.withColumn("bits", bits).repartition(par, "vec_id")
-    bands = sig.select(
-        "vec_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(_KNN_BANDS - 1)),
-                lambda band: F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col("bits"), band * _KNN_BITS + 1, _KNN_BITS),
-                        F.sequence(F.lit(0), F.lit(_KNN_BITS - 1)),
-                        lambda bit, p: (
-                            bit.cast("double") * F.pow(F.lit(2.0), p)
-                        ).cast("int"),
-                    ),
-                    F.lit(0),
-                    lambda acc, x: acc + x,
-                ),
+
+    def unit_vectors(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.vstack(pdf["embedding"].to_numpy()).astype(np.float64)
+            units = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "unit": list(units)}
             )
-        ).alias("band_id", "bucket"),
+
+    bands = e.mapInPandas(
+        signatures, schema="vec_id bigint, band_id int, bucket bigint"
     )
     cand = (
         bands.alias("l")
@@ -218,28 +222,26 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()  # union of candidates across bands
     )
-    feats = sig.select("vec_id", "e", "nrm")
+    units = e.mapInPandas(
+        unit_vectors, schema="vec_id bigint, unit array<double>"
+    )
     pairs = cand.join(
-        feats.select(
-            F.col("vec_id").alias("vec_a"),
-            F.col("e").alias("ea"),
-            F.col("nrm").alias("na"),
-        ),
+        units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua")),
         on="vec_a",
     ).join(
-        feats.select(
-            F.col("vec_id").alias("vec_b"),
-            F.col("e").alias("eb"),
-            F.col("nrm").alias("nb"),
-        ),
+        units.select(F.col("vec_id").alias("vec_b"), F.col("unit").alias("ub")),
         on="vec_b",
     )
-    cos = _dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
-    from pyspark.sql import Window
+
+    @pandas_udf("double")
+    def pair_cos(ua: pd.Series, ub: pd.Series) -> pd.Series:
+        a = np.vstack(ua.to_numpy())
+        b = np.vstack(ub.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", a, b))
 
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_raw"), F.asc("vec_b"))
     return (
-        pairs.withColumn("cos_raw", cos)
+        pairs.withColumn("cos_raw", pair_cos("ua", "ub"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("vec_a", "vec_b", F.col("cos_raw").alias("cosine"))
