@@ -392,3 +392,44 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+@query(
+    "q_join_null_safe",
+    oracle="""
+    WITH k AS (
+        SELECT n_nationkey, nullif(n_regionkey, 2) AS rk FROM nation
+    )
+    SELECT a.rk AS region_key,
+           count(*) AS n_pairs,
+           min(a.n_nationkey) AS min_left,
+           max(b.n_nationkey) AS max_right
+    FROM k a JOIN k b ON a.rk IS NOT DISTINCT FROM b.rk
+    GROUP BY a.rk
+    """,
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=>): NULL keys match each other instead of
+    vanishing.
+
+    Fixtures carry no NULLs, so a nullable key is derived with nullif
+    (region 2 → NULL). eqNullSafe compiles to a hash-joinable equality
+    (EqualNullSafe is an equi-key, NOT a theta residual — the plan is
+    still BroadcastHashJoin/SMJ), unlike `a = b OR (a IS NULL AND b IS
+    NULL)` which degrades to a nested-loop join. The NULL group's pair
+    count proves the matching semantics.
+    """
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", F.nullif(F.col("n_regionkey"), F.lit(2)).alias("rk")
+    )
+    a = n.select(F.col("n_nationkey").alias("lk"), F.col("rk").alias("ark"))
+    b = n.select(F.col("n_nationkey").alias("rkey"), F.col("rk").alias("brk"))
+    return (
+        a.join(b, F.col("ark").eqNullSafe(F.col("brk")))
+        .groupBy(F.col("ark").alias("region_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("lk").alias("min_left"),
+            F.max("rkey").alias("max_right"),
+        )
+    )

@@ -359,3 +359,98 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").alias("sum_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+@query(
+    "q_quality_repetition",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, lang,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, lang, tok, count(*) AS cnt
+        FROM t GROUP BY doc_id, lang, tok
+    ),
+    uni AS (
+        SELECT doc_id, lang,
+               max(cnt) AS mx, sum(cnt) AS n, count(*) AS dn
+        FROM c GROUP BY doc_id, lang
+    ),
+    bi AS (
+        SELECT doc_id,
+               greatest(len(string_split(text, ' ')) - 1, 0) AS total2,
+               len(list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i] || ' '
+                        || string_split(text, ' ')[i+1]
+               ))) AS dn2
+        FROM documents
+    )
+    SELECT uni.doc_id, uni.lang,
+           cast(n as bigint) AS n_tokens,
+           cast(mx as double) / cast(n as double) AS top_token_mass,
+           cast(dn as double) / cast(n as double) AS ttr,
+           CASE WHEN total2 > 0
+                THEN 1.0 - cast(dn2 as double) / cast(total2 as double)
+                ELSE 0.0 END AS dup_bigram_frac,
+           (cast(mx as double) / cast(n as double) > 0.2
+            OR cast(dn as double) / cast(n as double) < 0.5
+            OR (total2 > 0
+                AND 1.0 - cast(dn2 as double) / cast(total2 as double) > 0.3))
+               AS is_lowq
+    FROM uni JOIN bi ON bi.doc_id = uni.doc_id
+    """,
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals, per document.
+
+    The pretraining quality gate's repetition family: top-token mass
+    (max unigram count / tokens), type-token ratio, and duplicate-bigram
+    fraction, plus the composite low-quality flag. Unigram stats need a
+    per-(doc, token) count → one shuffle keyed on (doc_id, token) then
+    (doc_id) — near-unique keys, even partitions; bigram stats fold
+    array-side per row (zip_with + array_distinct), no shuffle at all.
+    Ratios are exact IEEE divisions of integer counts — identical in
+    both engines, so the flag thresholds compare safely.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    uni = (
+        toks.groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.max("cnt").alias("mx"),
+            F.sum("cnt").alias("n"),
+            F.count(F.lit(1)).alias("dn"),
+        )
+    )
+    tk = F.split("text", " ")
+    m = F.greatest(F.size(tk) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(tk, 1, m), F.slice(tk, 2, m), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    bi = d.select(
+        "doc_id",
+        m.alias("total2"),
+        F.size(F.array_distinct(bigrams)).alias("dn2"),
+    )
+    top_mass = F.col("mx").cast("double") / F.col("n").cast("double")
+    ttr = F.col("dn").cast("double") / F.col("n").cast("double")
+    dup2 = F.when(
+        F.col("total2") > 0,
+        1.0 - F.col("dn2").cast("double") / F.col("total2").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return uni.join(bi, on="doc_id").select(
+        "doc_id",
+        "lang",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        top_mass.alias("top_token_mass"),
+        ttr.alias("ttr"),
+        dup2.alias("dup_bigram_frac"),
+        ((top_mass > 0.2) | (ttr < 0.5) | (dup2 > 0.3)).alias("is_lowq"),
+    )

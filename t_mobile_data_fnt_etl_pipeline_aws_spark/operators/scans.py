@@ -207,3 +207,20 @@ def q_bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
+
+
+@query(
+    "q_scan_orc_roundtrip",
+    oracle="SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+)
+def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write supplier to ORC, read it back with an explicit schema.
+
+    ORC is Spark's other first-class columnar format (vectorized reader,
+    predicate pushdown, same partitionBy layout tools as parquet);
+    bigint/string/double round-trip losslessly. The oracle reads the
+    parquet source — equality proves the ORC hop was bit-exact.
+    """
+    out = _sink_dir("supplier_orc")
+    load(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
+    return spark.read.schema(StructType.fromDDL(SCHEMAS["supplier"])).orc(out)

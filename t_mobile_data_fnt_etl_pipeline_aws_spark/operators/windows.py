@@ -206,3 +206,73 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "q_sessionize_batch",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_id, epoch_us(ts) // 1000000 AS tsec,
+               lag(epoch_us(ts) // 1000000) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS prev_sec
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, tsec,
+               CASE WHEN prev_sec IS NULL OR tsec - prev_sec > 1800
+                    THEN 1 ELSE 0 END AS new_session
+        FROM o
+    ),
+    numbered AS (
+        SELECT user_id, tsec,
+               sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY tsec, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, cast(session_no as bigint) AS session_no,
+           count(*) AS n_events,
+           min(tsec) AS start_sec, max(tsec) AS end_sec,
+           max(tsec) - min(tsec) AS duration_sec
+    FROM numbered
+    GROUP BY user_id, session_no
+    """,
+)
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: batch counterpart of
+    q_stream_session (streaming/windows.py) with a 30-min idle gap.
+
+    The classic two-window construction: lag() marks session starts
+    (gap > 1800 s), a running sum numbers them, then one aggregate per
+    (user, session). Both windows partition by user_id — no global
+    ordering anywhere, so the plan scales with the user count; ties on
+    ts are broken by event_id in BOTH windows (the flag and the
+    numbering must see the same total order — the q_stream_session
+    oracle-parity lesson).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tsec")
+    )
+    order = [F.asc("tsec"), F.asc("event_id")]
+    w_lag = Window.partitionBy("user_id").orderBy(*order)
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev = F.lag("tsec").over(w_lag)
+    flagged = e.withColumn(
+        "new_session",
+        F.when(prev.isNull() | (F.col("tsec") - prev > 1800), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_no", F.sum("new_session").over(w_run).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("tsec").alias("start_sec"),
+        F.max("tsec").alias("end_sec"),
+        (F.max("tsec") - F.min("tsec")).alias("duration_sec"),
+    )

@@ -31,10 +31,13 @@ _QUERY_MODULES = [
     "operators.sorts",
     "operators.setops",
     "operators.dedup",
+    "operators.clustering",
     "operators.similarity",
     "operators.text",
     "operators.multimodal",
     "operators.llmprep",
+    "operators.reshape",
+    "operators.subqueries",
     "operators.pipelines",
     "functions.scalar",
     "functions.udfs",
