@@ -40,10 +40,12 @@ _PRIORITIES = [
 def q_pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot order counts: one row per status, one column per priority.
 
-    groupBy(status).pivot(priority, pinned_values).count() compiles to a
-    SINGLE hash aggregate with conditional counts — one shuffle on the
-    5-row group key, no per-priority passes. Missing cells surface as
-    NULL from pivot but 0 from SQL's count FILTER, so they're coalesced.
+    groupBy(status).pivot(priority, pinned_values).count() compiles to
+    one scan + two aggregate phases ((status, priority) cell counts,
+    then pivotfirst packing cells into columns) — both shuffles key on
+    tiny closed domains, no per-priority re-scan, no join. Missing cells
+    surface as NULL from pivot but 0 from SQL's count FILTER, so they're
+    coalesced.
     """
     o = load(spark, sf_dir, "orders")
     wide = (

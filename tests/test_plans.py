@@ -171,3 +171,49 @@ def test_no_unpartitioned_window_over_raw_input(spark, sf_dir):
         if n > allowed.get(key, 0):
             offenders[key] = n
     assert not offenders, f"partition-less windows: {offenders}"
+
+
+def test_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """EXISTS must compile to a semi join — not per-row subquery
+    re-execution (which would be a correlated-loop disaster at scale)."""
+    df = QUERIES["q_subquery_exists"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan or any(
+        "SemiJoin" in s or "Semi" in s for s in join_strategies(df)
+    ), plan
+
+
+def test_not_exists_decorrelates_to_anti_join(spark, sf_dir):
+    df = QUERIES["q_subquery_not_exists"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan, plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """<=> is an equi-key: the plan must be a hash/sort-merge join, not
+    BroadcastNestedLoopJoin (the a=b OR (a IS NULL AND b IS NULL) trap)."""
+    df = QUERIES["q_join_null_safe"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and "BroadcastNestedLoopJoin" not in strategies, strategies
+
+
+def test_pivot_is_single_scan_no_join(spark, sf_dir):
+    """Pinned-domain pivot reads the input ONCE and never joins: the plan
+    is the two-phase (group-cell count → pivotfirst) aggregation over a
+    single scan — no per-priority re-scan, no join fan-in."""
+    df = QUERIES["q_pivot_wide"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Join" not in plan, plan
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert "pivotfirst" in plan, plan
+
+
+def test_unpivot_expands_without_shuffle(spark, sf_dir):
+    """Unpivot is an Expand projection: the only exchange in the plan is
+    the upstream aggregate's, nothing after the Expand."""
+    df = QUERIES["q_unpivot_long"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Expand" in plan, plan
+    # no exchange above the Expand (plan text is top-down: output first)
+    expand_pos = plan.index("Expand")
+    assert "Exchange" not in plan[:expand_pos], plan
