@@ -281,3 +281,90 @@ def q_stream_stateful_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_event_type"
         ),
     )
+
+
+@query(
+    "q_stream_static_join",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS w_start,
+           c_mktsegment,
+           count(*) AS n_events,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join + tumbling aggregate.
+
+    The canonical streaming-ETL shape: each event joins the (slowly
+    changing) customer dimension, then rolls up per day × segment. In
+    the streaming twin the dimension is a plain batch DataFrame —
+    stream-static inner joins are stateless (no watermark needed on the
+    static side) and the dim broadcasts to every task, so at 100 TB/day
+    the only shuffle is the windowed aggregate's.
+    tests/test_streaming.py asserts the readStream form converges to
+    exactly this result.
+    """
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q_stream_stream_join",
+    oracle="""
+    SELECT date_trunc('day', v.ts) AS w_start,
+           count(*) AS n_pairs,
+           count(DISTINCT v.user_id) AS n_users
+    FROM events v JOIN events p
+      ON p.user_id = v.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases within 1 h of a view by the
+    same user, counted per day.
+
+    Batch form of the watermarked stream-stream inner join (both sides
+    ``withWatermark`` + an event-time range condition — the condition is
+    what lets Structured Streaming expire join state; without it state
+    grows forever). The equi-key (user_id) carries the shuffle; the time
+    range is a residual filter, so the plan is a hash/sort-merge join,
+    never a cross product. tests/test_streaming.py runs the genuine
+    two-stream readStream form to convergence.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy(
+        F.date_trunc("day", F.col("v_ts")).alias("w_start")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("v_user").alias("n_users"),
+    )

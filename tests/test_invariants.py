@@ -200,13 +200,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 37 extras = 116 registered,
-    110 SQL-oracled / 6 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 39 extras = 118 registered,
+    112 SQL-oracled / 6 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 116
-    assert len(oracles) == 110
+    assert len(QUERIES) == 118
+    assert len(oracles) == 112
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",

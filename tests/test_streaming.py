@@ -180,3 +180,75 @@ def test_stream_dedup_within_watermark(spark, sf_dir, tmp_path):
         .toPandas()
     )
     assert canonicalize(streamed_n) == canonicalize(batch)
+
+
+def test_stream_static_join_converges_to_batch(spark, sf_dir, tmp_path):
+    """Stream-static dim enrichment + tumbling agg == batch declared form."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    s = read_events_stream(spark, stream_dir)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .join(F.broadcast(c), s.user_id == c.c_custkey)
+        .groupBy(F.window("ts", "1 day").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    run_available_now(agg, "static_join_mem", str(tmp_path / "ckpt"), "complete")
+    streamed = spark.table("static_join_mem").toPandas()
+    batch = QUERIES["q_stream_static_join"](spark, sf_dir).toPandas()
+    assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_stream_stream_join_converges_to_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream interval join emits exactly the batch
+    pair set (the un-aggregated core of q_stream_stream_join)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    v = (
+        read_events_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        read_events_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    joined = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    run_available_now(joined, "ss_join_mem", str(tmp_path / "ckpt"), "append")
+    streamed = spark.table("ss_join_mem").toPandas()
+
+    e = load(spark, sf_dir, "events")
+    bv = e.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").cast("timestamp").alias("v_ts")
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").cast("timestamp").alias("p_ts")
+    )
+    batch = bv.join(
+        bp,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).toPandas()
+    assert len(streamed) > 0
+    assert canonicalize(streamed) == canonicalize(batch)
