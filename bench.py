@@ -68,6 +68,12 @@ HEADLINE = [
     "q_chunk_overlap",               # token-window chunking (map-only explode)
     "q_contamination_ngram",         # 5-gram decontamination semi-join
     "q_pack_sequences",              # prefix-sum sequence packing
+    "q_etl_scd2",                    # SCD2 lag/lead validity chaining
+    "q_resample_ffill",              # daily-grid resample + forward fill
+    "q_cdc_compact",                 # change-log compaction pick-latest
+    "q_dq_referential",              # FK orphan audit (3 probe joins)
+    "q_join_asof_tolerance",         # union-merge LOCF as-of (no join)
+    "q_text_edit_distance",          # blocked levenshtein pair gen
 ]
 
 RUNS = 3

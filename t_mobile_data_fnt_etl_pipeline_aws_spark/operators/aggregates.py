@@ -10,7 +10,7 @@ for all of these — partial aggregation does the heavy lifting scan-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import (
@@ -491,3 +491,130 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_sampled")
     )
     return totals.join(picked, on="o_orderstatus").orderBy("o_orderstatus")
+
+
+@query(
+    "q_agg_percentile_multi",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           max(CASE WHEN rn = (n + 3) // 4 THEN c_acctbal END) AS p25,
+           max(CASE WHEN rn = (n + 1) // 2 THEN c_acctbal END) AS p50,
+           max(CASE WHEN rn = (3 * n + 3) // 4 THEN c_acctbal END) AS p75,
+           max(n) AS n_customers
+    FROM ranked
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_percentile_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quartiles per segment by rank position (no interpolation).
+
+    Same construction as q_agg_median_exact generalized to multiple
+    cut points: one partitioned window sort ranks each group, then a
+    conditional aggregate picks the value at ceil(q·n) for each q —
+    interpolated percentiles ((1-g)·a + g·b) are avoided on purpose:
+    the FP interpolation arithmetic is engine-specific, rank positions
+    are exact. One window + one hash-agg; at 100 TB per-group sorts
+    shard by the group key (same scaling story as any partitioned
+    window). The streaming/approximate twin is percentile_approx
+    (covered under q_profile_table).
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    n = F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    ranked = c.select(
+        "c_mktsegment",
+        "c_acctbal",
+        F.row_number().over(w).alias("rn"),
+        n.alias("n"),
+    )
+    def at(pos):
+        return F.max(F.when(F.col("rn") == pos, F.col("c_acctbal")))
+    return ranked.groupBy("c_mktsegment").agg(
+        at(F.floor((F.col("n") + 3) / 4)).alias("p25"),
+        at(F.floor((F.col("n") + 1) / 2)).alias("p50"),
+        at(F.floor((3 * F.col("n") + 3) / 4)).alias("p75"),
+        F.max("n").alias("n_customers"),
+    )
+
+
+@query(
+    "q_agg_argminmax",
+    oracle="""
+    WITH r AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rmax,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal ASC, c_custkey ASC) AS rmin
+        FROM customer
+    )
+    SELECT c_mktsegment,
+           max(CASE WHEN rmax = 1 THEN c_custkey END) AS top_custkey,
+           max(CASE WHEN rmax = 1 THEN c_acctbal END) AS top_acctbal,
+           max(CASE WHEN rmin = 1 THEN c_custkey END) AS bottom_custkey,
+           max(CASE WHEN rmin = 1 THEN c_acctbal END) AS bottom_acctbal
+    FROM r
+    GROUP BY c_mktsegment
+    """,
+)
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax/argmin per group via struct ordering.
+
+    ``max_by``/``min_by`` are the obvious API but leave ties
+    engine-defined; ``max(struct(val, key))`` pins the total order
+    (val, then key) so both engines agree on every tie. Struct min/max
+    compiles to a SortAggregate (struct ordering isn't hash-aggregable)
+    but still aggregates partially map-side — the shuffle carries one
+    2-field struct per (group × partition), no full window sort over
+    the data, which is why it beats the row_number()-rank-then-filter
+    form at scale (the oracle uses the window form because DuckDB's
+    arg_max has no tiebreak).
+    """
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.max(F.struct("c_acctbal", "c_custkey")).alias("mx"),
+        F.min(F.struct("c_acctbal", "c_custkey")).alias("mn"),
+    ).select(
+        "c_mktsegment",
+        F.col("mx.c_custkey").alias("top_custkey"),
+        F.col("mx.c_acctbal").alias("top_acctbal"),
+        F.col("mn.c_custkey").alias("bottom_custkey"),
+        F.col("mn.c_acctbal").alias("bottom_acctbal"),
+    )
+
+
+@query("q_agg_sketch_reaggregate", oracle=None)
+def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level distinct count via mergeable HLL sketches (Datasketches).
+
+    THE re-aggregation pattern 100-TB rollups live on: stage 1 builds a
+    per-(event_type, day) HLL sketch of user_id — embarrassingly
+    parallel, one partial-aggregated shuffle; stage 2 unions the tiny
+    binary sketches per event_type and reads the estimate. A daily
+    pipeline materializes stage 1 once and re-rolls totals from
+    sketches forever after, never rescanning raw events — count
+    distinct becomes incremental. Rows-only: the estimate is the
+    Datasketches HLL_4 value, deterministic for fixed input but not
+    SQL-expressible in DuckDB; the exact twins are q_agg_distinct /
+    q_agg_approx_distinct, and tests/test_invariants.py pins the
+    estimate within 5% of exact.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sketch"))
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("event_type")
+    )

@@ -433,3 +433,78 @@ def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rkey").alias("max_right"),
         )
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ), l AS (
+        SELECT user_id, ts, event_id, side,
+               last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+                   OVER w AS v_id,
+               last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+                   OVER w AS v_ts
+        FROM u
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id AS purchase_id, user_id, ts,
+           CASE WHEN v_ts >= ts - INTERVAL 30 MINUTE THEN v_id END AS view_id,
+           CASE WHEN v_ts >= ts - INTERVAL 30 MINUTE THEN v_ts END AS view_ts
+    FROM l WHERE side = 1
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-style as-of join with tolerance: each purchase matched to the
+    user's most recent view at most 30 minutes earlier (else NULL).
+
+    The SECOND as-of strategy in the engine, complementing q_join_asof's
+    equi-join + pick-latest: union both sides into one stream, sort per
+    key by (ts, side, event_id), and carry the last left-side row
+    forward with last_value(ignorenulls). There is NO join at all — one
+    exchange on user_id and one per-key sort, so cost is O(|L|+|R|)
+    regardless of how many right rows precede each probe (the equi-join
+    form materializes every (probe, earlier-build) pair before its
+    window prunes them — quadratic per hot key). This is the shape to
+    reach for when both sides are huge and keys are hot; pandas
+    merge_asof / kdb aj re-expressed as a distributed prefix scan.
+    Ties: a view at exactly the purchase ts sorts first (side 0 < 1)
+    and therefore matches, on both engines.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    u = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    v_id = F.last(
+        F.when(F.col("side") == 0, F.col("event_id")), ignorenulls=True
+    ).over(w)
+    v_ts = F.last(
+        F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+    ).over(w)
+    in_tol = F.col("v_ts") >= F.col("ts") - F.expr("INTERVAL 30 MINUTES")
+    return (
+        u.withColumn("v_id", v_id)
+        .withColumn("v_ts", v_ts)
+        .filter(F.col("side") == 1)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            F.when(in_tol, F.col("v_id")).alias("view_id"),
+            F.when(in_tol, F.col("v_ts")).alias("view_ts"),
+        )
+    )

@@ -10,7 +10,7 @@ of the engine surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import dsum, sql_dsum
@@ -234,4 +234,245 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         profile("c_custkey")
         .unionByName(profile("c_mktsegment"))
         .unionByName(profile("c_nationkey"))
+    )
+
+
+@query(
+    "q_etl_scd2",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    )
+    SELECT user_id, event_type,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) IS NULL AS is_current,
+           cast(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) as bigint) AS version
+    FROM changes
+    """,
+)
+def q_etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from an event history.
+
+    The warehouse-ETL staple: collapse each user's event-type history
+    into versioned validity intervals — a row survives only where the
+    tracked attribute CHANGES (lag filter), valid_to chains to the next
+    change (lead), the open row is current. Three window passes, all
+    partitioned by the dimension's natural key and tie-broken by
+    event_id, so the plan is one shuffle + per-key sorts — the standard
+    scalable SCD2 shape (no self-join, no driver loop).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+        F.row_number().over(w2).cast("bigint").alias("version"),
+    )
+
+
+@query(
+    "q_cdc_compact",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n_versions
+        FROM events
+    )
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           event_type AS last_type, value AS last_value,
+           cast(n_versions AS bigint) AS n_versions
+    FROM v
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def q_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-log compaction: latest state per key, tombstones dropped.
+
+    The CDC-consumer staple — a log of per-key versions collapses to
+    current state: pick-latest by (ts, event_id) per user_id, and a key
+    whose LAST entry is a tombstone ('error' here) vanishes from the
+    compacted view. n_versions audits how much history each key
+    carried. One shuffle on the key + WindowGroupLimit pick-latest —
+    identical physical shape to q_join_asof's probe side, so it scales
+    with key cardinality, not log length. At 100 TB this runs
+    incrementally per partition-date and merges into the lakehouse
+    upsert (q_etl_upsert).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    n = F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", n)
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "n_versions",
+        )
+    )
+
+
+@query(
+    "q_dq_referential",
+    oracle="""
+    SELECT 'orders->customer' AS check_name,
+           cast(count(*) AS bigint) AS n_rows,
+           cast(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_orphans,
+           round(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::double
+                 / count(*), 6) AS orphan_rate
+    FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders',
+           cast(count(*) AS bigint),
+           cast(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint),
+           round(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::double
+                 / count(*), 6)
+    FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    UNION ALL
+    SELECT 'customer->nation',
+           cast(count(*) AS bigint),
+           cast(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS bigint),
+           round(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END)::double
+                 / count(*), 6)
+    FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts per foreign key.
+
+    The pre-load data-quality gate: every FK edge of the star schema is
+    probed with a left join against the parent's key set and reduced to
+    (row count, orphan count, orphan rate). Joining on the DISTINCT
+    parent key projection keeps the build side minimal; AQE broadcasts
+    the small dims (nation, customer-at-small-SF) and falls back to a
+    shuffle join when the parent outgrows the broadcast threshold — at
+    100 TB the lineitem->orders probe is the big one and degenerates to
+    exactly one shuffle on the FK, the same cost as the semi-join any
+    integrity checker must pay. Orphan rate finishes at 6 dp (single
+    IEEE division, both engines).
+    """
+    def probe(child: DataFrame, fk: str, parent: DataFrame, pk: str,
+              name: str) -> DataFrame:
+        keys = parent.select(F.col(pk).alias(fk)).distinct().withColumn(
+            "ok", F.lit(1)
+        )
+        return child.select(fk).join(keys, on=fk, how="left").agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0)).alias(
+                "n_orphans"
+            ),
+            F.round(
+                F.sum(F.when(F.col("ok").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("orphan_rate"),
+        )
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    l = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    return (
+        probe(o, "o_custkey", c, "c_custkey", "orders->customer")
+        .unionByName(probe(l, "l_orderkey", o, "o_orderkey", "lineitem->orders"))
+        .unionByName(probe(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+    )
+
+
+_MS_NUM = sql_dsum(
+    "CASE WHEN n_name = 'NATION_0' THEN l_extendedprice * (1 - l_discount) "
+    "ELSE 0 END",
+    "mkt_revenue",
+)
+_MS_DEN = sql_dsum("l_extendedprice * (1 - l_discount)", "total_revenue")
+
+
+@query(
+    "q_pipeline_market_share",
+    oracle=f"""
+    SELECT cast(year(o_orderdate) AS bigint) AS o_year,
+           {_MS_NUM}, {_MS_DEN},
+           (cast(cast(round(sum(cast((CASE WHEN n_name = 'NATION_0'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                 as decimal(30,10))), 4) as decimal(38,4)) as double)
+            / cast(cast(round(sum(cast((l_extendedprice * (1 - l_discount))
+                 as decimal(30,10))), 4) as decimal(38,4)) as double))
+               AS mkt_share
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name = 'AFRICA'
+    GROUP BY year(o_orderdate)
+    """,
+)
+def q_pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's revenue share per year within a region.
+
+    The market-share capstone: a conditional-sum ratio over the full
+    star join, grouped by order year. Both the numerator (NATION_0
+    revenue) and denominator (all-AFRICA revenue) accumulate in exact
+    decimal and finish to identical doubles; the share is a single IEEE
+    division of those two matched doubles, never re-finished (numeric
+    rule 5). Catalyst broadcasts region/nation/customer up the chain
+    and the only big shuffle keys on l_orderkey — same physical plan
+    family as q_pipeline_region_volume (plan-tested there). The year()
+    group key is computed AFTER the joins on the already-pruned column.
+    """
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cond_rev = F.when(F.col("n_name") == "NATION_0", rev).otherwise(F.lit(0.0))
+    joined = (
+        r.join(n, F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(c, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("o_year")
+    ).agg(
+        dsum(cond_rev, "mkt_revenue"),
+        dsum(rev, "total_revenue"),
+    )
+    return agg.select(
+        "o_year",
+        "mkt_revenue",
+        "total_revenue",
+        (F.col("mkt_revenue") / F.col("total_revenue")).alias("mkt_share"),
     )

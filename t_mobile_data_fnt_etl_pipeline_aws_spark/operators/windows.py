@@ -276,3 +276,82 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tsec").alias("end_sec"),
         (F.max("tsec") - F.min("tsec")).alias("duration_sec"),
     )
+
+
+@query(
+    "q_resample_ffill",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    daily AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
+    span AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    )
+    SELECT g.user_id, g.day,
+           last_value(d.value IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS UNBOUNDED PRECEDING
+           ) AS value_filled,
+           d.value IS NOT NULL AS is_observed
+    FROM grid g
+    LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample to a daily grid + forward fill.
+
+    The gap-filling operator every metrics pipeline needs: each user's
+    observed days collapse to a last-value-of-day point, a dense daily
+    grid spans [first, last] via sequence+explode (rows materialize
+    executor-side, never on the driver), and missing days forward-fill
+    with last(value, ignorenulls) over a user-partitioned window.
+    Scale: grid size is users × days — generated distributed; the only
+    shuffles key on user_id. The pick-latest rn=1 is the same
+    WindowGroupLimit shape as q_join_asof.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_pick = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, on=["user_id", "day"], how="left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "user_id",
+        "day",
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )

@@ -200,13 +200,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 39 extras = 118 registered,
-    112 SQL-oracled / 6 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 49 extras = 128 registered,
+    121 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 118
-    assert len(oracles) == 112
+    assert len(QUERIES) == 128
+    assert len(oracles) == 121
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -215,6 +215,7 @@ def test_registry_totals_match_survey():
         "q_sim_search_topk_vectorized",
         "q_agg_approx_distinct",
         "q_sample_stratified",
+        "q_agg_sketch_reaggregate",
     }
 
 
@@ -258,3 +259,26 @@ def test_pack_sequences_conserves_tokens(spark, sf_dir):
     j = per_lang.join(totals, on="lang")
     assert j.filter(F.col("packed") != F.col("corpus")).count() == 0
     assert j.filter(F.col("n_bins") != F.col("max_bin") + 1).count() == 0
+
+
+def test_sketch_reaggregate_within_5pct_of_exact(spark, sf_dir):
+    """The two-level HLL rollup must estimate distinct users per
+    event_type within 5% of the exact count (HLL_4 lgK=12 is ~1.6%
+    typical error; 5% bounds flakiness without hiding regressions)."""
+    from pyspark.sql import functions as F
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    est = {
+        r["event_type"]: r["est_users"]
+        for r in QUERIES["q_agg_sketch_reaggregate"](spark, sf_dir).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n <= 0.05, (k, est[k], n)

@@ -217,3 +217,38 @@ def test_unpivot_expands_without_shuffle(spark, sf_dir):
     # no exchange above the Expand (plan text is top-down: output first)
     expand_pos = plan.index("Expand")
     assert "Exchange" not in plan[:expand_pos], plan
+
+
+def test_asof_tolerance_is_merge_scan_not_join(spark, sf_dir):
+    """q_join_asof_tolerance must stay the union-merge form: ONE exchange
+    (hash on user_id), zero join operators. If a join ever appears the
+    per-hot-key pair blowup is back."""
+    df = QUERIES["q_join_asof_tolerance"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not join_strategies(df), f"join crept into merge-as-of:\n{plan}"
+    import re
+
+    n_exchanges = len(re.findall(r"\bExchange \(\d+\)", plan))
+    assert n_exchanges <= 1, f"expected 1 exchange, saw {n_exchanges}:\n{plan}"
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned parquet layout
+    must prune at planning time — the scan's partition count is the
+    selected partitions only, and the data filter never reaches the
+    row-group level (it is satisfied by pruning alone)."""
+    from pyspark.sql import functions as F
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    path = str(tmp_path / "orders_by_status")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(path)
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    plan = plan_string(df)
+    import re
+
+    m = re.search(r"Partition(?:Filters|Predicates): \[([^\]]*)\]", plan)
+    assert m and "o_orderstatus" in m.group(1), (
+        f"partition filter not applied at scan:\n{plan}"
+    )
