@@ -618,3 +618,63 @@ def q_agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_incremental_merge",
+    oracle=f"""
+    WITH partial AS (
+        SELECT o_orderstatus,
+               o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS run_b,
+               sum(cast(o_totalprice as {DEC})) AS s,
+               count(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus, o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_orderstatus,
+           cast(count(*) AS bigint) AS n_runs,
+           cast(sum(n) AS bigint) AS n_orders,
+           {sql_finish_dec('sum(s)', 4)} AS total_spend,
+           ({sql_finish_dec('sum(s)', 4)} / sum(n)) AS avg_spend
+    FROM partial
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level re-aggregation: per-run partial states merged to totals.
+
+    The incremental-pipeline contract: stage 1 computes algebraic
+    partial state (exact-decimal sum, count) per (group, run) — here
+    'runs' are the pre/post-1998 order slices standing in for daily
+    loads; stage 2 merges ONLY the tiny partial states, never
+    rescanning the raw rows. sum and count re-aggregate losslessly;
+    avg is derived at finish time from merged state (never averaged
+    across runs). Both accumulation levels stay in decimal so the
+    merged total is bit-identical to a single-pass sum regardless of
+    run count — the property that lets a 100-TB pipeline materialize
+    daily partials once and roll totals forever (same pattern as
+    q_agg_sketch_reaggregate for the non-algebraic distinct count).
+    """
+    o = load(spark, sf_dir, "orders")
+    partial = o.groupBy(
+        "o_orderstatus",
+        (
+            F.col("o_orderdate")
+            >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        ).alias("run_b"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    merged = partial.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("n").alias("n_orders"),
+        finish(F.sum("s"), 4).alias("total_spend"),
+    )
+    return merged.select(
+        "o_orderstatus",
+        "n_runs",
+        "n_orders",
+        "total_spend",
+        (F.col("total_spend") / F.col("n_orders")).alias("avg_spend"),
+    )

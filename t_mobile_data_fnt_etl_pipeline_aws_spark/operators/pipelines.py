@@ -476,3 +476,43 @@ def q_pipeline_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_revenue",
         (F.col("mkt_revenue") / F.col("total_revenue")).alias("mkt_share"),
     )
+
+
+@query(
+    "q_profile_skew",
+    oracle="""
+    SELECT l_suppkey AS hot_key,
+           cast(count(*) AS bigint) AS n_rows,
+           (count(*)::double / (SELECT count(*) FROM lineitem)) AS share
+    FROM lineitem
+    GROUP BY l_suppkey
+    ORDER BY n_rows DESC, hot_key ASC
+    LIMIT 10
+    """,
+)
+def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the 10 hottest keys and their row share.
+
+    The diagnostic that decides between a plain shuffle join, AQE skew
+    splitting, and an explicit salted join (q_join_salted_skew): one
+    hash-agg on the candidate key, a 1-row total broadcast-crossed in
+    (never a partition-less window — that would funnel the agg through
+    one task), and a TakeOrderedAndProject for the top 10. At 100 TB
+    this runs on a sample partition first; the plan is identical. The
+    share is a single IEEE division of two matched longs (rule 5: no
+    finishing).
+    """
+    l = load(spark, sf_dir, "lineitem")
+    total = l.agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        l.groupBy(F.col("l_suppkey").alias("hot_key"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "hot_key",
+            "n_rows",
+            (F.col("n_rows") / F.col("_total")).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), F.asc("hot_key"))
+        .limit(10)
+    )

@@ -224,3 +224,46 @@ def q_scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_dir("supplier_orc")
     load(spark, sf_dir, "supplier").write.mode("overwrite").orc(out)
     return spark.read.schema(StructType.fromDDL(SCHEMAS["supplier"])).orc(out)
+
+
+@query(
+    "q_etl_compact_smallfiles",
+    oracle="""
+    SELECT lang, count(*) AS n_docs,
+           cast(sum(n_chars) AS bigint) AS sum_chars,
+           count(DISTINCT doc_id) AS n_ids
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_etl_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented layout rewritten to sized files.
+
+    The table-maintenance job every long-lived lake needs: a
+    64-way-fragmented copy of documents (the classic too-many-tasks
+    layout left by over-parallel writers) is rewritten with the output
+    file count derived from actual on-disk bytes / 128 MB target — a
+    coalesce(), not a repartition(), so the rewrite moves no rows
+    across executors. Read-back aggregates prove zero rows/ids lost.
+    At 100 TB this is the nightly compaction pass that keeps scan task
+    counts proportional to data, not to writer history;
+    tests/test_invariants.py asserts the file count actually shrinks.
+    """
+    src = _sink_dir("docs_fragmented")
+    load(spark, sf_dir, "documents").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(src)
+    frag_bytes = sum(
+        f.stat().st_size
+        for f in os.scandir(src)
+        if f.name.endswith(".parquet")
+    )
+    n_out = max(1, -(-frag_bytes // (128 * 1024 * 1024)))  # ceil
+    out = _sink_dir("docs_compacted")
+    spark.read.parquet(src).coalesce(n_out).write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("doc_id").alias("n_ids"),
+    )

@@ -123,3 +123,65 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the filter (one-row exchanges, no re-execution)."""
     _view(spark, sf_dir, "part")
     return spark.sql(_SCALAR_SQL)
+
+
+@query(
+    "q_subquery_waiting_supplier",
+    oracle="""
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+)
+def q_subquery_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped double correlation: suppliers who were the SOLE
+    late shipper on a finished multi-supplier order.
+
+    The hardest decorrelation shape in the reference surface — one
+    correlated EXISTS and one correlated NOT EXISTS against the same
+    fact table, the anti side additionally correlated through the
+    OUTER join's o_orderdate. Catalyst rewrites both into a left-semi
+    and a left-anti join on l_orderkey (RewritePredicateSubquery), so
+    the plan is three shuffles on the same key — no per-row subquery
+    execution. 'Late' is shipdate > orderdate + 60 days (this schema
+    carries no commit/receipt dates).
+    """
+    for t in ("supplier", "lineitem", "orders"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+        SELECT s_name, count(*) AS numwait
+        FROM supplier
+        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s_name
+        """
+    )

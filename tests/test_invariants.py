@@ -200,13 +200,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 49 extras = 128 registered,
-    121 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 53 extras = 132 registered,
+    125 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 128
-    assert len(oracles) == 121
+    assert len(QUERIES) == 132
+    assert len(oracles) == 125
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -282,3 +282,21 @@ def test_sketch_reaggregate_within_5pct_of_exact(spark, sf_dir):
     assert set(est) == set(exact)
     for k, n in exact.items():
         assert abs(est[k] - n) / n <= 0.05, (k, est[k], n)
+
+
+def test_compact_smallfiles_reduces_file_count(spark, sf_dir):
+    """The compaction rewrite must actually shrink the layout: the
+    fragmented copy has 64 parquet files, the compacted one has
+    ceil(bytes/128MB) — at test SF, exactly 1."""
+    import os
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.scans import _sink_dir
+
+    QUERIES["q_etl_compact_smallfiles"](spark, sf_dir).collect()
+    count = lambda d: sum(
+        1 for f in os.scandir(d) if f.name.endswith(".parquet")
+    )
+    n_frag = count(_sink_dir("docs_fragmented"))
+    n_comp = count(_sink_dir("docs_compacted"))
+    assert n_frag == 64, n_frag
+    assert n_comp == 1, n_comp

@@ -252,3 +252,14 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_dir, tmp_path):
     assert m and "o_orderstatus" in m.group(1), (
         f"partition filter not applied at scan:\n{plan}"
     )
+
+
+def test_waiting_supplier_double_decorrelation(spark, sf_dir):
+    """Q21-shape: both the correlated EXISTS and the o_orderdate-correlated
+    NOT EXISTS must decorrelate to LeftSemi/LeftAnti joins — no
+    iterative per-row subquery execution may survive planning."""
+    df = QUERIES["q_subquery_waiting_supplier"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "InSubqueryExec" not in plan and "ScalarSubquery" not in plan, plan
