@@ -74,6 +74,9 @@ HEADLINE = [
     "q_dq_referential",              # FK orphan audit (3 probe joins)
     "q_join_asof_tolerance",         # union-merge LOCF as-of (no join)
     "q_text_edit_distance",          # blocked levenshtein pair gen
+    "q_subquery_waiting_supplier",   # Q21 double decorrelation
+    "q_pipeline_market_share",       # Q8 conditional-share star join
+    "q_multimodal_framesample",      # map-only Arrow byte kernel
 ]
 
 RUNS = 3

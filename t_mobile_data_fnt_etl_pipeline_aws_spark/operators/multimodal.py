@@ -117,3 +117,79 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_bytes bigint, first_cp int, "
         "fake_width int, fake_height int",
     )
+
+
+@query(
+    "q_multimodal_framesample",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS p
+        FROM documents
+    ), persum AS (
+        SELECT doc_id,
+               sum(CASE WHEN ((p - 1) // 16) % 4 = 0
+                        THEN ascii(substring(text, cast(p AS int), 1))
+                   END) AS cs
+        FROM pos
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           cast((octet_length(encode(d.text)) + 15) // 16 AS bigint)
+               AS n_frames,
+           cast(((octet_length(encode(d.text)) + 15) // 16 + 3) // 4
+               AS bigint) AS n_sampled,
+           cast(coalesce(s.cs, 0) AS bigint) AS checksum
+    FROM documents d LEFT JOIN persum s ON d.doc_id = s.doc_id
+    """,
+)
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads: every 4th 16-byte frame.
+
+    The video-pipeline primitive (decode → sample 1-in-N frames →
+    feature-extract) with the codec swapped for deterministic byte
+    math: payloads split into 16-byte frames, frames 0,4,8,… are
+    sampled, and the checksum sums the sampled frames' bytes (numpy
+    over the Arrow buffer — where a real pipeline would run the model
+    on sampled frames). Map-only: no shuffle at all; each Arrow batch
+    is processed and emitted in place, so throughput scales with
+    executor count times I/O, the shape real media extraction needs.
+    The oracle replays the same frame arithmetic positionally (fixture
+    text is pure ASCII, so code points == bytes — asserted here).
+    """
+    import numpy as np
+
+    FRAME, STRIDE = 16, 4
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+
+            def checksum(b: bytes) -> int:
+                if not b:
+                    return 0
+                arr = np.frombuffer(b, dtype=np.uint8)
+                mask = (np.arange(arr.size) // FRAME) % STRIDE == 0
+                return int(arr[mask].sum())
+
+            n_bytes = payload.map(len)
+            n_frames = (n_bytes + FRAME - 1) // FRAME
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": n_frames.astype("int64"),
+                    "n_sampled": ((n_frames + STRIDE - 1) // STRIDE).astype(
+                        "int64"
+                    ),
+                    "checksum": payload.map(checksum).astype("int64"),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        sample,
+        schema="doc_id bigint, n_frames bigint, n_sampled bigint, "
+        "checksum bigint",
+    )

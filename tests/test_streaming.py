@@ -252,3 +252,76 @@ def test_stream_stream_join_converges_to_batch(spark, sf_dir, tmp_path):
     ).toPandas()
     assert len(streamed) > 0
     assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_stream_foreachbatch_upsert_converges_to_cdc(spark, sf_dir, tmp_path):
+    """foreachBatch incremental upsert: per-micro-batch partial states
+    merged into a persistent keyed table must converge to the batch
+    CDC compaction (q_cdc_compact). This is the sink-side half of the
+    CDC story — the stream never reprocesses old rows; each batch
+    reduces to one row per touched key and merges against prior state
+    (algebraic merge: argmax-by-(ts,event_id) + count sum)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    stream_dir = str(tmp_path / "stream")
+    events.repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    state = {"path": None, "v": 0}
+
+    def merge(batch_df, batch_id):
+        partial = batch_df.groupBy("user_id").agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("latest"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        if state["path"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["path"])
+            partial = (
+                partial.unionByName(old)
+                .groupBy("user_id")
+                .agg(
+                    F.max("latest").alias("latest"),
+                    F.sum("n_versions").alias("n_versions"),
+                )
+            )
+        state["v"] += 1
+        new_path = str(tmp_path / f"state_v{state['v']}")
+        partial.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        s.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["v"] >= 2, "expected multiple micro-batches"
+
+    final = (
+        spark.read.parquet(state["path"])
+        .filter(F.col("latest.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("latest.event_id").alias("last_event_id"),
+            F.col("latest.ts").cast("timestamp_ntz").alias("last_ts"),
+            F.col("latest.event_type").alias("last_type"),
+            F.col("latest.value").alias("last_value"),
+            "n_versions",
+        )
+        .toPandas()
+    )
+    batch = QUERIES["q_cdc_compact"](spark, sf_dir).toPandas()
+    assert canonicalize(final) == canonicalize(batch)
