@@ -77,6 +77,7 @@ HEADLINE = [
     "q_subquery_waiting_supplier",   # Q21 double decorrelation
     "q_pipeline_market_share",       # Q8 conditional-share star join
     "q_multimodal_framesample",      # map-only Arrow byte kernel
+    "q_agg_mad_outliers",            # double window-sort robust stats
 ]
 
 RUNS = 3

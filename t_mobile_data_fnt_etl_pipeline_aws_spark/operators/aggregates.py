@@ -678,3 +678,85 @@ def q_agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_spend",
         (F.col("total_spend") / F.col("n_orders")).alias("avg_spend"),
     )
+
+
+@query(
+    "q_agg_mad_outliers",
+    oracle="""
+    WITH r1 AS (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS rn,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM customer
+    ), med AS (
+        SELECT c_mktsegment, c_acctbal AS median_bal
+        FROM r1 WHERE rn = (n + 1) // 2
+    ), dev AS (
+        SELECT r.c_mktsegment, r.c_custkey, r.c_acctbal, m.median_bal,
+               abs(r.c_acctbal - m.median_bal) AS d,
+               row_number() OVER (PARTITION BY r.c_mktsegment
+                                  ORDER BY abs(r.c_acctbal - m.median_bal),
+                                           r.c_custkey) AS rn,
+               count(*) OVER (PARTITION BY r.c_mktsegment) AS n
+        FROM r1 r JOIN med m ON r.c_mktsegment = m.c_mktsegment
+    ), mad AS (
+        SELECT c_mktsegment, d AS mad_bal FROM dev WHERE rn = (n + 1) // 2
+    )
+    SELECT dev.c_mktsegment,
+           max(dev.median_bal) AS median_bal,
+           max(mad.mad_bal) AS mad_bal,
+           cast(sum(CASE WHEN dev.d > 3 * mad.mad_bal THEN 1 ELSE 0 END)
+                AS bigint) AS n_outliers,
+           cast(count(*) AS bigint) AS n_customers
+    FROM dev JOIN mad ON dev.c_mktsegment = mad.c_mktsegment
+    GROUP BY dev.c_mktsegment
+    """,
+)
+def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: median absolute deviation per group.
+
+    The quality gate that survives heavy tails where mean/stddev break:
+    rank-position median (exact data value, no interpolation), absolute
+    deviations, rank-position MAD, then |x - med| > 3·MAD flags
+    outliers. Every comparison is IEEE arithmetic on values both
+    engines hold bit-identically — no finishing anywhere. Cost: two
+    partitioned window sorts on the group key + one broadcast of the
+    per-group medians (group-cardinality rows); at 100 TB both sorts
+    shard by segment exactly like any windowed rank.
+    """
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    n = F.count(F.lit(1)).over(Window.partitionBy("c_mktsegment"))
+    r1 = c.select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.row_number().over(w).alias("rn"), n.alias("n"),
+    )
+    med = (
+        r1.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("c_mktsegment", F.col("c_acctbal").alias("median_bal"))
+    )
+    dev_base = r1.join(F.broadcast(med), on="c_mktsegment").withColumn(
+        "d", F.abs(F.col("c_acctbal") - F.col("median_bal"))
+    )
+    w2 = Window.partitionBy("c_mktsegment").orderBy("d", "c_custkey")
+    dev = dev_base.select(
+        "c_mktsegment", "c_custkey", "median_bal", "d",
+        F.row_number().over(w2).alias("rn2"), F.col("n"),
+    )
+    mad = (
+        dev.filter(F.col("rn2") == F.floor((F.col("n") + 1) / 2))
+        .select("c_mktsegment", F.col("d").alias("mad_bal"))
+    )
+    return (
+        dev.join(F.broadcast(mad), on="c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.max("median_bal").alias("median_bal"),
+            F.max("mad_bal").alias("mad_bal"),
+            F.sum(
+                F.when(F.col("d") > 3 * F.col("mad_bal"), 1).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )

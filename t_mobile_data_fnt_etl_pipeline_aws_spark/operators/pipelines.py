@@ -516,3 +516,153 @@ def q_profile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_rows"), F.asc("hot_key"))
         .limit(10)
     )
+
+
+@query(
+    "q_profile_histogram",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        FROM orders
+    )
+    SELECT cast(least(floor((o_totalprice - lo) / ((hi - lo) / 10)), 9)
+                AS bigint) AS bin_id,
+           cast(count(*) AS bigint) AS n_orders,
+           min(o_totalprice) AS bin_min,
+           max(o_totalprice) AS bin_max
+    FROM orders, bounds
+    GROUP BY 1
+    """,
+)
+def q_profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram: 10 bins over the order-price range.
+
+    The profiling primitive behind every data-quality dashboard: one
+    pass computes the global [min, max] (a 1-row broadcast), a second
+    bins each row with floor((x-lo)/width) — pure IEEE arithmetic both
+    engines evaluate identically — clamping x=max into the last bin.
+    Two scans, one 1-row broadcast, one hash-agg on a 10-value key; at
+    100 TB the bounds pass reads only min/max parquet footer stats when
+    the scan has no other predicate. Reported bin_min/bin_max expose
+    actual occupancy vs theoretical edges (empty bins simply don't
+    appear — same semantics both engines).
+    """
+    o = load(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binned = o.crossJoin(F.broadcast(bounds)).withColumn(
+        "bin_id",
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / 10)
+            ),
+            F.lit(9),
+        ).cast("bigint"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("bin_min"),
+        F.max("o_totalprice").alias("bin_max"),
+    )
+
+
+@query(
+    "q_sample_deterministic_k",
+    oracle="""
+    SELECT o_orderstatus, o_orderkey, o_totalprice
+    FROM (
+        SELECT o_orderstatus, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY md5(cast(o_orderkey AS varchar)), o_orderkey
+               ) AS rn
+        FROM orders
+    ) WHERE rn <= 5
+    """,
+)
+def q_sample_deterministic_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-group deterministic sample via hash ordering.
+
+    The debugging/eval-split sampler whose output is reproducible
+    across engines, runs, AND partitionings: rank rows per group by
+    md5(key) — a uniform-but-deterministic shuffle both engines
+    compute identically — and keep the first 5. Unlike rand(seed)
+    (partition-dependent) or TABLESAMPLE (row-order-dependent), this
+    is pure row arithmetic: same WindowGroupLimit pick-k shape as
+    q_topk_per_group, one shuffle on the group key. The engine-seeded
+    probabilistic twin is q_sample_stratified.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("o_orderstatus", "o_orderkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_dq_drift",
+    oracle="""
+    WITH slices AS (
+        SELECT o_orderpriority,
+               o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' AS is_b,
+               count(*) AS n
+        FROM orders
+        GROUP BY 1, 2
+    ), totals AS (
+        SELECT is_b, sum(n) AS total FROM slices GROUP BY is_b
+    ), shares AS (
+        SELECT o_orderpriority, s.is_b, n::double / total AS share
+        FROM slices s JOIN totals t ON s.is_b = t.is_b
+    )
+    SELECT o_orderpriority,
+           max(CASE WHEN NOT is_b THEN share END) AS share_a,
+           max(CASE WHEN is_b THEN share END) AS share_b,
+           abs(max(CASE WHEN is_b THEN share END)
+               - max(CASE WHEN NOT is_b THEN share END)) AS abs_drift
+    FROM shares
+    GROUP BY o_orderpriority
+    """,
+)
+def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical distribution drift between two data slices.
+
+    The train/serve (or yesterday/today) drift check: each slice's
+    category shares are compared per category — share_a, share_b, and
+    |Δ| — flagging distribution shift before a model ever sees it.
+    Shares are single IEEE divisions of matched longs (never
+    finished); the per-category |Δ| is row-local arithmetic, so no
+    cross-row float accumulation exists anywhere. Plan: one hash-agg
+    on (category, slice), a 2-row totals broadcast, and a pivot-style
+    conditional agg on category — at 100 TB the only real shuffle is
+    the first agg, whose width is category-cardinality × 2.
+    """
+    o = load(spark, sf_dir, "orders")
+    slices = o.groupBy(
+        "o_orderpriority",
+        (
+            F.col("o_orderdate")
+            >= F.expr("TIMESTAMP_NTZ '1998-01-01 00:00:00'")
+        ).alias("is_b"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    totals = slices.groupBy("is_b").agg(F.sum("n").alias("total"))
+    shares = slices.join(F.broadcast(totals), on="is_b").select(
+        "o_orderpriority",
+        "is_b",
+        (F.col("n") / F.col("total")).alias("share"),
+    )
+    pivoted = shares.groupBy("o_orderpriority").agg(
+        F.max(F.when(~F.col("is_b"), F.col("share"))).alias("share_a"),
+        F.max(F.when(F.col("is_b"), F.col("share"))).alias("share_b"),
+    )
+    return pivoted.select(
+        "o_orderpriority",
+        "share_a",
+        "share_b",
+        F.abs(F.col("share_b") - F.col("share_a")).alias("abs_drift"),
+    )

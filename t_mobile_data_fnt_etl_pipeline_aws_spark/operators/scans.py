@@ -267,3 +267,40 @@ def q_etl_compact_smallfiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.countDistinct("doc_id").alias("n_ids"),
     )
+
+
+@query(
+    "q_scan_schema_evolution",
+    oracle="""
+    SELECT n_nationkey, n_name, NULL AS n_regionkey, 'v1' AS batch
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'v2' AS batch
+    FROM nation
+    """,
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution: a widened table read across generations.
+
+    The long-lived-lake reality: generation v1 wrote (key, name),
+    generation v2 added n_regionkey. mergeSchema unions the file
+    schemas at read time — v1 rows surface NULL for the new column, no
+    rewrite of old files. At 100 TB this is why columns are only ever
+    ADDED (schema union is cheap; a type change forces a rewrite);
+    footer-level merging costs one metadata pass, not a data scan. The
+    batch column proves which generation each row came from.
+    """
+    n = load(spark, sf_dir, "nation")
+    out = _sink_dir("nation_evolved")
+    n.select("n_nationkey", "n_name").withColumn(
+        "batch", F.lit("v1")
+    ).write.mode("overwrite").parquet(os.path.join(out, "g=1"))
+    n.select("n_nationkey", "n_name", "n_regionkey").withColumn(
+        "batch", F.lit("v2")
+    ).write.mode("overwrite").parquet(os.path.join(out, "g=2"))
+    back = spark.read.option("mergeSchema", "true").option(
+        "recursiveFileLookup", "true"
+    ).parquet(out)
+    return back.select(
+        "n_nationkey", "n_name", "n_regionkey", "batch"
+    )
