@@ -304,3 +304,72 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.select(
         "n_nationkey", "n_name", "n_regionkey", "batch"
     )
+
+
+@query(
+    "q_catalog_table_roundtrip",
+    oracle="""
+    SELECT r_regionkey, r_name FROM region
+    """,
+)
+def q_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed-table lifecycle: saveAsTable → catalog lookup → SQL read.
+
+    The metastore workflow a warehouse user lives in: a DataFrame is
+    persisted as a table with an explicit storage location, the catalog
+    confirms it exists, and plain SQL reads it back by name — no paths
+    in the query layer. At 100 TB the catalog is the contract between
+    teams: writers register tables, readers discover them; the physical
+    layout (format, bucketing, partitioning) stays an implementation
+    detail behind the name. EXTERNAL (explicit path under the
+    process-scoped sink dir) rather than managed on purpose: a managed
+    table's warehouse location outlives the in-memory catalog, so a
+    fresh session hits LOCATION_ALREADY_EXISTS on re-run — the
+    classic orphaned-location failure; DROP IF EXISTS + overwrite to
+    an owned path is idempotent across sessions AND processes.
+    """
+    name = "graft_region_managed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    load(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode(
+        "overwrite"
+    ).option("path", _sink_dir("region_managed")).saveAsTable(name)
+    assert any(t.name == name for t in spark.catalog.listTables())
+    return spark.sql(f"SELECT r_regionkey, r_name FROM {name}")
+
+
+@query(
+    "q_scan_text_lines",
+    oracle="""
+    SELECT lang, count(*) AS n_lines,
+           cast(sum(length(text)) AS bigint) AS n_chars
+    FROM documents
+    WHERE NOT contains(text, chr(10))
+    GROUP BY lang
+    """,
+)
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text source: write docs as raw lines, read, re-key.
+
+    Completes the format house (parquet/csv/json/orc/text): documents
+    serialize as `lang\\tTEXT` lines through the text sink, the text
+    source reads them back as a single `value` column, and a split
+    re-derives the key — the classic log-file ingestion shape. The
+    oracle filters multi-line docs symmetrically (a line sink cannot
+    round-trip embedded newlines — none exist in the fixture, the
+    filter documents the contract). Line sources split by file block
+    at scale, so parallelism tracks input bytes like any scan.
+    """
+    d = load(spark, sf_dir, "documents").filter(~F.col("text").contains("\n"))
+    out = _sink_dir("docs_text_lines")
+    d.select(
+        F.concat_ws("\t", F.col("lang"), F.col("text")).alias("value")
+    ).write.mode("overwrite").text(out)
+    back = spark.read.text(out)
+    parsed = back.select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1)).alias("lang"),
+        F.substring_index(F.col("value"), "\t", -1).alias("text"),
+    )
+    return parsed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("text")).alias("n_chars"),
+    )

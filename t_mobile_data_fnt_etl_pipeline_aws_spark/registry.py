@@ -63,6 +63,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: 1 plus the re-fixed q_agg_collect_sorted, so round 2's window covers
 #: exactly the unverified half. Keys not listed keep their module order after
 #: these — they stay registered and locally oracle-tested.
+#:
+#: ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands green for this window,
+#: replace it with the keys still lacking any driver row — the round-2
+#: additions (clustering/reshape/subqueries/llmprep modules, scd2, resample,
+#: cdc/dq/profile/sample batch, market_share, sketch, framesample, schema
+#: evolution, edit_distance, asof_tolerance, argminmax, percentile/mad,
+#: incremental_merge, compact_smallfiles, histogram, drift, deterministic_k)
+#: — keeping test_driver_window_covers_round1_unverified in sync.
 _DRIVER_WINDOW = [
     "q_agg_collect_sorted",
     "q_intersect",
