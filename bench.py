@@ -78,6 +78,8 @@ HEADLINE = [
     "q_pipeline_market_share",       # Q8 conditional-share star join
     "q_multimodal_framesample",      # map-only Arrow byte kernel
     "q_agg_mad_outliers",            # double window-sort robust stats
+    "q_funnel_conversion",           # conditional-min funnel (1 shuffle)
+    "q_cohort_retention",            # cohort join + distinct triangle
 ]
 
 RUNS = 3

@@ -666,3 +666,130 @@ def q_dq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "share_b",
         F.abs(F.col("share_b") - F.col("share_a")).alias("abs_drift"),
     )
+
+
+@query(
+    "q_funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT cast(count(*) AS bigint) AS n_users,
+           cast(sum(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS bigint) AS n_signed_up,
+           cast(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                         THEN 1 ELSE 0 END) AS bigint) AS n_viewed_after,
+           cast(sum(CASE WHEN t_signup IS NOT NULL AND t_view > t_signup
+                          AND t_purchase > t_view
+                          AND t_purchase <= t_signup + INTERVAL 7 DAY
+                         THEN 1 ELSE 0 END) AS bigint) AS n_converted
+    FROM firsts
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event funnel: signup → view → purchase-within-7-days per user.
+
+    The product-analytics staple: each user's first timestamp per
+    funnel stage comes from ONE conditional-min hash aggregate (no
+    joins, no windows — min is algebraic, so this is a single shuffle
+    on user_id with map-side partials), then stage ordering and the
+    7-day conversion deadline are row-local timestamp comparisons.
+    NULL semantics do the funnel gating: a user missing a stage has
+    NULL min, and NULL > x is NULL → not counted, identically in both
+    engines. At 100 TB this is the cheapest possible funnel plan —
+    compare the naive 3-way self-join of the events table, which pays
+    three fact-fact shuffles to produce the same four numbers.
+    """
+    e = load(spark, sf_dir, "events")
+
+    def first_ts(t: str) -> F.Column:
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    firsts = e.groupBy("user_id").agg(
+        first_ts("signup").alias("t_signup"),
+        first_ts("view").alias("t_view"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_signup").isNotNull() & (
+        F.col("t_view") > F.col("t_signup")
+    )
+    converted = (
+        viewed
+        & (F.col("t_purchase") > F.col("t_view"))
+        & (
+            F.col("t_purchase")
+            <= F.col("t_signup") + F.expr("INTERVAL 7 DAYS")
+        )
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("t_signup").isNotNull(), 1).otherwise(0)
+        ).alias("n_signed_up"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("n_viewed_after"),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("n_converted"),
+    )
+
+
+@query(
+    "q_cohort_retention",
+    oracle="""
+    WITH cohorts AS (
+        SELECT user_id,
+               date_trunc('week', min(ts)) AS cohort_week
+        FROM events
+        GROUP BY user_id
+    ), activity AS (
+        SELECT DISTINCT e.user_id, c.cohort_week,
+               date_diff('week', c.cohort_week,
+                         date_trunc('week', e.ts)) AS week_n
+        FROM events e JOIN cohorts c ON e.user_id = c.user_id
+    )
+    SELECT cohort_week, cast(week_n AS bigint) AS week_n,
+           cast(count(*) AS bigint) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_n
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users active N weeks after first touch.
+
+    The growth-analytics staple: users cohort by the week of their
+    first event (one min-agg shuffle on user_id), every event then
+    maps to (cohort_week, weeks-since-cohort), and a distinct-count
+    per cell builds the retention triangle. The cohort table joins
+    back to events on user_id — at 100 TB that join and the distinct
+    both shuffle on user_id, so AQE coalesces them into the same
+    exchange footprint; the output is weeks × weeks cells regardless
+    of input size. Week arithmetic is integer truncation on both
+    engines (date_trunc/weekdiff), no float anywhere.
+    """
+    e = load(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        e.join(cohorts, on="user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.floor(
+                    F.datediff(
+                        F.date_trunc("week", F.col("ts")),
+                        F.col("cohort_week"),
+                    )
+                    / 7
+                )
+            ).cast("bigint").alias("week_n"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_n").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
