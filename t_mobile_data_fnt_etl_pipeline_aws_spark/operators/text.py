@@ -364,3 +364,44 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "edit_dist",
         )
     )
+
+
+#: GPT-2-style pretokenizer subset: letter runs, single digits, punctuation
+#: singles. Kept to the regex subset Java (Spark) and RE2 (DuckDB) agree on.
+_BPE_PRETOKEN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+@query(
+    "q_text_tokenize_bpe",
+    oracle=f"""
+    SELECT lang,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(len(regexp_extract_all(text, '{_BPE_PRETOKEN}')))
+                AS bigint) AS n_tokens,
+           cast(sum(len(string_split_regex(trim(text), '\\s+')))
+                AS bigint) AS n_ws_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_tokenize_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword-style token counting: BPE pretokenizer regex vs whitespace.
+
+    The token-budget estimator every training pipeline runs before a
+    tokenizer exists in the cluster: a GPT-2-style pretokenization
+    regex (letter runs | single digits | punctuation) counts
+    BPE-merge-input tokens, reported next to the whitespace count the
+    rest of the text battery uses. regexp_extract_all + size is pure
+    JVM codegen — no UDF, no explode; one hash-agg on lang. The regex
+    stays inside the Java/RE2 common subset so both engines tokenize
+    identically. At 100 TB this is a map-side-only pass over text plus
+    a tiny shuffle (lang cardinality).
+    """
+    d = load(spark, sf_dir, "documents")
+    bpe_n = F.size(F.regexp_extract_all("text", F.lit(_BPE_PRETOKEN), 0))
+    ws_n = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(bpe_n).alias("n_tokens"),
+        F.sum(ws_n).alias("n_ws_tokens"),
+    )
