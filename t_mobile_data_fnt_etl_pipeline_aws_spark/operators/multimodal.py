@@ -193,3 +193,76 @@ def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, n_frames bigint, n_sampled bigint, "
         "checksum bigint",
     )
+
+
+@query(
+    "q_multimodal_resize",
+    oracle="""
+    WITH pos AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS p
+        FROM documents
+    ), kept AS (
+        SELECT doc_id,
+               count(*) AS resized_bytes,
+               sum(ascii(substring(text, cast(p AS int), 1))) AS cs
+        FROM pos
+        WHERE (p - 1) % 4 = 0
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           cast(octet_length(encode(d.text)) AS bigint) AS orig_bytes,
+           cast(coalesce(k.resized_bytes, 0) AS bigint) AS resized_bytes,
+           cast(coalesce(k.cs, 0) AS bigint) AS resized_checksum
+    FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample over binary payloads: keep every 4th byte.
+
+    The image-resize slot of the multimodal battery with the codec
+    swapped for byte math: a real pipeline decodes, bilinear-resizes,
+    and re-encodes; here the payload downsamples by stride-4 byte
+    selection (numpy slicing over the Arrow buffer) and reports the
+    new size + checksum so the oracle can replay the transform
+    positionally. Identical plumbing to a real resize: map-only
+    mapInPandas, binary in → binary-derived features out, zero
+    shuffles; swap the kernel for PIL/cv2 when codecs exist
+    (decode_media() marks that seam).
+    """
+    import numpy as np
+
+    STRIDE = 4
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payload = pdf["payload"]
+
+            def down(b: bytes) -> tuple[int, int]:
+                if not b:
+                    return 0, 0
+                arr = np.frombuffer(b, dtype=np.uint8)[::STRIDE]
+                return arr.size, int(arr.sum())
+
+            pairs = payload.map(down)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": payload.map(len).astype("int64"),
+                    "resized_bytes": pairs.map(lambda t: t[0]).astype(
+                        "int64"
+                    ),
+                    "resized_checksum": pairs.map(lambda t: t[1]).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(
+        resize,
+        schema="doc_id bigint, orig_bytes bigint, resized_bytes bigint, "
+        "resized_checksum bigint",
+    )
