@@ -793,3 +793,66 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_n").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+@query(
+    "q_etl_table_diff",
+    oracle="""
+    WITH v_old AS (
+        SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 7 <> 0
+    ), v_new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ), classified AS (
+        SELECT CASE
+                 WHEN o.o_orderkey IS NULL THEN 'added'
+                 WHEN n.o_orderkey IS NULL THEN 'removed'
+                 WHEN n.o_totalprice <> o.o_totalprice THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type
+        FROM v_old o FULL OUTER JOIN v_new n ON o.o_orderkey = n.o_orderkey
+    )
+    SELECT change_type, cast(count(*) AS bigint) AS n_rows
+    FROM classified
+    GROUP BY change_type
+    """,
+)
+def q_etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify rows as added/removed/changed.
+
+    The audit every incremental load needs: two keyed snapshots (here
+    deterministic slices of orders standing in for yesterday/today)
+    full-outer-join on the key and each row classifies by NULL-side and
+    value comparison — the diff that validates a CDC feed against a
+    full re-extract, or a migration against its source. One shuffle on
+    the key (both sides co-partition), map-side classification,
+    4-row output. The value comparison is exact (prices read from the
+    same parquet, +1.0 is exact in double); at 100 TB you'd compare a
+    per-row hash of all non-key columns instead — same plan shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    v_old = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v_new = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    j = v_old.alias("o").join(
+        v_new.alias("n"),
+        F.col("o.o_orderkey") == F.col("n.o_orderkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("o.o_orderkey").isNull(), "added")
+        .when(F.col("n.o_orderkey").isNull(), "removed")
+        .when(F.col("n.o_totalprice") != F.col("o.o_totalprice"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(change.alias("change_type")).groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
