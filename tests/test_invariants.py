@@ -300,3 +300,41 @@ def test_compact_smallfiles_reduces_file_count(spark, sf_dir):
     n_comp = count(_sink_dir("docs_compacted"))
     assert n_frag == 64, n_frag
     assert n_comp == 1, n_comp
+
+
+def test_funnel_stages_monotone(spark, sf_dir):
+    """Funnel counts must be monotone non-increasing stage to stage at
+    every SF: users >= signed_up >= viewed_after >= converted."""
+    r = QUERIES["q_funnel_conversion"](spark, sf_dir).collect()[0]
+    assert r.n_users >= r.n_signed_up >= r.n_viewed_after >= r.n_converted
+    assert r.n_converted >= 0
+
+
+def test_cohort_week0_covers_every_user(spark, sf_dir):
+    """Every user is active in their own cohort week (week_n = 0 by
+    construction), so sum of week-0 cells == total distinct users, and
+    no cell can precede its cohort (week_n >= 0)."""
+    rows = QUERIES["q_cohort_retention"](spark, sf_dir).collect()
+    assert all(r.week_n >= 0 for r in rows)
+    week0 = sum(r.n_active for r in rows if r.week_n == 0)
+    n_users = (
+        load(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert week0 == n_users
+
+
+def test_table_diff_partitions_key_space(spark, sf_dir):
+    """added + removed + changed + unchanged must retile |old ∪ new|."""
+    diff = {
+        r.change_type: r.n_rows
+        for r in QUERIES["q_etl_table_diff"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    n_old = o.filter(F.col("o_orderkey") % 7 != 0).count()
+    n_new = o.filter(F.col("o_orderkey") % 5 != 0).count()
+    n_union = o.filter(
+        (F.col("o_orderkey") % 7 != 0) | (F.col("o_orderkey") % 5 != 0)
+    ).count()
+    assert sum(diff.values()) == n_union
+    assert diff.get("removed", 0) == n_union - n_new
+    assert diff.get("added", 0) == n_union - n_old
