@@ -760,3 +760,36 @@ def q_agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
+
+
+@query(
+    "q_agg_boolean",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_totalprice > 400000) AS any_jumbo,
+           cast(count(CASE WHEN o_totalprice > 200000 THEN 1 END)
+                AS bigint) AS n_large,
+           cast(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+                AS bigint) AS n_urgent
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean/conditional aggregate battery: every/any/count_if.
+
+    The predicate-rollup surface (data-quality assertions live on
+    these): bool_and proves an invariant holds for a whole group,
+    bool_or detects any violation, count_if sizes the violation set —
+    all algebraic, all partial-aggregated map-side, one shuffle on the
+    group key. Spark's every/any/count_if map 1:1 onto DuckDB's
+    bool_and/bool_or/conditional count.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_totalprice") > 400000).alias("any_jumbo"),
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )

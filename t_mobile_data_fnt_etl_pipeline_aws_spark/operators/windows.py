@@ -355,3 +355,58 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("value_filled"),
         F.col("value").isNotNull().alias("is_observed"),
     )
+
+
+@query(
+    "q_window_cumulative_distinct",
+    oracle="""
+    WITH firsts AS (
+        SELECT event_type, user_id,
+               min(date_trunc('day', ts)) AS first_day
+        FROM events
+        GROUP BY event_type, user_id
+    ), daily_new AS (
+        SELECT event_type, first_day AS day, count(*) AS n_new
+        FROM firsts
+        GROUP BY event_type, first_day
+    )
+    SELECT event_type, day,
+           cast(n_new AS bigint) AS n_new_users,
+           cast(sum(n_new) OVER (PARTITION BY event_type ORDER BY day
+                                 ROWS UNBOUNDED PRECEDING) AS bigint)
+               AS cum_distinct_users
+    FROM daily_new
+    """,
+)
+def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type — the window-COUNT-
+    DISTINCT neither engine supports natively, via first-appearance.
+
+    count(DISTINCT x) OVER (ORDER BY ...) is unsupported in Spark AND
+    DuckDB; the scalable equivalent: a user contributes to the running
+    distinct count exactly on their FIRST day (one min-agg shuffle on
+    (type, user)), daily first-appearances aggregate to n_new, and a
+    cumulative sum over the tiny (type, day) table yields the running
+    distinct count. The expensive cardinality work happens in hash
+    aggregates over the raw data; the window only ever sorts
+    type x day rows — at 100 TB that's thousands of rows, not
+    billions. Both engines compute the identical construction.
+    """
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy(
+        "event_type", "user_id"
+    ).agg(F.min(F.date_trunc("day", F.col("ts"))).alias("first_day"))
+    daily_new = firsts.groupBy(
+        "event_type", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily_new.select(
+        "event_type",
+        "day",
+        F.col("n_new").alias("n_new_users"),
+        F.sum("n_new").over(w).alias("cum_distinct_users"),
+    )
