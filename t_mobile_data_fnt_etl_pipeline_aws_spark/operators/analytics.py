@@ -1,0 +1,417 @@
+"""Event/customer analytics operators: interval algebra, attribution,
+exact allocation, and behavioral segmentation.
+
+Reference parity: the reference snapshot publishes no code
+(/root/reference/README.md:1-2); these are the declared-surface analytics
+capstones from SURVEY.md §2's "scale-pattern extras" block, built on the
+same events/orders/lineitem/customer tables as the rest of the registry.
+
+Scale notes shared by this module: every window partitions by a key whose
+cardinality grows with the data (user_id, l_orderkey, c_mktsegment over a
+customer-level rollup) — no global Window.orderBy anywhere; the proration
+and attribution operators are one co-partitioned shuffle each; all money
+arithmetic is integer cents (exact, merge-order independent, no decimal
+finishing needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import dsum, sql_dsum
+from ..registry import query
+from ..sources.tables import load
+
+#: Interval half-width for q_interval_merge: each event claims 30 minutes.
+_SPAN_US = 30 * 60 * 1_000_000
+
+#: Attribution lookback for q_attribution_last_touch: 7 days in µs.
+_LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def _epoch_us(col: str = "ts"):
+    """Epoch µs of a TIMESTAMP_NTZ column, bit-equal to DuckDB epoch_us.
+
+    load() yields NTZ timestamps (parquet nanos div 1000), which
+    unix_micros() rejects and a cast to TIMESTAMP would shift by the
+    session timezone; diffing against an NTZ epoch literal is the
+    tz-independent integer form (verified equal to epoch_us at sf0.01).
+    """
+    return F.expr(
+        f"timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', {col})"
+    )
+
+
+@query(
+    "q_interval_merge",
+    oracle=f"""
+    WITH iv AS (
+        SELECT user_id, event_id,
+               epoch_us(ts) AS s_us,
+               epoch_us(ts) + {_SPAN_US} AS e_us
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, s_us, e_us,
+               CASE WHEN max(e_us) OVER (
+                        PARTITION BY user_id ORDER BY s_us, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) >= s_us THEN 0 ELSE 1 END AS new_island
+        FROM iv
+    ),
+    numbered AS (
+        SELECT user_id, s_us, e_us,
+               sum(new_island) OVER (
+                   PARTITION BY user_id ORDER BY s_us, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island_no
+        FROM flagged
+    )
+    SELECT user_id, cast(island_no AS bigint) AS island_no,
+           count(*) AS n_events,
+           min(s_us) AS start_us, max(e_us) AS end_us,
+           (max(e_us) - min(s_us)) // 1000000 AS duration_sec
+    FROM numbered
+    GROUP BY user_id, island_no
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union of overlapping time intervals per user (interval merge).
+
+    The interval-algebra primitive behind availability windows, outage
+    coalescing, and coverage reports: each event claims [ts, ts+30min];
+    overlapping or touching claims merge into maximal islands. The
+    classic cummax construction: a claim starts a new island iff its
+    start exceeds the running max end of all earlier claims (ROWS ... 1
+    PRECEDING so a row never sees itself), a running sum numbers
+    islands, one aggregate emits them.
+
+    Scale: both windows and the final aggregate key on user_id — the
+    plan is one shuffle reused across all three (sort within partition),
+    no global ordering. Ties on ts break by event_id in the cummax AND
+    the numbering window so both see the same total order (the
+    q_stream_session parity lesson). All arithmetic is integer µs.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        _epoch_us().alias("s_us"),
+        (_epoch_us() + F.lit(_SPAN_US)).alias("e_us"),
+    )
+    order = [F.asc("s_us"), F.asc("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_max_end = F.max("e_us").over(w_prev)
+    flagged = e.withColumn(
+        "new_island",
+        F.when(prev_max_end >= F.col("s_us"), F.lit(0)).otherwise(F.lit(1)),
+    )
+    numbered = flagged.withColumn(
+        "island_no", F.sum("new_island").over(w_run).cast("bigint")
+    )
+    return numbered.groupBy("user_id", "island_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("s_us").alias("start_us"),
+        F.max("e_us").alias("end_us"),
+        ((F.max("e_us") - F.min("s_us")) / F.lit(1_000_000))
+        .cast("bigint")
+        .alias("duration_sec"),
+    )
+
+
+@query(
+    "q_attribution_last_touch",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, event_id, event_type, value,
+               epoch_us(ts) AS t_us,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS lt_type,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN epoch_us(ts) END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS lt_us
+        FROM events
+    )
+    SELECT CASE WHEN lt_us IS NULL OR t_us - lt_us > {_LOOKBACK_US}
+                THEN 'direct' ELSE lt_type END AS channel,
+           count(*) AS n_purchases,
+           {sql_dsum('value', 'revenue')}
+    FROM marked
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution with a 7-day lookback window.
+
+    Each purchase is attributed to the user's most recent preceding
+    view/click (the marketing "touch"); purchases with no touch within
+    7 days are 'direct'. The scalable form is LOCF over the unioned
+    event stream — last(marker, ignorenulls) over a user-partitioned
+    window — NOT a purchase×touch self-join, which explodes on active
+    users. Both last() calls pick the same marker row (type and ts are
+    null on exactly the same rows), so channel and recency agree.
+
+    Scale: one shuffle on user_id for the window, then a 5-group hash
+    aggregate. Revenue crosses rows → exact decimal accumulation
+    (functions/numeric.py); the 1-PRECEDING frame keeps a purchase from
+    attributing to itself.
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        _epoch_us().alias("t_us"),
+    )
+    is_touch = F.col("event_type").isin("view", "click")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("t_us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = e.select(
+        "event_type",
+        "value",
+        "t_us",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+        F.last(F.when(is_touch, F.col("t_us")), ignorenulls=True)
+        .over(w)
+        .alias("lt_us"),
+    )
+    purchases = marked.filter(F.col("event_type") == "purchase")
+    channel = F.when(
+        F.col("lt_us").isNull()
+        | (F.col("t_us") - F.col("lt_us") > F.lit(_LOOKBACK_US)),
+        F.lit("direct"),
+    ).otherwise(F.col("lt_type"))
+    return purchases.groupBy(channel.alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        dsum(F.col("value"), "revenue"),
+    )
+
+
+@query(
+    "q_alloc_proration",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey,
+               cast(round(o_totalprice * 100) AS bigint) AS total_c
+        FROM orders
+    ),
+    li AS (
+        SELECT l_orderkey, l_linenumber,
+               cast(round(l_extendedprice * 100) AS bigint) AS w
+        FROM lineitem
+    ),
+    based AS (
+        SELECT li.l_orderkey, li.l_linenumber, li.w, o.total_c,
+               (o.total_c * li.w) // sum(li.w) OVER (PARTITION BY li.l_orderkey)
+                   AS base_c,
+               (o.total_c * li.w) % sum(li.w) OVER (PARTITION BY li.l_orderkey)
+                   AS rem
+        FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rn,
+               total_c - sum(base_c) OVER (PARTITION BY l_orderkey) AS leftover
+        FROM based
+    )
+    SELECT l_orderkey, l_linenumber,
+           cast(base_c + CASE WHEN rn <= leftover THEN 1 ELSE 0 END
+                AS bigint) AS share_c
+    FROM ranked
+    """,
+)
+def q_alloc_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder proration: split each order's total across its
+    line items proportionally to extended price, exact to the cent.
+
+    The financial-allocation primitive (tax splits, revenue sharing,
+    cost allocation): floor the proportional integer-cent shares, then
+    hand the leftover cents to the rows with the largest remainders
+    (ties broken by line number). sum(share_c) == total_c holds EXACTLY
+    per order — invariant-tested — which no float-multiply scheme can
+    promise. All arithmetic is bigint (products bounded by
+    max_total_cents × max_line_cents ≈ 5.6e14 < 2^63, ANSI-safe).
+
+    Scale: the join and all three windows key on l_orderkey, so the
+    plan is one co-partitioned shuffle reused across join → windows;
+    per-order groups are ≤7 rows, so window sorts are trivial. Integer
+    division (`div`/`//`) truncates identically in both engines for
+    non-negative operands.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("w"),
+    )
+    w_order = Window.partitionBy("l_orderkey")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    based = joined.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_c",
+        (F.col("total_c") * F.col("w"))
+        .cast("bigint")
+        .alias("prod"),
+        F.sum("w").over(w_order).alias("order_w"),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_c",
+        F.expr("prod div order_w").alias("base_c"),
+        (F.col("prod") % F.col("order_w")).alias("rem"),
+    )
+    w_rank = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rem"), F.asc("l_linenumber")
+    )
+    ranked = based.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base_c",
+        F.row_number().over(w_rank).alias("rn"),
+        (F.col("total_c") - F.sum("base_c").over(w_order)).alias("leftover"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base_c")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("share_c"),
+    )
+
+
+@query(
+    "q_rfm_segmentation",
+    oracle="""
+    WITH maxd AS (SELECT max(o_orderdate) AS d_ref FROM orders),
+    rfm AS (
+        SELECT o_custkey AS c_custkey,
+               date_diff('day', max(o_orderdate), (SELECT d_ref FROM maxd))
+                   AS recency_days,
+               count(*) AS frequency,
+               cast(sum(cast(round(o_totalprice * 100) AS bigint)) AS bigint)
+                   AS monetary_c
+        FROM orders
+        GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT r.*, c.c_mktsegment
+        FROM rfm r JOIN customer c ON r.c_custkey = c.c_custkey
+    ),
+    scored AS (
+        SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary_c,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY recency_days ASC, c_custkey) AS r_score,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY frequency DESC, c_custkey) AS f_score,
+               ntile(4) OVER (PARTITION BY c_mktsegment
+                              ORDER BY monetary_c DESC, c_custkey) AS m_score
+        FROM seg
+    )
+    SELECT c_custkey, c_mktsegment,
+           cast(recency_days AS bigint) AS recency_days,
+           frequency, monetary_c,
+           cast(r_score AS bigint) AS r_score,
+           cast(f_score AS bigint) AS f_score,
+           cast(m_score AS bigint) AS m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN r_score >= 3 AND f_score <= 2 THEN 'at_risk'
+                WHEN r_score >= 3 THEN 'hibernating'
+                ELSE 'active' END AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) quartile segmentation of
+    customers within their market segment.
+
+    The behavioral-segmentation workhorse: per-customer metrics reduce
+    billions of orders to one row per customer (hash agg), then ntile(4)
+    scores each dimension within c_mktsegment. Monetary is integer
+    cents (exact, no decimal dance); recency is integer days against
+    the corpus max date (1-row broadcast). Every ntile orders by
+    (metric, c_custkey) — a total order, so bucket assignment is
+    deterministic and engine-portable (both engines size ntile buckets
+    as n/k with remainders to the leading buckets).
+
+    Scale: the expensive work is the orders hash-agg (one shuffle,
+    map-side combine). The ntile windows partition by mktsegment over
+    the REDUCED customer table — 5 segments is window-concentration at
+    extreme customer counts; the documented 100-TB path is two-pass
+    range-partitioned ranking (per-shard counts + broadcast offset
+    merge, the q_stream_watermark_late construction) which preserves
+    these exact bucket semantics.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    d_ref = o.agg(F.max("o_orderdate").alias("d_ref"))
+    rfm = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_c"),
+    )
+    seg = (
+        rfm.crossJoin(F.broadcast(d_ref))
+        .withColumn(
+            "recency_days",
+            F.datediff(F.col("d_ref"), F.col("last_order")).cast("bigint"),
+        )
+        .join(c.select("c_custkey", "c_mktsegment"), "c_custkey")
+    )
+    def _nt(order_cols):
+        return F.ntile(4).over(
+            Window.partitionBy("c_mktsegment").orderBy(*order_cols)
+        )
+
+    scored = seg.select(
+        "c_custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary_c",
+        _nt([F.asc("recency_days"), F.asc("c_custkey")])
+        .cast("bigint")
+        .alias("r_score"),
+        _nt([F.desc("frequency"), F.asc("c_custkey")])
+        .cast("bigint")
+        .alias("f_score"),
+        _nt([F.desc("monetary_c"), F.asc("c_custkey")])
+        .cast("bigint")
+        .alias("m_score"),
+    )
+    segment = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") <= 2), "at_risk")
+        .when(F.col("r_score") >= 3, "hibernating")
+        .otherwise("active")
+    )
+    return scored.withColumn("segment", segment)

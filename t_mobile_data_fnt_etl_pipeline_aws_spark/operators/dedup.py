@@ -15,7 +15,7 @@ correctness oracles for the approximate paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -382,4 +382,113 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("_cos", cos)
         .filter(F.col("_cos") >= 0.3)
         .select("vec_a", "vec_b", F.col("_cos").alias("cosine"))
+    )
+
+
+@query(
+    "q_dedup_prefix_filter",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents WHERE doc_id < 500)
+        WHERE token <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    ij AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           cast(ij.n_common AS bigint) AS n_common,
+           cast(sa.sz AS bigint) AS sz_a,
+           cast(sb.sz AS bigint) AS sz_b,
+           cast(ij.n_common AS double)
+               / cast(sa.sz + sb.sz - ij.n_common AS double) AS jaccard
+    FROM ij
+    JOIN sizes sa ON ij.doc_a = sa.doc_id
+    JOIN sizes sb ON ij.doc_b = sb.doc_id
+    WHERE cast(ij.n_common AS double)
+              / cast(sa.sz + sb.sz - ij.n_common AS double) >= 0.8
+    """,
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join (word Jaccard >= 0.8) via prefix
+    filtering — the AllPairs/PPJoin family's lossless complement to the
+    approximate MinHash-LSH path (q_dedup_fuzzy_minhash).
+
+    Algorithm: order each document's distinct tokens by ascending global
+    document frequency (rarest first); with prefix length
+    p = sz - ceil(tau*sz) + 1, any pair with J >= tau MUST share a token
+    inside the smaller-listed document's prefix (pigeonhole: a qualifying
+    pair has |A∩B| >= ceil(tau*|A|), but A's suffix holds only
+    ceil(tau*|A|) - 1 tokens). Candidates therefore come from an
+    inverted-index equi-join of PREFIX tokens against FULL token lists —
+    a sound (no false negatives) one-sided probe — followed by a
+    size-ratio prune (4|A| <= 5|B| and 4|B| <= 5|A| at tau=0.8) and exact verification of
+    candidates only.
+
+    Scale: the candidate join keys on the globally RAREST tokens by
+    construction, so the inverted index never explodes on stopwords —
+    the frequent tokens every document shares sit past every prefix.
+    Plan: two hash aggs (sizes, document frequency) + one window per
+    doc (tiny groups) + equi-joins; never the O(n^2) cross join the
+    oracle deliberately runs on the bounded doc_id < 500 slice. The
+    verification join touches only surviving candidate pairs.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_pos = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .join(sizes, "doc_id")
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * 0.8) + 1
+    ).select(F.col("doc_id").alias("p_doc"), "token", F.col("sz").alias("p_sz"))
+    full = tok.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("f_doc"), "token", F.col("sz").alias("f_sz")
+    )
+    cand = (
+        prefix.join(full, "token")
+        .filter(F.col("p_doc") != F.col("f_doc"))
+        .filter(
+            (4 * F.col("p_sz") <= 5 * F.col("f_sz"))
+            & (4 * F.col("f_sz") <= 5 * F.col("p_sz"))
+        )
+        .select(
+            F.least("p_doc", "f_doc").alias("doc_a"),
+            F.greatest("p_doc", "f_doc").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "jaccard")
     )

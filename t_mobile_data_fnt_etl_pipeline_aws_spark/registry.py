@@ -28,6 +28,7 @@ _QUERY_MODULES = [
     "operators.joins",
     "operators.aggregates",
     "operators.windows",
+    "operators.analytics",
     "operators.sorts",
     "operators.setops",
     "operators.dedup",

@@ -200,13 +200,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 68 extras = 147 registered,
-    140 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 73 extras = 152 registered,
+    145 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 147
-    assert len(oracles) == 140
+    assert len(QUERIES) == 152
+    assert len(oracles) == 145
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -338,3 +338,56 @@ def test_table_diff_partitions_key_space(spark, sf_dir):
     assert sum(diff.values()) == n_union
     assert diff.get("removed", 0) == n_union - n_new
     assert diff.get("added", 0) == n_union - n_old
+
+
+def test_proration_sums_exact_per_order(spark, sf_dir):
+    """Largest-remainder allocation must reproduce each order's total to
+    the exact cent — the invariant that justifies the integer-cents
+    construction over any float-multiply split."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    shares = QUERIES["q_alloc_proration"](spark, sf_dir)
+    totals = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("total_c"),
+    )
+    summed = shares.groupBy("l_orderkey").agg(F.sum("share_c").alias("alloc_c"))
+    bad = (
+        summed.join(totals, "l_orderkey")
+        .filter(F.col("alloc_c") != F.col("total_c"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_interval_merge_islands_disjoint(spark, sf_dir):
+    """Merged islands per user must be strictly separated (a touching or
+    overlapping successor would have merged) and must account for every
+    event exactly once."""
+    from pyspark.sql import Window as W
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    islands = QUERIES["q_interval_merge"](spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("start_us")
+    overlapping = (
+        islands.withColumn("prev_end", F.lag("end_us").over(w))
+        .filter(F.col("prev_end").isNotNull() & (F.col("start_us") <= F.col("prev_end")))
+        .count()
+    )
+    assert overlapping == 0
+    n_events = load(spark, sf_dir, "events").count()
+    assert islands.agg(F.sum("n_events")).collect()[0][0] == n_events
+
+
+def test_rfm_ntile_buckets_balanced(spark, sf_dir):
+    """ntile(4) must split each market segment's customers into quartile
+    buckets whose sizes differ by at most one, for every RFM dimension."""
+    scored = QUERIES["q_rfm_segmentation"](spark, sf_dir)
+    for col in ["r_score", "f_score", "m_score"]:
+        sizes = (
+            scored.groupBy("c_mktsegment", col)
+            .count()
+            .groupBy("c_mktsegment")
+            .agg((F.max("count") - F.min("count")).alias("spread"))
+        )
+        assert sizes.filter(F.col("spread") > 1).count() == 0
