@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import DEC, dsum, finish, sql_dsum, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 
@@ -415,3 +415,164 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("active")
     )
     return scored.withColumn("segment", segment)
+
+
+@query(
+    "q_timeseries_twap",
+    oracle=f"""
+    WITH pts AS (
+        SELECT user_id, value,
+               epoch_us(ts) AS t_us, event_id,
+               lead(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS nxt_us
+        FROM events
+        WHERE value IS NOT NULL
+    ),
+    seg AS (
+        SELECT user_id, value,
+               (nxt_us - t_us) // 1000000 AS dur_sec
+        FROM pts WHERE nxt_us IS NOT NULL
+    )
+    SELECT user_id,
+           count(*) AS n_segments,
+           cast(sum(dur_sec) AS bigint) AS span_sec,
+           {sql_dsum('value * dur_sec', 'weighted_sum')},
+           ({sql_finish_dec('sum(cast((value * dur_sec) as decimal(30,10)))', 4)})
+               / cast(sum(dur_sec) AS double) AS twap
+    FROM seg
+    GROUP BY user_id
+    HAVING sum(dur_sec) > 0
+    """,
+)
+def q_timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price/value per user over irregular samples.
+
+    The time-series aggregate a plain AVG gets wrong: each observation
+    holds until the next one (LOCF), so its weight is the holding
+    duration. lead() yields the segment length; the last observation of
+    a user carries no segment. Durations are integer seconds (µs diff
+    floor-divided — identical truncation both engines); the weighted
+    sum crosses rows → exact decimal accumulation; the final twap is a
+    division of bit-identical doubles (numeric.py rule 5: no finish on
+    quotients).
+
+    Scale: one shuffle on user_id shared by the lead() window and the
+    aggregate; no global ordering. HAVING drops zero-span users (all
+    events at one instant) instead of dividing by zero.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = e.select(
+        "user_id",
+        "value",
+        _epoch_us().alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("t_us"), F.asc("event_id"))
+    seg = (
+        pts.withColumn("nxt_us", F.lead("t_us").over(w))
+        .filter(F.col("nxt_us").isNotNull())
+        .select(
+            "user_id",
+            "value",
+            F.expr("(nxt_us - t_us) div 1000000").alias("dur_sec"),
+        )
+    )
+    weighted = finish(
+        F.sum((F.col("value") * F.col("dur_sec")).cast(DEC)), 4
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dur_sec").cast("bigint").alias("span_sec"),
+            weighted.alias("weighted_sum"),
+            (weighted / F.sum("dur_sec").cast("double")).alias("twap"),
+        )
+        .filter(F.col("span_sec") > 0)
+    )
+
+
+@query(
+    "q_pareto_abc",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name, s.s_suppkey,
+               sum(cast(l.l_extendedprice * (1 - l.l_discount)
+                        as decimal(30,10))) AS rev_dec
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name, s.s_suppkey
+    ),
+    ranked AS (
+        SELECT n_name, s_suppkey,
+               {sql_finish_dec('rev_dec', 4)} AS revenue,
+               {sql_finish_dec('''sum(rev_dec) OVER (
+                   PARTITION BY n_name ORDER BY rev_dec DESC, s_suppkey
+                   ROWS UNBOUNDED PRECEDING)''', 4)} AS cum_rev,
+               {sql_finish_dec('sum(rev_dec) OVER (PARTITION BY n_name)', 4)}
+                   AS tot_rev
+        FROM rev
+    )
+    SELECT n_name, s_suppkey, revenue,
+           cum_rev / tot_rev AS cum_share,
+           CASE WHEN cum_rev / tot_rev <= 0.5 THEN 'A'
+                WHEN cum_rev / tot_rev <= 0.8 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC contribution analysis: suppliers ranked by revenue
+    within their nation, classified by cumulative revenue share
+    (A: first 50%, B: to 80%, C: tail).
+
+    The inventory-management classic — and a float-parity minefield: a
+    running SUM of doubles is order-dependent, so the cumulative sum
+    stays DECIMAL (exact, any accumulation order) through the window
+    and only the per-row prefix totals finish to double; the share is
+    then a quotient of bit-identical doubles (no finish — rule 5). The
+    cumsum window orders by (rev_dec DESC, s_suppkey): decimal sort
+    keys compare exactly, so the prefix sets match across engines.
+
+    Scale: the heavy work is the lineitem hash-agg (one shuffle,
+    map-side combine, broadcast dims); the window runs over the
+    supplier-level rollup partitioned by nation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "s_suppkey")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("rev_dec")
+        )
+    )
+    w_cum = (
+        Window.partitionBy("n_name")
+        .orderBy(F.desc("rev_dec"), F.asc("s_suppkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("n_name")
+    ranked = rev.select(
+        "n_name",
+        "s_suppkey",
+        finish(F.col("rev_dec"), 4).alias("revenue"),
+        finish(F.sum("rev_dec").over(w_cum), 4).alias("cum_rev"),
+        finish(F.sum("rev_dec").over(w_tot), 4).alias("tot_rev"),
+    )
+    share = F.col("cum_rev") / F.col("tot_rev")
+    return ranked.select(
+        "n_name",
+        "s_suppkey",
+        "revenue",
+        share.alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )

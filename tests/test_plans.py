@@ -263,3 +263,50 @@ def test_waiting_supplier_double_decorrelation(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "InSubqueryExec" not in plan and "ScalarSubquery" not in plan, plan
+
+
+def test_prefix_filter_never_nested_loop(spark, sf_dir):
+    """The prefix-filter similarity join must build candidates from
+    token equi-joins (inverted index) — a BroadcastNestedLoopJoin or
+    CartesianProduct anywhere means the O(n^2) pair space the algorithm
+    exists to avoid."""
+    df = QUERIES["q_dedup_prefix_filter"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_pareto_star_join_broadcasts_dims(spark, sf_dir):
+    """Pareto/ABC joins lineitem to supplier and nation: both dims must
+    broadcast so the only fact shuffle is the rollup's hash-agg."""
+    df = QUERIES["q_pareto_abc"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """Join-driven pruning: filtering a dimension and joining on the
+    fact's partition column must inject a dynamicpruning subquery into
+    the fact scan — at 100 TB this skips whole partitions based on the
+    dim filter, without any literal partition predicate in the query."""
+    from pyspark.sql import functions as F
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    path = str(tmp_path / "orders_by_status_dpp")
+    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
+        "overwrite"
+    ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderstatus").alias("status"))
+        .distinct()
+        .filter(F.col("status") == "F")
+    )
+    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy(
+        "o_orderstatus"
+    ).count()
+    plan = plan_string(joined)
+    assert "dynamicpruning" in plan.lower(), (
+        f"dynamic partition pruning did not fire:\n{plan}"
+    )
