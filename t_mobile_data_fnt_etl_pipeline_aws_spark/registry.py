@@ -65,13 +65,19 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: exactly the unverified half. Keys not listed keep their module order after
 #: these — they stay registered and locally oracle-tested.
 #:
-#: ROUND-3 ROTATION PLAN: once CORRECTNESS_r02 lands green for this window,
-#: replace it with the keys still lacking any driver row — the round-2
-#: additions (clustering/reshape/subqueries/llmprep modules, scd2, resample,
-#: cdc/dq/profile/sample batch, market_share, sketch, framesample, schema
-#: evolution, edit_distance, asof_tolerance, argminmax, percentile/mad,
-#: incremental_merge, compact_smallfiles, histogram, drift, deterministic_k)
-#: — keeping test_driver_window_covers_round1_unverified in sync.
+#: ROUND-3 STATUS: CORRECTNESS_r02 NEVER LANDED (the driver produced no
+#: round-2 artifacts — only *_r01 files exist), so this window is still
+#: unverified and MUST stay in place for round 3. The rotation plan below
+#: moves to round 4:
+#:
+#: ROUND-4 ROTATION PLAN: once a CORRECTNESS_r{N} lands green for this
+#: window, replace it with the keys still lacking any driver row — the
+#: round-2+ additions (clustering/reshape/subqueries/llmprep modules, scd2,
+#: resample, cdc/dq/profile/sample batch, market_share, sketch, framesample,
+#: schema evolution, edit_distance, asof_tolerance, argminmax,
+#: percentile/mad, incremental_merge, compact_smallfiles, histogram, drift,
+#: deterministic_k, and the round-3 additions) — keeping
+#: test_driver_window_covers_round1_unverified in sync.
 _DRIVER_WINDOW = [
     "q_agg_collect_sorted",
     "q_intersect",

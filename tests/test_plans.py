@@ -285,26 +285,30 @@ def test_pareto_star_join_broadcasts_dims(spark, sf_dir):
 
 
 def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_path):
-    """Join-driven pruning: filtering a dimension and joining on the
-    fact's partition column must inject a dynamicpruning subquery into
-    the fact scan — at 100 TB this skips whole partitions based on the
-    dim filter, without any literal partition predicate in the query."""
+    """Join-driven pruning: filtering a dimension on a NON-join column and
+    joining on the fact's partition column must inject a dynamicpruning
+    subquery into the fact scan — at 100 TB this skips whole partitions
+    based on the dim filter, without any literal partition predicate in
+    the query.
+
+    The dim filter must NOT be on the join key itself: a literal
+    predicate on the join key is propagated through the equi-join by
+    InferFiltersFromConstraints and becomes a STATIC PartitionFilter on
+    the fact scan (strictly better than DPP — nothing left to prune
+    dynamically), so that shape never shows a dynamicpruning expression.
+    Filtering nation on n_name and joining on n_nationkey keeps the
+    partition predicate unknowable until runtime."""
     from pyspark.sql import functions as F
     from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
 
-    path = str(tmp_path / "orders_by_status_dpp")
-    load(spark, sf_dir, "orders").write.partitionBy("o_orderstatus").mode(
+    path = str(tmp_path / "customer_by_nation_dpp")
+    load(spark, sf_dir, "customer").write.partitionBy("c_nationkey").mode(
         "overwrite"
     ).parquet(path)
     fact = spark.read.parquet(path)
-    dim = (
-        load(spark, sf_dir, "orders")
-        .select(F.col("o_orderstatus").alias("status"))
-        .distinct()
-        .filter(F.col("status") == "F")
-    )
-    joined = fact.join(dim, fact.o_orderstatus == dim.status).groupBy(
-        "o_orderstatus"
+    dim = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    joined = fact.join(dim, fact.c_nationkey == dim.n_nationkey).groupBy(
+        "c_mktsegment"
     ).count()
     plan = plan_string(joined)
     assert "dynamicpruning" in plan.lower(), (
