@@ -1,0 +1,263 @@
+"""Decision-support reporting shapes (TPC-H Q13/Q11/Q22/Q7 analogues).
+
+Reference parity: the reference snapshot publishes no code
+(/root/reference/README.md:1-2); these are the remaining classic
+warehouse-report shapes declared by SURVEY.md §2's pipeline block that the
+earlier capstones (Q3/Q5/Q8/Q21 analogues in pipelines.py) did not cover:
+
+  * Q13 — outer-join count distribution (zero-preserving double aggregate)
+  * Q11 — group share against a global scalar aggregate
+  * Q22 — above-average filter + anti join, decorrelated
+  * Q7  — bi-directional two-dimension volume report
+
+All money arithmetic follows functions/numeric.py: DECIMAL(30,10)
+accumulation (merge-order independent), narrow-decimal finish; threshold
+comparisons are done IN DECIMAL (or cross-multiplied to avoid division)
+so no float rounding can flip a row across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, dsum, sql_dsum, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_report_custdist",
+    oracle="""
+    WITH c_orders AS (
+        SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    """,
+)
+def q_report_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of per-customer order counts.
+
+    The part that trips naive rewrites: customers with NO qualifying
+    orders must appear in the c_count=0 bucket, so the join is LEFT with
+    the priority predicate INSIDE the join condition (a WHERE would turn
+    it inner), and the count is over the nullable right-side key.
+
+    Scale: join and first aggregate both key on c_custkey — Catalyst
+    reuses the join's hash partitioning for the per-customer count (no
+    second shuffle of the big side); the second aggregate reduces
+    |customers| rows to a handful of buckets (map-side partials make it
+    one tiny shuffle). Neither needs decimal: counts are exact integers.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+#: Q11-analogue share threshold: keep nations whose supplier-side revenue
+#: exceeds this fraction of global revenue (DECIMAL literal so the
+#: comparison is exact in both engines).
+_SHARE = "0.030000"
+
+
+@query(
+    "q_report_nation_share",
+    oracle=f"""
+    WITH rev AS (
+        SELECT n.n_name,
+               sum(cast(l.l_extendedprice * (1 - l.l_discount) AS {DEC})) AS val
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (SELECT sum(val) AS total FROM rev)
+    SELECT r.n_name,
+           {sql_finish_dec("r.val", 4)} AS value_
+    FROM rev r, tot t
+    WHERE r.val > cast({_SHARE} AS decimal(10,6)) * t.total
+    """,
+)
+def q_report_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: nations holding an outsized share of revenue.
+
+    The decorrelated form of ``HAVING sum(...) > f * (SELECT sum(...))``:
+    aggregate once per nation, reduce those partials to the global total,
+    broadcast the 1-row total back, filter. The per-nation aggregate is
+    computed ONCE and reused for both sides (the naive form re-scans
+    lineitem for the subquery).
+
+    Parity: the share comparison happens between exact DECIMAL values
+    with a DECIMAL fraction literal — no float rounding can flip a nation
+    across engines. Only the reported value is finished to double.
+
+    Scale: one big shuffle (lineitem by suppkey for the join; nation agg
+    partials are map-side combined), the total is 25 rows → 1 row, and
+    the filter join is a broadcast of one row. At 100 TB nothing here
+    materializes more than |nations| rows past the first aggregate.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+            ).alias("val")
+        )
+    )
+    total = rev.agg(F.sum("val").alias("total"))
+    share = F.expr(f"cast({_SHARE} as decimal(10,6))")
+    return (
+        rev.join(F.broadcast(total))
+        .filter(F.col("val") > share * F.col("total"))
+        .select(
+            "n_name",
+            F.col("val").cast("decimal(38,4)").cast("double").alias("value_"),
+        )
+    )
+
+
+@query(
+    "q_report_prospects",
+    oracle=f"""
+    WITH pos AS (
+        SELECT sum(cast(c_acctbal AS {DEC})) AS total_bal,
+               count(*) AS n_pos
+        FROM customer
+        WHERE c_acctbal > 0.0
+    )
+    SELECT c.c_nationkey,
+           count(*) AS numcust,
+           {sql_dsum("c.c_acctbal", "totacctbal")}
+    FROM customer c, pos
+    WHERE cast(c.c_acctbal AS {DEC}) * pos.n_pos > pos.total_bal
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_report_prospects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers per nation.
+
+    Customers whose balance beats the positive-balance average and who
+    never placed an URGENT order (every fixture customer has at least
+    one order, so the classic "no orders at all" predicate is vacuous
+    here — the priority-restricted NOT EXISTS keeps the decorrelation
+    shape meaningful). The average comparison is CROSS-MULTIPLIED —
+    ``bal * n_pos > total_bal`` in exact decimal — instead of dividing,
+    because decimal division promotes differently in Spark vs DuckDB and
+    a float average is merge-order dependent; the cross-product form is
+    exact in both engines, so the boundary rows cannot flip.
+
+    Scale: the scalar (total, count) is a 2-value broadcast; the NOT
+    EXISTS is a left-anti hash join on c_custkey (orders side only needs
+    its key column — column pruning reaches the scan); final aggregate
+    keys on nation (25 groups, map-side combined).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    pos = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("total_bal"),
+            F.count("*").alias("n_pos"),
+        )
+    )
+    rich = c.join(F.broadcast(pos)).filter(
+        F.col("c_acctbal").cast(DEC) * F.col("n_pos") > F.col("total_bal")
+    )
+    inactive = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return inactive.groupBy("c_nationkey").agg(
+        F.count("*").alias("numcust"),
+        dsum(F.col("c_acctbal"), "totacctbal"),
+    )
+
+
+#: Trading-bloc nations for q_report_binational_volume (fixture nation
+#: names are synthesized as NATION_<key>; keys 0-4 exist at every SF).
+#: Two nations is the literal Q7, but at sf0.001 a single ordered pair
+#: can produce zero fact rows — a 5-nation bloc keeps the identical
+#: cross-dimension shape with guaranteed rows at every fixture SF.
+_BLOC = [f"NATION_{i}" for i in range(5)]
+
+
+@query(
+    "q_report_binational_volume",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           year(l.l_shipdate) AS l_year,
+           {sql_dsum("l.l_extendedprice * (1 - l.l_discount)", "volume")}
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ({", ".join(f"'{x}'" for x in _BLOC)})
+      AND n2.n_name IN ({", ".join(f"'{x}'" for x in _BLOC)})
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q_report_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: yearly cross-border volume within a trading bloc.
+
+    The five-way star join with a cross-dimension predicate — the
+    supp≠cust inequality couples the two nation dimensions, so it cannot
+    be pushed into either dimension alone; it runs after both joins while
+    each bloc IN-list IS pushed into its dimension to shrink the fact
+    rows early.
+
+    Scale: both nation dims and supplier broadcast; the only shuffles are
+    lineitem⋈orders and ⋈customer on their keys. Restricting each side
+    to the bloc before the big joins cuts the fact stream by ~(5/25)² —
+    the filters sit on the dimension side where Catalyst pushes them
+    below the broadcast.
+    """
+    both = _BLOC
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation")
+    n1 = n.filter(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.filter(F.col("n_name").isin(both)).select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))

@@ -37,6 +37,7 @@ _QUERY_MODULES = [
     "operators.text",
     "operators.multimodal",
     "operators.llmprep",
+    "operators.reporting",
     "operators.reshape",
     "operators.subqueries",
     "operators.pipelines",
