@@ -38,6 +38,7 @@ _QUERY_MODULES = [
     "operators.multimodal",
     "operators.llmprep",
     "operators.reporting",
+    "operators.sketches",
     "operators.reshape",
     "operators.subqueries",
     "operators.pipelines",

@@ -200,13 +200,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 75 extras = 154 registered,
-    147 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 81 extras = 160 registered,
+    153 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 154
-    assert len(oracles) == 147
+    assert len(QUERIES) == 160
+    assert len(oracles) == 153
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -391,3 +391,31 @@ def test_rfm_ntile_buckets_balanced(spark, sf_dir):
             .agg((F.max("count") - F.min("count")).alias("spread"))
         )
         assert sizes.filter(F.col("spread") > 1).count() == 0
+
+
+def test_cms_never_undercounts_and_bounds_overcount(spark, sf_dir):
+    """Count-min estimates are lower-bounded by the exact count by
+    construction; the total overcount across the probe set must stay
+    within the classic eps*N bound (eps = e/w) with room to spare."""
+    import math
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.sketches import _CMS_W
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    rows = QUERIES["q_sketch_cms_freq"](spark, sf_dir).collect()
+    assert rows
+    n_total = load(spark, sf_dir, "events").count()
+    eps_bound = math.e / _CMS_W * n_total
+    for r in rows:
+        assert r["n_est"] >= r["n_exact"], r
+        assert r["n_est"] - r["n_exact"] <= eps_bound, (r, eps_bound)
+
+
+def test_bloom_admits_every_member(spark, sf_dir):
+    """A Bloom filter has no false negatives: per segment, candidates
+    must cover all true members, and the candidate set can never exceed
+    the full probe population."""
+    for r in QUERIES["q_sketch_bloom_prune"](spark, sf_dir).collect():
+        assert r["n_candidates"] >= r["n_members"], r
+        assert r["n_candidates"] <= r["n_customers"], r
+        assert r["n_false_pos"] == r["n_candidates"] - r["n_members"], r
