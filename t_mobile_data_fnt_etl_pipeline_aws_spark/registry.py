@@ -61,76 +61,85 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Round 1 verified registry slots 1-50 (scans → setops
-#: unions); this list front-loads the 49 keys that got no driver row in round
-#: 1 plus the re-fixed q_agg_collect_sorted, so round 2's window covers
-#: exactly the unverified half. Keys not listed keep their module order after
-#: these — they stay registered and locally oracle-tested.
+#: registration order. Round 1 verified slots 1-50 (scans → setops unions);
+#: round 2's window (CORRECTNESS_r02.json — landed GREEN: 46 hash-match + 4
+#: rows-only-by-design, 0 hard fails) covered the scalar-fn / UDF / streaming
+#: / LLM-pipeline half. Together r1 ∪ r2 verified 99 distinct keys.
 #:
-#: ROUND-3 STATUS: CORRECTNESS_r02 NEVER LANDED (the driver produced no
-#: round-2 artifacts — only *_r01 files exist), so this window is still
-#: unverified and MUST stay in place for round 3. The rotation plan below
-#: moves to round 4:
+#: ROUND-3 WINDOW (this list): 50 of the 61 keys still lacking any driver
+#: row — every round-2 addition, prioritizing the SQL-oracled, user-visible
+#: blocks (llmprep, reporting, subqueries, pivot/unpivot, sketches,
+#: clustering, analytics, SCD2/CDC/DQ, funnel/cohort, streaming joins).
 #:
-#: ROUND-4 ROTATION PLAN: once a CORRECTNESS_r{N} lands green for this
-#: window, replace it with the keys still lacking any driver row — the
-#: round-2+ additions (clustering/reshape/subqueries/llmprep modules, scd2,
-#: resample, cdc/dq/profile/sample batch, market_share, sketch, framesample,
-#: schema evolution, edit_distance, asof_tolerance, argminmax,
-#: percentile/mad, incremental_merge, compact_smallfiles, histogram, drift,
-#: deterministic_k, and the round-3 additions) — keeping
-#: test_driver_window_covers_round1_unverified in sync.
+#: ROUND-4 ROTATION PLAN: replace with the 11 deferred keys
+#: (q_agg_sketch_reaggregate [rows-only], q_scan_orc_roundtrip,
+#: q_scan_text_lines, q_scan_schema_evolution, q_catalog_table_roundtrip,
+#: q_etl_compact_smallfiles, q_join_null_safe, q_agg_boolean,
+#: q_profile_histogram, q_dq_drift, q_sample_deterministic_k) plus all
+#: round-3 additions — keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    "q_agg_collect_sorted",
-    "q_intersect",
-    "q_intersect_all",
-    "q_except",
-    "q_except_all",
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_conditional",
-    "q_cast_types",
-    "q_array_funcs",
-    "q_explode_posexplode",
-    "q_json_funcs",
-    "q_map_funcs",
-    "q_struct_funcs",
-    "q_udf_scalar_pandas",
-    "q_udaf_grouped_agg",
-    "q_udtf_grouped_map",
-    "q_udtf_python",
-    "q_udf_registered_sql",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark_late",
-    "q_stream_dedup",
-    "q_stream_stateful_count",
-    "q_dedup_exact",
-    "q_dedup_fuzzy_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_sim_cosine_pair",
-    "q_sim_search_topk",
-    "q_knn_join_bucketed",
-    "q_sim_search_ivf",
-    "q_label_centroids",
-    "q_sim_search_topk_vectorized",
-    "q_text_token_stats",
-    "q_text_ngrams",
-    "q_text_doc_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_dedup_normalized",
-    "q_multimodal_enrich",
-    "q_multimodal_decode_stub",
-    "q_pipeline_shipping_priority",
-    "q_pipeline_region_volume",
-    "q_etl_upsert",
-    "q_profile_table",
+    # llmprep layer — training-data prep, most user-visible
+    "q_chunk_overlap",
+    "q_corpus_mix_weighted",
+    "q_contamination_ngram",
+    "q_pii_redact",
+    "q_pack_sequences",
+    "q_quality_repetition",
+    # reporting shapes (TPC-H Q13/Q11/Q22/Q7)
+    "q_report_custdist",
+    "q_report_nation_share",
+    "q_report_prospects",
+    "q_report_binational_volume",
+    "q_pipeline_market_share",
+    # subqueries (decorrelation surface)
+    "q_subquery_exists",
+    "q_subquery_not_exists",
+    "q_subquery_scalar",
+    "q_subquery_waiting_supplier",
+    # reshape
+    "q_pivot_wide",
+    "q_unpivot_long",
+    # sketches (SQL-oracled ones)
+    "q_sketch_cms_freq",
+    "q_sketch_bloom_prune",
+    # clustering + exact set-similarity
+    "q_dedup_clusters_cc",
+    "q_dedup_keep_canonical",
+    "q_dedup_prefix_filter",
+    # text/multimodal round-2 additions
+    "q_text_edit_distance",
+    "q_text_tokenize_bpe",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    # ETL / CDC / DQ
+    "q_etl_scd2",
+    "q_cdc_compact",
+    "q_dq_referential",
+    "q_etl_table_diff",
+    "q_profile_skew",
+    # joins / aggregates round-2 additions
+    "q_join_theta_bucketed",
+    "q_join_asof_tolerance",
+    "q_agg_percentile_multi",
+    "q_agg_argminmax",
+    "q_agg_incremental_merge",
+    "q_agg_mad_outliers",
+    # sessionization / time-series analytics
+    "q_sessionize_batch",
+    "q_resample_ffill",
+    "q_window_cumulative_distinct",
+    "q_interval_merge",
+    "q_attribution_last_touch",
+    "q_alloc_proration",
+    "q_rfm_segmentation",
+    "q_timeseries_twap",
+    "q_pareto_abc",
+    # event analytics
+    "q_funnel_conversion",
+    "q_cohort_retention",
+    # streaming joins (batch-equivalent SQL-oracled forms)
+    "q_stream_static_join",
+    "q_stream_stream_join",
 ]
 
 
