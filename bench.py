@@ -103,6 +103,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for key in keys:
+        # Isolate queries sharing one JVM: drop cached plans/data and nudge
+        # GC so query N's garbage doesn't tax query N+1's timed runs (round-2
+        # bench showed 2.5-2.8x phantom regressions on unchanged queries once
+        # the suite grew from 33 to 48 keys).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         fn = queries[key]
         materialize(fn(spark, sf_dir))  # warm-up (plan + JIT + page cache)
         samples = []
@@ -116,7 +122,9 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "median_query_seconds_noop_materialize",
+                # value = SUM over queries of the per-query median-of-3;
+                # per-query medians are under "queries".
+                "metric": "total_seconds_noop_materialize_sum_of_medians",
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,

@@ -148,9 +148,11 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
        not whole-stage-codegen'd);
     2. per-band bucket = that band's 8-bit sign pattern, bit-packed in
        the same numpy pass; one output row per (vec_id, band);
-    3. self-join on (band_id, bucket), union candidates across bands via
-       distinct — the LSH shuffle, never O(n²); recall and in-bucket pair
-       cost tune independently (bits per band vs band count);
+    3. self-join on (band_id, bucket) — the LSH shuffle, never O(n²);
+       recall and in-bucket pair cost tune independently (bits per band
+       vs band count). Cross-band duplicates are NOT distinct'd here:
+       they ride through the cheap BLAS re-rank and collapse in the
+       dense_rank window + final tiny distinct (step 4);
     4. exact cosine re-rank over the candidate set: unit vectors joined
        in, per-pair dot via an Arrow-batched pandas UDF (einsum over the
        stacked pair matrix), top-3 per vector via WindowGroupLimit.
@@ -220,7 +222,11 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b")
         )
-        .distinct()  # union of candidates across bands
+        # NO distinct here: a pair colliding in k of the 4 bands rides
+        # through the re-rank k times (usually 1; the BLAS dot is cheap)
+        # and is collapsed by dense_rank + the tiny final distinct — this
+        # trades ≤4× duplicate cheap work for one full-candidate-set
+        # shuffle, the dominant cost at scale.
     )
     units = e.mapInPandas(
         unit_vectors, schema="vec_id bigint, unit array<double>"
@@ -239,12 +245,18 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = np.vstack(ub.to_numpy())
         return pd.Series(np.einsum("ij,ij->i", a, b))
 
+    # dense_rank (not row_number): duplicate (vec_a, vec_b) rows from
+    # multi-band collisions share a rank, so rank<=3 keeps exactly the
+    # top-3 distinct neighbors; the distinct below runs on <=4*3*n tiny
+    # rows, replacing the full-candidate-set distinct this plan used to
+    # pay before the re-rank. Still WindowGroupLimit-optimized.
     w = Window.partitionBy("vec_a").orderBy(F.desc("cos_raw"), F.asc("vec_b"))
     return (
         pairs.withColumn("cos_raw", pair_cos("ua", "ub"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
+        .withColumn("rnk", F.dense_rank().over(w))
+        .filter(F.col("rnk") <= 3)
         .select("vec_a", "vec_b", F.col("cos_raw").alias("cosine"))
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 
