@@ -89,7 +89,8 @@ _SHARE = "0.030000"
     SELECT r.n_name,
            {sql_finish_dec("r.val", 4)} AS value_
     FROM rev r, tot t
-    WHERE r.val > cast({_SHARE} AS decimal(10,6)) * t.total
+    WHERE cast(r.val AS decimal(27,10))
+          > cast({_SHARE} AS decimal(10,6)) * cast(t.total AS decimal(27,10))
     """,
 )
 def q_report_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -102,8 +103,18 @@ def q_report_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem for the subquery).
 
     Parity: the share comparison happens between exact DECIMAL values
-    with a DECIMAL fraction literal — no float rounding can flip a nation
-    across engines. Only the reported value is finished to double.
+    with a DECIMAL fraction literal — BOTH comparands narrowed to
+    decimal(27,10) first (lossless: their scale is already 10, and 17
+    integer digits hold any realistic revenue). Two overflow traps hide
+    here, both verified by test_share_threshold_compare_parity:
+    (a) share(10,6) * total(38,10) needs precision 49 → Spark rounds the
+    product to scale 6 while DuckDB keeps scale 16; narrowing total
+    makes the product decimal(10+27+1=38, 16), exact in both engines.
+    (b) even then, comparing val(38,10) against the (38,16) product
+    needs max(28,22)+16 = 44 digits → Spark silently rounds the compare
+    back to scale 10; narrowing val to (27,10) makes the compare's
+    common type max(17,22)+16 = 38 — exact. Only the reported value is
+    finished to double.
 
     Scale: one big shuffle (lineitem by suppkey for the join; nation agg
     partials are map-side combined), the total is 25 rows → 1 row, and
@@ -123,11 +134,11 @@ def q_report_nation_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val")
         )
     )
-    total = rev.agg(F.sum("val").alias("total"))
+    total = rev.agg(F.sum("val").cast("decimal(27,10)").alias("total"))
     share = F.expr(f"cast({_SHARE} as decimal(10,6))")
     return (
         rev.join(F.broadcast(total))
-        .filter(F.col("val") > share * F.col("total"))
+        .filter(F.col("val").cast("decimal(27,10)") > share * F.col("total"))
         .select(
             "n_name",
             F.col("val").cast("decimal(38,4)").cast("double").alias("value_"),

@@ -62,84 +62,79 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
 #: registration order. Round 1 verified slots 1-50 (scans → setops unions);
-#: round 2's window (CORRECTNESS_r02.json — landed GREEN: 46 hash-match + 4
-#: rows-only-by-design, 0 hard fails) covered the scalar-fn / UDF / streaming
-#: / LLM-pipeline half. Together r1 ∪ r2 verified 99 distinct keys.
+#: round 2 covered the scalar-fn / UDF / streaming / LLM-pipeline half;
+#: round 3 covered 50 of the 61 round-2 additions (all green). Together
+#: r1 ∪ r2 ∪ r3 verified 149 distinct keys.
 #:
-#: ROUND-3 WINDOW (this list): 50 of the 61 keys still lacking any driver
-#: row — every round-2 addition, prioritizing the SQL-oracled, user-visible
-#: blocks (llmprep, reporting, subqueries, pivot/unpivot, sketches,
-#: clustering, analytics, SCD2/CDC/DQ, funnel/cohort, streaming joins).
-#:
-#: ROUND-4 ROTATION PLAN: replace with the 11 deferred keys
-#: (q_agg_sketch_reaggregate [rows-only], q_scan_orc_roundtrip,
-#: q_scan_text_lines, q_scan_schema_evolution, q_catalog_table_roundtrip,
-#: q_etl_compact_smallfiles, q_join_null_safe, q_agg_boolean,
-#: q_profile_histogram, q_dq_drift, q_sample_deterministic_k) plus all
-#: round-3 additions — keep test_driver_window_rotation in sync.
+#: ROUND-4 WINDOW (this list), in priority order:
+#:   1. The 11 keys that have NEVER had a driver row (driver window limit,
+#:      not builder omission — all pass the local exact-value oracle).
+#:      This closes the driver loop on the entire 160-key registry.
+#:   2. The 9 keys whose green row PREDATES a rework of their code path:
+#:      q_join_theta_range (band-join rework, r2) and q_knn_join_bucketed
+#:      (duplicate-collapse rework, r3); the six r1-verified events-readers
+#:      whose load path changed when sources/tables.py learned both
+#:      parquet ts layouts (r2 commit c0b7a52); and q_report_nation_share
+#:      (decimal(27,10) threshold-narrowing fix, this round).
+#:   3. 30 refresh slots for the remaining oldest (round-1-only) rows, so
+#:      stale-green coverage shrinks to the 11 most trivial unchanged
+#:      keys (project/filter/limit/set-op/cross/scan-assert micro-ops and
+#:      the rows-only stratified sample).
+#: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # llmprep layer — training-data prep, most user-visible
-    "q_chunk_overlap",
-    "q_corpus_mix_weighted",
-    "q_contamination_ngram",
-    "q_pii_redact",
-    "q_pack_sequences",
-    "q_quality_repetition",
-    # reporting shapes (TPC-H Q13/Q11/Q22/Q7)
-    "q_report_custdist",
+    # --- 1. never-verified (the final 11) ---
+    "q_scan_orc_roundtrip",
+    "q_scan_text_lines",
+    "q_scan_schema_evolution",
+    "q_catalog_table_roundtrip",
+    "q_etl_compact_smallfiles",
+    "q_join_null_safe",
+    "q_agg_boolean",
+    "q_agg_sketch_reaggregate",
+    "q_profile_histogram",
+    "q_dq_drift",
+    "q_sample_deterministic_k",
+    # --- 2. rows predating a rework ---
+    "q_join_theta_range",
+    "q_knn_join_bucketed",
+    "q_agg_approx_distinct",
+    "q_agg_conditional",
+    "q_join_asof",
+    "q_join_salted_skew",
+    "q_scan_json_roundtrip",
+    "q_window_range_frame",
     "q_report_nation_share",
-    "q_report_prospects",
-    "q_report_binational_volume",
-    "q_pipeline_market_share",
-    # subqueries (decorrelation surface)
-    "q_subquery_exists",
-    "q_subquery_not_exists",
-    "q_subquery_scalar",
-    "q_subquery_waiting_supplier",
-    # reshape
-    "q_pivot_wide",
-    "q_unpivot_long",
-    # sketches (SQL-oracled ones)
-    "q_sketch_cms_freq",
-    "q_sketch_bloom_prune",
-    # clustering + exact set-similarity
-    "q_dedup_clusters_cc",
-    "q_dedup_keep_canonical",
-    "q_dedup_prefix_filter",
-    # text/multimodal round-2 additions
-    "q_text_edit_distance",
-    "q_text_tokenize_bpe",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    # ETL / CDC / DQ
-    "q_etl_scd2",
-    "q_cdc_compact",
-    "q_dq_referential",
-    "q_etl_table_diff",
-    "q_profile_skew",
-    # joins / aggregates round-2 additions
-    "q_join_theta_bucketed",
-    "q_join_asof_tolerance",
-    "q_agg_percentile_multi",
-    "q_agg_argminmax",
-    "q_agg_incremental_merge",
-    "q_agg_mad_outliers",
-    # sessionization / time-series analytics
-    "q_sessionize_batch",
-    "q_resample_ffill",
-    "q_window_cumulative_distinct",
-    "q_interval_merge",
-    "q_attribution_last_touch",
-    "q_alloc_proration",
-    "q_rfm_segmentation",
-    "q_timeseries_twap",
-    "q_pareto_abc",
-    # event analytics
-    "q_funnel_conversion",
-    "q_cohort_retention",
-    # streaming joins (batch-equivalent SQL-oracled forms)
-    "q_stream_static_join",
-    "q_stream_stream_join",
+    # --- 3. oldest-row refresh (round-1-only rows) ---
+    "q_agg_hash",
+    "q_agg_multi",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_median_exact",
+    "q_agg_mode_deterministic",
+    "q_agg_stats_corr",
+    "q_join_inner_hash",
+    "q_join_broadcast",
+    "q_join_sortmerge",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_bucketed_join_colocated",
+    "q_filter_pred",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_window_running",
+    "q_window_distribution",
+    "q_topk_per_group",
+    "q_topk_global",
+    "q_sort_multi",
+    "q_scan_csv_roundtrip",
+    "q_sink_parquet_partitioned",
+    "q_sink_overwrite_idempotent",
 ]
 
 

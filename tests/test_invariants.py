@@ -152,10 +152,14 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-3 driver-window
-    list (50 of the 61 keys with no CORRECTNESS row in rounds 1-2) — the
-    grading driver records only the first 50. None of the windowed keys may
-    already have a driver row: re-verifying green keys wastes the window."""
+    """The first 50 registry keys must be exactly the round-4 driver-window
+    list — the grading driver records only the first 50. Round-4 contract:
+    every registry key that has never PASSED a driver check (no row at all,
+    or a row that hard-failed — per ADVICE r3, presence of a row is not
+    verification) must be inside the window, so the driver loop closes on
+    the whole registry this round. Re-verifying green-but-stale keys is
+    intentional now (rework postdating their row), so no wasted-slot
+    assert."""
     import json
     from pathlib import Path
 
@@ -165,13 +169,21 @@ def test_driver_window_rotation():
     assert len(_DRIVER_WINDOW) == 50
     assert keys[: len(_DRIVER_WINDOW)] == _DRIVER_WINDOW
 
+    # Only rows that actually passed count as verified: hash-green, or the
+    # documented rows-only degradation with matching row counts.
     verified = set()
-    for name in ("CORRECTNESS_r01.json", "CORRECTNESS_r02.json"):
-        p = Path(__file__).resolve().parent.parent / name
-        if p.exists():
-            verified |= set(json.loads(p.read_text()))
-    already = [k for k in _DRIVER_WINDOW if k in verified]
-    assert not already, f"window wastes slots on driver-verified keys: {already}"
+    root = Path(__file__).resolve().parent.parent
+    for p in sorted(root.glob("CORRECTNESS_r0*.json")):
+        data = json.loads(p.read_text())
+        verified |= {
+            k
+            for k, v in data.items()
+            if v.get("hash_match")
+            or (v.get("err") == "no_oracle" and v.get("rows_match") is not False)
+        }
+    never_passed = [k for k in keys if k not in verified]
+    missing = [k for k in never_passed if k not in _DRIVER_WINDOW]
+    assert not missing, f"never-driver-verified keys outside the window: {missing}"
 
 
 def test_shingles_short_docs_yield_empty(spark):
@@ -407,8 +419,13 @@ def test_rfm_ntile_buckets_balanced(spark, sf_dir):
 
 def test_cms_never_undercounts_and_bounds_overcount(spark, sf_dir):
     """Count-min estimates are lower-bounded by the exact count by
-    construction; the total overcount across the probe set must stay
-    within the classic eps*N bound (eps = e/w) with room to spare."""
+    construction (hard invariant). The overcount side is PROBABILISTIC:
+    the classic eps*N bound (eps = e/w) holds per query with probability
+    1 - delta only, so asserting it exactly would pin this test to the
+    frozen fixture and spuriously fail on regeneration (ADVICE r3).
+    We assert the doubled bound 2*eps*N — still catches a broken sketch
+    (which overcounts by O(N)) while a tail-probability excursion on a
+    fresh fixture would need to blow the bound by 2x to trip it."""
     import math
 
     from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.sketches import _CMS_W
@@ -420,7 +437,7 @@ def test_cms_never_undercounts_and_bounds_overcount(spark, sf_dir):
     eps_bound = math.e / _CMS_W * n_total
     for r in rows:
         assert r["n_est"] >= r["n_exact"], r
-        assert r["n_est"] - r["n_exact"] <= eps_bound, (r, eps_bound)
+        assert r["n_est"] - r["n_exact"] <= 2 * eps_bound, (r, eps_bound)
 
 
 def test_bloom_admits_every_member(spark, sf_dir):

@@ -82,6 +82,59 @@ def test_moment_parity_on_adversarial_values(frames):
     assert compare_frames(got, want) is None
 
 
+def test_share_threshold_compare_parity(spark):
+    """Q11-shape threshold compare (reporting.py q_report_nation_share):
+    ``val > share(10,6) * total`` must classify identically in Spark,
+    DuckDB, and exact Python-Decimal arithmetic for vals within 1e-6 of
+    the threshold. Two traps (both found live — the second by this
+    test's first run): (a) share * total(38,10) needs precision 49 —
+    Spark rounds the product to scale 6, DuckDB keeps 16; (b) even with
+    total narrowed, comparing val at decimal(38,10) against the (38,16)
+    product needs 44 digits — Spark rounds the COMPARE back to scale 10
+    while DuckDB compares exactly. Narrowing BOTH comparands to
+    decimal(27,10) keeps every step within 38 digits in both engines."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    share = Decimal("0.030000")
+    total = Decimal("1234567.1234567891")
+    exact = share * total  # scale-16 product, not representable at scale 10
+    # vals straddling the exact product, incl. points inside the scale-6
+    # and scale-10 rounding windows (the two historical flip zones).
+    vals = [
+        (exact + Decimal(d)).quantize(Decimal("1e-10"), rounding=ROUND_HALF_UP)
+        for d in ("-1e-6", "-3e-7", "-1e-10", "0", "1e-10", "3e-7", "1e-6")
+    ]
+    rows = [(str(v),) for v in vals]
+
+    sdf = spark.createDataFrame(rows, "v STRING").select(
+        F.col("v").cast("decimal(38,10)").alias("val")
+    )
+    got = [
+        r.passed
+        for r in sdf.select(
+            (
+                F.col("val").cast("decimal(27,10)")
+                > F.expr("cast(0.030000 as decimal(10,6))")
+                * F.lit(str(total)).cast("decimal(38,10)").cast("decimal(27,10)")
+            ).alias("passed")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    want = [
+        con.execute(
+            f"""SELECT cast(cast('{v}' as decimal(38,10)) as decimal(27,10))
+                       > cast(0.030000 as decimal(10,6))
+                         * cast(cast('{total}' as decimal(38,10))
+                                as decimal(27,10))"""
+        ).fetchone()[0]
+        for v in vals
+    ]
+    con.close()
+    truth = [v > exact for v in vals]
+    assert got == want == truth, (got, want, truth)
+
+
 def test_decimal_cast_rowwise_parity(frames):
     """double→decimal(30,10)→varchar renders identically per row —
     the foundation every accumulation recipe rests on."""
