@@ -80,9 +80,74 @@ HEADLINE = [
     "q_agg_mad_outliers",            # double window-sort robust stats
     "q_funnel_conversion",           # conditional-min funnel (1 shuffle)
     "q_cohort_retention",            # cohort join + distinct triangle
+    # round-4 driver-window rotation: the 11 final registry keys
+    "q_scan_orc_roundtrip",          # ORC write+read roundtrip
+    "q_scan_text_lines",             # raw-line text source/sink
+    "q_scan_schema_evolution",       # mergeSchema across file generations
+    "q_catalog_table_roundtrip",     # saveAsTable + SQL read by name
+    "q_etl_compact_smallfiles",      # small-file compaction rewrite
+    "q_join_null_safe",              # hash-joinable <=> join
+    "q_agg_boolean",                 # every/any/count_if rollup
+    "q_agg_sketch_reaggregate",      # mergeable per-day HLL rollup
+    "q_profile_histogram",           # bounds-broadcast 10-bin histogram
+    "q_dq_drift",                    # per-category share drift
+    "q_sample_deterministic_k",      # md5-ordered exact-k sample
 ]
 
 RUNS = 3
+
+#: Regression gate: flag any query whose median drifts beyond this factor
+#: vs the most recent BENCH_r*.json on disk (VERDICT r3 item 6 — catch the
+#: next bench-methodology problem in the tool, not the judge).
+DRIFT_FACTOR = 1.5
+#: Ignore drift below this absolute time: sub-0.3 s queries jitter by
+#: scheduling noise alone and a 1.5x ratio there is meaningless.
+DRIFT_MIN_SEC = 0.3
+
+#: Metric names across rounds (r1/r2 used the old name for the same
+#: sum-of-per-query-medians value — ADVICE r3: treat them as comparable).
+_METRIC_NAMES = {
+    "total_seconds_noop_materialize_sum_of_medians",
+    "median_query_seconds_noop_materialize",
+}
+
+
+def load_prior_timings(repo_dir: str) -> dict[str, float]:
+    """Per-query medians from the latest BENCH_r*.json, {} if none.
+
+    Handles both this script's raw output shape and the driver's wrapper
+    (which nests the parsed JSON line under "parsed")."""
+    import glob
+
+    paths = sorted(glob.glob(os.path.join(repo_dir, "BENCH_r*.json")))
+    if not paths:
+        return {}
+    try:
+        with open(paths[-1]) as fh:
+            prior = json.load(fh)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if "parsed" in prior and isinstance(prior["parsed"], dict):
+        prior = prior["parsed"]
+    if prior.get("metric") not in _METRIC_NAMES:
+        return {}
+    return {
+        k: v for k, v in (prior.get("queries") or {}).items()
+        if isinstance(v, (int, float))
+    }
+
+
+def find_regressions(
+    timings: dict[str, float], prior: dict[str, float]
+) -> dict[str, dict[str, float]]:
+    out = {}
+    for k, now in timings.items():
+        base = prior.get(k)
+        if base is None or max(now, base) < DRIFT_MIN_SEC:
+            continue
+        if now > DRIFT_FACTOR * base:
+            out[k] = {"prior": base, "now": now, "ratio": round(now / base, 2)}
+    return out
 
 
 def materialize(df) -> None:
@@ -119,6 +184,8 @@ def main() -> None:
         timings[key] = round(statistics.median(samples), 4)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    prior = load_prior_timings(os.path.dirname(os.path.abspath(__file__)))
+    regressions = find_regressions(timings, prior)
     print(
         json.dumps(
             {
@@ -129,6 +196,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                # queries whose median drifted > DRIFT_FACTOR x vs the
+                # latest BENCH_r*.json on disk (empty = no drift); the
+                # flag rides along in the JSON rather than failing the
+                # run so the driver still records the numbers.
+                "regressions": regressions,
             }
         )
     )

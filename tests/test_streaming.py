@@ -254,6 +254,97 @@ def test_stream_stream_join_converges_to_batch(spark, sf_dir, tmp_path):
     assert canonicalize(streamed) == canonicalize(batch)
 
 
+def test_stream_session_merge_on_late_bridge_event(spark, tmp_path):
+    """Out-of-order feed pinning stateful session MERGE semantics — the
+    one behavior the batch gaps-and-islands twin cannot exercise: two
+    session fragments more than a gap apart must fuse into ONE session
+    when a late event lands between them within the gap of both.
+
+    Feed (30-min gap): user 1 at 10:00 and 10:50 arrive first — 50 min
+    apart, so phase A must report two open fragments. The 10:20 event
+    arrives late in phase B: it is within 30 min of both fragments, so
+    the state store must merge them into a single 10:00→11:20 session
+    holding all three events. User 2 (single far-away event) is the
+    control — no merge may touch it."""
+    import shutil
+
+    schema = "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(u, t, v) for u, t, v in rows], "user_id BIGINT, t STRING, value DOUBLE"
+        ).select("user_id", F.col("t").cast("timestamp").alias("ts"), "value")
+
+    stream_dir = str(tmp_path / "stream")
+    hold_dir = str(tmp_path / "hold")
+    mk(
+        [
+            (1, "2024-01-01 10:00:00", 1.0),
+            (1, "2024-01-01 10:50:00", 2.0),
+            (2, "2024-01-01 09:00:00", 5.0),
+        ]
+    ).coalesce(1).write.parquet(f"{stream_dir}/a")
+    mk([(1, "2024-01-01 10:20:00", 3.0)]).coalesce(1).write.parquet(hold_dir)
+
+    sessions = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(stream_dir)
+        # watermark far wider than the disorder so the bridge event is
+        # accepted, not dropped (late-drop is test_stream_watermark_*'s
+        # job); complete mode re-emits current session state per batch.
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+    latest: dict = {}
+
+    def sink(batch_df, _batch_id):
+        rows = batch_df.collect()
+        if rows:
+            latest["rows"] = rows
+
+    def drain():
+        q = (
+            sessions.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    phase_a = {
+        (r.user_id, str(r.s_start), str(r.s_end), r.n_events)
+        for r in latest["rows"]
+    }
+    assert phase_a == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 10:30:00", 1),
+        (1, "2024-01-01 10:50:00", "2024-01-01 11:20:00", 1),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:30:00", 1),
+    }, f"expected two separate user-1 fragments before the bridge: {phase_a}"
+
+    shutil.move(hold_dir, f"{stream_dir}/b")
+    drain()
+    phase_b = {
+        (r.user_id, str(r.s_start), str(r.s_end), r.n_events, r.sum_value)
+        for r in latest["rows"]
+    }
+    assert phase_b == {
+        (1, "2024-01-01 10:00:00", "2024-01-01 11:20:00", 3, 6.0),
+        (2, "2024-01-01 09:00:00", "2024-01-01 09:30:00", 1, 5.0),
+    }, f"late bridge event did not merge the fragments: {phase_b}"
+
+
 def test_stream_foreachbatch_upsert_converges_to_cdc(spark, sf_dir, tmp_path):
     """foreachBatch incremental upsert: per-micro-batch partial states
     merged into a persistent keyed table must converge to the batch
