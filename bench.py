@@ -92,6 +92,11 @@ HEADLINE = [
     "q_profile_histogram",           # bounds-broadcast 10-bin histogram
     "q_dq_drift",                    # per-category share drift
     "q_sample_deterministic_k",      # md5-ordered exact-k sample
+    # round-4 llmprep/similarity additions
+    "q_text_unigram_logprob",        # vocab broadcast + decimal doc sums
+    "q_corpus_train_report",         # dedup+quality funnel rollup
+    "q_topic_assign_nearest_centroid",  # broadcast-centroid E-step
+    "q_embedding_quantize_int8",     # map-only HOF quantization audit
 ]
 
 RUNS = 3

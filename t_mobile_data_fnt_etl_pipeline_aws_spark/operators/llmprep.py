@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import DEC, finish, sql_finish_dbl, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 
@@ -453,4 +454,225 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ttr.alias("ttr"),
         dup2.alias("dup_bigram_frac"),
         ((top_mass > 0.2) | (ttr < 0.5) | (dup2 > 0.3)).alias("is_lowq"),
+    )
+
+
+#: Near-dup fingerprint: the first 8 tokens of a document. The cheap
+#: "document head" key real crawl pipelines use before MinHash — the
+#: fixture's near-duplicates share their head even when tails drift.
+_FP_TOKENS = 8
+_FP_SPARK = lambda: F.concat_ws(  # noqa: E731 — tiny column factory
+    " ", F.slice(F.split("text", " "), 1, _FP_TOKENS)
+)
+_FP_SQL = f"array_to_string(string_split(text, ' ')[1:{_FP_TOKENS}], ' ')"
+
+
+@query(
+    "q_text_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    tot AS (SELECT count(*) AS n_total FROM toks),
+    vocab AS (SELECT token, count(*) AS n_tok FROM toks GROUP BY token),
+    scored AS (
+        SELECT token,
+               {sql_finish_dbl(
+                   '-ln(cast(n_tok as double) / cast(n_total as double))', 6
+               )} AS surprise
+        FROM vocab, tot
+    )
+    SELECT t.doc_id, t.lang,
+           count(*) AS n_tokens,
+           {sql_finish_dec(f'sum(cast(s.surprise as {DEC}))', 6)} / count(*)
+               AS avg_surprise
+    FROM toks t JOIN scored s USING (token)
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: mean unigram surprisal per doc.
+
+    The CCNet-style LM filter with the LM reduced to the corpus's own
+    unigram distribution: surprise(token) = -ln(count/total), scored
+    once per VOCAB entry, then joined back onto token occurrences and
+    averaged per document. High avg_surprise = rare-token soup (noise),
+    low = repetitive boilerplate — both tails get cut in practice.
+
+    Parity: ln() is libm-dependent, so each vocab entry's surprisal is
+    finished to 6 dp BEFORE the per-doc aggregation; the per-doc sum
+    accumulates those exact 6-dp values in DECIMAL (order-independent),
+    and the final mean is a quotient of identical doubles (no finish —
+    functions/numeric.py rule 5).
+
+    Scale: the expensive side (one row per token occurrence) never
+    shuffles twice — vocab is Zipf-small and BROADCAST back onto the
+    occurrence stream (a shuffle join keyed on token would put every
+    occurrence of the hottest word in one partition). At 100 TB the
+    broadcast caps at top-K vocab + an OOV default bucket.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    tot = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_tok"))
+    scored = vocab.crossJoin(F.broadcast(tot)).select(
+        "token",
+        finish(
+            -F.log(F.col("n_tok").cast("double") / F.col("n_total").cast("double")),
+            6,
+        ).alias("surprise"),
+    )
+    return (
+        toks.join(F.broadcast(scored), on="token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                finish(F.sum(F.col("surprise").cast(DEC)), 6)
+                / F.count(F.lit(1))
+            ).alias("avg_surprise"),
+        )
+    )
+
+
+@query(
+    "q_source_contamination_matrix",
+    oracle=f"""
+    WITH fps AS (
+        SELECT DISTINCT {_FP_SQL} AS fp, source FROM documents
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_fps
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_source_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: which sources copy from which.
+
+    For every near-dup fingerprint (8-token document head) seen in 2+
+    sources, emit each unordered source pair once and count shared
+    fingerprints — the audit that tells a corpus curator which crawl
+    feeds are mirrors of each other before they over-weight a domain.
+
+    Scale: deliberately NOT the oracle's self-join (a fingerprint shared
+    by a viral page across hundreds of sources makes the join quadratic
+    per hot key). One shuffle on fp, collect the ≤|sources| distinct
+    source set per fp, and expand C(s,2) pairs array-side — bounded by
+    the source-universe size, never by corpus row count.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_fp = (
+        d.select(_FP_SPARK().alias("fp"), "source")
+        .distinct()
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_set("source")).alias("srcs"))
+        .filter(F.size("srcs") >= 2)
+    )
+    n = F.size(F.col("srcs"))
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, n),
+                lambda j: F.struct(
+                    F.element_at(F.col("srcs"), i).alias("a"),
+                    F.element_at(F.col("srcs"), j).alias("b"),
+                ),
+            ),
+        )
+    )
+    return (
+        per_fp.select(F.explode(pairs).alias("p"))
+        .groupBy(
+            F.col("p.a").alias("source_a"), F.col("p.b").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+    )
+
+
+@query(
+    "q_corpus_train_report",
+    oracle=f"""
+    WITH staged AS (
+        SELECT lang, source,
+               cast(len(string_split(text, ' ')) as int) AS n_words,
+               cast(len(list_distinct(string_split(text, ' '))) as int)
+                   AS n_uniq,
+               row_number() OVER (
+                   PARTITION BY {_FP_SQL} ORDER BY doc_id
+               ) AS rn
+        FROM documents
+    ),
+    flagged AS (
+        SELECT lang, source, n_words,
+               rn > 1 AS is_dup,
+               NOT (n_words >= 30 AND n_uniq * 10 >= n_words * 4)
+                   AS is_lowq
+        FROM staged
+    )
+    SELECT lang, source,
+           count(*) AS n_docs,
+           count(*) FILTER (is_dup) AS n_dropped_dup,
+           count(*) FILTER (NOT is_dup AND is_lowq) AS n_dropped_quality,
+           count(*) FILTER (NOT is_dup AND NOT is_lowq) AS n_kept,
+           cast(coalesce(sum(n_words)
+                    FILTER (NOT is_dup AND NOT is_lowq), 0) as bigint)
+               AS n_kept_tokens
+    FROM flagged
+    GROUP BY lang, source
+    """,
+)
+def q_corpus_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report: what survives into training.
+
+    Chains the pipeline's gate decisions — near-dup removal (keep the
+    lowest doc_id per 8-token-head fingerprint), then a quality gate
+    (≥30 tokens AND type/token ratio ≥ 0.4, compared cross-multiplied
+    in integers so no float ratio can flip a doc across engines) — and
+    rolls the outcome up per (lang, source): docs in, dropped at each
+    stage, kept, and the surviving token budget.
+
+    Scale: one window shuffle keyed on the fingerprint (the dedup
+    grain — high cardinality, hash-partitions evenly), gates are
+    map-side integer arithmetic, and the final rollup reduces to
+    |langs|x|sources| rows with map-side partials.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    staged = d.select(
+        "lang",
+        "source",
+        F.size(toks).alias("n_words"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.row_number()
+        .over(Window.partitionBy(_FP_SPARK()).orderBy("doc_id"))
+        .alias("rn"),
+    )
+    flagged = staged.select(
+        "lang",
+        "source",
+        "n_words",
+        (F.col("rn") > 1).alias("is_dup"),
+        (
+            ~(
+                (F.col("n_words") >= 30)
+                & (F.col("n_uniq") * 10 >= F.col("n_words") * 4)
+            )
+        ).alias("is_lowq"),
+    )
+    kept = ~F.col("is_dup") & ~F.col("is_lowq")
+    return flagged.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("is_dup")).alias("n_dropped_dup"),
+        F.count_if(~F.col("is_dup") & F.col("is_lowq")).alias(
+            "n_dropped_quality"
+        ),
+        F.count_if(kept).alias("n_kept"),
+        F.coalesce(
+            F.sum(F.when(kept, F.col("n_words"))), F.lit(0)
+        ).cast("bigint").alias("n_kept_tokens"),
     )

@@ -432,3 +432,174 @@ def q_sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         score, schema="vec_id bigint, label int, cosine double"
     )
     return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+
+
+@query(
+    "q_topic_assign_nearest_centroid",
+    oracle=f"""
+    WITH exploded AS (
+        SELECT label,
+               generate_subscripts(embedding, 1) - 1 AS pos,
+               cast(unnest(embedding) as double) AS val
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label AS c_label, array_agg(cval ORDER BY pos) AS ce
+        FROM (SELECT label, pos,
+                     {sql_finish_dec(f'sum(cast(val as {DEC}))', 6)}
+                         / count(*) AS cval
+              FROM exploded GROUP BY label, pos)
+        GROUP BY label
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label AS true_label, c.c_label,
+               {_SQL_DOT.format(a='e.embedding', b='c.ce')}
+                   / ({_SQL_NORM.format(a='e.embedding')}
+                      * {_SQL_NORM.format(a='c.ce')}) AS cos
+        FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, true_label,
+           c_label AS assigned_label, cos AS cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cos DESC, c_label ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def q_topic_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means E-step / IVF cell assignment: nearest label-centroid per vector.
+
+    Every vector is scored against all |labels| centroids (cosine) and
+    assigned to the best one — the building block behind IVF cell routing
+    (q_sim_search_ivf probes exactly one of these cells) and iterative
+    clustering. Output keeps the fixture's true label next to the
+    assignment so cluster purity is directly readable.
+
+    Parity: centroid components are finished-decimal means (identical
+    doubles both engines, same recipe as q_label_centroids), dot/norm are
+    sequential left folds, cosine is a quotient of identical doubles (no
+    finish — numeric.py rule 5), and the per-vector argmax is a
+    row_number with a label tiebreak, not an engine-specific arg_max.
+
+    Scale: the centroid table is |labels| rows — broadcast; scoring is a
+    map-side crossJoin fan-out of x|labels| per vector with no shuffle;
+    the argmax window partitions on vec_id (even, tiny partitions). The
+    only real shuffle is the centroid aggregation itself (posexplode →
+    (label, pos) partials, map-side combined).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    exploded = e.select(
+        "label", F.posexplode(_as_dbl("embedding")).alias("pos", "val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (finish(F.sum(F.col("val").cast(DEC)), 6) / F.count(F.lit(1))).alias(
+                "cval"
+            )
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("ce"),
+        )
+    )
+    emb = _as_dbl("embedding")
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "c_label",
+        (_dot(emb, F.col("ce")) / (_norm(emb) * _norm(F.col("ce")))).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            "true_label",
+            F.col("c_label").alias("assigned_label"),
+            F.col("cos").alias("cosine"),
+        )
+    )
+
+
+@query(
+    "q_embedding_quantize_int8",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id, label, embedding,
+               list_max(list_transform(
+                   embedding, x -> abs(cast(x as double)))) AS maxabs,
+               cast(len(embedding) as int) AS dim
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, maxabs, dim,
+               list_transform(embedding,
+                   x -> floor(cast(x as double) / (maxabs / 127.0) + 0.5)
+               ) AS qs,
+               list_transform(embedding,
+                   x -> abs(cast(x as double)
+                            - floor(cast(x as double) / (maxabs / 127.0) + 0.5)
+                              * (maxabs / 127.0))
+               ) AS errs
+        FROM m
+    )
+    SELECT vec_id, label, maxabs,
+           list_reduce(errs, (a, b) -> a + b) / dim AS mean_abs_err,
+           list_max(errs) AS max_abs_err,
+           cast(len(list_filter(qs, v -> abs(v) = 127)) as int) AS n_saturated
+    FROM q
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit: per-vector reconstruction error.
+
+    The storage-shrink step before ANN serving: symmetric per-vector
+    quantization (scale = maxabs/127, q = round-half-up(x/scale)) with
+    the dequantization error measured per element. Output is the audit
+    a pipeline gates on — mean/max absolute error and how many elements
+    saturate the int8 range — not the quantized arrays themselves (array
+    outputs violate the driver canonicalizer contract).
+
+    Parity: rounding is floor(x + 0.5) in BOTH engines (Spark round()
+    is HALF_UP on doubles, DuckDB round() is float-path — banned by
+    numeric.py rule 4; the floor form is a single exact IEEE op on
+    identical inputs). Every value is a deterministic function of the
+    identical parquet floats, error sums are sequential left folds, so
+    no finishing is needed anywhere. Assumes no all-zero vector (true
+    of the fixture; a zero vector would need a NULLIF guard on scale).
+
+    Scale: pure map stage over the embeddings scan — no shuffle, no
+    Python; at 100 TB this is scan-bound and fuses into codegen.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    emb = _as_dbl("embedding")
+    maxabs = F.array_max(F.transform(emb, lambda x: F.abs(x)))
+    staged = e.select(
+        "vec_id",
+        "label",
+        maxabs.alias("maxabs"),
+        F.size("embedding").alias("dim"),
+        emb.alias("ed"),
+    )
+    scale = F.col("maxabs") / 127.0
+    qs = F.transform(F.col("ed"), lambda x: F.floor(x / scale + 0.5))
+    errs = F.transform(
+        F.col("ed"),
+        lambda x: F.abs(x - F.floor(x / scale + 0.5).cast("double") * scale),
+    )
+    return staged.select(
+        "vec_id",
+        "label",
+        "maxabs",
+        (
+            F.aggregate(errs, F.lit(0.0), lambda a, b: a + b) / F.col("dim")
+        ).alias("mean_abs_err"),
+        F.array_max(errs).alias("max_abs_err"),
+        F.size(F.filter(qs, lambda v: F.abs(v) == 127)).alias("n_saturated"),
+    )

@@ -137,6 +137,18 @@ _DRIVER_WINDOW = [
     "q_sink_overwrite_idempotent",
 ]
 
+#: Keys added AFTER the round-4 window above was frozen (the window must
+#: stay exactly the 50 keys the round-4 plan commits to). These have no
+#: driver row yet by construction and are the FIRST candidates for the
+#: round-5 window — keep test_driver_window_rotation's exemption in sync.
+_POST_WINDOW_ADDITIONS = [
+    "q_text_unigram_logprob",
+    "q_source_contamination_matrix",
+    "q_corpus_train_report",
+    "q_topic_assign_nearest_centroid",
+    "q_embedding_quantize_int8",
+]
+
 
 def _import_all() -> None:
     for mod in _QUERY_MODULES:
