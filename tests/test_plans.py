@@ -13,6 +13,7 @@ import pytest
 
 from t_mobile_data_fnt_etl_pipeline_aws_spark.plans.inspect import (
     codegen_operator_count,
+    exchange_count,
     has_operator,
     join_strategies,
     plan_string,
@@ -314,3 +315,33 @@ def test_dynamic_partition_pruning_fires_on_partitioned_fact(spark, sf_dir, tmp_
     assert "dynamicpruning" in plan.lower(), (
         f"dynamic partition pruning did not fire:\n{plan}"
     )
+
+
+def test_unigram_joins_broadcast_never_shuffle_occurrences(spark, sf_dir):
+    """q_text_unigram_logprob: BOTH joins (total onto vocab, scored vocab
+    onto token occurrences) must be broadcast — a shuffle join keyed on
+    token would route every occurrence of the hottest word through one
+    partition (Zipf skew), the classic 100-TB text-pipeline stall."""
+    df = QUERIES["q_text_unigram_logprob"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(
+        "Broadcast" in s for s in strategies
+    ), f"non-broadcast join in unigram plan: {strategies}"
+
+
+def test_centroid_assignment_broadcasts_centroids(spark, sf_dir):
+    """q_topic_assign_nearest_centroid: the |labels|-row centroid table
+    must reach each vector as a broadcast (map-side fan-out), never by
+    shuffling the embeddings side."""
+    df = QUERIES["q_topic_assign_nearest_centroid"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(
+        "Broadcast" in s for s in strategies
+    ), f"centroids not broadcast: {strategies}"
+
+
+def test_quantize_audit_is_shuffle_free(spark, sf_dir):
+    """q_embedding_quantize_int8 is a pure map over the scan — any
+    Exchange in the plan means a pointless full-table shuffle at scale."""
+    df = QUERIES["q_embedding_quantize_int8"](spark, sf_dir)
+    assert exchange_count(df) == 0, plan_string(df)
