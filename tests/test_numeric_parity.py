@@ -150,3 +150,50 @@ def test_decimal_cast_rowwise_parity(frames):
         "FROM t GROUP BY d"
     ).df()
     assert compare_frames(got, want) is None
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+
+if _HAVE_HYPOTHESIS:
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        xs=st.lists(
+            st.floats(
+                min_value=-9e8,
+                max_value=9e8,
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_dsum_davg_parity_on_random_doubles(spark, xs):
+        """Property form of the adversarial battery: for ANY finite double
+        set within the s=4 finish window (|sum| < 9e11), Spark's decimal
+        accumulation recipe and DuckDB's must agree bit-for-bit. Bounds
+        chosen so hypothesis explores tie-adjacent and denormal-ish values
+        the fixed battery doesn't enumerate."""
+        rows = [(0, float(v)) for v in xs]
+        sdf = spark.createDataFrame(rows, "g INT, x DOUBLE")
+        got = sdf.groupBy("g").agg(
+            dsum(F.col("x"), "s"), davg(F.col("x"), "a")
+        ).toPandas()
+        pdf = pd.DataFrame(rows, columns=["g", "x"])
+        con = duckdb.connect()
+        con.register("t_rand", pdf)
+        want = con.execute(
+            f"SELECT g, {sql_dsum('x', 's')}, {sql_davg('x', 'a')} "
+            "FROM t_rand GROUP BY g"
+        ).df()
+        con.close()
+        assert compare_frames(got, want) is None

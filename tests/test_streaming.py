@@ -416,3 +416,91 @@ def test_stream_foreachbatch_upsert_converges_to_cdc(spark, sf_dir, tmp_path):
     )
     batch = QUERIES["q_cdc_compact"](spark, sf_dir).toPandas()
     assert canonicalize(final) == canonicalize(batch)
+
+
+def test_stream_transform_with_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas — the Spark 4.x arbitrary-state API that
+    supersedes applyInPandasWithState — must converge to the same per-user
+    final state as the batch groupBy (q_stream_stateful_count). Pins the
+    modern state surface next to the legacy one, same replay, same answer.
+    Requires the RocksDB state store provider (set for this query only)
+    and protobuf (the API's state-server wire format): skipped, not
+    failed, where the environment lacks protobuf — the legacy-API twin
+    test above still covers arbitrary-state convergence there."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState driver worker needs protobuf",
+    )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    s = read_events_stream(spark, stream_dir)
+
+    class RunningState(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "st", "count bigint, last_us bigint, last_type string"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            count, last_us, last_type = (
+                tuple(self._st.get()) if self._st.exists() else (0, -1, "")
+            )
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"])
+                count += len(pdf)
+                tail = pdf.iloc[-1]
+                ts_us = int(tail["ts"].value // 1000)
+                if ts_us > last_us:
+                    last_us, last_type = ts_us, tail["event_type"]
+            self._st.update((count, last_us, last_type))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [count],
+                    "last_ts_us": [last_us],
+                    "last_event_type": [last_type],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        out = s.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningState(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, last_ts_us bigint, "
+                "last_event_type string"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
+        run_available_now(out, "tws_mem", str(tmp_path / "ckpt"), "update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+    streamed = spark.table("tws_mem").toPandas()
+    # update-mode emits once per (user, microbatch); keep the final state
+    streamed = (
+        streamed.sort_values("n_events").groupby("user_id", as_index=False).last()
+    )
+    batch = (
+        QUERIES["q_stream_stateful_count"](spark, sf_dir)
+        .withColumn("last_ts_us", F.unix_micros(F.col("last_ts").cast("timestamp")))
+        .drop("last_ts")
+        .toPandas()
+    )
+    assert canonicalize(streamed) == canonicalize(batch)
