@@ -793,3 +793,39 @@ def q_agg_boolean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(F.col("o_totalprice") > 200000).alias("n_large"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
+
+
+@query("q_agg_approx_percentile")  # rows-only: GK-sketch estimate is engine-specific
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quartiles per order status (Greenwald-Khanna sketch).
+
+    Completes the approximate-aggregate family next to HLL distinct
+    (q_agg_approx_distinct), Count-Min frequency (q_sketch_cms_freq) and
+    Bloom membership (q_sketch_bloom_prune): percentile_approx runs as a
+    fixed-size mergeable sketch — one shuffle of sketch partials, no
+    per-group sort — where the exact twin (q_agg_percentile_multi, the
+    oracle-checked rank-position form) pays a full partitioned window
+    sort. At 100 TB the sketch is the only affordable form for
+    high-cardinality groups; accuracy=10000 bounds rank error at
+    1/10000·n. Rows-only by design (the GK sketch's picks are
+    engine-specific); tests/test_invariants.py pins the estimates to an
+    exact-rank tolerance band so the sketch can't silently degrade.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx(
+                "o_totalprice", [0.25, 0.5, 0.75], 10000
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+            "n_orders",
+        )
+        .orderBy("o_orderstatus")
+    )

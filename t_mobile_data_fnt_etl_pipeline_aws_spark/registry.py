@@ -147,6 +147,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_corpus_train_report",
     "q_topic_assign_nearest_centroid",
     "q_embedding_quantize_int8",
+    "q_agg_approx_percentile",
 ]
 
 

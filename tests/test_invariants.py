@@ -234,12 +234,12 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 86 extras = 165 registered,
-    158 SQL-oracled / 7 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 87 extras = 166 registered,
+    158 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 165
+    assert len(QUERIES) == 166
     assert len(oracles) == 158
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
@@ -250,6 +250,7 @@ def test_registry_totals_match_survey():
         "q_agg_approx_distinct",
         "q_sample_stratified",
         "q_agg_sketch_reaggregate",
+        "q_agg_approx_percentile",
     }
 
 
@@ -514,3 +515,28 @@ def test_unigram_surprisal_totals_balance(spark, sf_dir):
         r["count"] * round(-math.log(r["count"] / n_total), 6) for r in toks
     )
     assert abs(doc_total - vocab_total) / vocab_total < 1e-6
+
+
+def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
+    """Each GK-sketch quartile must be an actual group value whose true
+    rank fraction sits within 1% of the target quantile (accuracy=10000
+    bounds rank error far tighter; 1% leaves room for fixture regen)."""
+    rows = QUERIES["q_agg_approx_percentile"](spark, sf_dir).collect()
+    assert rows
+    orders = load(spark, sf_dir, "orders")
+    for r in rows:
+        grp = [
+            x.o_totalprice
+            for x in orders.filter(
+                F.col("o_orderstatus") == r.o_orderstatus
+            ).select("o_totalprice").collect()
+        ]
+        n = len(grp)
+        assert n == r.n_orders
+        for q, val in ((0.25, r.p25), (0.5, r.p50), (0.75, r.p75)):
+            assert val in grp, (r.o_orderstatus, q, val)
+            rank_lo = sum(1 for x in grp if x < val) / n
+            rank_hi = sum(1 for x in grp if x <= val) / n
+            assert rank_lo - 0.01 <= q <= rank_hi + 0.01, (
+                r.o_orderstatus, q, val, rank_lo, rank_hi
+            )
