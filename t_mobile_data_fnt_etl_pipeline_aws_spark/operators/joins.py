@@ -508,3 +508,116 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(in_tol, F.col("v_ts")).alias("view_ts"),
         )
     )
+
+
+@query(
+    "q_join_point_in_time",
+    oracle="""
+    WITH changes AS (
+        SELECT user_id, event_type, ts, event_id
+        FROM (
+            SELECT user_id, event_type, ts, event_id,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+            WHERE event_type <> 'purchase'
+        )
+        WHERE prev_type IS NULL OR event_type <> prev_type
+    ),
+    scd AS (
+        SELECT user_id, event_type,
+               ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               cast(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) as bigint)
+                   AS version
+        FROM changes
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           d.event_type AS state_at_purchase,
+           d.version AS version_at_purchase
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    LEFT JOIN scd d
+      ON p.user_id = d.user_id
+     AND d.valid_from <= p.ts
+     AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+    """,
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: each fact sees the dimension
+    version that was current AT ITS OWN timestamp — no leakage from the
+    future, no stale state. Purchases probe the SCD2 history of the
+    user's non-purchase activity (q_etl_scd2's construction over the
+    same interleaved event stream, so temporal selectivity is real:
+    different purchases by one user land in different versions, and a
+    purchase before the user's first tracked event keeps NULLs).
+
+    Scale: deliberately NOT the oracle's validity-window range join — a
+    range predicate on a hot user degenerates to per-key quadratic
+    pairing. Instead the union-merge LOCF shape (same family as
+    q_join_asof_tolerance): version-change rows and fact probes union
+    into one stream keyed by user, one window sorted by (t, probe-flag,
+    tiebreak) carries the last seen state forward onto each probe. ONE
+    shuffle on the dimension key, no join operator at all; change rows
+    sort before same-timestamp probes, matching the oracle's
+    valid_from <= t < valid_to convention (empty [t,t) windows
+    unmatchable on both sides).
+    """
+    e = load(spark, sf_dir, "events")
+    tracked = e.filter(F.col("event_type") != "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        tracked.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .select("user_id", "event_type", "ts", "event_id")
+    )
+    dim = changes.withColumn("version", F.row_number().over(w).cast("bigint"))
+    d_side = dim.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("is_probe"),
+        F.col("event_id").alias("tb"),
+        "event_type",
+        "version",
+        F.lit(None).cast("bigint").alias("purchase_id"),
+    )
+    p_side = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_probe"),
+        F.col("event_id").alias("tb"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("version"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    wl = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "is_probe", "tb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        d_side.unionByName(p_side)
+        .select(
+            "user_id",
+            "is_probe",
+            "purchase_id",
+            F.last("event_type", ignorenulls=True).over(wl).alias(
+                "state_at_purchase"
+            ),
+            F.last("version", ignorenulls=True).over(wl).alias(
+                "version_at_purchase"
+            ),
+        )
+        .filter(F.col("is_probe") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            "state_at_purchase",
+            "version_at_purchase",
+        )
+    )

@@ -148,6 +148,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_topic_assign_nearest_centroid",
     "q_embedding_quantize_int8",
     "q_agg_approx_percentile",
+    "q_join_point_in_time",
 ]
 
 

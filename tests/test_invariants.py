@@ -234,13 +234,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 87 extras = 166 registered,
-    158 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 88 extras = 167 registered,
+    159 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 166
-    assert len(oracles) == 158
+    assert len(QUERIES) == 167
+    assert len(oracles) == 159
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -540,3 +540,33 @@ def test_approx_percentile_within_rank_tolerance(spark, sf_dir):
             assert rank_lo - 0.01 <= q <= rank_hi + 0.01, (
                 r.o_orderstatus, q, val, rank_lo, rank_hi
             )
+
+
+def test_point_in_time_join_never_leaks_future_state(spark, sf_dir):
+    """PIT join must emit exactly one row per purchase, and per user the
+    assigned version must be non-decreasing in purchase time (state can
+    only move forward — a decrease means future leakage or stale reads).
+    Purchases before the user's first tracked event carry NULLs."""
+    events = load(spark, sf_dir, "events")
+    n_purchases = events.filter(F.col("event_type") == "purchase").count()
+    rows = QUERIES["q_join_point_in_time"](spark, sf_dir)
+    assert rows.count() == n_purchases
+
+    ts_by_event = events.select(
+        F.col("event_id").alias("purchase_id"), "ts"
+    )
+    seq = (
+        rows.join(ts_by_event, on="purchase_id")
+        .orderBy("user_id", "ts", "purchase_id")
+        .collect()
+    )
+    last_seen: dict = {}
+    for r in seq:
+        v = r["version_at_purchase"]
+        if v is None:
+            # NULL state is only legal before the user's first version
+            assert last_seen.get(r["user_id"]) is None, r
+            continue
+        prev = last_seen.get(r["user_id"])
+        assert prev is None or v >= prev, (r, prev)
+        last_seen[r["user_id"]] = v
