@@ -492,3 +492,80 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "jaccard")
     )
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, lang,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS fp,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS sh
+        FROM documents
+    ),
+    newb AS (SELECT * FROM base WHERE doc_id % 5 = 0),
+    oldb AS (SELECT * FROM base WHERE doc_id % 5 <> 0),
+    cand AS (
+        SELECT n.doc_id,
+               max(cast(len(list_intersect(n.sh, o.sh)) as double) /
+                   (len(n.sh) + len(o.sh)
+                    - len(list_intersect(n.sh, o.sh)))) AS max_j
+        FROM newb n JOIN oldb o ON n.fp = o.fp
+        GROUP BY n.doc_id
+    )
+    SELECT n.lang,
+           count(*) AS n_new,
+           count(c.doc_id) AS n_candidates,
+           count(*) FILTER (c.max_j >= 0.5) AS n_dropped_neardup,
+           count(*) - count(*) FILTER (c.max_j >= 0.5) AS n_kept
+    FROM newb n LEFT JOIN cand c ON n.doc_id = c.doc_id
+    GROUP BY n.lang
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: a new batch checked against the standing corpus
+    WITHOUT reprocessing it — the only affordable dedup shape once the
+    corpus is 100 TB. Candidate generation is a hash join on the 8-token
+    head fingerprint (the llmprep near-dup key; at scale the old side is
+    a pre-built bucketed fingerprint table, so the join is exchange-free
+    on the new batch's shuffle only), then candidates — and ONLY
+    candidates — pay the exact 3-shingle Jaccard verify; a new doc is
+    dropped when its best old-side match reaches J >= 0.5. Per-language
+    accounting of batch size, candidates, verified drops, and keeps; on
+    this fixture every candidate verifies (max_j >= 0.9 — the head
+    fingerprint has no false positives here), which the n_candidates vs
+    n_dropped_neardup columns expose rather than hide.
+    """
+    d = load(spark, sf_dir, "documents")
+    fp = F.concat_ws(" ", F.slice(F.split("text", " "), 1, 8))
+    base = d.select(
+        "doc_id", "lang", fp.alias("fp"), _shingles(_tokens()).alias("sh")
+    )
+    is_new = (F.col("doc_id") % 5) == 0
+    new = base.filter(is_new)
+    old = base.filter(~is_new).select(
+        "fp", F.col("sh").alias("sh_o")
+    )
+    inter = F.size(F.array_intersect("sh", "sh_o")).cast("double")
+    union = (
+        F.size("sh") + F.size("sh_o") - F.size(F.array_intersect("sh", "sh_o"))
+    ).cast("double")
+    cand = (
+        new.join(old, on="fp")
+        .select("doc_id", (inter / union).alias("j"))
+        .groupBy("doc_id")
+        .agg(F.max("j").alias("max_j"))
+    )
+    flagged = new.join(cand, on="doc_id", how="left")
+    dropped = F.col("max_j") >= 0.5
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count("max_j").alias("n_candidates"),
+        F.count_if(dropped).alias("n_dropped_neardup"),
+        (F.count(F.lit(1)) - F.count_if(dropped)).alias("n_kept"),
+    )

@@ -149,6 +149,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_embedding_quantize_int8",
     "q_agg_approx_percentile",
     "q_join_point_in_time",
+    "q_dedup_incremental",
 ]
 
 

@@ -234,13 +234,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 88 extras = 167 registered,
-    159 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 89 extras = 168 registered,
+    160 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 167
-    assert len(oracles) == 159
+    assert len(QUERIES) == 168
+    assert len(oracles) == 160
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -570,3 +570,20 @@ def test_point_in_time_join_never_leaks_future_state(spark, sf_dir):
         prev = last_seen.get(r["user_id"])
         assert prev is None or v >= prev, (r, prev)
         last_seen[r["user_id"]] = v
+
+
+def test_incremental_dedup_accounting_balances(spark, sf_dir):
+    """Per language: kept + dropped == batch size, drops never exceed
+    candidates, and the language totals re-sum to the true new-batch
+    row count (no doc lost or double-counted by the candidate join)."""
+    rows = QUERIES["q_dedup_incremental"](spark, sf_dir).collect()
+    assert rows
+    n_new_true = (
+        load(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 5) == 0)
+        .count()
+    )
+    assert sum(r["n_new"] for r in rows) == n_new_true
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped_neardup"] == r["n_new"], r
+        assert r["n_dropped_neardup"] <= r["n_candidates"] <= r["n_new"], r
