@@ -97,6 +97,8 @@ HEADLINE = [
     "q_corpus_train_report",         # dedup+quality funnel rollup
     "q_topic_assign_nearest_centroid",  # broadcast-centroid E-step
     "q_embedding_quantize_int8",     # map-only HOF quantization audit
+    "q_join_point_in_time",          # union-merge LOCF PIT join
+    "q_dedup_incremental",           # fingerprint-candidate batch dedup
 ]
 
 RUNS = 3
