@@ -150,6 +150,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_agg_approx_percentile",
     "q_join_point_in_time",
     "q_dedup_incremental",
+    "q_text_tfidf_keywords",
 ]
 
 

