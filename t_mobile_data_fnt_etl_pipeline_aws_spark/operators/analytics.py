@@ -576,3 +576,74 @@ def q_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+@query(
+    "q_pattern_error_burst",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn_all,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn_type
+        FROM events
+    ),
+    runs AS (
+        SELECT user_id,
+               min(event_id) AS first_event_id,
+               max(event_id) AS last_event_id,
+               count(*) AS n_errors,
+               epoch_us(max(ts)) - epoch_us(min(ts)) AS span_us
+        FROM seq
+        WHERE event_type = 'error'
+        GROUP BY user_id, rn_all - rn_type
+    )
+    SELECT user_id, first_event_id, last_event_id, n_errors, span_us
+    FROM runs
+    WHERE n_errors >= 2
+    """,
+)
+def q_pattern_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern detection: maximal runs of CONSECUTIVE error events
+    per user (length >= 2) — the MATCH_RECOGNIZE-style burst query an
+    on-call dashboard runs, done with the run-length-encoding islands
+    trick: rn_over_all - rn_over_type is constant exactly within a
+    maximal same-type run, so one GROUP BY on that difference recovers
+    every run without self-joins or iterative logic. A distinct pattern
+    family from q_sessionize_batch (which islands on TIME gaps; this
+    islands on VALUE runs).
+
+    Parity: pure integer arithmetic — two row_numbers with full
+    (ts, event_id) tiebreaks, an integer difference key, and a µs span
+    from the NTZ-epoch diff idiom (_epoch_us, bit-equal to DuckDB's
+    epoch_us). Scale: both windows and the aggregate share ONE shuffle
+    keyed on user_id (Catalyst reuses the partitioning), burst rows are
+    a tiny fraction of input, and no state beyond the window sort.
+    """
+    e = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.row_number().over(w_all).alias("rn_all"),
+        F.row_number().over(w_type).alias("rn_type"),
+    )
+    runs = (
+        seq.filter(F.col("event_type") == "error")
+        .groupBy("user_id", (F.col("rn_all") - F.col("rn_type")).alias("grp"))
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+            F.count(F.lit(1)).alias("n_errors"),
+            (_epoch_us("max(ts)") - _epoch_us("min(ts)")).alias("span_us"),
+        )
+    )
+    return runs.filter(F.col("n_errors") >= 2).select(
+        "user_id", "first_event_id", "last_event_id", "n_errors", "span_us"
+    )

@@ -151,6 +151,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_join_point_in_time",
     "q_dedup_incremental",
     "q_text_tfidf_keywords",
+    "q_pattern_error_burst",
 ]
 
 

@@ -234,13 +234,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 90 extras = 169 registered,
-    161 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 91 extras = 170 registered,
+    162 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 169
-    assert len(oracles) == 161
+    assert len(QUERIES) == 170
+    assert len(oracles) == 162
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -601,3 +601,23 @@ def test_tfidf_keywords_exactly_three_per_doc(spark, sf_dir):
         assert r["tfidf"] >= 0.0, r
         per_doc.setdefault(r["doc_id"], []).append(r["tfidf"])
     assert all(len(v) == 3 for v in per_doc.values())
+
+
+def test_error_bursts_are_maximal_and_exhaustive(spark, sf_dir):
+    """Run-length islands must be maximal (one row per distinct run
+    start) and exhaustive: burst errors + singleton errors re-tile the
+    user's total error count."""
+    rows = QUERIES["q_pattern_error_burst"](spark, sf_dir).collect()
+    assert rows
+    starts = {(r.user_id, r.first_event_id) for r in rows}
+    assert len(starts) == len(rows)
+    total_errors = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    in_bursts = sum(r["n_errors"] for r in rows)
+    assert in_bursts <= total_errors
+    for r in rows:
+        assert r["n_errors"] >= 2 and r["span_us"] >= 0, r
+        assert r["last_event_id"] != r["first_event_id"], r
