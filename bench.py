@@ -99,6 +99,9 @@ HEADLINE = [
     "q_embedding_quantize_int8",     # map-only HOF quantization audit
     "q_join_point_in_time",          # union-merge LOCF PIT join
     "q_dedup_incremental",           # fingerprint-candidate batch dedup
+    "q_text_tfidf_keywords",         # broadcast-idf TF-IDF top-3
+    "q_pattern_error_burst",         # run-length islands pattern scan
+    "q_window_moving_zscore",        # decimal windowed-moments anomaly gate
 ]
 
 RUNS = 3

@@ -410,3 +410,77 @@ def q_window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").alias("n_new_users"),
         F.sum("n_new").over(w).alias("cum_distinct_users"),
     )
+
+
+@query(
+    "q_window_moving_zscore",
+    oracle=f"""
+    WITH st AS (
+        SELECT event_id, user_id, value,
+               count(*) OVER w AS n,
+               {sql_finish_dec(f'sum(cast(value as {DEC})) OVER w', 6)} AS s1,
+               {sql_finish_dec(
+                   f'sum(cast(value * value as {DEC})) OVER w', 6
+               )} AS s2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, value,
+           (value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1)) AS zscore,
+           cast(n as bigint) AS n_window
+    FROM st
+    WHERE n >= 10
+      AND (s2 - s1 * s1 / n) / (n - 1) > 0
+      AND abs((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) > 3
+    """,
+)
+def q_window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly gate: events whose value sits more than
+    3 sigma from THEIR OWN user's prior-20-event distribution. The
+    frame excludes the current row (ROWS -20..-1), so a spike cannot
+    mask itself by inflating the window it is judged against — the
+    streaming anomaly-detector shape run in batch.
+
+    Parity: windowed mean/std come from the numeric.py moments recipe —
+    two DECIMAL window sums (order-independent) finished to identical
+    doubles, then fixed IEEE arithmetic for mean/var/z (rule 5: no
+    finish on quotients); var > 0 guards the all-identical-window
+    division in both engines identically. Scale: one shuffle on
+    user_id, a 21-row sliding frame per row (O(1) incremental decimal
+    adds), and only the |z| > 3 tail survives to output.
+    """
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = finish(F.sum(F.col("value").cast(DEC)).over(w), 6)
+    s2 = finish(
+        F.sum((F.col("value") * F.col("value")).cast(DEC)).over(w), 6
+    )
+    st = e.select(
+        "event_id",
+        "user_id",
+        "value",
+        n.alias("n"),
+        s1.alias("s1"),
+        s2.alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        st.filter((F.col("n") >= 10) & (var > 0) & (F.abs(z) > 3))
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            z.alias("zscore"),
+            F.col("n").alias("n_window"),
+        )
+    )

@@ -152,6 +152,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_dedup_incremental",
     "q_text_tfidf_keywords",
     "q_pattern_error_burst",
+    "q_window_moving_zscore",
 ]
 
 

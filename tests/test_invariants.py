@@ -234,13 +234,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 91 extras = 170 registered,
-    162 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 92 extras = 171 registered,
+    163 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 170
-    assert len(oracles) == 162
+    assert len(QUERIES) == 171
+    assert len(oracles) == 163
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -621,3 +621,15 @@ def test_error_bursts_are_maximal_and_exhaustive(spark, sf_dir):
     for r in rows:
         assert r["n_errors"] >= 2 and r["span_us"] >= 0, r
         assert r["last_event_id"] != r["first_event_id"], r
+
+
+def test_moving_zscore_flags_only_genuine_outliers(spark, sf_dir):
+    """Every flagged event must exceed 3 sigma of its own trailing
+    window, windows are 10-20 rows by construction, and no event is
+    flagged twice."""
+    rows = QUERIES["q_window_moving_zscore"](spark, sf_dir).collect()
+    assert rows
+    assert len({r.event_id for r in rows}) == len(rows)
+    for r in rows:
+        assert abs(r["zscore"]) > 3.0, r
+        assert 10 <= r["n_window"] <= 20, r
