@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, finish, sql_dsum, sql_finish_dbl
 from ..registry import query
 from ..sources.tables import load
 
@@ -855,4 +855,63 @@ def q_etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.select(change.alias("change_type")).groupBy("change_type").agg(
         F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@query(
+    "q_sample_weighted_aes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT lang, doc_id,
+               cast(len(string_split(text, ' ')) as int) AS n_words,
+               {sql_finish_dbl(
+                   "ln(cast((doc_id * 2654435761) % 1000003 + 1 as double)"
+                   " / 1000004.0)"
+                   " / len(string_split(text, ' '))", 6
+               )} AS sample_key
+        FROM documents
+    )
+    SELECT lang, doc_id, n_words, sample_key
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY lang ORDER BY sample_key DESC, doc_id ASC
+          ) AS rn
+          FROM keyed)
+    WHERE rn <= 20
+    """,
+)
+def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    keep 20 docs per language with probability proportional to their
+    token count — the corpus-curation sampler that over-represents
+    long documents in an eval slice without a global sort by weight.
+    Each row draws key = u^(1/w) (log form ln(u)/w), and the top-k keys
+    per stratum ARE the weighted sample; u is deterministic integer
+    arithmetic ((doc_id * Knuth) mod p scaled into (0,1), the
+    q_corpus_mix_weighted idiom) so the sample is reproducible across
+    engines, runs, and partitionings — rand()-free by design.
+
+    Parity: the single transcendental ln(u) is finished to 6 dp per row
+    before ranking; ties after finishing break on doc_id in both
+    engines. Scale: one shuffle on the stratum key, WindowGroupLimit
+    keeps k rows per group, nothing else survives.
+    """
+    d = load(spark, sf_dir, "documents")
+    n_words = F.size(F.split("text", " "))
+    u = (
+        ((F.col("doc_id") * F.lit(2654435761)) % 1000003 + 1).cast("double")
+        / 1000004.0
+    )
+    keyed = d.select(
+        "lang",
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        finish(F.log(u) / n_words, 6).alias("sample_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("sample_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id", "n_words", "sample_key")
     )

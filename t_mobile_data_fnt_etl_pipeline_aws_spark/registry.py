@@ -153,6 +153,7 @@ _POST_WINDOW_ADDITIONS = [
     "q_text_tfidf_keywords",
     "q_pattern_error_burst",
     "q_window_moving_zscore",
+    "q_sample_weighted_aes",
 ]
 
 

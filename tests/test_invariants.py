@@ -234,13 +234,13 @@ def test_knn_banded_lsh_recall_pinned(spark, sf_dir):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 92 extras = 171 registered,
-    163 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 93 extras = 172 registered,
+    164 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 171
-    assert len(oracles) == 163
+    assert len(QUERIES) == 172
+    assert len(oracles) == 164
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -633,3 +633,22 @@ def test_moving_zscore_flags_only_genuine_outliers(spark, sf_dir):
     for r in rows:
         assert abs(r["zscore"]) > 3.0, r
         assert 10 <= r["n_window"] <= 20, r
+
+
+def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
+    """A-ES weighting by token count must produce exactly 20 docs per
+    language and a sample whose mean length exceeds the corpus mean
+    (deterministic on the fixed fixture draw)."""
+    rows = QUERIES["q_sample_weighted_aes"](spark, sf_dir).collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang, []).append(r)
+    assert all(len(v) == 20 for v in per_lang.values()), {
+        k: len(v) for k, v in per_lang.items()
+    }
+    docs = load(spark, sf_dir, "documents")
+    corpus_mean = (
+        docs.select(F.avg(F.size(F.split("text", " ")))).first()[0]
+    )
+    sample_mean = sum(r["n_words"] for r in rows) / len(rows)
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
