@@ -102,6 +102,7 @@ HEADLINE = [
     "q_text_tfidf_keywords",         # broadcast-idf TF-IDF top-3
     "q_pattern_error_burst",         # run-length islands pattern scan
     "q_window_moving_zscore",        # decimal windowed-moments anomaly gate
+    "q_sample_weighted_aes",         # A-ES weighted per-stratum sample
 ]
 
 RUNS = 3
