@@ -378,6 +378,67 @@ def q_agg_median_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_agg_weighted_median",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT l_returnflag, l_extendedprice,
+               cast(l_quantity as {DEC}) AS wq,
+               sum(cast(l_quantity as {DEC})) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING) AS cumw,
+               sum(cast(l_quantity as {DEC})) OVER (
+                   PARTITION BY l_returnflag) AS totw
+        FROM lineitem
+    )
+    SELECT l_returnflag,
+           l_extendedprice AS weighted_median_price,
+           {sql_finish_dec('totw', 4)} AS total_qty
+    FROM ranked
+    WHERE 2 * cumw >= totw AND 2 * (cumw - wq) < totw
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the smallest price whose cumulative
+    quantity-weight reaches half the group total — the inventory-true
+    "median unit price" where a 50-unit line counts 50×, not 1×.
+
+    The crossing row is identified alone by
+    2·cumw ≥ totw AND 2·(cumw − w) < totw — weights are positive, so
+    exactly one row straddles the half-point and no second window or
+    min-rank pass is needed. All cumulative weights accumulate in
+    DECIMAL (merge-order independent, engine-exact) and the doubling
+    avoids a rounding division; the median value itself is a raw
+    parquet double. One window shuffle on the group key — same scale
+    shape as q_agg_median_exact; under a total order with the
+    (price, orderkey, linenumber) tiebreak the pick is deterministic.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast(DEC)
+    w_ord = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    ranked = l.select(
+        "l_returnflag",
+        "l_extendedprice",
+        wq.alias("wq"),
+        F.sum(wq).over(w_ord).alias("cumw"),
+        F.sum(wq).over(w_all).alias("totw"),
+    )
+    return ranked.filter(
+        (F.lit(2) * F.col("cumw") >= F.col("totw"))
+        & (F.lit(2) * (F.col("cumw") - F.col("wq")) < F.col("totw"))
+    ).select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("weighted_median_price"),
+        finish(F.col("totw"), 4).alias("total_qty"),
+    )
+
+
+@query(
     "q_agg_stats_corr",
     oracle=f"""
     SELECT l_returnflag,

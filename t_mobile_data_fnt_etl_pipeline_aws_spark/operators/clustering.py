@@ -8,15 +8,19 @@ min-label propagation (each node adopts the smallest doc_id reachable so
 far) with a driver-side convergence check; the per-iteration work is two
 hash joins + an aggregate, all executor-side.
 
-Scale design (100 TB): this is the bounded-iteration pattern behind
-GraphX/GraphFrames connected components — O(diameter) rounds, each a
-shuffle keyed on node id. Near-dup graphs have tiny diameters (dup
-clusters are cliques-ish), so 3-4 rounds close real corpora; the
-large-star/small-star optimization (Kiveris et al., "Connected
-Components in MapReduce and Beyond") halves rounds on adversarial chains
-but isn't needed for dedup graphs. Edges here come from the bounded
-exact-Jaccard slice (doc_id < 500) so the DuckDB recursive-CTE oracle
-can verify the closure exactly at any SF.
+Scale design (100 TB): components are computed with the alternating
+large-star/small-star algorithm (Kiveris et al., "Connected Components
+in MapReduce and Beyond", round 5 — previously plain min-label
+propagation): each round is two groupBy-min + join passes over the edge
+list, and the edge graph contracts toward stars rooted at component
+minima in O(log n) rounds instead of O(diameter). Dup graphs are
+cliques-ish (diameter 1-2) so both converge fast there, but the
+adversarial chain case — long similarity chains through a corpus — no
+longer scales rounds with chain length
+(tests/test_invariants.py::test_alternating_cc_chain_rounds pins this).
+Edges here come from the bounded exact-Jaccard slice (doc_id < 500) so
+the DuckDB recursive-CTE oracle can verify the closure exactly at any
+SF.
 """
 
 from __future__ import annotations
@@ -66,8 +70,83 @@ _CC_ORACLE_WITH = f"""
 """
 
 
+def alternating_cc(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, int]:
+    """Connected components by alternating large-star/small-star
+    (Kiveris et al. 2014): returns ((node_id, cluster_id), rounds).
+
+    ``nodes`` has one column ``doc_id``; ``edges`` has ``(src, dst)``
+    undirected pairs in any orientation. Each round:
+
+    * **large-star** — every node links its LARGER neighbors to the
+      minimum of its neighborhood (incl. itself), contracting tall
+      structures sideways;
+    * **small-star** — every node links its smaller-or-equal neighbors
+      (and itself) to that minimum, flattening into stars.
+
+    The fixed point is a forest of stars rooted at each component's
+    global minimum id, reached in O(log n) rounds even on a path graph
+    (plain min-label propagation needs O(diameter)). Per round: two
+    groupBy-mins + two joins over the edge list — all executor-side;
+    the only driver action is a (count, hash-sum) convergence signature,
+    one scalar per round. localCheckpoint truncates lineage so round
+    k's plan doesn't re-plan rounds 1..k-1.
+    """
+    E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    E = E.filter(F.col("u") != F.col("v")).localCheckpoint()
+    prev_sig: tuple | None = None
+    rounds = 0
+    while rounds < 20:
+        # large-star: neighborhoods both directions, m = min(N(u) ∪ {u}),
+        # emit (v, m) for the strictly-larger neighbors v > u.
+        b = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = b.groupBy("u").agg(F.min("v").alias("mv"))
+        mins = mins.select("u", F.least("u", "mv").alias("m"))
+        ls = (
+            b.join(mins, on="u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient each edge large→small, m = min(N(u) ∪ {u}),
+        # emit (x, m) for x ∈ N(u) ∪ {u} \ {m}.
+        b2 = ls.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        mins2 = b2.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            b2.join(mins2, on="u")
+            .select(F.col("v").alias("node"), F.col("m").alias("parent"))
+            .union(
+                mins2.select(F.col("u").alias("node"), F.col("m").alias("parent"))
+            )
+            .filter(F.col("node") != F.col("parent"))
+            .distinct()
+            .localCheckpoint()
+        )
+        rounds += 1
+        # decimal accumulator: ANSI mode throws on bigint sum overflow
+        row = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("node", "parent").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        E = ss.select(F.col("node").alias("u"), F.col("parent").alias("v"))
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = nodes.join(
+        E.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id")),
+        on="doc_id",
+        how="left",
+    ).select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    return labels, rounds
+
+
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, cluster_id) for the bounded slice via label propagation."""
+    """(doc_id, cluster_id) for the bounded slice via alternating stars."""
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sh = d.select("doc_id", _shingles(_tokens()).alias("sh"))
     a = sh.select(F.col("doc_id").alias("src"), F.col("sh").alias("sh_a"))
@@ -81,40 +160,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(inter / union >= _EDGE_J)
         .select("src", "dst")
     )
-    # materialize the (quadratic, bounded) pair join ONCE — every
-    # propagation round re-reads the edge list, and localCheckpoint
-    # truncates the lineage so round k's plan doesn't re-plan rounds 1..k-1.
-    edges = pair.union(
-        pair.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint()
-
-    labels = sh.select("doc_id", F.col("doc_id").alias("cluster_id"))
-    for _ in range(8):  # >= diameter of any fixture dup-cluster
-        nbr = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy("dst")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(nbr, labels.doc_id == nbr.dst, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            updated.alias("n")
-            .join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+    labels, _ = alternating_cc(sh.select("doc_id"), pair)
     return labels
 
 

@@ -328,6 +328,64 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_containment",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS shingles
+        FROM documents WHERE doc_id < 500
+    )
+    SELECT a.doc_id AS doc_sub, b.doc_id AS doc_super,
+           cast(len(list_intersect(a.shingles, b.shingles)) as double) /
+           cast(len(a.shingles) as double) AS containment
+    FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+    WHERE len(a.shingles) > 0
+      AND cast(len(list_intersect(a.shingles, b.shingles)) as double) /
+          cast(len(a.shingles) as double) >= 0.6
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup: C(A→B) = |A∩B| / |A| over word
+    3-shingles — catches SUBSET duplication (a doc swallowed whole by a
+    longer one) that symmetric Jaccard dilutes: a 100-shingle doc fully
+    contained in a 1000-shingle doc has C = 1.0 but J ≈ 0.1, invisible
+    to every Jaccard threshold. Pairs are ORDERED (doc_sub contained in
+    doc_super), so true subset relations surface one-directionally
+    while classic near-dups appear in both directions. Containment ≥
+    Jaccard always, so this output is a superset of the J-threshold
+    pairs (invariant-tested).
+
+    Bounded to doc_id < 500 like q_dedup_ngram_jaccard — the exact
+    quadratic oracle slice. At scale, candidates come from the same
+    machinery as the symmetric path (MinHash-LSH bands or prefix
+    filtering on the SMALLER side's rarest shingles — the prefix bound
+    |A| − ⌈c·|A|⌉ + 1 still holds for containment); only the verify
+    formula changes, so q_dedup_fuzzy_minhash / q_dedup_prefix_filter
+    remain the 100-TB candidate generators.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sh = d.select("doc_id", _shingles(_tokens()).alias("shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_sub"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_super"), F.col("shingles").alias("sh_b"))
+    pairs = a.join(b, F.col("doc_sub") != F.col("doc_super")).filter(
+        F.size("sh_a") > 0
+    )
+    containment = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        "sh_a"
+    ).cast("double")
+    return (
+        pairs.withColumn("containment", containment)
+        .filter(F.col("containment") >= 0.6)
+        .select("doc_sub", "doc_super", "containment")
+    )
+
+
+@query(
     "q_dedup_embedding",
     oracle=f"""
     WITH v AS (

@@ -315,40 +315,148 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: for each event, the latest order of that customer with
-    o_orderdate <= ts (strict tie-break on o_orderkey for determinism).
+    o_orderdate <= ts (ties prefer the larger o_orderkey), events with no
+    qualifying order dropped (inner as-of semantics).
 
-    Spark has no native ASOF JOIN; the idiomatic form is equi-join +
-    windowed pick-latest — one shuffle on the equi key, then a per-event
-    top-1 (WindowGroupLimit prunes to the first row per group since 3.5).
-    DuckDB's ASOF JOIN is the oracle-side equivalent; the window form is
-    used there too so tie-handling matches exactly.
+    Spark has no native ASOF JOIN. This is the union-merge LOCF form
+    (same family as q_join_asof_tolerance / q_join_point_in_time): tag
+    orders as state rows (side 0) and events as probe rows (side 1),
+    union them into ONE stream keyed by user, sort each key by
+    (t, side, tiebreak), and carry the last order forward with
+    last(ignorenulls). There is NO join operator in the plan — one
+    exchange on user_id plus one per-key sort, so cost is O(|L|+|R|)
+    per key regardless of how many orders precede each event. The
+    previous equi-join + row_number()=1 form materialized, per event,
+    every (event, earlier-order) pair into the shuffle before the
+    window pruned them — per-hot-user quadratic, the classic 100-TB
+    skew killer (VERDICT r4 perf flag). The oracle keeps the window
+    form, proving the two shapes equivalent.
 
-    The broadcast semi-join prefilter drops right-side rows whose equi
-    key never appears on the left BEFORE the main shuffle — at scale the
-    probe side's key set is usually far smaller than the build table
-    (here: 10× fewer orders enter the join; measured ~20% end-to-end).
+    Tie-handling matches the oracle's ORDER BY o_orderdate DESC,
+    o_orderkey DESC pick exactly: state rows sort before probes at the
+    same timestamp (side 0 < 1, so an order dated exactly at ts IS
+    visible, `<=`), and among equal-date orders the ascending
+    o_orderkey tiebreak makes the LAST row carried forward the max
+    key. Plan contract: tests/test_plans.py asserts no join operator
+    appears (mirror of test_asof_tolerance_is_merge_scan_not_join).
     """
     e = load(spark, sf_dir, "events")
     o = load(spark, sf_dir, "orders")
-    active_users = e.select(F.col("user_id").alias("o_custkey")).distinct()
-    o = o.join(F.broadcast(active_users), on="o_custkey", how="left_semi")
-    j = e.join(
-        o,
-        (e.user_id == o.o_custkey) & (o.o_orderdate <= e.ts.cast("timestamp_ntz")),
-        "inner",
+    ntz = "timestamp_ntz"
+    o_side = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("o_orderkey").alias("tb"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").alias("orderdate"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(None).cast(ntz).alias("ts"),
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.desc("o_orderdate"), F.desc("o_orderkey")
+    e_side = e.select(
+        "user_id",
+        F.col("ts").cast(ntz).alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("tb"),
+        F.lit(None).cast("bigint").alias("orderkey"),
+        F.lit(None).cast(ntz).alias("orderdate"),
+        "event_id",
+        "ts",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "side", "tb")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        o_side.unionByName(e_side)
+        .withColumn(
+            "last_orderkey", F.last("orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_orderdate", F.last("orderdate", ignorenulls=True).over(w)
+        )
+        .filter((F.col("side") == 1) & F.col("last_orderkey").isNotNull())
+        .select("event_id", "ts", "user_id", "last_orderkey", "last_orderdate")
+    )
+
+
+@query(
+    "q_join_asof_forward",
+    oracle="""
+    SELECT view_id, user_id, view_ts, purchase_id, purchase_ts,
+           epoch_us(purchase_ts) - epoch_us(view_ts) AS gap_us
+    FROM (
+        SELECT v.event_id AS view_id, v.user_id, v.ts AS view_ts,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               row_number() OVER (PARTITION BY v.event_id
+                                  ORDER BY p.ts ASC, p.event_id ASC) AS rn
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id AND p.ts >= v.ts
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+    ) WHERE rn = 1
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each view matched to the user's NEXT purchase
+    at or after it (ties prefer the smaller event_id) plus the gap in
+    whole seconds — time-to-conversion, the mirror of q_join_asof's
+    look-back. Views never followed by a purchase drop (inner as-of).
+
+    Same union-merge LOCF machinery as q_join_asof with the merged
+    stream sorted DESCENDING by time, so the carried state is the
+    nearest FUTURE purchase. A purchase at exactly the view's ts must
+    be visible (`>=`), so state rows still sort before probe rows at
+    equal t (side 0 < 1); among equal-ts purchases the descending
+    event_id tiebreak leaves the MIN id as the last row carried,
+    matching the oracle's ASC pick. One exchange on user_id, no join
+    operator — O(|L|+|R|) per key however hot the key, where the
+    oracle's window form pairs every view with every later purchase
+    first. gap_us is exact integer µs arithmetic (timestampdiff against
+    the NTZ value, DuckDB epoch_us — the analytics.py idiom), so no
+    float parity question exists.
+    """
+    e = load(spark, sf_dir, "events")
+    ntz = "timestamp_ntz"
+    p_side = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(0).alias("side"),
+        F.col("event_id").alias("tb"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.lit(None).cast("bigint").alias("view_id"),
+        F.lit(None).cast(ntz).alias("view_ts"),
+    )
+    v_side = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("tb"),
+        F.lit(None).cast("bigint").alias("p_id"),
+        F.lit(None).cast(ntz).alias("p_ts"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("t"), F.asc("side"), F.desc("tb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        p_side.unionByName(v_side)
+        .withColumn("purchase_id", F.last("p_id", ignorenulls=True).over(w))
+        .withColumn("purchase_ts", F.last("p_ts", ignorenulls=True).over(w))
+        .filter((F.col("side") == 1) & F.col("purchase_id").isNotNull())
         .select(
-            "event_id",
-            "ts",
+            "view_id",
             "user_id",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
+            "view_ts",
+            "purchase_id",
+            "purchase_ts",
+            F.expr(
+                "timestampdiff(MICROSECOND, view_ts, purchase_ts)"
+            ).alias("gap_us"),
         )
     )
 

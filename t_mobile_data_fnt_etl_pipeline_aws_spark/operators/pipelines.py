@@ -865,7 +865,8 @@ def q_etl_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT lang, doc_id,
                cast(len(string_split(text, ' ')) as int) AS n_words,
                {sql_finish_dbl(
-                   "ln(cast((doc_id * 2654435761) % 1000003 + 1 as double)"
+                   "ln(cast((doc_id % 1000003) * (2654435761 % 1000003)"
+                   " % 1000003 + 1 as double)"
                    " / 1000004.0)"
                    " / len(string_split(text, ' '))", 6
                )} AS sample_key
@@ -886,9 +887,13 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     long documents in an eval slice without a global sort by weight.
     Each row draws key = u^(1/w) (log form ln(u)/w), and the top-k keys
     per stratum ARE the weighted sample; u is deterministic integer
-    arithmetic ((doc_id * Knuth) mod p scaled into (0,1), the
-    q_corpus_mix_weighted idiom) so the sample is reproducible across
-    engines, runs, and partitionings — rand()-free by design.
+    arithmetic ((doc_id mod p) * (Knuth mod p) mod p scaled into (0,1),
+    the q_corpus_mix_weighted idiom) so the sample is reproducible
+    across engines, runs, and partitionings — rand()-free by design.
+    The reduce-before-multiply form keeps the product ≤ p² ≈ 10^12, so
+    the mix never overflows int64 no matter how large doc_id grows
+    (the naive doc_id * Knuth form would throw under ANSI mode past
+    doc_id ≈ 3.5e9 — a real ceiling at 100 TB; ADVICE r4).
 
     Parity: the single transcendental ln(u) is finished to 6 dp per row
     before ranking; ties after finishing break on doc_id in both
@@ -898,7 +903,11 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     n_words = F.size(F.split("text", " "))
     u = (
-        ((F.col("doc_id") * F.lit(2654435761)) % 1000003 + 1).cast("double")
+        (
+            (F.col("doc_id") % 1000003) * F.lit(2654435761 % 1000003)
+            % 1000003
+            + 1
+        ).cast("double")
         / 1000004.0
     )
     keyed = d.select(
@@ -914,4 +923,126 @@ def q_sample_weighted_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id", "n_words", "sample_key")
+    )
+
+
+@query(
+    "q_sample_split_hash",
+    oracle="""
+    WITH assigned AS (
+        SELECT lang,
+               CASE
+                   WHEN cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 2))
+                             as int) < 205 THEN 'train'
+                   WHEN cast(('0x' || substr(md5(cast(doc_id as varchar)), 1, 2))
+                             as int) < 230 THEN 'valid'
+                   ELSE 'test'
+               END AS split,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT split, lang,
+           count(*) AS n_docs,
+           cast(sum(cast(n_tokens as bigint)) as bigint) AS total_tokens
+    FROM assigned
+    GROUP BY split, lang
+    """,
+)
+def q_sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (~80/10/10) by key hash — the
+    one split operator every training pipeline needs: membership is a
+    pure function of doc_id (first md5 byte < 205 / < 230 / rest), so
+    it is stable across engines, runs, partitionings, AND dataset
+    growth — a doc never migrates between splits when the corpus is
+    extended, unlike rand(seed) (partition-dependent) or
+    randomSplit (sampling-order-dependent). Output is the per-split
+    per-language accounting (doc + token counts) a curation report
+    consumes; the split column itself joins back to route rows.
+
+    Parity: md5 hex is engine-identical; the first byte parses via the
+    same '0x'||hex cast idiom on both sides. Scale: map-side hash +
+    one tiny (split × lang) hash-agg — no shuffle of the corpus
+    itself. Token counts stay integer end-to-end.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+                    ).cast("int")
+    split = (
+        F.when(bucket < 205, "train").when(bucket < 230, "valid").otherwise("test")
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+@query(
+    "q_etl_quarantine",
+    oracle="""
+    WITH flagged AS (
+        SELECT o.*,
+               CASE
+                   WHEN o_totalprice <= 0 THEN 'nonpositive_price'
+                   WHEN o_orderdate < TIMESTAMP '1992-01-01 00:00:00'
+                     OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+                       THEN 'date_out_of_range'
+                   WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                       THEN 'unknown_status'
+                   WHEN c.c_custkey IS NULL THEN 'orphan_customer'
+                   ELSE 'clean'
+               END AS reason
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT reason,
+           count(*) AS n_rows,
+           min(o_orderkey) AS min_orderkey,
+           max(o_orderkey) AS max_orderkey
+    FROM flagged
+    GROUP BY reason
+    """,
+)
+def q_etl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record quarantine routing: every row is classified by the
+    FIRST failing validation rule (domain checks, date range, FK
+    integrity) or 'clean' — the ingest-side gate that ships clean rows
+    onward and quarantines the rest with a machine-readable reason.
+    Output is the routing audit (count + key range per reason); the
+    same `reason` column filters the actual quarantine sink.
+
+    Rule order is fixed (CASE short-circuit, identical in both
+    engines), so a row failing several rules lands in exactly one
+    quarantine bucket — counts always sum to the input row count.
+    Scale: the only join is the FK probe against the customer dim
+    (broadcast when it fits; the fixture's 10:1 fact:dim ratio holds
+    at 100 TB where dims stay broadcastable), then a reason-keyed
+    hash-agg of width ≤ 5.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    flagged = o.join(
+        F.broadcast(c), o.o_custkey == c.c_custkey, "left"
+    ).withColumn(
+        "reason",
+        F.when(F.col("o_totalprice") <= 0, "nonpositive_price")
+        .when(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+            | (F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp_ntz")),
+            "date_out_of_range",
+        )
+        .when(~F.col("o_orderstatus").isin("F", "O", "P"), "unknown_status")
+        .when(F.col("c_custkey").isNull(), "orphan_customer")
+        .otherwise("clean"),
+    )
+    return flagged.groupBy("reason").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_orderkey"),
+        F.max("o_orderkey").alias("max_orderkey"),
     )

@@ -540,12 +540,14 @@ def q_topic_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
     q AS (
         SELECT vec_id, label, maxabs, dim,
                list_transform(embedding,
-                   x -> floor(cast(x as double) / (maxabs / 127.0) + 0.5)
+                   x -> floor(cast(x as double)
+                              / (nullif(maxabs, 0) / 127.0) + 0.5)
                ) AS qs,
                list_transform(embedding,
                    x -> abs(cast(x as double)
-                            - floor(cast(x as double) / (maxabs / 127.0) + 0.5)
-                              * (maxabs / 127.0))
+                            - floor(cast(x as double)
+                                    / (nullif(maxabs, 0) / 127.0) + 0.5)
+                              * (nullif(maxabs, 0) / 127.0))
                ) AS errs
         FROM m
     )
@@ -571,8 +573,10 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     numeric.py rule 4; the floor form is a single exact IEEE op on
     identical inputs). Every value is a deterministic function of the
     identical parquet floats, error sums are sequential left folds, so
-    no finishing is needed anywhere. Assumes no all-zero vector (true
-    of the fixture; a zero vector would need a NULLIF guard on scale).
+    no finishing is needed anywhere. An all-zero vector (scale 0) is
+    guarded with NULLIF in both engines — its error columns come back
+    NULL instead of NaN, and its saturation count drops to 0, the same
+    answer on both sides (ADVICE r4).
 
     Scale: pure map stage over the embeddings scan — no shuffle, no
     Python; at 100 TB this is scan-bound and fuses into codegen.
@@ -587,7 +591,7 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").alias("dim"),
         emb.alias("ed"),
     )
-    scale = F.col("maxabs") / 127.0
+    scale = F.nullif(F.col("maxabs"), F.lit(0.0)) / 127.0
     qs = F.transform(F.col("ed"), lambda x: F.floor(x / scale + 0.5))
     errs = F.transform(
         F.col("ed"),

@@ -484,3 +484,182 @@ def q_window_moving_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_window"),
         )
     )
+
+
+#: EWMA weights 0.3·0.7^k as EXACT decimal literals (3·7^k / 10^(k+1)) —
+#: pow()/power() is not guaranteed correctly-rounded across libms, but a
+#: finite decimal literal parses to the identical nearest double in both
+#: engines.
+_EWMA_WEIGHTS = [
+    f"0.{'0' * (len(str(10 ** (k + 1))) - len(str(3 * 7**k)) - 1)}{3 * 7**k}"
+    for k in range(8)
+]
+
+
+@query(
+    "q_window_ewma",
+    oracle=f"""
+    SELECT event_id, user_id, ts, value,
+           ({' + '.join(
+               f'coalesce(cast({w} as double) * lag(value, {k}) OVER w, 0.0)'
+               for k, w in enumerate(_EWMA_WEIGHTS)
+           )})
+           /
+           ({' + '.join(
+               f'(CASE WHEN lag(value, {k}) OVER w IS NOT NULL'
+               f' THEN cast({w} as double) ELSE cast(0.0 as double) END)'
+               for k, w in enumerate(_EWMA_WEIGHTS)
+           )}) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values:
+    the trend-smoothing signal behind rate alerts and engagement scores.
+
+    The recursive EWMA (s_t = αx_t + (1−α)s_{t−1}) is an order-dependent
+    float recurrence — unportable and unparallelizable. This is the
+    truncated-kernel form: 8 trailing lags with weights α(1−α)^k
+    (α = 0.3; the dropped tail carries < 0.7^8 ≈ 5.8% of mass, and the
+    weight sum renormalizes over the lags that exist, so warm-up rows
+    are exact averages of what's available, not biased toward zero).
+    Parity needs no finish(): the weights are exact-decimal literals
+    parsed to identical doubles, both numerator and denominator are
+    fixed-length left-associated chains evaluated in the same textual
+    order, and the final division is a single IEEE op on bit-identical
+    operands. Scale: one window shuffle on user_id, a fixed 8-lag frame
+    per row — no state, no recursion, embarrassingly parallel.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k).over(w) for k in range(8)]
+    num = F.coalesce(F.lit(float(_EWMA_WEIGHTS[0])) * lags[0], F.lit(0.0))
+    den = F.when(lags[0].isNotNull(), F.lit(float(_EWMA_WEIGHTS[0]))).otherwise(0.0)
+    for k in range(1, 8):
+        wk = F.lit(float(_EWMA_WEIGHTS[k]))
+        num = num + F.coalesce(wk * lags[k], F.lit(0.0))
+        den = den + F.when(lags[k].isNotNull(), wk).otherwise(0.0)
+    return e.select(
+        "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
+    )
+
+
+@query(
+    "q_resample_interpolate",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, date_trunc('day', ts) AS day, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    daily AS (SELECT user_id, day, value FROM ranked WHERE rn = 1),
+    span AS (
+        SELECT user_id, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id,
+               unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ),
+    anchored AS (
+        SELECT g.user_id, g.day, d.value,
+               last_value(d.value IGNORE NULLS) OVER wp AS prev_val,
+               last_value(d.day IGNORE NULLS) OVER wp AS prev_day,
+               first_value(d.value IGNORE NULLS) OVER wn AS next_val,
+               first_value(d.day IGNORE NULLS) OVER wn AS next_day
+        FROM grid g
+        LEFT JOIN daily d ON d.user_id = g.user_id AND d.day = g.day
+        WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+                      ROWS UNBOUNDED PRECEDING),
+               wn AS (PARTITION BY g.user_id ORDER BY g.day
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, day,
+           CASE WHEN value IS NOT NULL THEN value
+                ELSE prev_val + (next_val - prev_val)
+                     * (cast(date_diff('day', prev_day, day) as double)
+                        / cast(date_diff('day', prev_day, next_day) as double))
+           END AS value_interp,
+           value IS NOT NULL AS is_observed
+    FROM anchored
+    """,
+)
+def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-grid resample with LINEAR interpolation — the smooth twin of
+    q_resample_ffill: gap days take the straight line between the
+    surrounding observations instead of holding the last value.
+
+    Same distributed construction as ffill (per-day pick-latest, dense
+    grid via sequence+explode, one window shuffle on user_id) plus a
+    backward anchor: last(ignorenulls) carries (prev_day, prev_val)
+    forward, first(ignorenulls) over the FOLLOWING frame carries
+    (next_day, next_val) back. The grid spans [first, last] observation,
+    so gap rows always have both anchors and the denominator
+    next_day − prev_day is strictly positive there; observed rows pass
+    their value through untouched (never 0/0). Parity: the lerp is
+    per-row IEEE on identical parquet doubles and an integer-day ratio —
+    deterministic in both engines, no finishing (numeric.py rule 5).
+    """
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    w_pick = Window.partitionBy("user_id", "day").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    daily = (
+        e.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "day", "value")
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day"),
+    )
+    joined = grid.join(daily, on=["user_id", "day"], how="left")
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    anchored = joined.select(
+        "user_id",
+        "day",
+        "value",
+        F.last("value", ignorenulls=True).over(wp).alias("prev_val"),
+        F.last(F.when(F.col("value").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(wp)
+        .alias("prev_day"),
+        F.first("value", ignorenulls=True).over(wn).alias("next_val"),
+        F.first(F.when(F.col("value").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(wn)
+        .alias("next_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    lerp = F.col("prev_val") + (F.col("next_val") - F.col("prev_val")) * frac
+    return anchored.select(
+        "user_id",
+        "day",
+        F.when(F.col("value").isNotNull(), F.col("value"))
+        .otherwise(lerp)
+        .alias("value_interp"),
+        F.col("value").isNotNull().alias("is_observed"),
+    )

@@ -62,86 +62,27 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
 #: registration order. Round 1 verified slots 1-50 (scans → setops unions);
-#: round 2 covered the scalar-fn / UDF / streaming / LLM-pipeline half;
-#: round 3 covered 50 of the 61 round-2 additions (all green). Together
-#: r1 ∪ r2 ∪ r3 verified 149 distinct keys.
+#: round 2 the scalar-fn / UDF / streaming / LLM-pipeline half; round 3
+#: 50 of the 61 round-2 additions; round 4 the final 11 never-checked keys
+#: plus 39 rework/stale refreshes. r1 ∪ r2 ∪ r3 ∪ r4 verified 160 distinct
+#: keys with zero failures in any round.
 #:
-#: ROUND-4 WINDOW (this list), in priority order:
-#:   1. The 11 keys that have NEVER had a driver row (driver window limit,
-#:      not builder omission — all pass the local exact-value oracle).
-#:      This closes the driver loop on the entire 160-key registry.
-#:   2. The 9 keys whose green row PREDATES a rework of their code path:
-#:      q_join_theta_range (band-join rework, r2) and q_knn_join_bucketed
-#:      (duplicate-collapse rework, r3); the six r1-verified events-readers
-#:      whose load path changed when sources/tables.py learned both
-#:      parquet ts layouts (r2 commit c0b7a52); and q_report_nation_share
-#:      (decimal(27,10) threshold-narrowing fix, this round).
-#:   3. 30 refresh slots for the remaining oldest (round-1-only) rows, so
-#:      stale-green coverage shrinks to the 11 most trivial unchanged
-#:      keys (project/filter/limit/set-op/cross/scan-assert micro-ops and
-#:      the rows-only stratified sample).
+#: ROUND-5 WINDOW (this list), in priority order:
+#:   1. The 12 round-4 additions (_POST_WINDOW_ADDITIONS last round) that
+#:      have never had a driver row — closing the loop brings the whole
+#:      172-key round-4 registry to driver-green (VERDICT r4 top item).
+#:   2. The 8 NEW round-5 operators, so they get driver rows immediately.
+#:   3. The 3 keys reworked this round: q_join_asof (union-merge LOCF
+#:      re-expression, VERDICT r4 perf flag) and the two CC-clustering
+#:      keys (large-star/small-star rework). (q_sample_weighted_aes and
+#:      q_embedding_quantize_int8 were also touched — overflow-safe mix,
+#:      NULLIF guard — but already sit in block 1.)
+#:   4. 27 stale-row refreshes: the 12 keys green only in round 1, then
+#:      the 15 most load-bearing round-2-only rows (function batteries,
+#:      exact-dedup family, upsert, TPC-H pipeline capstones).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. never-verified (the final 11) ---
-    "q_scan_orc_roundtrip",
-    "q_scan_text_lines",
-    "q_scan_schema_evolution",
-    "q_catalog_table_roundtrip",
-    "q_etl_compact_smallfiles",
-    "q_join_null_safe",
-    "q_agg_boolean",
-    "q_agg_sketch_reaggregate",
-    "q_profile_histogram",
-    "q_dq_drift",
-    "q_sample_deterministic_k",
-    # --- 2. rows predating a rework ---
-    "q_join_theta_range",
-    "q_knn_join_bucketed",
-    "q_agg_approx_distinct",
-    "q_agg_conditional",
-    "q_join_asof",
-    "q_join_salted_skew",
-    "q_scan_json_roundtrip",
-    "q_window_range_frame",
-    "q_report_nation_share",
-    # --- 3. oldest-row refresh (round-1-only rows) ---
-    "q_agg_hash",
-    "q_agg_multi",
-    "q_agg_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_median_exact",
-    "q_agg_mode_deterministic",
-    "q_agg_stats_corr",
-    "q_join_inner_hash",
-    "q_join_broadcast",
-    "q_join_sortmerge",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_bucketed_join_colocated",
-    "q_filter_pred",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_running",
-    "q_window_distribution",
-    "q_topk_per_group",
-    "q_topk_global",
-    "q_sort_multi",
-    "q_scan_csv_roundtrip",
-    "q_sink_parquet_partitioned",
-    "q_sink_overwrite_idempotent",
-]
-
-#: Keys added AFTER the round-4 window above was frozen (the window must
-#: stay exactly the 50 keys the round-4 plan commits to). These have no
-#: driver row yet by construction and are the FIRST candidates for the
-#: round-5 window — keep test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS = [
+    # --- 1. round-4 additions, never driver-checked ---
     "q_text_unigram_logprob",
     "q_source_contamination_matrix",
     "q_corpus_train_report",
@@ -154,7 +95,55 @@ _POST_WINDOW_ADDITIONS = [
     "q_pattern_error_burst",
     "q_window_moving_zscore",
     "q_sample_weighted_aes",
+    # --- 2. new round-5 operators ---
+    "q_join_asof_forward",
+    "q_dedup_containment",
+    "q_agg_weighted_median",
+    "q_window_ewma",
+    "q_resample_interpolate",
+    "q_sample_split_hash",
+    "q_etl_quarantine",
+    "q_sort_zorder_layout",
+    # --- 3. reworked this round ---
+    "q_join_asof",
+    "q_dedup_clusters_cc",
+    "q_dedup_keep_canonical",
+    # --- 4a. round-1-only rows (stalest) ---
+    "q_scan_parquet",
+    "q_scan_schema_assert",
+    "q_project_rename",
+    "q_filter_like",
+    "q_filter_null",
+    "q_distinct_rows",
+    "q_join_cross",
+    "q_join_interval",
+    "q_limit",
+    "q_union_all",
+    "q_union_distinct",
+    "q_sample_stratified",
+    # --- 4b. most load-bearing round-2-only rows ---
+    "q_string_funcs",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_cast_types",
+    "q_array_funcs",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_agg_collect_sorted",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_multimodal_enrich",
+    "q_etl_upsert",
+    "q_pipeline_shipping_priority",
+    "q_pipeline_region_volume",
 ]
+
+#: Keys added AFTER the current round's window was frozen. Empty for
+#: round 5 — every round-5 addition is inside the window above. Future
+#: additions land here first; keep test_driver_window_rotation's
+#: exemption in sync.
+_POST_WINDOW_ADDITIONS: list[str] = []
 
 
 def _import_all() -> None:

@@ -504,3 +504,58 @@ def test_stream_transform_with_state_converges_to_batch(spark, sf_dir, tmp_path)
         .toPandas()
     )
     assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_stream_rate_source_smoke(spark):
+    """§2.9 beyond file replay: drive the q_stream_tumbling aggregation
+    shape from the built-in rate source (a live unbounded generator, no
+    files) and assert (a) the streaming result schema matches the
+    file-sourced form and (b) the event-time watermark advances
+    monotonically across micro-batches. No oracle can check a live
+    generator — this is deliberately a smoke of source plumbing +
+    watermark mechanics, not values (VERDICT r4 item 6)."""
+    import time
+
+    src = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 200)
+        .load()
+        .withColumn("event_type", (F.col("value") % 3).cast("string"))
+    )
+    agg = (
+        src.withWatermark("timestamp", "1 second")
+        .groupBy(F.window("timestamp", "1 second").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("rate_smoke")
+        .outputMode("update")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        watermarks = []
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            time.sleep(1.0)
+            p = q.lastProgress
+            if p:
+                wm = (p.get("eventTime") or {}).get("watermark")
+                if wm and (not watermarks or wm != watermarks[-1]):
+                    watermarks.append(wm)
+            if len(watermarks) >= 3 and spark.table("rate_smoke").count() > 0:
+                break
+        assert len(watermarks) >= 2, f"watermark never advanced: {watermarks}"
+        # ISO-8601 strings: lexicographic order == temporal order
+        assert watermarks == sorted(watermarks), watermarks
+        out = spark.table("rate_smoke")
+        assert [f.name for f in out.schema.fields] == [
+            "w_start",
+            "event_type",
+            "n_events",
+        ]
+        assert out.count() > 0
+    finally:
+        q.stop()
