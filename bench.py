@@ -114,6 +114,19 @@ HEADLINE = [
     "q_sample_split_hash",           # md5-bucket train/valid/test split
     "q_etl_quarantine",              # rule-routing FK/domain audit
     "q_sort_zorder_layout",          # Morton-interleave layout stats
+    # round-5 second batch: stats + mining modules
+    "q_agg_linreg_trend",            # decimal normal-equation OLS
+    "q_stats_chi2",                  # contingency + χ² statistic
+    "q_agg_higher_moments",          # 4-power-sum skew/kurtosis
+    "q_agg_entropy",                 # per-user event-mix entropy
+    "q_window_autocorr",             # daily-series lag-1 Pearson
+    "q_pattern_cusum",               # CUSUM change-point locator
+    "q_dq_benford",                  # first-digit law audit
+    "q_skyline_pareto",              # shard-prefix-max 2D skyline
+    "q_assoc_market_basket",         # orderkey self-join pair mining
+    "q_markov_transitions",          # per-user lead transition matrix
+    "q_text_pmi_bigrams",            # bigram collocation PMI
+    "q_text_inverted_index",         # token posting-list build
 ]
 
 RUNS = 3

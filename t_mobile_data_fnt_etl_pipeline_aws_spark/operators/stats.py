@@ -1,0 +1,630 @@
+"""Statistical analysis operators: regression, independence, moments,
+entropy, autocorrelation, change detection, digit-law audits, skyline.
+
+Reference parity: the reference snapshot publishes no code
+(/root/reference/README.md:1-2); these extend SURVEY.md §2's declared
+analytics surface with the classical statistics a warehouse-resident
+analytics engine exposes as first-class operators.
+
+Numeric-parity design (functions/numeric.py rules): every cross-row
+accumulation is DECIMAL(30,10) on prescaled values; finished sums feed
+fixed IEEE expressions that are bit-identical across engines (rule 5 —
+quotients/products of identical doubles are never re-finished);
+transcendentals (ln) are finished at 6 dp at their grain because libm
+vs JVM may differ in the last ulp.
+
+Scale notes shared by the module: every unbounded window partitions by
+a key whose cardinality grows with the data (event_type × day, price
+shard); global windows appear only over aggregated frames whose row
+count is bounded by construction (9 digits, 35 χ² cells, ~100 price
+shards — the q_sort_zorder_layout shard-offset precedent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, finish, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+from .analytics import _epoch_us
+
+#: integer µs per day (events.ts → day grain, exact in both engines)
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "q_agg_linreg_trend",
+    oracle=f"""
+    WITH pts AS (
+        SELECT o_orderpriority,
+               date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+                   * 0.001 AS xs,
+               o_totalprice * 0.000001 AS ys
+        FROM orders
+    ),
+    s AS (
+        SELECT o_orderpriority,
+               count(*) AS n,
+               {sql_finish_dec(f"sum(cast(xs as {DEC}))")} AS sx,
+               {sql_finish_dec(f"sum(cast(ys as {DEC}))")} AS sy,
+               {sql_finish_dec(f"sum(cast(xs * xs as {DEC}))")} AS sxx,
+               {sql_finish_dec(f"sum(cast(xs * ys as {DEC}))")} AS sxy
+        FROM pts GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000.0 AS slope_per_day,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+               * 1000000.0 AS intercept
+    FROM s
+    """,
+)
+def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (price drift per day) via closed-form
+    normal equations over decimal power sums.
+
+    slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x = days since 1995-01-01
+    and y = o_totalprice, both prescaled (x·10⁻³, y·10⁻⁶) so every
+    accumulated sum obeys the 2^53 finish rule through sf1000. One
+    hash-agg shuffle keyed on the group — the same plan as any multi-agg;
+    the normal-equation finish is per-group scalar arithmetic on
+    finished (hence bit-identical) doubles, so no second pass and no
+    finishing of the division (numeric.py rule 5).
+    """
+    o = load(spark, sf_dir, "orders")
+    xs = (
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
+        )
+        * F.lit(0.001)
+    )
+    ys = F.col("o_totalprice") * F.lit(0.000001)
+    pts = o.select("o_orderpriority", xs.alias("xs"), ys.alias("ys"))
+    s = pts.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        finish(F.sum(F.col("xs").cast(DEC))).alias("sx"),
+        finish(F.sum(F.col("ys").cast(DEC))).alias("sy"),
+        finish(F.sum((F.col("xs") * F.col("xs")).cast(DEC))).alias("sxx"),
+        finish(F.sum((F.col("xs") * F.col("ys")).cast(DEC))).alias("sxy"),
+    )
+    slope_s = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        "o_orderpriority",
+        "n",
+        (slope_s * F.lit(1000.0)).alias("slope_per_day"),
+        (
+            (F.col("sy") - slope_s * F.col("sx")) / F.col("n") * F.lit(1000000.0)
+        ).alias("intercept"),
+    )
+
+
+@query(
+    "q_stats_chi2",
+    oracle=f"""
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_us(ts) // {_DAY_US}) % 7 AS dow,
+               count(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, dow, n_obs,
+               cast(sum(n_obs) OVER (PARTITION BY event_type) AS double) AS row_t,
+               cast(sum(n_obs) OVER (PARTITION BY dow) AS double) AS col_t,
+               cast(sum(n_obs) OVER () AS double) AS grand
+        FROM cells
+    ),
+    c AS (
+        SELECT event_type, dow, n_obs,
+               row_t * col_t / grand AS n_exp,
+               (n_obs - row_t * col_t / grand) * (n_obs - row_t * col_t / grand)
+                   / (row_t * col_t / grand) AS contrib
+        FROM tot
+    )
+    SELECT event_type, dow, n_obs, n_exp, contrib,
+           {sql_finish_dec(f"sum(cast(contrib as {DEC})) OVER ()")} AS chi2_total
+    FROM c
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (event_type × day-of-week): the
+    full observed/expected contingency table plus the χ² statistic.
+
+    dow is integer arithmetic on epoch-µs (not an engine dayofweek(),
+    whose week-start conventions differ). Expected counts and per-cell
+    contributions are fixed IEEE expressions over exact integer
+    marginals; only the cross-cell χ² total — a sum whose addend order
+    Spark doesn't fix — goes through the decimal accumulator. The
+    windows run over the AGGREGATED 35-cell frame (|event_types|×7),
+    bounded regardless of SF, so the global frames are safe; the one
+    data-sized shuffle is the initial cell groupBy.
+    """
+    e = load(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            ((_epoch_us() / F.lit(_DAY_US)).cast("bigint") % 7).alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    row_t = F.sum("n_obs").over(Window.partitionBy("event_type")).cast("double")
+    col_t = F.sum("n_obs").over(Window.partitionBy("dow")).cast("double")
+    grand = F.sum("n_obs").over(Window.partitionBy()).cast("double")
+    tot = cells.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        row_t.alias("row_t"),
+        col_t.alias("col_t"),
+        grand.alias("grand"),
+    )
+    n_exp = F.col("row_t") * F.col("col_t") / F.col("grand")
+    c = tot.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        n_exp.alias("n_exp"),
+        (
+            (F.col("n_obs") - n_exp) * (F.col("n_obs") - n_exp) / n_exp
+        ).alias("contrib"),
+    )
+    return c.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        "n_exp",
+        "contrib",
+        finish(
+            F.sum(F.col("contrib").cast(DEC)).over(Window.partitionBy())
+        ).alias("chi2_total"),
+    )
+
+
+#: prescale for l_extendedprice power sums: y = x / 2e5 keeps y⁴ ≤ 0.08.
+_MOM_PRESCALE = 200_000.0
+
+
+@query(
+    "q_agg_higher_moments",
+    oracle=f"""
+    WITH y AS (
+        SELECT l_returnflag, l_extendedprice / {_MOM_PRESCALE!r} AS v
+        FROM lineitem
+    ),
+    s AS (
+        SELECT l_returnflag,
+               count(*) AS n,
+               {sql_finish_dec(f"sum(cast(v as {DEC}))")} AS s1,
+               {sql_finish_dec(f"sum(cast(v * v as {DEC}))")} AS s2,
+               {sql_finish_dec(f"sum(cast(v * v * v as {DEC}))")} AS s3,
+               {sql_finish_dec(f"sum(cast(v * v * v * v as {DEC}))")} AS s4
+        FROM y GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           s1 / n * {_MOM_PRESCALE!r} AS mean_price,
+           sqrt(s2 / n - (s1 / n) * (s1 / n)) * {_MOM_PRESCALE!r} AS stddev_pop,
+           (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+               / (sqrt(s2 / n - (s1 / n) * (s1 / n))
+                  * (s2 / n - (s1 / n) * (s1 / n))) AS skewness,
+           (s4 / n - 4 * (s1 / n) * (s3 / n)
+            + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+            - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+               / ((s2 / n - (s1 / n) * (s1 / n))
+                  * (s2 / n - (s1 / n) * (s1 / n))) - 3 AS kurtosis_excess
+    FROM s
+    """,
+)
+def q_agg_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from one pass
+    of decimal power sums (Σy, Σy², Σy³, Σy⁴ on prescaled y = x/2·10⁵).
+
+    Spark's built-in skewness()/kurtosis() are float accumulations whose
+    merge order varies run-to-run; the power-sum form is merge-order
+    independent and engine-exact after the 6 dp finish. The central-
+    moment combination (m₂ = r₂ − m², m₃ = r₃ − 3m·r₂ + 2m³, …) is
+    per-group scalar IEEE on finished doubles — written token-for-token
+    identically in the oracle so both engines round identically. One
+    shuffle (the groupBy); map-side partial aggregation carries four
+    decimal accumulators per group.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    y = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice") / F.lit(_MOM_PRESCALE)).alias("v"),
+    )
+    v = F.col("v")
+    s = y.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        finish(F.sum(v.cast(DEC))).alias("s1"),
+        finish(F.sum((v * v).cast(DEC))).alias("s2"),
+        finish(F.sum((v * v * v).cast(DEC))).alias("s3"),
+        finish(F.sum((v * v * v * v).cast(DEC))).alias("s4"),
+    )
+    m = F.col("s1") / F.col("n")
+    r2 = F.col("s2") / F.col("n")
+    r3 = F.col("s3") / F.col("n")
+    r4 = F.col("s4") / F.col("n")
+    m2 = r2 - m * m
+    m3 = r3 - F.lit(3) * m * r2 + F.lit(2) * m * m * m
+    m4 = (
+        r4
+        - F.lit(4) * m * r3
+        + F.lit(6) * m * m * r2
+        - F.lit(3) * m * m * m * m
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        (m * F.lit(_MOM_PRESCALE)).alias("mean_price"),
+        (F.sqrt(m2) * F.lit(_MOM_PRESCALE)).alias("stddev_pop"),
+        (m3 / (F.sqrt(m2) * m2)).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3)).alias("kurtosis_excess"),
+    )
+
+
+@query(
+    "q_agg_entropy",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    term AS (
+        SELECT user_id, n,
+               cast(sum(n) OVER (PARTITION BY user_id) AS bigint) AS tot,
+               {sql_finish_dec(
+                   "-(cast(n as double) / cast(sum(n) OVER (PARTITION BY user_id) as double))"
+                   " * ln(cast(n as double) / cast(sum(n) OVER (PARTITION BY user_id) as double))",
+                   6,
+               )} AS t
+        FROM cnt
+    )
+    SELECT user_id,
+           max(tot) AS n_events,
+           count(*) AS n_types,
+           {sql_finish_dec(f"sum(cast(t as {DEC}))", 6)} AS entropy_nats
+    FROM term GROUP BY user_id
+    """,
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (nats) of each user's event-type mix — the
+    behavioral-diversity score behind exploration metrics and bot
+    detection (near-zero entropy = single-action automation).
+
+    p·ln p terms are finished at 6 dp at the (user, type) grain — ln is
+    the one operation libm and the JVM may round differently — then
+    decimal-summed per user, which is exact on 6 dp inputs. Two shuffles
+    on the same user_id key (counts, then the window + final agg reuse
+    the partitioning via AQE); the per-user type fan-in is bounded by
+    the event-type vocabulary.
+    """
+    e = load(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w_u = Window.partitionBy("user_id")
+    tot = F.sum("n").over(w_u).cast("bigint")
+    p = F.col("n").cast("double") / tot.cast("double")
+    term = cnt.select(
+        "user_id",
+        "n",
+        tot.alias("tot"),
+        finish(-p * F.log(p), 6).alias("t"),
+    )
+    return term.groupBy("user_id").agg(
+        F.max("tot").alias("n_events"),
+        F.count(F.lit(1)).alias("n_types"),
+        finish(F.sum(F.col("t").cast(DEC)), 6).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q_window_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+               {sql_finish_dec(f"sum(cast(value as {DEC}))", 4)} AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, rev * 0.00001 AS x,
+               lag(rev) OVER (PARTITION BY event_type ORDER BY day) * 0.00001 AS y
+        FROM daily
+    ),
+    pairs AS (SELECT * FROM lagged WHERE y IS NOT NULL),
+    s AS (
+        SELECT event_type,
+               count(*) AS n_pairs,
+               {sql_finish_dec(f"sum(cast(x as {DEC}))")} AS sx,
+               {sql_finish_dec(f"sum(cast(y as {DEC}))")} AS sy,
+               {sql_finish_dec(f"sum(cast(x * x as {DEC}))")} AS sxx,
+               {sql_finish_dec(f"sum(cast(y * y as {DEC}))")} AS syy,
+               {sql_finish_dec(f"sum(cast(x * y as {DEC}))")} AS sxy
+        FROM pairs GROUP BY event_type
+    )
+    SELECT event_type, n_pairs,
+           (n_pairs * sxy - sx * sy)
+               / sqrt((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy))
+               AS autocorr_lag1
+    FROM s
+    """,
+)
+def q_window_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's daily-revenue series —
+    the serial-dependence diagnostic behind seasonality detection and
+    forecast-model selection.
+
+    Two-level exact pipeline: daily totals are decimal sums finished at
+    4 dp (identical doubles in both engines), the lag pairing is a
+    per-series window, and the Pearson correlation over (xₜ, xₜ₋₁) runs
+    on prescaled decimal sums finished at 6 dp — the q_agg_stats_corr
+    recipe applied to a self-lagged series. Shuffles: one on
+    (event_type, day), one on event_type; the series window partitions
+    by event_type so no global ordering exists.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            (_epoch_us() / F.lit(_DAY_US)).cast("bigint").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(finish(F.sum(F.col("value").cast(DEC)), 4).alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        (F.col("rev") * F.lit(0.00001)).alias("x"),
+        (F.lag("rev").over(w) * F.lit(0.00001)).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    x, yy = F.col("x"), F.col("y")
+    s = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        finish(F.sum(x.cast(DEC))).alias("sx"),
+        finish(F.sum(yy.cast(DEC))).alias("sy"),
+        finish(F.sum((x * x).cast(DEC))).alias("sxx"),
+        finish(F.sum((yy * yy).cast(DEC))).alias("syy"),
+        finish(F.sum((x * yy).cast(DEC))).alias("sxy"),
+    )
+    n = F.col("n_pairs")
+    return s.select(
+        "event_type",
+        "n_pairs",
+        (
+            (n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (n * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (n * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("autocorr_lag1"),
+    )
+
+
+@query(
+    "q_pattern_cusum",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+               {sql_finish_dec(f"sum(cast(value as {DEC}))", 4)} AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    base AS (
+        SELECT event_type, day, rev,
+               {sql_finish_dec(f"sum(cast(rev as {DEC})) OVER (PARTITION BY event_type)", 4)}
+                   / count(*) OVER (PARTITION BY event_type) AS mu,
+               count(*) OVER (PARTITION BY event_type) AS n_days
+        FROM daily
+    ),
+    cusum AS (
+        SELECT event_type, day, n_days,
+               {sql_finish_dec(
+                   f"sum(cast(rev - mu as {DEC})) OVER ("
+                   "PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)",
+                   6,
+               )} AS s
+        FROM base
+    ),
+    ranked AS (
+        SELECT event_type, day, n_days, s,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY abs(s) DESC, day ASC) AS rn
+        FROM cusum
+    )
+    SELECT event_type, cast(n_days AS bigint) AS n_days,
+           day AS changepoint_day, s AS cusum_at_peak
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_pattern_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection per event type: the day where the
+    cumulative sum of deviations from the series mean peaks in
+    magnitude — the classical level-shift locator (a mean shift at day
+    k makes |Sₜ| maximal at k).
+
+    The running Σ(xₜ − μ) is a decimal window sum (exact, order-safe)
+    finished at 6 dp per row; μ itself is a finished decimal total over
+    the per-type partition divided by the day count (both identical
+    across engines). Peak selection carries the day ASC tiebreak so
+    equal |S| picks deterministically. All three windows and the final
+    filter share the event_type partitioning — one shuffle after the
+    daily rollup.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            (_epoch_us() / F.lit(_DAY_US)).cast("bigint").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(finish(F.sum(F.col("value").cast(DEC)), 4).alias("rev"))
+    )
+    w_t = Window.partitionBy("event_type")
+    mu = finish(F.sum(F.col("rev").cast(DEC)).over(w_t), 4) / F.count(
+        F.lit(1)
+    ).over(w_t)
+    base = daily.select(
+        "event_type",
+        "day",
+        "rev",
+        mu.alias("mu"),
+        F.count(F.lit(1)).over(w_t).alias("n_days"),
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = base.select(
+        "event_type",
+        "day",
+        "n_days",
+        finish(
+            F.sum((F.col("rev") - F.col("mu")).cast(DEC)).over(w_run), 6
+        ).alias("s"),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("s")).desc(), F.asc("day")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_days").cast("bigint").alias("n_days"),
+            F.col("day").alias("changepoint_day"),
+            F.col("s").alias("cusum_at_peak"),
+        )
+    )
+
+
+@query(
+    "q_dq_benford",
+    oracle=f"""
+    WITH digits AS (
+        SELECT cast(substr(cast(cast(trunc(o_totalprice) AS bigint) AS varchar), 1, 1)
+                    AS int) AS first_digit
+        FROM orders
+    ),
+    obs AS (
+        SELECT first_digit, count(*) AS n_obs FROM digits GROUP BY 1
+    ),
+    tot AS (SELECT cast(sum(n_obs) AS bigint) AS n_total FROM obs)
+    SELECT first_digit, n_obs,
+           cast(n_obs AS double) / cast(n_total AS double) AS obs_share,
+           {sql_finish_dec(
+               "ln(1.0 + 1.0 / cast(first_digit as double)) / ln(10.0)", 6
+           )} AS benford_share,
+           cast(n_obs AS double) / cast(n_total AS double)
+               - {sql_finish_dec(
+                   "ln(1.0 + 1.0 / cast(first_digit as double)) / ln(10.0)", 6
+               )} AS deviation
+    FROM obs, tot
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the
+    data-quality screen for fabricated or truncated monetary columns
+    (organic multiplicative amounts follow P(d) = log₁₀(1 + 1/d)).
+
+    The first digit comes from the integer part's string head (prices
+    ≥ 1 by fixture), with trunc() pinned in the oracle because DuckDB's
+    double→bigint cast rounds while Spark's truncates (numeric.py rule
+    3). Expected shares are ln-ratios finished at 6 dp at the 9-row
+    digit grain; observed shares are exact-integer quotients. One
+    groupBy shuffle; the total joins back as a broadcast single row.
+    """
+    o = load(spark, sf_dir, "orders")
+    digits = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("first_digit")
+    )
+    obs = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n_total"))
+    benford = finish(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("first_digit").cast("double"))
+        / F.log(F.lit(10.0)),
+        6,
+    )
+    obs_share = F.col("n_obs").cast("double") / F.col("n_total").cast("double")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "first_digit",
+        "n_obs",
+        obs_share.alias("obs_share"),
+        benford.alias("benford_share"),
+        (obs_share - benford).alias("deviation"),
+    )
+
+
+@query(
+    "q_skyline_pareto",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE (q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+           OR (q.p_retailprice <= p.p_retailprice AND q.p_size > p.p_size)
+    )
+    """,
+)
+def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize p_retailprice, maximize p_size) — the multi-criteria
+    shortlist operator (cheapest-for-its-size catalog frontier).
+
+    Never the O(n²) dominance join the oracle runs: a point survives
+    iff its size equals the max size AT its price and strictly exceeds
+    the max size over all CHEAPER prices. That prefix-max is computed
+    in two phases (the q_sort_zorder_layout shard-offset shape): a
+    per-price-shard running max, plus a shard-level prefix max over the
+    bounded shard frame (~100 rows — the only global window). Plan:
+    two hash aggs + two windows + one broadcast join back to part;
+    every data-sized operation keys on price or shard, so the shape
+    holds at any row count (shard granularity is the only knob).
+    """
+    p = load(spark, sf_dir, "part")
+    pm = p.groupBy("p_retailprice").agg(F.max("p_size").alias("gmax"))
+    pm = pm.withColumn(
+        "shard", F.floor(F.col("p_retailprice")).cast("bigint")
+    )
+    w_local = (
+        Window.partitionBy("shard")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_prev = F.max("gmax").over(w_local)
+    shard_tot = pm.groupBy("shard").agg(F.max("gmax").alias("smax"))
+    w_shard = (
+        Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    shard_prev = shard_tot.select(
+        "shard", F.max("smax").over(w_shard).alias("shard_prev")
+    )
+    frontier = (
+        pm.withColumn("local_prev", local_prev)
+        .join(F.broadcast(shard_prev), on="shard")
+        .withColumn(
+            "cheaper_max",
+            F.greatest(
+                F.coalesce(F.col("local_prev"), F.lit(-1)),
+                F.coalesce(F.col("shard_prev"), F.lit(-1)),
+            ),
+        )
+        .filter(F.col("gmax") > F.col("cheaper_max"))
+        .select(
+            F.col("p_retailprice").alias("f_price"),
+            F.col("gmax").alias("f_size"),
+        )
+    )
+    return p.join(
+        F.broadcast(frontier),
+        (F.col("p_retailprice") == F.col("f_price"))
+        & (F.col("p_size") == F.col("f_size")),
+    ).select("p_partkey", "p_name", "p_retailprice", "p_size")

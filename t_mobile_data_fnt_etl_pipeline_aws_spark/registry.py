@@ -33,6 +33,8 @@ _QUERY_MODULES = [
     "operators.setops",
     "operators.dedup",
     "operators.clustering",
+    "operators.stats",
+    "operators.mining",
     "operators.similarity",
     "operators.text",
     "operators.multimodal",
@@ -77,9 +79,13 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:      keys (large-star/small-star rework). (q_sample_weighted_aes and
 #:      q_embedding_quantize_int8 were also touched — overflow-safe mix,
 #:      NULLIF guard — but already sit in block 1.)
-#:   4. 27 stale-row refreshes: the 12 keys green only in round 1, then
-#:      the 15 most load-bearing round-2-only rows (function batteries,
-#:      exact-dedup family, upsert, TPC-H pipeline capstones).
+#:   3b. The 12 second-batch round-5 additions (stats + mining modules,
+#:      landed later in the round-5 session), so they too get driver
+#:      rows immediately — a never-checked key outranks a stale refresh.
+#:   4. 15 stale-row refreshes: the 12 keys green only in round 1, then
+#:      the 3 most load-bearing round-2-only function batteries (the
+#:      other 12 round-2-only refreshes ceded their slots to block 3b;
+#:      all remain green in CORRECTNESS_r02 and the local mirror).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
     # --- 1. round-4 additions, never driver-checked ---
@@ -108,6 +114,19 @@ _DRIVER_WINDOW = [
     "q_join_asof",
     "q_dedup_clusters_cc",
     "q_dedup_keep_canonical",
+    # --- 3b. round-5 second-batch additions (stats + mining modules) ---
+    "q_agg_linreg_trend",
+    "q_stats_chi2",
+    "q_agg_higher_moments",
+    "q_agg_entropy",
+    "q_window_autocorr",
+    "q_pattern_cusum",
+    "q_dq_benford",
+    "q_skyline_pareto",
+    "q_assoc_market_basket",
+    "q_markov_transitions",
+    "q_text_pmi_bigrams",
+    "q_text_inverted_index",
     # --- 4a. round-1-only rows (stalest) ---
     "q_scan_parquet",
     "q_scan_schema_assert",
@@ -121,22 +140,13 @@ _DRIVER_WINDOW = [
     "q_union_all",
     "q_union_distinct",
     "q_sample_stratified",
-    # --- 4b. most load-bearing round-2-only rows ---
+    # --- 4b. most load-bearing round-2-only rows (trimmed to 3 when the
+    #     12 second-batch additions of block 3b took their slots: a
+    #     never-driver-checked key always outranks a green-but-stale
+    #     refresh, per VERDICT r4's top-item logic) ---
     "q_string_funcs",
     "q_date_funcs",
     "q_math_funcs",
-    "q_cast_types",
-    "q_array_funcs",
-    "q_json_funcs",
-    "q_map_funcs",
-    "q_agg_collect_sorted",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_multimodal_enrich",
-    "q_etl_upsert",
-    "q_pipeline_shipping_priority",
-    "q_pipeline_region_volume",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Empty for

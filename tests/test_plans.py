@@ -353,3 +353,32 @@ def test_quantize_audit_is_shuffle_free(spark, sf_dir):
     Exchange in the plan means a pointless full-table shuffle at scale."""
     df = QUERIES["q_embedding_quantize_int8"](spark, sf_dir)
     assert exchange_count(df) == 0, plan_string(df)
+
+def test_skyline_never_nested_loop(spark, sf_dir):
+    """The skyline must come from the shard-prefix-max construction —
+    never the O(n²) dominance join the oracle runs: no cartesian or
+    nested-loop join anywhere in the physical plan."""
+    df = QUERIES["q_skyline_pareto"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_market_basket_dims_broadcast(spark, sf_dir):
+    """part (the dim), the brand marginals, and the one-row total must
+    all broadcast; the only shuffle joins are the orderkey self-join."""
+    df = QUERIES["q_assoc_market_basket"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_vocab_joins_broadcast(spark, sf_dir):
+    """Unigram counts and both totals enter as broadcasts — the bigram
+    table never shuffles against vocabulary-sized sides."""
+    df = QUERIES["q_text_pmi_bigrams"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for s in strategies
+    ), strategies
