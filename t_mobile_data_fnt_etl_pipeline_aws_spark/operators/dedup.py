@@ -503,6 +503,31 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("token") != "")
     )
+    return prefix_filter_jaccard_pairs(tok, 4, 5)
+
+
+def prefix_filter_jaccard_pairs(tok: DataFrame, num: int, den: int) -> DataFrame:
+    """Exact set-similarity self-join: every unordered pair (doc_a <
+    doc_b) whose token-set Jaccard ≥ num/den, with the witness columns
+    (n_common, sz_a, sz_b, jaccard). Lossless — this is the AllPairs
+    prefix-filter algorithm (see q_dedup_prefix_filter's docstring for
+    the pigeonhole argument), so callers get EXACTLY the pairs the
+    O(n²) array_intersect join would emit, at inverted-index cost.
+
+    ``tok`` must hold DISTINCT (doc_id, token) rows. τ is passed as the
+    exact rational num/den: the prefix length sz − ⌈τ·sz⌉ + 1 uses
+    integer ceil — float ceil(0.3·10) = ceil(3.0000000000000004) = 4
+    would shorten the prefix by one token and silently LOSE pairs,
+    the unsafe direction — and the size-ratio prune num·|A| ≤ den·|B|
+    is likewise integer-exact. The final Jaccard filter compares the
+    same double quotient the quadratic form computes, so thresholds
+    behave identically.
+
+    Shared by q_dedup_prefix_filter (τ = 4/5 on word tokens) and the
+    connected-components edge generator (τ = 3/10 on 3-shingles,
+    clustering.py) — the one candidate machinery every exact-threshold
+    similarity consumer reuses at 100 TB.
+    """
     sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     w_pos = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
@@ -511,8 +536,10 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w_pos))
         .join(sizes, "doc_id")
     )
+    # integer ceil(num*sz/den): exact for any sz (see docstring)
+    ceil_tau_sz = F.floor((F.col("sz") * num + (den - 1)) / F.lit(den))
     prefix = ranked.filter(
-        F.col("pos") <= F.col("sz") - F.ceil(F.col("sz") * 0.8) + 1
+        F.col("pos") <= F.col("sz") - ceil_tau_sz + 1
     ).select(F.col("doc_id").alias("p_doc"), "token", F.col("sz").alias("p_sz"))
     full = tok.join(sizes, "doc_id").select(
         F.col("doc_id").alias("f_doc"), "token", F.col("sz").alias("f_sz")
@@ -521,8 +548,8 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         prefix.join(full, "token")
         .filter(F.col("p_doc") != F.col("f_doc"))
         .filter(
-            (4 * F.col("p_sz") <= 5 * F.col("f_sz"))
-            & (4 * F.col("f_sz") <= 5 * F.col("p_sz"))
+            (num * F.col("p_sz") <= den * F.col("f_sz"))
+            & (num * F.col("f_sz") <= den * F.col("p_sz"))
         )
         .select(
             F.least("p_doc", "f_doc").alias("doc_a"),
@@ -547,7 +574,7 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("jaccard", jacc)
-        .filter(F.col("jaccard") >= 0.8)
+        .filter(F.col("jaccard") >= F.lit(num) / F.lit(den))
         .select("doc_a", "doc_b", "n_common", "sz_a", "sz_b", "jaccard")
     )
 
