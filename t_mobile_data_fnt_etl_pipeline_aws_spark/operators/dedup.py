@@ -303,27 +303,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (word 3-shingle) Jaccard similarity on a bounded slice.
+    """Exact n-gram (word 3-shingle) Jaccard pairs (J ≥ 0.5) on a
+    bounded slice — the exact-answer counterpart of
+    q_dedup_fuzzy_minhash, bounded to doc_id < 500 so the pair space
+    stays fixed at any SF (the fixture's planted near-dups are sparse;
+    the first J ≥ 0.5 pair sits below doc_id 12 / 134 / 491 at
+    sf0.001 / 0.01 / 0.1 — measured).
 
-    The exact quadratic counterpart of q_dedup_fuzzy_minhash — bounded to
-    doc_id < 500 so the pair space stays fixed at any SF (the fixture's
-    planted near-dups are sparse; the first J ≥ 0.5 pair sits below
-    doc_id 12 / 134 / 491 at sf0.001 / 0.01 / 0.1 — measured). |A∪B| is
-    |A|+|B|-|A∩B| (set identity) for DuckDB parity.
+    Exact ANSWER, not quadratic PLAN: since round 5 the pairs come from
+    the lossless prefix-filter join (τ = 1/2 on exploded shingles —
+    prefix_filter_jaccard_pairs), which emits exactly the pairs the
+    all-pairs array_intersect form did; only the DuckDB ORACLE still
+    runs the O(n²) form, which is the point of the bounded slice.
+    |A∪B| is |A|+|B|-|A∩B| (set identity) for DuckDB parity.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sh = d.select("doc_id", _shingles(_tokens()).alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (
-        F.size("sh_a") + F.size("sh_b") - F.size(F.array_intersect("sh_a", "sh_b"))
-    ).cast("double")
-    return (
-        pairs.withColumn("jaccard", inter / union)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", "jaccard")
+    tok = sh.select("doc_id", F.explode("shingles").alias("token"))
+    return prefix_filter_jaccard_pairs(tok, 1, 2).select(
+        "doc_a", "doc_b", "jaccard"
     )
 
 
@@ -361,26 +359,75 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (invariant-tested).
 
     Bounded to doc_id < 500 like q_dedup_ngram_jaccard — the exact
-    quadratic oracle slice. At scale, candidates come from the same
-    machinery as the symmetric path (MinHash-LSH bands or prefix
-    filtering on the SMALLER side's rarest shingles — the prefix bound
-    |A| − ⌈c·|A|⌉ + 1 still holds for containment); only the verify
-    formula changes, so q_dedup_fuzzy_minhash / q_dedup_prefix_filter
-    remain the 100-TB candidate generators.
+    quadratic ORACLE slice. The Spark plan is NOT quadratic (round 5):
+    candidates come from prefix filtering on the sub side's rarest
+    shingles (prefix_filter_containment_pairs — the bound
+    |A| − ⌈c·|A|⌉ + 1 holds for containment with only the one-sided
+    size prune den·|B| ≥ num·|A|), verify touches candidates only, and
+    the output is provably identical to the all-pairs form.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     sh = d.select("doc_id", _shingles(_tokens()).alias("shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_sub"), F.col("shingles").alias("sh_a"))
-    b = sh.select(F.col("doc_id").alias("doc_super"), F.col("shingles").alias("sh_b"))
-    pairs = a.join(b, F.col("doc_sub") != F.col("doc_super")).filter(
-        F.size("sh_a") > 0
+    tok = sh.select("doc_id", F.explode("shingles").alias("token"))
+    return prefix_filter_containment_pairs(tok, 3, 5)
+
+
+def prefix_filter_containment_pairs(
+    tok: DataFrame, num: int, den: int
+) -> DataFrame:
+    """Exact containment self-join: every ORDERED pair (doc_sub ≠
+    doc_super) with C(sub→super) = |A∩B|/|A| ≥ num/den, as
+    (doc_sub, doc_super, containment). Lossless, like
+    prefix_filter_jaccard_pairs, but the prefix bound applies to the
+    SUB side only: a qualifying pair shares ≥ ⌈c·|A|⌉ tokens, and A's
+    suffix past position |A| − ⌈c·|A|⌉ + 1 holds only ⌈c·|A|⌉ − 1 of
+    them (pigeonhole), so candidates = A-prefix ⋈ full token lists.
+    The one admissible size prune is one-sided: |A∩B| ≤ |B| forces
+    den·|B| ≥ num·|A| — there is no upper bound on the super side,
+    which is exactly what containment exists to allow.
+    """
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    w_pos = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("token"))
+    ranked = (
+        tok.join(dfreq, "token")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .join(sizes, "doc_id")
     )
-    containment = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        "sh_a"
-    ).cast("double")
+    ceil_tau_sz = F.floor((F.col("sz") * num + (den - 1)) / F.lit(den))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("sz") - ceil_tau_sz + 1
+    ).select(
+        F.col("doc_id").alias("doc_sub"), "token", F.col("sz").alias("sub_sz")
+    )
+    full = tok.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_super"), "token", F.col("sz").alias("sup_sz")
+    )
+    cand = (
+        prefix.join(full, "token")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .filter(num * F.col("sub_sz") <= den * F.col("sup_sz"))
+        .select("doc_sub", "doc_super")
+        .distinct()
+    )
+    ta = tok.select(F.col("doc_id").alias("doc_sub"), "token")
+    tb = tok.select(F.col("doc_id").alias("doc_super"), "token")
+    inter = (
+        cand.join(ta, "doc_sub")
+        .join(tb, ["doc_super", "token"])
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_sub"), F.col("sz").alias("sz_sub")
+    )
     return (
-        pairs.withColumn("containment", containment)
-        .filter(F.col("containment") >= 0.6)
+        inter.join(sa, "doc_sub")
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double") / F.col("sz_sub").cast("double"),
+        )
+        .filter(F.col("containment") >= F.lit(num) / F.lit(den))
         .select("doc_sub", "doc_super", "containment")
     )
 

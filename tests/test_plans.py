@@ -382,3 +382,13 @@ def test_pmi_vocab_joins_broadcast(spark, sf_dir):
     assert strategies and all(
         s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin") for s in strategies
     ), strategies
+
+def test_exact_pair_queries_never_nested_loop(spark, sf_dir):
+    """The exact-threshold pair queries (Jaccard, containment) must plan
+    as prefix-filter candidate joins — no cartesian / nested-loop pair
+    materialization anywhere; only their DuckDB oracles run O(n²)."""
+    for key in ("q_dedup_ngram_jaccard", "q_dedup_containment",
+                "q_dedup_prefix_filter"):
+        plan = plan_string(QUERIES[key](spark, sf_dir))
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
