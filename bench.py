@@ -127,6 +127,9 @@ HEADLINE = [
     "q_markov_transitions",          # per-user lead transition matrix
     "q_text_pmi_bigrams",            # bigram collocation PMI
     "q_text_inverted_index",         # token posting-list build
+    "q_graph_pagerank",              # 3-step unrolled power iteration
+    "q_gen_calendar_dim",            # generated spine + coverage join
+    "q_agg_pythagorean_means",       # AM/GM/HM one-pass battery
 ]
 
 RUNS = 3
@@ -265,9 +268,10 @@ def main() -> None:
     print(json.dumps(payload))
     # Durable complete record: the driver's tail capture clips at ~2 KB,
     # which truncated the full-registry r04 line (ADVICE r4). Only the
-    # default headline run writes — a filtered SPARK_GRAFT_BENCH_QUERIES
-    # run would poison the next round's drift baseline with a subset.
-    if not sel:
+    # default headline run and the full-registry sweep write — a
+    # filtered SPARK_GRAFT_BENCH_QUERIES subset run would poison the
+    # next round's drift baseline.
+    if not sel or sel == "all":
         local = os.path.join(
             repo_dir, f"BENCH_LOCAL_r{next_round_number(repo_dir):02d}.json"
         )

@@ -890,3 +890,53 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+@query(
+    "q_agg_pythagorean_means",
+    oracle=f"""
+    SELECT l_returnflag,
+           count(*) AS n,
+           {sql_davg("l_extendedprice", "arith_mean")},
+           {sql_finish_dec(
+               "exp(" + sql_finish_dec(
+                   "sum(cast("
+                   + sql_finish_dec("ln(l_extendedprice)", 6)
+                   + f" as {DEC}))", 6)
+               + " / count(*))", 6)} AS geo_mean,
+           count(*) / {sql_finish_dec(
+               f"sum(cast(1.0 / l_extendedprice as {DEC}))", 6)} AS harmonic_mean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arithmetic, geometric, and harmonic mean per group in one pass —
+    the mean family behind index numbers (geo) and rate averaging
+    (harmonic); AM ≥ GM ≥ HM is invariant-tested.
+
+    Parity recipe per numeric.py: arith is the standard finished
+    decimal sum / count; geo finishes ln PER ROW at 6 dp (libm vs JVM
+    last-ulp), decimal-sums the finished logs, and finishes exp() at
+    the group grain (transcendental output — exact ties measure-zero);
+    harmonic decimal-sums the exactly-IEEE per-row reciprocals, and
+    n / finished-sum stays an unfinished deterministic quotient. One
+    shuffle, three decimal accumulators in the partial-agg buffer.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        davg(x, "arith_mean"),
+        finish(
+            F.exp(
+                finish(F.sum(finish(F.log(x), 6).cast(DEC)), 6)
+                / F.count(F.lit(1))
+            ),
+            6,
+        ).alias("geo_mean"),
+        (
+            F.count(F.lit(1))
+            / finish(F.sum((F.lit(1.0) / x).cast(DEC)), 6)
+        ).alias("harmonic_mean"),
+    )

@@ -1,0 +1,154 @@
+"""Graph operators over relationship tables: weighted PageRank.
+
+Reference parity: the reference snapshot publishes no code
+(/root/reference/README.md:1-2); iterative graph centrality is the
+classic "can your engine express a loop declaratively" capstone, built
+here on the nation-level trade graph the TPC-H-ish fixture implies.
+
+Iteration strategy: a FIXED number of power-iteration steps unrolled
+into one logical plan (each step = one hash join + one decimal
+aggregate) — no driver loop over collect(), no RDDs. A fixed-step
+unroll is also what makes the DuckDB oracle possible: the same three
+steps as chained CTEs, same decimal accumulation, same finish points,
+so the driver's exact hash gate applies to an iterative algorithm.
+(Run-to-convergence would use the alternating-CC pattern in
+clustering.py: re-plan per round + localCheckpoint + scalar
+convergence signature.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import DEC, finish, sql_finish_dec
+from ..registry import query
+from ..sources.tables import load
+
+#: damping factor and unrolled iteration count
+_D = 0.85
+_ITERS = 3
+
+_PR_SUM = sql_finish_dec(
+    f"sum(cast((r.r * cast(e.w as double)) / cast(wt.wtot as double) as {DEC}))", 6
+)
+
+
+def _pr_iter_sql(k: int) -> str:
+    """CTE pair (c{k}, r{k}) advancing ranks r{k-1} -> r{k}."""
+    return f"""
+    c{k} AS (
+        SELECT e.dst, {_PR_SUM} AS s
+        FROM edges e
+        JOIN wt ON e.src = wt.src
+        JOIN r{k - 1} r ON e.src = r.n_nationkey
+        GROUP BY e.dst
+    ),
+    r{k} AS (
+        SELECT n.n_nationkey,
+               {1.0 - _D} / cast(cnt AS double)
+                   + {_D} * coalesce(c{k}.s, 0.0) AS r
+        FROM n CROSS JOIN nn LEFT JOIN c{k} ON n.n_nationkey = c{k}.dst
+    )"""
+
+
+@query(
+    "q_graph_pagerank",
+    oracle=f"""
+    WITH edges AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    wt AS (SELECT src, cast(sum(w) AS bigint) AS wtot FROM edges GROUP BY src),
+    n AS (SELECT n_nationkey, n_name FROM nation),
+    nn AS (SELECT cast(count(*) AS bigint) AS cnt FROM n),
+    r0 AS (
+        SELECT n.n_nationkey, 1.0 / cast(cnt AS double) AS r
+        FROM n CROSS JOIN nn
+    ),
+    {",".join(_pr_iter_sql(k) for k in range(1, _ITERS + 1))}
+    SELECT n.n_nationkey, n.n_name, r{_ITERS}.r AS pagerank
+    FROM n JOIN r{_ITERS} ON n.n_nationkey = r{_ITERS}.n_nationkey
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (d = 0.85, 3 unrolled power iterations) over
+    the nation trade graph: an edge customer-nation → supplier-nation
+    per purchase, weighted by line count. Surfaces the supply hubs the
+    raw volume report (q_report_nation_share) can't see — rank flows
+    THROUGH intermediate trading partners.
+
+    Plan: edge building is the standard fact-fact join + two broadcast
+    dims, then each iteration is one broadcast hash join (ranks: |V|
+    rows) against edges + one decimal aggregate keyed on dst — shuffle
+    count scales with iterations, not data. Per-edge contribution
+    r·w/W is fixed IEEE on exact inputs; only the cross-edge sum is
+    decimal-accumulated and finished (6 dp) per iteration, making an
+    ITERATIVE float algorithm bit-reproducible across engines — the
+    same guarantee the one-pass aggregates get from numeric.py.
+    Dangling-node mass is dropped (not redistributed) identically in
+    both engines; teleport (1−d)/N reaches sink-only nations via the
+    left join.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wt = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wtot"))
+    nations = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nn = nations.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranks = nations.crossJoin(F.broadcast(nn)).select(
+        "n_nationkey", (F.lit(1.0) / F.col("cnt").cast("double")).alias("r")
+    )
+    ew = edges.join(wt, "src")
+    for _ in range(_ITERS):
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.select(F.col("n_nationkey").alias("src"), "r")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                finish(
+                    F.sum(
+                        (
+                            (F.col("r") * F.col("w").cast("double"))
+                            / F.col("wtot").cast("double")
+                        ).cast(DEC)
+                    ),
+                    6,
+                ).alias("s")
+            )
+        )
+        ranks = (
+            nations.crossJoin(F.broadcast(nn))
+            .join(
+                F.broadcast(contrib),
+                nations["n_nationkey"] == contrib["dst"],
+                "left",
+            )
+            .select(
+                "n_nationkey",
+                (
+                    F.lit(1.0 - _D) / F.col("cnt").cast("double")
+                    + F.lit(_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return nations.join(F.broadcast(ranks), "n_nationkey").select(
+        "n_nationkey", "n_name", F.col("r").alias("pagerank")
+    )

@@ -373,3 +373,78 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("text")).alias("n_chars"),
     )
+
+
+@query(
+    "q_gen_calendar_dim",
+    oracle="""
+    WITH spine AS (
+        SELECT unnest(generate_series(
+                   TIMESTAMP '1995-01-01 00:00:00',
+                   TIMESTAMP '2001-12-31 00:00:00',
+                   INTERVAL 1 DAY)) AS day_ts
+    ),
+    daily AS (
+        SELECT date_trunc('day', o_orderdate) AS d, count(*) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT s.day_ts,
+           year(s.day_ts) AS yr,
+           month(s.day_ts) AS mth,
+           quarter(s.day_ts) AS qtr,
+           dayofmonth(s.day_ts) AS dom,
+           date_diff('day', TIMESTAMP '1970-01-01 00:00:00', s.day_ts) % 7
+               AS dow,
+           month(s.day_ts + INTERVAL 1 DAY) <> month(s.day_ts)
+               AS is_month_end,
+           cast(coalesce(d.n, 0) AS bigint) AS n_orders
+    FROM spine s LEFT JOIN daily d ON s.day_ts = d.d
+    """,
+)
+def q_gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated calendar-dimension spine (1995-2001, one row per day)
+    with date features, LEFT-joined to daily order counts — the
+    spine-join that turns "no row" into an observable zero (every gap
+    detector and resampler needs it; the source here is sequence(),
+    not a table).
+
+    day-of-week is integer epoch-day arithmetic (% 7), not an engine
+    dayofweek() whose week-start conventions differ; month-end is the
+    convention-free month(d + 1 day) <> month(d). The spine is one
+    generated row per day (~2.5 k rows per 7 years — broadcastable at
+    any fact scale); daily counts aggregate fact-side first, so the
+    join is spine × |distinct days|, never spine × rows. day_ts stays
+    TIMESTAMP (never DATE — the pandas-bridge divergence rule).
+    """
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"),
+                F.lit("2001-12-31 00:00:00").cast("timestamp_ntz"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day_ts")
+    )
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dow = F.datediff(
+        F.col("day_ts"), F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    ) % 7
+    return (
+        spine.join(daily, spine["day_ts"] == daily["d"], "left")
+        .select(
+            "day_ts",
+            F.year("day_ts").alias("yr"),
+            F.month("day_ts").alias("mth"),
+            F.quarter("day_ts").alias("qtr"),
+            F.dayofmonth("day_ts").alias("dom"),
+            dow.alias("dow"),
+            (
+                F.month(F.col("day_ts") + F.expr("INTERVAL 1 DAY"))
+                != F.month("day_ts")
+            ).alias("is_month_end"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )

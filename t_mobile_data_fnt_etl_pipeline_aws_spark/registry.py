@@ -35,6 +35,7 @@ _QUERY_MODULES = [
     "operators.clustering",
     "operators.stats",
     "operators.mining",
+    "operators.graph",
     "operators.similarity",
     "operators.text",
     "operators.multimodal",
@@ -79,12 +80,11 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:      keys (large-star/small-star rework). (q_sample_weighted_aes and
 #:      q_embedding_quantize_int8 were also touched — overflow-safe mix,
 #:      NULLIF guard — but already sit in block 1.)
-#:   3b. The 12 second-batch round-5 additions (stats + mining modules,
-#:      landed later in the round-5 session), so they too get driver
-#:      rows immediately — a never-checked key outranks a stale refresh.
-#:   4. 15 stale-row refreshes: the 12 keys green only in round 1, then
-#:      the 3 most load-bearing round-2-only function batteries (the
-#:      other 12 round-2-only refreshes ceded their slots to block 3b;
+#:   3b/3c. The 15 later round-5 additions (stats, mining, graph,
+#:      calendar-spine, Pythagorean-means), so they too get driver rows
+#:      immediately — a never-checked key outranks a stale refresh.
+#:   4. 12 stale-row refreshes: the keys green only in round 1 (the 15
+#:      round-2-only 4b refreshes ceded their slots to blocks 3b/3c;
 #:      all remain green in CORRECTNESS_r02 and the local mirror).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
@@ -127,6 +127,10 @@ _DRIVER_WINDOW = [
     "q_markov_transitions",
     "q_text_pmi_bigrams",
     "q_text_inverted_index",
+    # --- 3c. round-5 third-batch additions ---
+    "q_graph_pagerank",
+    "q_gen_calendar_dim",
+    "q_agg_pythagorean_means",
     # --- 4a. round-1-only rows (stalest) ---
     "q_scan_parquet",
     "q_scan_schema_assert",
@@ -140,13 +144,10 @@ _DRIVER_WINDOW = [
     "q_union_all",
     "q_union_distinct",
     "q_sample_stratified",
-    # --- 4b. most load-bearing round-2-only rows (trimmed to 3 when the
-    #     12 second-batch additions of block 3b took their slots: a
-    #     never-driver-checked key always outranks a green-but-stale
-    #     refresh, per VERDICT r4's top-item logic) ---
-    "q_string_funcs",
-    "q_date_funcs",
-    "q_math_funcs",
+    # (the 15 round-2-only 4b refresh slots were ceded to blocks 3b/3c:
+    #  a never-driver-checked key always outranks a green-but-stale
+    #  refresh, per VERDICT r4's top-item logic; the displaced keys all
+    #  remain green in CORRECTNESS_r02 and the local mirror)
 ]
 
 #: Keys added AFTER the current round's window was frozen. Empty for

@@ -312,13 +312,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 113 extras = 192 registered,
-    184 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 116 extras = 195 registered,
+    187 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 192
-    assert len(oracles) == 184
+    assert len(QUERIES) == 195
+    assert len(oracles) == 187
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -913,3 +913,63 @@ def test_inverted_index_postings_match_df(spark, sf_dir):
         assert len(ids) == r.df
         assert ids == sorted(ids)
         assert ids[0] == r.first_doc
+
+def test_pagerank_matches_python_power_iteration(spark, sf_dir):
+    """3-step PageRank must match a direct Python power iteration over
+    the same (tiny) nation edge list to ~1e-6, every rank must be at
+    least the teleport floor (1-d)/N, and total mass must stay <= 1
+    (dangling mass is dropped, never created)."""
+    ranks = {
+        r.n_nationkey: r.pagerank
+        for r in QUERIES["q_graph_pagerank"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("c_nationkey", "s_nationkey")
+        .count()
+        .collect()
+    )
+    nodes = sorted(
+        r.n_nationkey for r in load(spark, sf_dir, "nation").collect()
+    )
+    n = len(nodes)
+    wtot = {}
+    for e in edges:
+        wtot[e.c_nationkey] = wtot.get(e.c_nationkey, 0) + e["count"]
+    r = {v: 1.0 / n for v in nodes}
+    for _ in range(3):
+        contrib = {v: 0.0 for v in nodes}
+        for e in edges:
+            contrib[e.s_nationkey] += r[e.c_nationkey] * e["count"] / wtot[e.c_nationkey]
+        r = {v: 0.15 / n + 0.85 * contrib[v] for v in nodes}
+    for v in nodes:
+        assert abs(ranks[v] - r[v]) < 1e-6, (v, ranks[v], r[v])
+        assert ranks[v] >= 0.15 / n - 1e-12
+    assert sum(ranks.values()) <= 1.0 + 1e-9
+
+
+def test_calendar_spine_covers_every_order(spark, sf_dir):
+    """The spine must have one row per day of 1995-2001 (2557 rows), the
+    per-day counts must re-total the orders table, dow must stay in
+    0..6, and exactly 84 month-end days must be flagged."""
+    rows = QUERIES["q_gen_calendar_dim"](spark, sf_dir).collect()
+    assert len(rows) == 2557
+    assert sum(r.n_orders for r in rows) == load(spark, sf_dir, "orders").count()
+    assert all(0 <= r.dow <= 6 for r in rows)
+    assert sum(1 for r in rows if r.is_month_end) == 7 * 12
+    assert len({(r.yr, r.mth, r.dom) for r in rows}) == 2557
+
+
+def test_pythagorean_mean_inequality(spark, sf_dir):
+    """AM >= GM >= HM must hold per group (all prices positive), with
+    equality impossible on non-constant data."""
+    rows = QUERIES["q_agg_pythagorean_means"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.arith_mean > r.geo_mean > r.harmonic_mean > 0, r

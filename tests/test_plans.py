@@ -157,8 +157,13 @@ def test_no_unpartitioned_window_over_raw_input(spark, sf_dir):
     )
     # zorder: one prefix-sum over the per-shard COUNT table (rows =
     # distinct zkey-high-bits shards, not base rows) — same tiny-aggregate
-    # class as the watermark boundary prefix-max.
-    allowed = {"q_stream_watermark_late": 1, "q_sort_zorder_layout": 1}
+    # class as the watermark boundary prefix-max. skyline: one prefix-max
+    # over the per-price-shard MAX table (~100 rows at any SF).
+    allowed = {
+        "q_stream_watermark_late": 1,
+        "q_sort_zorder_layout": 1,
+        "q_skyline_pareto": 1,
+    }
     offenders = {}
     for key, fn in QUERIES.items():
         plan = plan_string(fn(spark, sf_dir))
