@@ -130,6 +130,12 @@ HEADLINE = [
     "q_graph_pagerank",              # 3-step unrolled power iteration
     "q_gen_calendar_dim",            # generated spine + coverage join
     "q_agg_pythagorean_means",       # AM/GM/HM one-pass battery
+    "q_pipeline_forecast_revenue",   # Q6 pure scan-filter-agg pushdown
+    "q_pipeline_returned_revenue",   # Q10 quarter returns top-20
+    "q_pipeline_promo_share",        # Q14 conditional promo share
+    "q_pipeline_large_orders",       # Q18 pre-agg semi-join prune
+    "q_report_mom_growth",           # year-partitioned lag growth
+    "q_stream_stream_left_outer",    # watermarked outer interval join
 ]
 
 RUNS = 3

@@ -13,7 +13,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, finish, sql_dsum, sql_finish_dbl
+from ..functions.numeric import (
+    DEC,
+    dsum,
+    finish,
+    sql_dsum,
+    sql_finish_dbl,
+    sql_finish_dec,
+)
 from ..registry import query
 from ..sources.tables import load
 
@@ -1045,4 +1052,240 @@ def q_etl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_orderkey").alias("min_orderkey"),
         F.max("o_orderkey").alias("max_orderkey"),
+    )
+
+
+@query(
+    "q_pipeline_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue')},
+           count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_pipeline_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: revenue increase from hypothetically dropping
+    small-quantity discounts in one year — a pure scan-filter-aggregate
+    whose entire selectivity should reach the parquet scan.
+
+    All four predicates (date band, discount band, quantity cap) push
+    down to the scan (PushedFilters — the q_filter_pred plan contract
+    family); no shuffle at all except the single-group final aggregate.
+    At 100 TB this is the query shape that proves predicate pushdown +
+    column pruning: a 16-column table read at 3 columns with row-group
+    skipping on the ship-date min/max stats.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q_pipeline_returned_revenue",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')}
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q_pipeline_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: the 20 customers who returned the most revenue
+    in one quarter — the at-risk-accounts report.
+
+    orders carries the quarter filter (pushed), lineitem the returnflag
+    filter (pushed); customer and nation broadcast; one shuffle for the
+    fact-fact join + one for the group. Top-20 is
+    TakeOrderedAndProject on (revenue DESC, c_custkey) — the
+    deterministic-tiebreak rule every LIMIT query in this repo follows,
+    so the boundary row can't flip between engines.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load(spark, sf_dir, "nation")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(n), F.col("c_nationkey") == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_pipeline_promo_share",
+    oracle=f"""
+    SELECT date_trunc('month', l.l_shipdate) AS mth,
+           coalesce({sql_finish_dec(
+               "sum(cast((CASE WHEN p.p_type = 'PROMO' "
+               "THEN l.l_extendedprice * (1 - l.l_discount) END) as " + DEC + "))",
+               4)}, 0.0) AS promo_rev,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'total_rev')},
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_pipeline_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: monthly promotional-revenue share for one year.
+
+    part broadcasts (the dim); the conditional-sum promo numerator is
+    the q_agg_conditional pattern (CASE without ELSE → NULLs that sum()
+    skips), coalesced to 0 for promo-free months so the column is
+    engine-identically non-null. The share itself is promo/total — a
+    quotient of two finished sums the caller derives; emitting both
+    terms keeps every output column an exact decimal finish (ratios of
+    finished sums need no extra finishing — numeric.py rule 5 — but
+    keeping the terms makes the month rows reaggregatable downstream).
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("mth"))
+        .agg(
+            F.coalesce(
+                finish(
+                    F.sum(F.when(F.col("p_type") == "PROMO", rev).cast(DEC)), 4
+                ),
+                F.lit(0.0),
+            ).alias("promo_rev"),
+            dsum(rev, "total_rev"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_pipeline_large_orders",
+    oracle=f"""
+    WITH big AS (
+        SELECT l_orderkey
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(cast(l_quantity as {DEC})) > 150
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {sql_dsum('l.l_quantity', 'total_qty')}
+    FROM orders o
+    JOIN big ON o.o_orderkey = big.l_orderkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def q_pipeline_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: the 100 biggest orders whose total quantity
+    exceeds 150 units, with their customers — the bulk-buyer audit.
+
+    The HAVING subquery aggregates lineitem FIRST (group on orderkey,
+    exact decimal quantity sum compared unrounded — group membership
+    can't flip at a rounding boundary), then semi-joins orders down
+    before the re-join with lineitem for the display sum: at scale the
+    cheap pre-aggregation prunes the expensive wide join. Customer
+    broadcasts; top-100 is TakeOrderedAndProject with the o_orderkey
+    tiebreak.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return (
+        o.join(big, o["o_orderkey"] == F.col("big_orderkey"))
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q_report_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mth,
+               {sql_dsum('o_totalprice', 'revenue')},
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mth, revenue, n_orders,
+           (revenue - lag(revenue) OVER (PARTITION BY yr ORDER BY mth))
+               / lag(revenue) OVER (PARTITION BY yr ORDER BY mth)
+               AS mom_growth
+    FROM monthly
+    """,
+)
+def q_report_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth — the period-comparison report
+    every finance dashboard opens with.
+
+    Monthly revenue is a finished decimal sum (identical doubles both
+    engines); growth is (rev − lag)/lag on those — fixed IEEE, never
+    finished. The lag window partitions by YEAR (each January's growth
+    is NULL): no partition-less window over an unbounded month stream,
+    and the year partitioning is exactly how a 100-TB deployment would
+    shard a decades-long series. One shuffle for the month rollup; the
+    window reuses the year grouping.
+    """
+    o = load(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+    ).agg(
+        dsum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("yr").orderBy("mth")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr",
+        "mth",
+        "revenue",
+        "n_orders",
+        ((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )

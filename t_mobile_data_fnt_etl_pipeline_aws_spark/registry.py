@@ -80,12 +80,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:      keys (large-star/small-star rework). (q_sample_weighted_aes and
 #:      q_embedding_quantize_int8 were also touched — overflow-safe mix,
 #:      NULLIF guard — but already sit in block 1.)
-#:   3b/3c. The 15 later round-5 additions (stats, mining, graph,
-#:      calendar-spine, Pythagorean-means), so they too get driver rows
+#:   3b-3d. The 21 later round-5 additions (stats, mining, graph,
+#:      calendar-spine, Pythagorean-means, TPC-H Q6/Q10/Q14/Q18 shapes,
+#:      MoM growth, streaming left-outer), so they too get driver rows
 #:      immediately — a never-checked key outranks a stale refresh.
-#:   4. 12 stale-row refreshes: the keys green only in round 1 (the 15
-#:      round-2-only 4b refreshes ceded their slots to blocks 3b/3c;
-#:      all remain green in CORRECTNESS_r02 and the local mirror).
+#:   4. 6 stale-row refreshes: the oldest round-1-only keys (the other
+#:      round-1-only and all round-2-only refreshes ceded their slots
+#:      to blocks 3b-3d; all remain green in CORRECTNESS_r01/r02 and
+#:      the local mirror).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
     # --- 1. round-4 additions, never driver-checked ---
@@ -131,19 +133,21 @@ _DRIVER_WINDOW = [
     "q_graph_pagerank",
     "q_gen_calendar_dim",
     "q_agg_pythagorean_means",
-    # --- 4a. round-1-only rows (stalest) ---
+    # --- 3d. round-5 fourth batch: TPC-H shapes + streaming outer ---
+    "q_pipeline_forecast_revenue",
+    "q_pipeline_returned_revenue",
+    "q_pipeline_promo_share",
+    "q_pipeline_large_orders",
+    "q_report_mom_growth",
+    "q_stream_stream_left_outer",
+    # --- 4a. round-1-only rows (stalest; trimmed to 6 when block 3d
+    #     took the other slots — never-checked > stale-green) ---
     "q_scan_parquet",
     "q_scan_schema_assert",
     "q_project_rename",
     "q_filter_like",
     "q_filter_null",
     "q_distinct_rows",
-    "q_join_cross",
-    "q_join_interval",
-    "q_limit",
-    "q_union_all",
-    "q_union_distinct",
-    "q_sample_stratified",
     # (the 15 round-2-only 4b refresh slots were ceded to blocks 3b/3c:
     #  a never-driver-checked key always outranks a green-but-stale
     #  refresh, per VERDICT r4's top-item logic; the displaced keys all

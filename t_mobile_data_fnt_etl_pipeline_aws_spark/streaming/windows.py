@@ -368,3 +368,70 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("v_user").alias("n_users"),
     )
+
+
+@query(
+    "q_stream_stream_left_outer",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS v_id, user_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT v.v_id, v.ts AS v_ts, p.ts AS p_ts
+        FROM v LEFT JOIN p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT date_trunc('day', v_ts) AS day,
+           count(DISTINCT v_id) AS n_views,
+           count(DISTINCT CASE WHEN p_ts IS NOT NULL THEN v_id END)
+               AS n_converted,
+           count(DISTINCT v_id)
+               - count(DISTINCT CASE WHEN p_ts IS NOT NULL THEN v_id END)
+               AS n_abandoned
+    FROM j GROUP BY 1
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: per day, views that did
+    vs did not convert to a purchase within 1 h — the abandonment
+    funnel, which the inner join (q_stream_stream_join) cannot see
+    because unmatched views vanish there.
+
+    Batch form of the watermarked left-outer stream-stream join: in
+    Structured Streaming the NULL-extended row for an unmatched view is
+    emitted only once the watermark passes v_ts + 1 h (state expiry is
+    what makes outer results final); the event-time range condition is
+    mandatory for exactly that reason. The equi-key (user_id) carries
+    the shuffle, the range is a residual filter — hash join, never a
+    cross product. Multi-purchase views count once (distinct v_id), so
+    conversion is per-VIEW, not per-pair.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    j = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    converted = F.countDistinct(
+        F.when(F.col("p_ts").isNotNull(), F.col("v_id"))
+    )
+    return j.groupBy(F.date_trunc("day", F.col("v_ts")).alias("day")).agg(
+        F.countDistinct("v_id").alias("n_views"),
+        converted.alias("n_converted"),
+        (F.countDistinct("v_id") - converted).alias("n_abandoned"),
+    )

@@ -312,13 +312,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 116 extras = 195 registered,
-    187 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 122 extras = 201 registered,
+    193 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 195
-    assert len(oracles) == 187
+    assert len(QUERIES) == 201
+    assert len(oracles) == 193
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -973,3 +973,53 @@ def test_pythagorean_mean_inequality(spark, sf_dir):
     assert rows
     for r in rows:
         assert r.arith_mean > r.geo_mean > r.harmonic_mean > 0, r
+
+def test_large_orders_all_exceed_threshold(spark, sf_dir):
+    """Every returned order must genuinely exceed 150 total quantity,
+    at most 100 rows, sorted by o_totalprice descending."""
+    rows = QUERIES["q_pipeline_large_orders"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 100
+    assert all(r.total_qty > 150 for r in rows)
+    prices = [r.o_totalprice for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_promo_share_bounded_by_total(spark, sf_dir):
+    """Per month: 0 <= promo_rev <= total_rev, and the filtered year
+    yields exactly the months present in the data (<= 12)."""
+    rows = QUERIES["q_pipeline_promo_share"](spark, sf_dir).collect()
+    assert 0 < len(rows) <= 12
+    for r in rows:
+        assert 0.0 <= r.promo_rev <= r.total_rev + 1e-6, r
+
+
+def test_mom_growth_null_only_at_year_start(spark, sf_dir):
+    """Growth must be NULL exactly for each year's first present month,
+    and monthly order counts must re-total the orders table."""
+    rows = QUERIES["q_report_mom_growth"](spark, sf_dir).collect()
+    first_month = {}
+    for r in rows:
+        first_month.setdefault(r.yr, r.mth)
+        first_month[r.yr] = min(first_month[r.yr], r.mth)
+    for r in rows:
+        if r.mth == first_month[r.yr]:
+            assert r.mom_growth is None, r
+        else:
+            assert r.mom_growth is not None, r
+    assert sum(r.n_orders for r in rows) == load(spark, sf_dir, "orders").count()
+
+
+def test_stream_left_outer_accounting(spark, sf_dir):
+    """n_views = n_converted + n_abandoned per day, and total views must
+    re-total the view events."""
+    rows = QUERIES["q_stream_stream_left_outer"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_views == r.n_converted + r.n_abandoned
+        assert r.n_converted >= 0 and r.n_abandoned >= 0
+    n_views = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert sum(r.n_views for r in rows) == n_views

@@ -397,3 +397,22 @@ def test_exact_pair_queries_never_nested_loop(spark, sf_dir):
         plan = plan_string(QUERIES[key](spark, sf_dir))
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
+
+def test_forecast_revenue_pushes_all_filters(spark, sf_dir):
+    """Q6's whole selectivity must reach the parquet scan: shipdate,
+    discount, and quantity all in PushedFilters, scan pruned to the
+    3 touched columns."""
+    df = QUERIES["q_pipeline_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert scan_columns(df) == {"l_shipdate", "l_discount", "l_quantity",
+                                "l_extendedprice"}
+
+
+def test_topk_pipelines_never_global_sort(spark, sf_dir):
+    """Q10/Q18-shaped top-k must plan as TakeOrderedAndProject, never a
+    full global Sort feeding a Limit."""
+    for key in ("q_pipeline_returned_revenue", "q_pipeline_large_orders"):
+        plan = plan_string(QUERIES[key](spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, key
