@@ -1,0 +1,178 @@
+"""Property-based tests (hypothesis) for the shared algorithmic cores.
+
+The fixture-driven mirror proves each registered query on ONE data
+shape; these batter the two reusable engines — the prefix-filter
+set-similarity join (now the candidate machinery behind four dedup
+operators and CC edge generation) and alternating-star connected
+components — with randomized adversarial inputs, comparing against
+brute-force Python implementations. A failure here is an algorithmic
+defect no fixture rerun would catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _brute_jaccard_pairs(docs: dict[int, set], num: int, den: int):
+    out = {}
+    ids = sorted(docs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if not docs[a] and not docs[b]:
+                continue
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            j = inter / union
+            if j >= num / den:
+                out[(a, b)] = j
+    return out
+
+
+def test_prefix_filter_matches_bruteforce_random_corpora(spark):
+    """prefix_filter_jaccard_pairs must emit EXACTLY the brute-force
+    pair set (no false negatives from the prefix bound, none from the
+    size-ratio prune) with identical Jaccard values, across random
+    corpora and thresholds."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    tokens = st.sets(st.sampled_from(list("abcdefghij")), max_size=8)
+    corpus = st.lists(tokens, min_size=2, max_size=10)
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=corpus, tau=st.sampled_from([(1, 2), (3, 10), (4, 5), (2, 3)]))
+    def run(docs, tau):
+        num, den = tau
+        doc_map = {i: s for i, s in enumerate(docs)}
+        rows = [
+            (i, t) for i, s in doc_map.items() for t in s
+        ]
+        if not rows:
+            return
+        tok = spark.createDataFrame(rows, ["doc_id", "token"])
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in prefix_filter_jaccard_pairs(tok, num, den).collect()
+        }
+        want = _brute_jaccard_pairs(doc_map, num, den)
+        assert set(got) == set(want), (got, want, doc_map)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-12
+
+    run()
+
+
+def test_containment_filter_matches_bruteforce_random_corpora(spark):
+    """prefix_filter_containment_pairs must emit exactly the ordered
+    brute-force containment pairs (C = |A∩B|/|A| ≥ τ), including the
+    asymmetric subset cases the symmetric join can't represent."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.dedup import (
+        prefix_filter_containment_pairs,
+    )
+
+    tokens = st.sets(st.sampled_from(list("abcdefgh")), max_size=6)
+    corpus = st.lists(tokens, min_size=2, max_size=8)
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=corpus, tau=st.sampled_from([(3, 5), (1, 2), (4, 5)]))
+    def run(docs, tau):
+        num, den = tau
+        doc_map = {i: s for i, s in enumerate(docs)}
+        rows = [(i, t) for i, s in doc_map.items() for t in s]
+        if not rows:
+            return
+        tok = spark.createDataFrame(rows, ["doc_id", "token"])
+        got = {
+            (r.doc_sub, r.doc_super): r.containment
+            for r in prefix_filter_containment_pairs(tok, num, den).collect()
+        }
+        want = {}
+        for a, sa in doc_map.items():
+            if not sa:
+                continue
+            for b, sb in doc_map.items():
+                if a == b:
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= num / den:
+                    want[(a, b)] = c
+        assert set(got) == set(want), (got, want, doc_map)
+        for k in got:
+            assert abs(got[k] - want[k]) < 1e-12
+
+    run()
+
+
+def _union_find_components(nodes, edges):
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp = {}
+    for v in nodes:
+        comp.setdefault(find(v), []).append(v)
+    return {v: min(members) for members in comp.values() for v in members}
+
+
+def test_alternating_cc_matches_union_find(spark):
+    """alternating_cc must label every node with its component's minimum
+    id — identical to a sequential union-find — on random graphs
+    (including self-loops, duplicate and reversed edges, isolated
+    nodes)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.clustering import (
+        alternating_cc,
+    )
+
+    node_ids = st.integers(min_value=0, max_value=12)
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(st.tuples(node_ids, node_ids), max_size=20))
+    def run(edges):
+        nodes = sorted(set(range(13)))
+        nodes_df = spark.createDataFrame(
+            [(v,) for v in nodes], ["doc_id"]
+        )
+        if edges:
+            edges_df = spark.createDataFrame(edges, ["src", "dst"])
+        else:
+            edges_df = nodes_df.select(
+                nodes_df.doc_id.alias("src"), nodes_df.doc_id.alias("dst")
+            ).limit(0)
+        labels, rounds = alternating_cc(nodes_df, edges_df)
+        got = {r.doc_id: r.cluster_id for r in labels.collect()}
+        want = _union_find_components(nodes, edges)
+        assert got == want, (got, want, edges)
+        assert rounds <= 10
+
+    run()
