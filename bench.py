@@ -136,6 +136,7 @@ HEADLINE = [
     "q_pipeline_large_orders",       # Q18 pre-agg semi-join prune
     "q_report_mom_growth",           # year-partitioned lag growth
     "q_stream_stream_left_outer",    # watermarked outer interval join
+    "q_udf_cogrouped_map",           # cogroup two-table Arrow boundary
 ]
 
 RUNS = 3
@@ -278,8 +279,12 @@ def main() -> None:
     # filtered SPARK_GRAFT_BENCH_QUERIES subset run would poison the
     # next round's drift baseline.
     if not sel or sel == "all":
+        # full sweeps get their own name so the driver's end-of-round
+        # default run can't clobber the complete 200-key record
+        suffix = "_full" if sel == "all" else ""
         local = os.path.join(
-            repo_dir, f"BENCH_LOCAL_r{next_round_number(repo_dir):02d}.json"
+            repo_dir,
+            f"BENCH_LOCAL_r{next_round_number(repo_dir):02d}{suffix}.json",
         )
         with open(local, "w") as fh:
             json.dump(payload, fh, indent=1)

@@ -32,6 +32,18 @@ The scheme (each step verified bit-exact between engines at sf0.01):
    (b) transcendentals (ln/exp/pow), whose full-mantissa outputs make an
    exact tie measure-zero.
 
+6. Prescale factors must be DYADIC (powers of two), never decimal powers
+   (×0.001): Spark's double→decimal cast quantizes the SHORTEST-STRING
+   repr (BigDecimal.valueOf) while DuckDB rounds the EXACT BINARY value.
+   These agree except when the value's true decimal expansion terminates
+   just past the accumulator scale — and a decimal-power prescale
+   manufactures exactly that: day·0.001 × price·1e-6 terminates at 11 dp,
+   so ~3% of products sat ON a decimal(30,10) tie and the engines'
+   10-dp roundings split (q_agg_linreg_trend at sf0.1, round 5). A 2^-k
+   prescale is exact IEEE (exponent shift), leaves products full-mantissa,
+   and makes such ties measure-zero. Same argument as rule 5, applied at
+   the accumulation scale instead of the finish scale.
+
 Scale choice rule: pick ``s`` with ``|x| * 10^s < 9e15``. Defaults: sums
 s=4 (|sum| < 9e11 — holds through sf1), means/ratios s=6 (|x| < 9e9).
 

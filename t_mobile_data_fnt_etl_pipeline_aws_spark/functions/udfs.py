@@ -210,3 +210,90 @@ def q_udf_registered_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c_custkey, acct_tier(c_acctbal) AS tier FROM udf_customer"
     )
+
+
+@query(
+    "q_udf_cogrouped_map",
+    oracle=f"""
+    WITH om AS (
+        SELECT year(o_orderdate) * 100 + month(o_orderdate) AS month_id,
+               count(*) AS n_orders,
+               {sql_finish_dec(f"sum(cast(o_totalprice as {DEC}))", 2)}
+                   AS order_revenue
+        FROM orders GROUP BY 1
+    ),
+    lm AS (
+        SELECT year(l_shipdate) * 100 + month(l_shipdate) AS month_id,
+               count(*) AS n_lines,
+               {sql_finish_dec(
+                   f"sum(cast(l_extendedprice * (1 - l_discount) as {DEC}))", 2
+               )} AS line_revenue
+        FROM lineitem GROUP BY 1
+    )
+    SELECT coalesce(om.month_id, lm.month_id) AS month_id,
+           cast(coalesce(om.n_orders, 0) AS bigint) AS n_orders,
+           cast(coalesce(lm.n_lines, 0) AS bigint) AS n_lines,
+           coalesce(om.order_revenue, 0.0) AS order_revenue,
+           coalesce(lm.line_revenue, 0.0) AS line_revenue,
+           CASE WHEN coalesce(om.order_revenue, 0.0) = 0.0 THEN NULL
+                ELSE coalesce(lm.line_revenue, 0.0) / om.order_revenue
+           END AS ship_to_book_ratio
+    FROM om FULL OUTER JOIN lm ON om.month_id = lm.month_id
+    """,
+)
+def q_udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped-map (``groupBy().cogroup().applyInPandas``): orders and
+    lineitems cogrouped BY MONTH into one Python function that sees both
+    sides of each key at once — the two-table custom-logic surface
+    (reconciliation, custom joins, per-key model scoring) that completes
+    §2.10 beyond single-input grouped maps.
+
+    The function emits one booking-vs-shipping reconciliation row per
+    month: both revenue sums replay the engines' decimal pipeline in
+    Python Decimal (quantize 10 dp per value, exact sum, finish 2 dp —
+    the q_udaf_grouped_agg recipe), so the Arrow boundary stays
+    bit-exact against the full-outer-join SQL oracle, including months
+    present on only one side (empty cogroup partner → zeros/NULL
+    ratio). Keyed on month (~82 groups of thousands of rows) per the
+    few-large-groups rule — one Arrow round-trip per group.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q10, q2 = Decimal("1e-10"), Decimal("0.01")
+
+    def dec_sum(values) -> float:
+        total = sum(Decimal(v).quantize(q10, ROUND_HALF_UP) for v in values)
+        return float(Decimal(total).quantize(q2, ROUND_HALF_UP))
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        order_rev = dec_sum(odf["o_totalprice"].tolist())
+        line_rev = dec_sum(
+            (ldf["l_extendedprice"] * (1 - ldf["l_discount"])).tolist()
+        )
+        return pd.DataFrame(
+            {
+                "month_id": [int(key[0])],
+                "n_orders": [len(odf)],
+                "n_lines": [len(ldf)],
+                "order_revenue": [order_rev],
+                "line_revenue": [line_rev],
+                "ship_to_book_ratio": [
+                    None if order_rev == 0.0 else line_rev / order_rev
+                ],
+            }
+        )
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("month_id"),
+        "o_totalprice",
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("month_id"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    return o.groupBy("month_id").cogroup(li.groupBy("month_id")).applyInPandas(
+        reconcile,
+        schema="month_id bigint, n_orders bigint, n_lines bigint, "
+        "order_revenue double, line_revenue double, ship_to_book_ratio double",
+    )

@@ -38,10 +38,18 @@ _DAY_US = 86_400_000_000
     "q_agg_linreg_trend",
     oracle=f"""
     WITH pts AS (
+        -- DYADIC prescales (2^-10, 2^-20), cast to double: decimal-power
+        -- prescales (0.001) made xs*ys terminate at 11 dp, sitting
+        -- EXACTLY on decimal(30,10) quantization ties where Spark
+        -- (shortest-string HALF_UP) and DuckDB (exact-binary) round
+        -- apart ~3% of rows (caught by the sf0.1 mirror); power-of-two
+        -- scaling is exact in IEEE, so products keep full-mantissa
+        -- noise and ties are measure-zero. The cast(... as double) also
+        -- stops DuckDB from keeping bigint*DECIMAL-literal exact.
         SELECT o_orderpriority,
                date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
-                   * 0.001 AS xs,
-               o_totalprice * 0.000001 AS ys
+                   * cast(0.0009765625 as double) AS xs,
+               o_totalprice * cast(0.00000095367431640625 as double) AS ys
         FROM orders
     ),
     s AS (
@@ -54,9 +62,9 @@ _DAY_US = 86_400_000_000
         FROM pts GROUP BY o_orderpriority
     )
     SELECT o_orderpriority, n,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1000.0 AS slope_per_day,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) * 1024.0 AS slope_per_day,
            (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
-               * 1000000.0 AS intercept
+               * 1048576.0 AS intercept
     FROM s
     """,
 )
@@ -65,8 +73,12 @@ def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     normal equations over decimal power sums.
 
     slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) with x = days since 1995-01-01
-    and y = o_totalprice, both prescaled (x·10⁻³, y·10⁻⁶) so every
-    accumulated sum obeys the 2^53 finish rule through sf1000. One
+    and y = o_totalprice, both prescaled DYADICALLY (x·2⁻¹⁰, y·2⁻²⁰) so
+    every accumulated sum obeys the 2^53 finish rule through sf1000 AND
+    the prescaling is exact IEEE (a decimal-power prescale made x·y
+    terminate at 11 dp — systematic decimal(30,10) quantization ties
+    where the engines' double→decimal casts round apart; numeric.py
+    rule 5's tie argument applied at the accumulator scale). One
     hash-agg shuffle keyed on the group — the same plan as any multi-agg;
     the normal-equation finish is per-group scalar arithmetic on
     finished (hence bit-identical) doubles, so no second pass and no
@@ -77,9 +89,9 @@ def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(
             F.col("o_orderdate"), F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
         )
-        * F.lit(0.001)
+        * F.lit(2.0**-10)
     )
-    ys = F.col("o_totalprice") * F.lit(0.000001)
+    ys = F.col("o_totalprice") * F.lit(2.0**-20)
     pts = o.select("o_orderpriority", xs.alias("xs"), ys.alias("ys"))
     s = pts.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
@@ -94,9 +106,9 @@ def q_agg_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "o_orderpriority",
         "n",
-        (slope_s * F.lit(1000.0)).alias("slope_per_day"),
+        (slope_s * F.lit(1024.0)).alias("slope_per_day"),
         (
-            (F.col("sy") - slope_s * F.col("sx")) / F.col("n") * F.lit(1000000.0)
+            (F.col("sy") - slope_s * F.col("sx")) / F.col("n") * F.lit(1048576.0)
         ).alias("intercept"),
     )
 

@@ -312,13 +312,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 122 extras = 201 registered,
-    193 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 123 extras = 202 registered,
+    194 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 201
-    assert len(oracles) == 193
+    assert len(QUERIES) == 202
+    assert len(oracles) == 194
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1023,3 +1023,14 @@ def test_stream_left_outer_accounting(spark, sf_dir):
         .count()
     )
     assert sum(r.n_views for r in rows) == n_views
+
+
+def test_cogrouped_map_reconciles_both_tables(spark, sf_dir):
+    """The cogrouped reconciliation must re-total BOTH inputs (orders
+    and lineitem) across months, and the ratio must be NULL exactly
+    when a month has no orders."""
+    rows = QUERIES["q_udf_cogrouped_map"](spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == load(spark, sf_dir, "orders").count()
+    assert sum(r.n_lines for r in rows) == load(spark, sf_dir, "lineitem").count()
+    for r in rows:
+        assert (r.ship_to_book_ratio is None) == (r.n_orders == 0), r
