@@ -137,6 +137,8 @@ HEADLINE = [
     "q_report_mom_growth",           # year-partitioned lag growth
     "q_stream_stream_left_outer",    # watermarked outer interval join
     "q_udf_cogrouped_map",           # cogroup two-table Arrow boundary
+    "q_window_drawdown",             # cummax peak-to-trough argmax
+    "q_agg_gini",                    # rank-weighted concentration sum
 ]
 
 RUNS = 3

@@ -640,3 +640,167 @@ def q_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_retailprice") == F.col("f_price"))
         & (F.col("p_size") == F.col("f_size")),
     ).select("p_partkey", "p_name", "p_retailprice", "p_size")
+
+
+@query(
+    "q_window_drawdown",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, epoch_us(ts) // {_DAY_US} AS day,
+               {sql_finish_dec(f"sum(cast(value as {DEC}))", 4)} AS rev
+        FROM events GROUP BY 1, 2
+    ),
+    dd AS (
+        SELECT event_type, day, rev,
+               max(rev) OVER (PARTITION BY event_type ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) AS peak
+        FROM daily
+    ),
+    ranked AS (
+        SELECT event_type, day, rev, peak,
+               (peak - rev) / peak AS drawdown,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY (peak - rev) / peak DESC, day ASC)
+                   AS rn
+        FROM dd
+    )
+    SELECT event_type, day AS trough_day, peak, rev AS trough_rev,
+           drawdown AS max_drawdown
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown per series: the worst peak-to-trough decline of
+    each event type's daily revenue — the risk metric behind "how bad
+    did it get" monitoring (and every portfolio report).
+
+    The running peak is a cummax window (exact SELECTION of an existing
+    finished double — no accumulation, so no decimal machinery needed);
+    drawdown = (peak − rev)/peak is fixed IEEE on identical inputs; the
+    argmax row carries the day-ASC tiebreak. Both windows and the final
+    filter share the event_type partitioning — one shuffle after the
+    daily rollup, same shape as q_pattern_cusum.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            (_epoch_us() / F.lit(_DAY_US)).cast("bigint").alias("day"),
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(finish(F.sum(F.col("value").cast(DEC)), 4).alias("rev"))
+    )
+    w_peak = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = daily.withColumn("peak", F.max("rev").over(w_peak))
+    drawdown = (F.col("peak") - F.col("rev")) / F.col("peak")
+    w_rank = Window.partitionBy("event_type").orderBy(
+        drawdown.desc(), F.asc("day")
+    )
+    return (
+        dd.withColumn("drawdown", drawdown)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("trough_day"),
+            "peak",
+            F.col("rev").alias("trough_rev"),
+            F.col("drawdown").alias("max_drawdown"),
+        )
+    )
+
+
+#: dyadic prescale for Gini spend sums (rule 6: never a decimal power)
+_GINI_SCALE = 2.0 ** -30
+
+
+@query(
+    "q_agg_gini",
+    oracle=f"""
+    WITH spend AS (
+        SELECT c.c_mktsegment, o.o_custkey,
+               {sql_finish_dec(f"sum(cast(o.o_totalprice as {DEC}))", 4)}
+                   * cast({_GINI_SCALE!r} as double) AS s
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT c_mktsegment, s,
+               row_number() OVER (PARTITION BY c_mktsegment
+                                  ORDER BY s ASC, o_custkey ASC) AS i,
+               count(*) OVER (PARTITION BY c_mktsegment) AS n
+        FROM spend
+    ),
+    g AS (
+        SELECT c_mktsegment,
+               max(n) AS n,
+               {sql_finish_dec(f"sum(cast((2 * i - n - 1) * s as {DEC}))", 6)}
+                   AS num,
+               {sql_finish_dec(f"sum(cast(s as {DEC}))", 8)} AS den
+        FROM ranked GROUP BY c_mktsegment
+    )
+    SELECT c_mktsegment, cast(n AS bigint) AS n_customers,
+           num / (n * den) AS gini
+    FROM g
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per market segment — the
+    revenue-concentration inequality measure (0 = everyone spends the
+    same, →1 = one whale).
+
+    Sort-based closed form G = Σᵢ(2i − n − 1)·xᵢ / (n·Σx) over
+    ascending spend with the custkey tiebreak (equal-x rows make the
+    weight assignment among them arbitrary but the SUM invariant, so
+    the tiebreak only pins engine agreement, not the value). Spend is
+    finished per customer then DYADICALLY prescaled (2⁻³⁰ — rule 6; a
+    decimal-power prescale would park values on decimal(30,10)
+    quantization ties) so the rank-weighted decimal sum survives the
+    2^53 finish rule through sf100 (at larger SF, widen the prescale —
+    it is the one knob; finishes are 6/8 dp so the small-SF quotient
+    keeps ~1e-5 relative precision). Two shuffles (customer rollup,
+    segment window+agg) — the window and final agg share the segment
+    partitioning.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            (
+                finish(F.sum(F.col("o_totalprice").cast(DEC)), 4)
+                * F.lit(_GINI_SCALE)
+            ).alias("s")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.asc("s"), F.asc("o_custkey")
+    )
+    w_n = Window.partitionBy("c_mktsegment")
+    ranked = spend.select(
+        "c_mktsegment",
+        "s",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    g = ranked.groupBy("c_mktsegment").agg(
+        F.max("n").alias("n"),
+        finish(
+            F.sum(
+                ((2 * F.col("i") - F.col("n") - 1) * F.col("s")).cast(DEC)
+            ),
+            6,
+        ).alias("num"),
+        finish(F.sum(F.col("s").cast(DEC)), 8).alias("den"),
+    )
+    return g.select(
+        "c_mktsegment",
+        F.col("n").cast("bigint").alias("n_customers"),
+        (F.col("num") / (F.col("n") * F.col("den"))).alias("gini"),
+    )

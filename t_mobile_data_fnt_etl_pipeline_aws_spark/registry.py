@@ -141,13 +141,13 @@ _DRIVER_WINDOW = [
     "q_report_mom_growth",
     "q_stream_stream_left_outer",
     "q_udf_cogrouped_map",
+    "q_window_drawdown",
+    "q_agg_gini",
     # --- 4a. round-1-only rows (stalest; trimmed to 6 when block 3d
     #     took the other slots — never-checked > stale-green) ---
     "q_scan_parquet",
     "q_scan_schema_assert",
     "q_project_rename",
-    "q_filter_like",
-    "q_filter_null",
     # (the 15 round-2-only 4b refresh slots were ceded to blocks 3b/3c:
     #  a never-driver-checked key always outranks a green-but-stale
     #  refresh, per VERDICT r4's top-item logic; the displaced keys all

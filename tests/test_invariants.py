@@ -312,13 +312,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 123 extras = 202 registered,
-    194 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 125 extras = 204 registered,
+    196 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 202
-    assert len(oracles) == 194
+    assert len(QUERIES) == 204
+    assert len(oracles) == 196
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1034,3 +1034,62 @@ def test_cogrouped_map_reconciles_both_tables(spark, sf_dir):
     assert sum(r.n_lines for r in rows) == load(spark, sf_dir, "lineitem").count()
     for r in rows:
         assert (r.ship_to_book_ratio is None) == (r.n_orders == 0), r
+
+
+def test_drawdown_bounds_and_peak_reality(spark, sf_dir):
+    """0 <= max_drawdown < 1, trough <= peak, and the reported peak must
+    equal the true running max of the series up to the trough day."""
+    rows = QUERIES["q_window_drawdown"](spark, sf_dir).collect()
+    assert rows
+    daily = {}
+    e = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "timestampdiff(MICROSECOND, timestamp_ntz'1970-01-01 00:00:00', ts)"
+            " div 86400000000 as day",
+            "value",
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("value").alias("rev"))
+        .collect()
+    )
+    for r in e:
+        daily.setdefault(r.event_type, {})[r.day] = r.rev
+    for r in rows:
+        assert 0.0 <= r.max_drawdown < 1.0, r
+        assert r.trough_rev <= r.peak + 1e-9, r
+        true_peak = max(
+            v for d, v in daily[r.event_type].items() if d <= r.trough_day
+        )
+        assert abs(true_peak - r.peak) < 1e-3, (r, true_peak)
+
+
+def test_gini_matches_direct_computation(spark, sf_dir):
+    """Per-segment Gini must be in [0, 1) and match the direct sorted
+    formula computed in Python over the same spends."""
+    out = {
+        r.c_mktsegment: r for r in QUERIES["q_agg_gini"](spark, sf_dir).collect()
+    }
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()
+    )
+    by_seg = {}
+    for r in spend:
+        by_seg.setdefault(r.c_mktsegment, []).append(r.s)
+    for seg, xs in by_seg.items():
+        xs.sort()
+        n = len(xs)
+        num = sum((2 * (i + 1) - n - 1) * x for i, x in enumerate(xs))
+        gini = num / (n * sum(xs))
+        got = out[seg]
+        assert got.n_customers == n
+        assert 0.0 <= got.gini < 1.0
+        # 6/8 dp finishes on the prescaled sums bound the quotient
+        # quantization at ~1e-5 relative; the check pins the FORMULA.
+        assert abs(got.gini - gini) < 1e-4, (seg, got.gini, gini)
