@@ -275,6 +275,26 @@ def main() -> None:
         "regressions": regressions,
     }
     print(json.dumps(payload))
+    # The driver's tail capture clips at ~2 KB, so the full line above is
+    # unparseable once the registry grew past ~60 keys (BENCH_r04/r05
+    # recorded parsed:null — VERDICT r5 item 2). Emit a compact summary as
+    # the LAST line: same contract fields, but "queries" holds only the
+    # top-10 most expensive keys so the line stays well under the cap.
+    # The complete per-query map lives in the line above and in
+    # BENCH_LOCAL_r*.json.
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    compact = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "regressions": regressions,
+        "queries": top10,
+    }
+    print(json.dumps(compact))
     # Durable complete record: the driver's tail capture clips at ~2 KB,
     # which truncated the full-registry r04 line (ADVICE r4). Only the
     # default headline run and the full-registry sweep write — a

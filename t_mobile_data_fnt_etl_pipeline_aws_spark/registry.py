@@ -64,100 +64,89 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Round 1 verified slots 1-50 (scans → setops unions);
-#: round 2 the scalar-fn / UDF / streaming / LLM-pipeline half; round 3
-#: 50 of the 61 round-2 additions; round 4 the final 11 never-checked keys
-#: plus 39 rework/stale refreshes. r1 ∪ r2 ∪ r3 ∪ r4 verified 160 distinct
-#: keys with zero failures in any round.
+#: registration order. Cumulative record r01–r05: all 204 keys have passed
+#: at least once (196 hash-green, 8 rows-only by design, 0 failures ever).
 #:
-#: ROUND-5 WINDOW (this list), in priority order:
-#:   1. The 12 round-4 additions (_POST_WINDOW_ADDITIONS last round) that
-#:      have never had a driver row — closing the loop brings the whole
-#:      172-key round-4 registry to driver-green (VERDICT r4 top item).
-#:   2. The 8 NEW round-5 operators, so they get driver rows immediately.
-#:   3. The 3 keys reworked this round: q_join_asof (union-merge LOCF
-#:      re-expression, VERDICT r4 perf flag) and the two CC-clustering
-#:      keys (large-star/small-star rework). (q_sample_weighted_aes and
-#:      q_embedding_quantize_int8 were also touched — overflow-safe mix,
-#:      NULLIF guard — but already sit in block 1.)
-#:   3b-3d. The 21 later round-5 additions (stats, mining, graph,
-#:      calendar-spine, Pythagorean-means, TPC-H Q6/Q10/Q14/Q18 shapes,
-#:      MoM growth, streaming left-outer), so they too get driver rows
-#:      immediately — a never-checked key outranks a stale refresh.
-#:   4. 6 stale-row refreshes: the oldest round-1-only keys (the other
-#:      round-1-only and all round-2-only refreshes ceded their slots
-#:      to blocks 3b-3d; all remain green in CORRECTNESS_r01/r02 and
-#:      the local mirror).
+#: ROUND-6 WINDOW (this list), in priority order (VERDICT r5 item 1):
+#:   1. Reworked-then-stale: q_dedup_ngram_jaccard — its prefix-filter
+#:      candidate rewrite landed in round 5 but its newest driver row is
+#:      round 2 (pre-rewrite). The driver has never confirmed the shipped
+#:      plan; highest-priority slot this round.
+#:   2. NEW round-6 operators get slots at the top as they land (each
+#:      insertion evicts the lowest-priority stale key from the tail).
+#:   3. The r1/r2-stale tail (58 keys, newest driver row from round 1 or
+#:      2), ordered by shared-helper coupling: the dedup/text/similarity
+#:      family first (they share _shingles / prefix_filter_* / numeric
+#:      helpers that changed in rounds 4-5), then UDF, streaming,
+#:      multimodal, pipeline, filter/join/setop/scalar blocks. The ~14
+#:      that don't fit rotate in round 7; all remain green in r1/r2 rows
+#:      and the local sf0.001/0.01/0.1 exact-value mirror.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. round-4 additions, never driver-checked ---
-    "q_text_unigram_logprob",
-    "q_source_contamination_matrix",
-    "q_corpus_train_report",
-    "q_topic_assign_nearest_centroid",
-    "q_embedding_quantize_int8",
-    "q_agg_approx_percentile",
-    "q_join_point_in_time",
-    "q_dedup_incremental",
-    "q_text_tfidf_keywords",
-    "q_pattern_error_burst",
-    "q_window_moving_zscore",
-    "q_sample_weighted_aes",
-    # --- 2. new round-5 operators ---
-    "q_join_asof_forward",
-    "q_dedup_containment",
-    "q_agg_weighted_median",
-    "q_window_ewma",
-    "q_resample_interpolate",
-    "q_sample_split_hash",
-    "q_etl_quarantine",
-    "q_sort_zorder_layout",
-    # --- 3. reworked this round ---
-    "q_join_asof",
-    "q_dedup_clusters_cc",
-    "q_dedup_keep_canonical",
-    # --- 3b. round-5 second-batch additions (stats + mining modules) ---
-    "q_agg_linreg_trend",
-    "q_stats_chi2",
-    "q_agg_higher_moments",
-    "q_agg_entropy",
-    "q_window_autocorr",
-    "q_pattern_cusum",
-    "q_dq_benford",
-    "q_skyline_pareto",
-    "q_assoc_market_basket",
-    "q_markov_transitions",
-    "q_text_pmi_bigrams",
-    "q_text_inverted_index",
-    # --- 3c. round-5 third-batch additions ---
-    "q_graph_pagerank",
-    "q_gen_calendar_dim",
-    "q_agg_pythagorean_means",
-    # --- 3d. round-5 fourth batch: TPC-H shapes + streaming outer ---
-    "q_pipeline_forecast_revenue",
-    "q_pipeline_returned_revenue",
-    "q_pipeline_promo_share",
-    "q_pipeline_large_orders",
-    "q_report_mom_growth",
-    "q_stream_stream_left_outer",
-    "q_udf_cogrouped_map",
-    "q_window_drawdown",
-    "q_agg_gini",
-    # --- 4a. round-1-only rows (stalest; trimmed to 6 when block 3d
-    #     took the other slots — never-checked > stale-green) ---
-    "q_scan_parquet",
-    "q_scan_schema_assert",
-    "q_project_rename",
-    # (the 15 round-2-only 4b refresh slots were ceded to blocks 3b/3c:
-    #  a never-driver-checked key always outranks a green-but-stale
-    #  refresh, per VERDICT r4's top-item logic; the displaced keys all
-    #  remain green in CORRECTNESS_r02 and the local mirror)
+    # --- 1. reworked in r5, driver row predates the rework ---
+    "q_dedup_ngram_jaccard",
+    # --- 2. new round-6 operators (inserted as they land) ---
+    # --- 3a. stale + helper-coupled: dedup / text / similarity ---
+    "q_dedup_fuzzy_minhash",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    "q_dedup_exact",
+    "q_text_dedup_normalized",
+    "q_text_ngrams",
+    "q_text_fingerprint",
+    "q_text_token_stats",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_sim_cosine_pair",
+    "q_sim_search_topk",
+    "q_sim_search_topk_vectorized",
+    "q_sim_search_ivf",
+    "q_label_centroids",
+    # --- 3b. stale: UDF + streaming blocks ---
+    "q_udf_scalar_pandas",
+    "q_udaf_grouped_agg",
+    "q_udtf_grouped_map",
+    "q_udtf_python",
+    "q_udf_registered_sql",
+    "q_stream_tumbling",
+    "q_stream_sliding",
+    "q_stream_session",
+    "q_stream_watermark_late",
+    "q_stream_dedup",
+    "q_stream_stateful_count",
+    # --- 3c. stale: multimodal + pipeline + sampling ---
+    "q_multimodal_enrich",
+    "q_multimodal_decode_stub",
+    "q_etl_upsert",
+    "q_pipeline_region_volume",
+    "q_pipeline_shipping_priority",
+    "q_profile_table",
+    "q_sample_stratified",
+    "q_agg_collect_sorted",
+    # --- 3d. stale: joins / filters / setops / scalar fns (drop zone —
+    #     new round-6 keys evict from the END of this block upward) ---
+    "q_join_cross",
+    "q_join_interval",
+    "q_filter_like",
+    "q_filter_null",
+    "q_distinct_rows",
+    "q_limit",
+    "q_explode_posexplode",
+    "q_array_funcs",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_json_funcs",
+    "q_string_funcs",
+    "q_date_funcs",
 ]
 
-#: Keys added AFTER the current round's window was frozen. Empty for
-#: round 5 — every round-5 addition is inside the window above. Future
-#: additions land here first; keep test_driver_window_rotation's
-#: exemption in sync.
+#: Keys added AFTER the current round's window was frozen. Round-6
+#: additions are inserted directly into block 2 of the window above
+#: (evicting the tail of block 3d), so this stays empty unless an
+#: addition lands after the window can no longer change. Keep
+#: test_driver_window_rotation's exemption in sync.
 _POST_WINDOW_ADDITIONS: list[str] = []
 
 

@@ -152,14 +152,13 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-5 driver-window
-    list — the grading driver records only the first 50. Round-5 contract:
-    every registry key that has never PASSED a driver check (no row at all,
-    or a row that hard-failed — per ADVICE r3, presence of a row is not
-    verification) must be inside the window, so the driver loop closes on
-    the whole registry this round. Re-verifying green-but-stale keys is
-    intentional now (rework postdating their row), so no wasted-slot
-    assert."""
+    """The first 50 registry keys must be exactly the round-6 driver-window
+    list — the grading driver records only the first 50. Round-6 contract
+    (VERDICT r5 item 1): reworked-then-stale keys first
+    (q_dedup_ngram_jaccard), new round-6 operators as they land, then the
+    r1/r2-stale tail ordered by shared-helper coupling. Every key that has
+    never PASSED a driver check (no row, or a hard-failed row) must be
+    inside the window or declared in _POST_WINDOW_ADDITIONS."""
     import json
     from pathlib import Path
 
