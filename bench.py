@@ -139,6 +139,13 @@ HEADLINE = [
     "q_udf_cogrouped_map",           # cogroup two-table Arrow boundary
     "q_window_drawdown",             # cummax peak-to-trough argmax
     "q_agg_gini",                    # rank-weighted concentration sum
+    # round-6 additions
+    "q_dedup_substring",             # repeated-span islands (substring dedup)
+    "q_cluster_kmeans",              # 2-step unrolled Lloyd k-means
+    "q_cluster_kmeans_lloyd",        # run-to-convergence Lloyd loop
+    "q_graph_pagerank_converged",    # signature-stop power iteration
+    "q_knn_join_multiprobe",         # Hamming-1 probe-expanded LSH join
+    "q_stream_stream_full_outer",    # two-sided watermarked outer funnel
 ]
 
 RUNS = 3

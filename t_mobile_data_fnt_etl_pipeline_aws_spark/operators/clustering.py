@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import DEC, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 from .dedup import _shingles, _tokens
@@ -222,4 +223,207 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_dropped"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lloyd k-means over the embeddings table (VERDICT r5 item 4): the E-step
+# (broadcast-centroid nearest assignment, q_topic_assign_nearest_centroid)
+# and M-step (posexplode per-dimension decimal means, q_label_centroids)
+# composed into (a) a fixed 2-iteration unroll that stays DuckDB-oracle-able
+# and (b) a run-to-convergence driver loop using the alternating-CC
+# machinery (1-row signature, localCheckpoint lineage truncation).
+# ---------------------------------------------------------------------------
+
+#: cluster count (deliberately != the fixture's 5 labels so the clustering
+#: is non-trivial) and unrolled Lloyd iterations.
+_KM_K = 4
+_KM_ITERS = 2
+
+#: squared euclidean distance between two double lists — sequential left
+#: fold, same convention as similarity._SQL_DOT (Spark F.aggregate seeded
+#: 0.0 == DuckDB list_reduce because 0.0 + x == x exactly).
+_SQL_D2 = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " s -> (s[1] - s[2]) * (s[1] - s[2])), (x, y) -> x + y)"
+)
+
+
+def _km_estep(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared euclidean,
+    c_id tiebreak). cent is |k| rows — broadcast; scoring is a map-side
+    ×k fan-out, the argmin window partitions on vec_id."""
+    from pyspark.sql import Window
+
+    d2 = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("ce"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("c_id"))
+    return (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "emb", "c_id", "d2")
+    )
+
+
+def _km_mstep(assigned: DataFrame) -> DataFrame:
+    """Per-cluster element-wise mean with exact-decimal accumulation
+    (finish at 6 dp — numeric.py), reassembled to arrays. Empty clusters
+    simply vanish (no rows), identically in both engines."""
+    from ..functions.numeric import DEC, finish
+
+    exploded = assigned.select(
+        "c_id", F.posexplode("emb").alias("pos", "val")
+    )
+    return (
+        exploded.groupBy("c_id", "pos")
+        .agg(
+            (
+                finish(F.sum(F.col("val").cast(DEC)), 6) / F.count(F.lit(1))
+            ).alias("cval")
+        )
+        .groupBy("c_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            "c_id", F.transform("pc", lambda s: s.getField("cval")).alias("ce")
+        )
+    )
+
+
+def _km_base(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(vectors as double arrays, seed centroids = vec_id < k)."""
+    from .similarity import _as_dbl
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_dbl("embedding").alias("emb")
+    )
+    cent0 = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("c_id"), F.col("emb").alias("ce")
+    )
+    return e, cent0
+
+
+def _km_iter_sql(i: int) -> str:
+    """CTE triple (x{i}, c{i}, a{i+1}): M-step from a{i}, then E-step."""
+    return f"""
+    x{i} AS (
+        SELECT c_id, generate_subscripts(emb, 1) AS pos, unnest(emb) AS val
+        FROM a{i}
+    ),
+    c{i} AS (
+        SELECT c_id, array_agg(cval ORDER BY pos) AS ce
+        FROM (
+            SELECT c_id, pos,
+                   {sql_finish_dec(f"sum(cast(val as {DEC}))", 6)} / count(*)
+                       AS cval
+            FROM x{i} GROUP BY c_id, pos
+        ) GROUP BY c_id
+    ),
+    a{i + 1} AS (
+        SELECT vec_id, emb, c_id, d2 FROM (
+            SELECT vec_id, emb, c_id, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.emb, c.c_id,
+                       {_SQL_D2.format(a="e.emb", b="c.ce")} AS d2
+                FROM e CROSS JOIN c{i} c
+            )
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_cluster_kmeans",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x as double)) AS emb
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT cast(vec_id as int) AS c_id, emb AS ce
+        FROM e WHERE vec_id < {_KM_K}
+    ),
+    a1 AS (
+        SELECT vec_id, emb, c_id, d2 FROM (
+            SELECT vec_id, emb, c_id, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.emb, c.c_id,
+                       {_SQL_D2.format(a="e.emb", b="c.ce")} AS d2
+                FROM e CROSS JOIN c0 c
+            )
+        ) WHERE rn = 1
+    ),
+    {",".join(_km_iter_sql(i) for i in range(1, _KM_ITERS + 1))}
+    SELECT vec_id, c_id AS cluster, d2 AS dist2
+    FROM a{_KM_ITERS + 1}
+    """,
+)
+def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means, k=4, 2 unrolled iterations: seed centroids are the
+    first k vectors, each iteration is one broadcast E-step (nearest
+    squared-euclidean centroid, c_id tiebreak) + one M-step (per-dim
+    exact-decimal means). The fixed-step unroll keeps the DuckDB oracle
+    possible — same chained CTEs, same finish points — exactly the
+    q_graph_pagerank strategy applied to clustering; the
+    run-to-convergence form is q_cluster_kmeans_lloyd.
+
+    Parity: centroid components are finished-decimal means (identical
+    doubles both engines), d2 is a sequential fold of per-row IEEE
+    squares on identical inputs (no finish — numeric.py rule 5), argmin
+    is row_number with a c_id tiebreak. Scale: per iteration, one
+    posexplode shuffle keyed (c_id, pos) — map-side combined — plus a
+    broadcast of k·64 doubles; the vectors table is scanned once per
+    E-step, never shuffled.
+    """
+    e, cent = _km_base(spark, sf_dir)
+    a = _km_estep(e, cent)
+    for _ in range(_KM_ITERS):
+        a = _km_estep(e, _km_mstep(a))
+    return a.select(
+        "vec_id", F.col("c_id").alias("cluster"), F.col("d2").alias("dist2")
+    )
+
+
+@query("q_cluster_kmeans_lloyd")  # rows-only: round count is data-dependent
+def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd k-means run to convergence: iterate E/M from the same seeds
+    as q_cluster_kmeans until the assignment is a fixed point, detected
+    by a 1-row (count, hash-sum) signature of (vec_id, c_id) — the
+    alternating-CC convergence pattern (alternating_cc above):
+    per-round work is executor-side, the driver sees one scalar row per
+    round, localCheckpoint truncates lineage so round k's plan doesn't
+    re-plan rounds 1..k-1. Capped at 25 rounds (Lloyd on the 500-5000
+    vector fixtures converges in < 10; the cap bounds adversarial
+    inputs). Rows-only: the converged assignment depends on the
+    data-driven round count, which no fixed SQL can express; the
+    2-step-unrolled q_cluster_kmeans is the exact-oracled twin, and
+    tests pin (a) E-step consistency of the fixed point and (b) SSE
+    monotonicity vs the unrolled form.
+    """
+    e, cent = _km_base(spark, sf_dir)
+    e = e.localCheckpoint()  # scanned every round; pin it
+    a = _km_estep(e, cent).localCheckpoint()
+    prev_sig: tuple | None = None
+    for _ in range(25):
+        row = a.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("vec_id", "c_id").cast("decimal(38,0)")).alias(
+                "h"
+            ),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+        a = _km_estep(e, _km_mstep(a)).localCheckpoint()
+    return a.select(
+        "vec_id", F.col("c_id").alias("cluster"), F.col("d2").alias("dist2")
     )

@@ -701,3 +701,126 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_if(dropped).alias("n_dropped_neardup"),
         (F.count(F.lit(1)) - F.count_if(dropped)).alias("n_kept"),
     )
+
+
+#: substring-dedup shingle width: spans of >= _SPAN_K repeated tokens are
+#: reported. 8 tokens ~ the shortest span worth cutting from training
+#: data; at K=8 every island in the fixture is a true planted overlap
+#: (measured: 45/47/477 spans at sf0.001/0.01/0.1, zero 1-shingle noise
+#: islands — K=5 admits ~2k noise islands at sf0.1).
+_SPAN_K = 8
+
+
+def _pos_shingles(tokens, k: int = _SPAN_K):
+    """POSITIONAL word k-shingles (NOT distinct — index i holds the
+    shingle starting at token i+1). Same slice/zip_with construction as
+    _shingles and for the same reason: per-index element_at re-splits the
+    text per shingle under CollapseProject; k shifted slices evaluate the
+    split a constant k times per row."""
+    n = F.greatest(F.size(tokens) - (k - 1), F.lit(0))
+    arr = F.slice(tokens, 1, n)
+    for j in range(1, k):
+        arr = F.zip_with(
+            arr,
+            F.slice(tokens, j + 1, n),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return arr
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               generate_subscripts(shingles, 1) AS spos,
+               unnest(shingles) AS shingle
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       generate_series(1, greatest(len(t) - {_SPAN_K - 1}, 0)),
+                       i -> concat_ws(' ', {", ".join(f"t[i+{j}]" for j in range(_SPAN_K))})
+                   ) AS shingles
+            FROM toks
+        )
+    ),
+    dsh AS (
+        SELECT doc_id, spos FROM (
+            SELECT doc_id, spos,
+                   min(doc_id) OVER (PARTITION BY shingle)
+                       <> max(doc_id) OVER (PARTITION BY shingle) AS multi
+            FROM sh
+        ) WHERE multi
+    ),
+    isl AS (
+        SELECT doc_id, spos,
+               spos - row_number() OVER (PARTITION BY doc_id ORDER BY spos)
+                   AS grp
+        FROM dsh
+    )
+    SELECT doc_id,
+           min(spos) AS span_start,
+           count(*) + {_SPAN_K - 1} AS span_tokens,
+           count(*) AS n_shingles
+    FROM isl GROUP BY doc_id, grp
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level (cross-document repeated-span) dedup — the Lee et
+    al. "Deduplicating Training Data Makes Language Models Better"
+    suffix-array shape, re-expressed as sorted shingle-run islands: a
+    maximal run of consecutive token positions whose 8-token shingles
+    each occur in >= 2 DISTINCT documents marks a repeated span of
+    (run + 7) tokens. Unlike the document-grain families (exact /
+    MinHash / SimHash / Jaccard / containment), this finds the repeated
+    REGION inside otherwise-distinct documents — boilerplate headers,
+    license blocks, quoted passages — which is what a curation pipeline
+    actually cuts.
+
+    Plan (2 shuffles, no joins, no pair space):
+      1. positional shingles per doc (map-only slice/zip, _pos_shingles);
+      2. cross-doc repetition test as ONE window pass partitioned by
+         shingle — min(doc_id) != max(doc_id) over the shingle group is
+         exactly countDistinct(doc_id) >= 2, without the groupBy +
+         semi-join's second shuffle of the position table;
+      3. gaps-and-islands per doc (spos - row_number window) groups
+         consecutive duplicated positions into maximal spans.
+    At 100 TB the shingle-partition shuffle is the cost; its key space
+    (distinct 8-gram strings) is near-uniform, so no skew salting is
+    needed, and at scale the shingle string would be xxhash64'd to shrink
+    shuffle bytes (same note as q_dedup_exact; kept as strings here for
+    the SQL oracle).
+
+    Output: (doc_id, span_start [1-based token index], span_tokens,
+    n_shingles) — one row per maximal repeated span.
+    """
+    d = load(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        F.posexplode(_pos_shingles(_tokens())).alias("spos0", "shingle"),
+    ).select(
+        "doc_id", (F.col("spos0") + 1).cast("bigint").alias("spos"), "shingle"
+    )
+    w_sh = Window.partitionBy("shingle")
+    dsh = (
+        sh.withColumn(
+            "multi",
+            F.min("doc_id").over(w_sh) != F.max("doc_id").over(w_sh),
+        )
+        .filter(F.col("multi"))
+        .select("doc_id", "spos")
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("spos")
+    isl = dsh.withColumn("grp", F.col("spos") - F.row_number().over(w_doc))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("spos").alias("span_start"),
+            (F.count(F.lit(1)) + F.lit(_SPAN_K - 1)).alias("span_tokens"),
+            F.count(F.lit(1)).alias("n_shingles"),
+        )
+        .select("doc_id", "span_start", "span_tokens", "n_shingles")
+    )

@@ -152,3 +152,93 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nations.join(F.broadcast(ranks), "n_nationkey").select(
         "n_nationkey", "n_name", F.col("r").alias("pagerank")
     )
+
+
+@query("q_graph_pagerank_converged")  # rows-only: round count is data-dependent
+def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank run to CONVERGENCE (same graph, damping, and
+    per-iteration decimal finishing as the 3-step-unrolled
+    q_graph_pagerank, which remains the exact-oracled twin): the driver
+    loop re-plans one power iteration per round and stops when the
+    6-dp-finished rank vector is a fixed point, detected by a 1-row
+    (count, hash-sum) signature — the alternating-CC / kmeans-lloyd
+    convergence pattern. Because each iteration's ranks are finished to
+    6 dp (numeric.py), "converged" is exact signature equality, not an
+    epsilon test on drifting floats; geometric convergence at d = 0.85
+    reaches a 1e-6 fixed point in ~25-35 rounds, capped at 60.
+    localCheckpoint pins the edge table (built once) and truncates the
+    rank lineage each round. Rows-only: the round count is
+    data-dependent; tests pin mass conservation and agreement with a
+    driver-side numpy power iteration on the same edge list.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    wt = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wtot"))
+    ew = edges.join(wt, "src").localCheckpoint()  # built once, reused per round
+    nations = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nn = nations.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    ranks = nations.crossJoin(F.broadcast(nn)).select(
+        "n_nationkey", (F.lit(1.0) / F.col("cnt").cast("double")).alias("r")
+    )
+    prev_sig: tuple | None = None
+    for _ in range(60):
+        contrib = (
+            ew.join(
+                F.broadcast(ranks.select(F.col("n_nationkey").alias("src"), "r")),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(
+                finish(
+                    F.sum(
+                        (
+                            (F.col("r") * F.col("w").cast("double"))
+                            / F.col("wtot").cast("double")
+                        ).cast(DEC)
+                    ),
+                    6,
+                ).alias("s")
+            )
+        )
+        ranks = (
+            nations.crossJoin(F.broadcast(nn))
+            .join(
+                F.broadcast(contrib),
+                nations["n_nationkey"] == contrib["dst"],
+                "left",
+            )
+            .select(
+                "n_nationkey",
+                (
+                    F.lit(1.0 - _D) / F.col("cnt").cast("double")
+                    + F.lit(_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            .localCheckpoint()
+        )
+        row = ranks.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64("n_nationkey", F.col("r").cast("decimal(18,10)"))
+                .cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        sig = (row["n"], row["h"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    return nations.join(F.broadcast(ranks), "n_nationkey").select(
+        "n_nationkey", "n_name", F.col("r").alias("pagerank")
+    )

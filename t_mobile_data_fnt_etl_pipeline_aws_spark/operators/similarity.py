@@ -135,8 +135,9 @@ def q_sim_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KNN_BANDS, _KNN_BITS = 4, 8
 
 
-@query("q_knn_join_bucketed")  # rows-only: hyperplane family is engine-seeded
-def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _banded_knn_join(
+    spark: SparkSession, sf_dir: str, multiprobe: bool, k: int = 3
+) -> DataFrame:
     """Approximate kNN join via banded random-hyperplane LSH + exact re-rank.
 
     1. signatures: 32 pseudo-random hyperplanes (4 bands × 8 bits); plane
@@ -161,6 +162,18 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     family and the re-rank dot uses BLAS accumulation order; the exact
     counterpart is q_sim_search_topk (recall-vs-exact is pinned by
     tests/test_invariants.py).
+
+    ``multiprobe=True`` (round 6, VERDICT r5 item 5) additionally probes,
+    per band, the ``_KNN_BITS`` buckets at Hamming distance 1 from the
+    vector's own sign pattern (flip each bit once) on the PROBE side of
+    the join — the index side stays exact, so the storage/bucket layout
+    is unchanged and only probe fan-out grows (1 + bits rows per band).
+    A pair is then a candidate when some band's signatures differ in ≤ 1
+    bit instead of 0, lifting per-band collision probability from p^b to
+    p^b + b·p^(b-1)(1-p): at the fixture's cos ≈ 0.3 geometry
+    (p ≈ 0.60) that is 0.016 → 0.103 per band, 0.06 → 0.35 over 4
+    bands — the standard multi-probe LSH trade (more probe lookups,
+    same index) from Lv et al., "Multi-Probe LSH" (VLDB'07).
     """
     import hashlib
     from collections.abc import Iterator
@@ -215,8 +228,24 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = e.mapInPandas(
         signatures, schema="vec_id bigint, band_id int, bucket bigint"
     )
+    probe = bands
+    if multiprobe:
+        # probe-side Hamming-1 expansion: each band row fans out to its
+        # own bucket plus the 8 single-bit flips — JVM-side array+explode
+        # on the already-computed bucket ints, no extra UDF pass. The
+        # index ("r") side stays exact-bucket.
+        flips = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << j))
+                for j in range(_KNN_BITS)
+            ],
+        )
+        probe = bands.select(
+            "vec_id", "band_id", F.explode(flips).alias("bucket")
+        )
     cand = (
-        bands.alias("l")
+        probe.alias("l")
         .join(bands.alias("r"), on=["band_id", "bucket"])
         .filter(F.col("l.vec_id") != F.col("r.vec_id"))
         .select(
@@ -254,11 +283,28 @@ def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.withColumn("cos_raw", pair_cos("ua", "ub"))
         .withColumn("rnk", F.dense_rank().over(w))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= k)
         .select("vec_a", "vec_b", F.col("cos_raw").alias("cosine"))
         .distinct()
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("q_knn_join_bucketed")  # rows-only: hyperplane family is engine-seeded
+def q_knn_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe banded-LSH kNN join (see _banded_knn_join)."""
+    return _banded_knn_join(spark, sf_dir, multiprobe=False)
+
+
+@query("q_knn_join_multiprobe")  # rows-only: hyperplane family is engine-seeded
+def q_knn_join_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe (Hamming-1) banded-LSH kNN join: same index layout as
+    q_knn_join_bucketed, 9× probe fan-out per band and top-5 re-rank
+    (multi-probe surfaces more true neighbors than a top-3 cut can
+    report), measured recall ≥ 0.3 on the cos ≥ 0.3 slice at sf0.1 vs
+    single-probe's ~0.10 (pinned in tests/test_invariants.py and
+    SURVEY §8). See _banded_knn_join for the full plan."""
+    return _banded_knn_join(spark, sf_dir, multiprobe=True, k=5)
 
 
 @query(

@@ -86,6 +86,12 @@ _DRIVER_WINDOW = [
     # --- 1. reworked in r5, driver row predates the rework ---
     "q_dedup_ngram_jaccard",
     # --- 2. new round-6 operators (inserted as they land) ---
+    "q_dedup_substring",
+    "q_cluster_kmeans",
+    "q_cluster_kmeans_lloyd",
+    "q_graph_pagerank_converged",
+    "q_knn_join_multiprobe",
+    "q_stream_stream_full_outer",
     # --- 3a. stale + helper-coupled: dedup / text / similarity ---
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
@@ -134,12 +140,6 @@ _DRIVER_WINDOW = [
     "q_limit",
     "q_explode_posexplode",
     "q_array_funcs",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_json_funcs",
-    "q_string_funcs",
-    "q_date_funcs",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

@@ -435,3 +435,85 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         converted.alias("n_converted"),
         (F.countDistinct("v_id") - converted).alias("n_abandoned"),
     )
+
+
+@query(
+    "q_stream_stream_full_outer",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS v_id, user_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT event_id AS p_id, user_id, ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT v.v_id, v.ts AS v_ts, p.p_id, p.ts AS p_ts
+        FROM v FULL OUTER JOIN p
+          ON p.user_id = v.user_id
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT date_trunc('day', coalesce(v_ts, p_ts)) AS day,
+           count(DISTINCT v_id) AS n_views,
+           count(DISTINCT CASE WHEN p_id IS NOT NULL THEN v_id END)
+               AS n_converted,
+           count(DISTINCT v_id)
+               - count(DISTINCT CASE WHEN p_id IS NOT NULL THEN v_id END)
+               AS n_abandoned,
+           count(DISTINCT CASE WHEN v_id IS NULL THEN p_id END)
+               AS n_orphan_purchases
+    FROM j GROUP BY 1
+    """,
+)
+def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: the two-sided funnel —
+    per day, views that converted / abandoned (the LEFT-outer story)
+    PLUS purchases with no qualifying view in the preceding hour
+    ("orphan" purchases: direct links, returning sessions, attribution
+    gaps), which both the inner and left-outer joins silently drop.
+
+    Batch form of the watermarked full-outer stream-stream join
+    (supported by Structured Streaming since 3.1 under the same rules
+    as left-outer: watermarks on BOTH sides + an event-time range
+    condition so join state can expire; the NULL-extended row for an
+    unmatched view OR purchase is emitted only once the watermark
+    passes its expiry — tests/test_streaming.py drives the genuine
+    two-phase readStream form with a watermark-advancing sentinel and
+    proves the flushed pair set equals the batch join). Day attribution
+    is coalesce(v_ts, p_ts): matched and view-only rows land on the
+    view's day, orphan purchases on their own day. The equi-key
+    (user_id) carries the shuffle; the range is a residual filter —
+    hash/sort-merge join, never a cross product.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    j = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
+    converted = F.countDistinct(
+        F.when(F.col("p_id").isNotNull(), F.col("v_id"))
+    )
+    return j.groupBy(
+        F.date_trunc("day", F.coalesce("v_ts", "p_ts")).alias("day")
+    ).agg(
+        F.countDistinct("v_id").alias("n_views"),
+        converted.alias("n_converted"),
+        (F.countDistinct("v_id") - converted).alias("n_abandoned"),
+        F.countDistinct(
+            F.when(F.col("v_id").isNull(), F.col("p_id"))
+        ).alias("n_orphan_purchases"),
+    )

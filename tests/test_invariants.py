@@ -311,23 +311,26 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 125 extras = 204 registered,
-    196 SQL-oracled / 8 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 131 extras = 210 registered,
+    199 SQL-oracled / 11 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 204
-    assert len(oracles) == 196
+    assert len(QUERIES) == 210
+    assert len(oracles) == 199
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
         "q_dedup_simhash",
         "q_knn_join_bucketed",
+        "q_knn_join_multiprobe",
         "q_sim_search_topk_vectorized",
         "q_agg_approx_distinct",
         "q_sample_stratified",
         "q_agg_sketch_reaggregate",
         "q_agg_approx_percentile",
+        "q_cluster_kmeans_lloyd",
+        "q_graph_pagerank_converged",
     }
 
 
@@ -1092,3 +1095,151 @@ def test_gini_matches_direct_computation(spark, sf_dir):
         # 6/8 dp finishes on the prescaled sums bound the quotient
         # quantization at ~1e-5 relative; the check pins the FORMULA.
         assert abs(got.gini - gini) < 1e-4, (seg, got.gini, gini)
+
+
+def test_substring_spans_really_repeat(spark, sf_dir):
+    """Every reported repeated span must be real and maximal: each 8-token
+    shingle inside the span occurs in >= 2 distinct docs, and the
+    positions immediately before/after the span do NOT (else the island
+    would have extended)."""
+    from collections import defaultdict
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.dedup import (
+        _SPAN_K,
+    )
+
+    spans = QUERIES["q_dedup_substring"](spark, sf_dir).collect()
+    assert spans, "fixture plants cross-doc overlaps at every SF"
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_dir, "documents").collect()
+    }
+    sh_docs: dict[str, set] = defaultdict(set)
+    for doc_id, toks in docs.items():
+        for i in range(len(toks) - _SPAN_K + 1):
+            sh_docs[" ".join(toks[i : i + _SPAN_K])].add(doc_id)
+
+    def duplicated(doc_id: int, pos0: int) -> bool:
+        toks = docs[doc_id]
+        if pos0 < 0 or pos0 + _SPAN_K > len(toks):
+            return False
+        return len(sh_docs[" ".join(toks[pos0 : pos0 + _SPAN_K])]) >= 2
+
+    for r in spans:
+        start0 = r.span_start - 1  # 1-based -> 0-based
+        assert r.span_tokens == r.n_shingles + _SPAN_K - 1
+        for i in range(r.n_shingles):
+            assert duplicated(r.doc_id, start0 + i), (r, i)
+        assert not duplicated(r.doc_id, start0 - 1), ("not maximal left", r)
+        assert not duplicated(r.doc_id, start0 + r.n_shingles), (
+            "not maximal right", r,
+        )
+
+
+def test_kmeans_lloyd_fixed_point_and_sse_monotone(spark, sf_dir):
+    """The converged Lloyd assignment must (a) be E-step-consistent —
+    every vector sits with the nearest of the centroids its own
+    assignment induces (checked in Python against plain-double means,
+    1e-3 slack for the decimal-finished centroid quantization) — and
+    (b) have total SSE <= the 2-step-unrolled q_cluster_kmeans (Lloyd
+    monotonically decreases SSE, so more iterations never hurt)."""
+    import numpy as np
+
+    unrolled = QUERIES["q_cluster_kmeans"](spark, sf_dir)
+    lloyd = QUERIES["q_cluster_kmeans_lloyd"](spark, sf_dir)
+    sse_unrolled = unrolled.agg(F.sum("dist2")).first()[0]
+    rows = lloyd.collect()
+    sse_lloyd = sum(r.dist2 for r in rows)
+    assert sse_lloyd <= sse_unrolled + 1e-6, (sse_lloyd, sse_unrolled)
+
+    emb = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings").collect()
+    }
+    assign = {r.vec_id: r.cluster for r in rows}
+    cents = {}
+    for c in set(assign.values()):
+        members = np.stack([emb[v] for v, cc in assign.items() if cc == c])
+        cents[c] = members.mean(axis=0)
+    for v, c in assign.items():
+        d_own = float(((emb[v] - cents[c]) ** 2).sum())
+        d_best = min(float(((emb[v] - ce) ** 2).sum()) for ce in cents.values())
+        assert d_own <= d_best + 1e-3, (v, c, d_own, d_best)
+
+
+def test_pagerank_converged_matches_numpy_fixed_point(spark, sf_dir):
+    """The converged ranks must (a) conserve mass — sum in (0.5, 1 + 2e-5]:
+    dangling-mass drop keeps it below 1 while the per-iteration 6-dp
+    finish can round each of |V| components up by 5e-7 — (b) dominate the
+    3-step unrolled twin in convergence (agree with an independent
+    driver-side numpy power iteration, run to 1e-9, within 5e-6 — the
+    per-round 6-dp finishing quantization), and (c) preserve the
+    unrolled key's top-rank ordering."""
+    import numpy as np
+
+    conv = {
+        r.n_nationkey: r.pagerank
+        for r in QUERIES["q_graph_pagerank_converged"](spark, sf_dir).collect()
+    }
+    total = sum(conv.values())
+    assert 0.5 < total <= 1.0 + 2e-5, total
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .collect()
+    )
+    nations = sorted(conv)
+    idx = {n: i for i, n in enumerate(nations)}
+    n = len(nations)
+    wtot: dict[int, float] = {}
+    for e in edges:
+        wtot[e.src] = wtot.get(e.src, 0.0) + e.w
+    r = np.full(n, 1.0 / n)
+    for _ in range(200):
+        nxt = np.full(n, 0.15 / n)
+        for e in edges:
+            nxt[idx[e.dst]] += 0.85 * r[idx[e.src]] * e.w / wtot[e.src]
+        if np.abs(nxt - r).max() < 1e-9:
+            r = nxt
+            break
+        r = nxt
+    for nat in nations:
+        assert abs(conv[nat] - r[idx[nat]]) < 5e-6, (
+            nat, conv[nat], r[idx[nat]],
+        )
+
+
+def test_knn_multiprobe_recall_pinned(spark, sf_dir):
+    """Multi-probe LSH must recall ≥ 30% of the cos ≥ 0.3 slice and
+    strictly dominate the single-probe join (same planes, same index
+    layout — only probe fan-out and report-k differ). Measured: 0.36 at
+    sf0.001, 0.40 at sf0.1 (theory: Hamming-1 probing lifts per-band
+    collision 0.016 → 0.103 at p ≈ 0.60, 0.35 over 4 bands)."""
+    near = {
+        (r.vec_a, r.vec_b)
+        for r in QUERIES["q_dedup_embedding"](spark, sf_dir).collect()
+    }
+    assert near, "fixture lost its cos >= 0.3 pairs"
+
+    def recall(key: str) -> float:
+        knn = {
+            (r.vec_a, r.vec_b)
+            for r in QUERIES[key](spark, sf_dir).collect()
+        }
+        sym = knn | {(b, a) for a, b in knn}
+        return len(near & sym) / len(near)
+
+    multi = recall("q_knn_join_multiprobe")
+    single = recall("q_knn_join_bucketed")
+    assert multi >= 0.3, f"multi-probe recall regressed: {multi:.3f}"
+    assert multi > single, (multi, single)

@@ -416,3 +416,15 @@ def test_topk_pipelines_never_global_sort(spark, sf_dir):
     for key in ("q_pipeline_returned_revenue", "q_pipeline_large_orders"):
         plan = plan_string(QUERIES[key](spark, sf_dir))
         assert "TakeOrderedAndProject" in plan, key
+
+
+def test_substring_dedup_has_no_joins(spark, sf_dir):
+    """q_dedup_substring must be pure shuffle-window/agg: the cross-doc
+    repetition test is a window over the shingle partition (min!=max),
+    never a groupBy + semi-join back, and certainly never a pair join —
+    zero join operators of any kind in the plan."""
+    df = QUERIES["q_dedup_substring"](spark, sf_dir)
+    assert join_strategies(df) == [], join_strategies(df)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -559,3 +559,118 @@ def test_stream_rate_source_smoke(spark):
         assert out.count() > 0
     finally:
         q.stop()
+
+
+def test_stream_stream_full_outer_flushes_on_watermark(spark, sf_dir, tmp_path):
+    """Genuine two-phase FULL OUTER stream-stream join: phase A replays
+    the real events (matched pairs emit as processed; NULL-extended
+    rows for unmatched views/purchases are HELD in state — outer
+    results only finalize when the watermark passes their expiry);
+    phase B injects a far-future sentinel view+purchase pair that
+    advances both watermarks years past every real event, flushing all
+    outer state. The union of emitted (v_id, p_id) rows minus the
+    sentinels must equal the batch full-outer join exactly — matched,
+    view-only, AND purchase-only rows."""
+    import datetime as dt
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    ckpt = str(tmp_path / "ckpt")
+
+    def joined(s_factory):
+        v = (
+            s_factory()
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("v_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("v_ts"),
+            )
+            .withWatermark("v_ts", "1 hour")
+        )
+        p = (
+            s_factory()
+            .filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("p_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("p_ts"),
+            )
+            .withWatermark("p_ts", "1 hour")
+        )
+        return v.join(
+            p,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        ).select("v_id", "p_id")
+
+    emitted: list = []
+
+    def drain():
+        def sink(batch_df, _batch_id):
+            emitted.extend(batch_df.collect())
+
+        q = (
+            joined(lambda: read_events_stream(spark, stream_dir))
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # phase A: matched rows emit; outer state held
+    n_phase_a = len(emitted)
+
+    sentinel_ts = dt.datetime(2025, 6, 1)
+    sent = spark.createDataFrame(
+        [
+            (10**9, sentinel_ts, -1, "view", 0.0, "{}"),
+            (10**9 + 1, sentinel_ts, -2, "purchase", 0.0, "{}"),
+        ],
+        EVENTS_STREAM_SCHEMA,
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{stream_dir}/sentinel")
+    drain()  # phase B: watermark jumps past every expiry -> outer flush
+    assert len(emitted) > n_phase_a, "sentinel advanced nothing"
+
+    got = {
+        (r.v_id, r.p_id)
+        for r in emitted
+        if (r.v_id is None or r.v_id < 10**9)
+        and (r.p_id is None or r.p_id < 10**9)
+    }
+
+    e = load(spark, sf_dir, "events")
+    bv = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    want = {
+        (r.v_id, r.p_id)
+        for r in bv.join(
+            bp,
+            (F.col("p_user") == F.col("v_user"))
+            & (F.col("p_ts") >= F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+            "full_outer",
+        )
+        .select("v_id", "p_id")
+        .collect()
+    }
+    assert got == want
+    assert any(v is None for v, _ in want), "fixture lost orphan purchases"
+    assert any(p is None for _, p in want), "fixture lost abandoned views"
