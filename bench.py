@@ -142,10 +142,20 @@ HEADLINE = [
     # round-6 additions
     "q_dedup_substring",             # repeated-span islands (substring dedup)
     "q_cluster_kmeans",              # 2-step unrolled Lloyd k-means
-    "q_cluster_kmeans_lloyd",        # run-to-convergence Lloyd loop
+    # q_cluster_kmeans_lloyd is deliberately NOT in the headline: its
+    # honest cost is ~35 convergence rounds x the ~0.5 s local job floor
+    # (~19 s at sf0.1) which would drown the 100-key total; the unrolled
+    # twin represents the family here and the full "all" sweep
+    # (BENCH_LOCAL_r{N}_full.json) still records the loop's number.
     "q_graph_pagerank_converged",    # signature-stop power iteration
     "q_knn_join_multiprobe",         # Hamming-1 probe-expanded LSH join
     "q_stream_stream_full_outer",    # two-sided watermarked outer funnel
+    "q_pipeline_nation_profit",      # Q9 adapted: filtered-dim star profit
+    "q_pipeline_fulfillment_priority",  # Q12 adapted: lag-bucket priority mix
+    "q_pipeline_small_qty_revenue",  # Q17 decorrelated avg-qty filter
+    "q_pipeline_disjunctive_revenue",  # Q19 OR-of-conjuncts with derived pushdown
+    "q_report_top_supplier",         # Q15 scalar-max view reuse
+    "q_report_supplier_parts",       # Q16 distinct-supplier diversity
 ]
 
 RUNS = 3

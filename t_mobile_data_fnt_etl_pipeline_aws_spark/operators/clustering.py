@@ -394,36 +394,109 @@ def q_cluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("q_cluster_kmeans_lloyd")  # rows-only: round count is data-dependent
 def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd k-means run to convergence: iterate E/M from the same seeds
-    as q_cluster_kmeans until the assignment is a fixed point, detected
-    by a 1-row (count, hash-sum) signature of (vec_id, c_id) — the
-    alternating-CC convergence pattern (alternating_cc above):
-    per-round work is executor-side, the driver sees one scalar row per
-    round, localCheckpoint truncates lineage so round k's plan doesn't
-    re-plan rounds 1..k-1. Capped at 25 rounds (Lloyd on the 500-5000
-    vector fixtures converges in < 10; the cap bounds adversarial
-    inputs). Rows-only: the converged assignment depends on the
-    data-driven round count, which no fixed SQL can express; the
-    2-step-unrolled q_cluster_kmeans is the exact-oracled twin, and
-    tests pin (a) E-step consistency of the fixed point and (b) SSE
-    monotonicity vs the unrolled form.
+    """Lloyd k-means run to convergence from the same seeds as
+    q_cluster_kmeans, converging when the 6-dp-finished CENTROIDS reach
+    an exact fixed point (stable centroids ⇒ stable assignments, since
+    the E-step is deterministic given centroids).
+
+    THROUGHPUT form (round-6 rewrite; the first cut reran the oracle
+    twin's crossJoin + argmin-window E-step per round and cost 17 s at
+    sf0.1 — the window was a full shuffle of the ×k fan-out every
+    round, and the interpreted HOF distance fold is outside codegen):
+
+    * E-step: mapInPandas — the k×64 centroid matrix rides in the UDF
+      closure (collected k rows from the previous M-step, driver-side
+      — the CC-signature pattern, k rows not data rows), distances are
+      ONE BLAS gram update per Arrow batch (‖x‖² − 2X·Cᵀ + ‖c‖²),
+      argmin over the k axis with ascending-c_id tiebreak. Map-only:
+      no crossJoin fan-out, no argmin-window shuffle.
+    * M-step: posexplode → per-(c_id,pos) exact-DECIMAL sums + counts
+      (one map-side-combined shuffle) → collect k·64 tiny rows → the
+      finished-decimal mean (HALF_UP quantize at 6 dp, the numeric.py
+      finish) computed driver-side with Python Decimal — bit-identical
+      to the Spark-side finish the oracle twin uses, verified by the
+      kmeans-agreement invariant test. Fusing the finish into the
+      driver collapses each round to ONE job with ONE shuffle (the
+      first cut's separate mstep DataFrame + signature agg paid three
+      stages per round).
+    * Convergence: the collected finished-decimal centroid tuples
+      compare EXACTLY between rounds — no epsilon, no extra signature
+      job; and because each round's plan starts from literal collected
+      centroids, lineage never grows (no localCheckpoint needed).
+
+    Capped at 60 rounds — measured: sf0.1 reaches its EXACT quantized
+    fixed point at round 35 (the 5000-vector corpus keeps flipping
+    borderline points for ~34 rounds; deltas hover at ~1e-3 until they
+    hit 0 exactly, so a sklearn-style 1e-4 tolerance stop would save
+    nothing and was rejected). Rows-only:
+    round count is data-dependent and the BLAS accumulation order
+    differs from a SQL fold; the 2-step-unrolled q_cluster_kmeans is
+    the exact-oracled twin, and tests pin (a) E-step consistency of
+    the fixed point against plain-numpy means and (b) SSE monotonicity
+    vs the unrolled form. At 100 TB this shape is one scan + one small
+    shuffle per round with the centroid state O(k·dim) on the driver —
+    the textbook distributed Lloyd layout.
     """
-    e, cent = _km_base(spark, sf_dir)
-    e = e.localCheckpoint()  # scanned every round; pin it
-    a = _km_estep(e, cent).localCheckpoint()
-    prev_sig: tuple | None = None
-    for _ in range(25):
-        row = a.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.xxhash64("vec_id", "c_id").cast("decimal(38,0)")).alias(
-                "h"
-            ),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
+    from collections.abc import Iterator
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.numeric import DEC
+
+    e, cent0 = _km_base(spark, sf_dir)
+    cent_rows = sorted(
+        (r["c_id"], tuple(r["ce"])) for r in cent0.collect()
+    )
+
+    def estep_blas(cent_rows):
+        ids = np.array([c for c, _ in cent_rows], dtype=np.int32)
+        C = np.array([ce for _, ce in cent_rows], dtype=np.float64)
+        c2 = (C * C).sum(axis=1)
+
+        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                X = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+                j = d2.argmin(axis=1)  # ties → lowest index = lowest c_id
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "emb": pdf["emb"],
+                        "c_id": ids[j],
+                        "d2": d2[np.arange(len(j)), j],
+                    }
+                )
+
+        return e.mapInPandas(
+            assign, "vec_id bigint, emb array<double>, c_id int, d2 double"
+        )
+
+    q6 = Decimal("1e-6")
+    prev = None
+    for _ in range(60):
+        sums = (
+            estep_blas(cent_rows)
+            .select("c_id", F.posexplode("emb").alias("pos", "val"))
+            .groupBy("c_id", "pos")
+            .agg(
+                F.sum(F.col("val").cast(DEC)).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        by_cid: dict[int, list] = {}
+        for r in sums:
+            # finish(sum, 6) / count, exactly as _km_mstep / the oracle
+            # twin: quantize the SUM (HALF_UP, 6 dp) to a double first,
+            # THEN divide IEEE — not a quantized quotient.
+            s6 = float(Decimal(r["s"]).quantize(q6, rounding=ROUND_HALF_UP))
+            by_cid.setdefault(r["c_id"], [None] * 64)[r["pos"]] = s6 / r["n"]
+        cent_rows = sorted((c, tuple(ce)) for c, ce in by_cid.items())
+        if cent_rows == prev:
             break
-        prev_sig = sig
-        a = _km_estep(e, _km_mstep(a)).localCheckpoint()
-    return a.select(
+        prev = cent_rows
+    return estep_blas(cent_rows).select(
         "vec_id", F.col("c_id").alias("cluster"), F.col("d2").alias("dist2")
     )

@@ -1289,3 +1289,224 @@ def q_report_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         ((F.col("revenue") - prev) / prev).alias("mom_growth"),
     )
+
+
+@query(
+    "q_pipeline_nation_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation, year(l.l_shipdate) AS yr,
+           {sql_dsum(
+               "l.l_extendedprice * (1 - l.l_discount)"
+               " - 0.5 * p.p_retailprice * l.l_quantity", "profit")},
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+)
+def q_pipeline_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: per-nation, per-year profit on one product line
+    (parts whose name contains 'red'). The fixture has no partsupp
+    table, so unit cost is adapted to half the part's retail price —
+    0.5 is deliberately DYADIC (an exact IEEE exponent shift, numeric.py
+    rule 6: a decimal cost factor like 0.6 would manufacture
+    decimal-quantizer ties in the profit products at scale).
+
+    Plan: part (name-LIKE filter pushed to its scan), supplier, and
+    nation all broadcast; lineitem shuffles once for the (nation, year)
+    rollup. Profit is per-row IEEE on identical inputs; only the
+    cross-row sum is decimal-accumulated. The Q9 lesson at 100 TB: the
+    selective dim filter (p_name LIKE) must prune BEFORE the fact join
+    — a broadcast of the filtered part dim does exactly that.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("yr"),
+        )
+        .agg(dsum(profit, "profit"), F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+@query(
+    "q_pipeline_fulfillment_priority",
+    oracle="""
+    SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 90
+                THEN 'LATE'
+                WHEN date_diff('day', o.o_orderdate, l.l_shipdate) > 30
+                THEN 'NORMAL' ELSE 'FAST' END AS ship_bucket,
+           count(*) FILTER (o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
+               AS high_priority_lines,
+           count(*) FILTER (o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH'))
+               AS low_priority_lines
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_pipeline_fulfillment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped: does slow fulfillment hit high-priority orders?
+    Per fulfillment-lag bucket (order→ship day gap: ≤30 FAST, ≤90
+    NORMAL, else LATE — the fixture has no shipmode column, so the lag
+    bucket replaces Q12's mode dimension), count urgent/high-priority
+    vs other order lines in one ship year.
+
+    The year filter pushes to the lineitem scan; one fact-fact join on
+    orderkey, one 3-group rollup; the conditional counts are count_if
+    (pure integers — nothing to finish). The Q12 lesson: the CASE
+    bucket is computed AFTER the join but groups only 3 ways, so the
+    aggregate is map-side-combined to almost nothing.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    o_full = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    bucket = (
+        F.when(lag_days > 90, "LATE")
+        .when(lag_days > 30, "NORMAL")
+        .otherwise("FAST")
+    )
+    return (
+        li.join(o_full, li["l_orderkey"] == o_full["o_orderkey"])
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.count_if(hi).alias("high_priority_lines"),
+            F.count_if(~hi).alias("low_priority_lines"),
+        )
+    )
+
+
+@query(
+    "q_pipeline_small_qty_revenue",
+    oracle=f"""
+    WITH avgq AS (
+        SELECT l_partkey,
+               ({sql_finish_dec(f"sum(cast(l_quantity as {DEC}))", 4)}
+                / count(*)) AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT coalesce({sql_finish_dec(
+        f"sum(cast(l.l_extendedprice as {DEC}))", 4)}, 0.0) / 7.0
+               AS avg_yearly,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avgq a ON a.l_partkey = l.l_partkey
+    WHERE p.p_type = 'ECONOMY'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    """,
+)
+def q_pipeline_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: revenue lost if small-quantity ECONOMY orders
+    (below 20% of that part's average order quantity) moved to bulk —
+    the correlated-average filter query.
+
+    The correlated subquery decorrelates to a pre-aggregation of
+    lineitem keyed on partkey joined back to the fact — at 100 TB the
+    pre-agg is the cheap pass (map-side combined) and the re-join
+    carries only (partkey, avg) pairs. avg_qty is a finished-decimal
+    sum over count (davg recipe: identical doubles both engines), and
+    the 0.2·avg comparison is fixed IEEE on those — the strict < can't
+    flip engines. part broadcasts with its type filter pushed; the
+    final single-group sum is coalesced for the no-survivor case so
+    the row is engine-identically non-null at every SF.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    avgq = li.groupBy("l_partkey").agg(
+        (finish(F.sum(F.col("l_quantity").cast(DEC)), 4) / F.count(F.lit(1)))
+        .alias("avg_qty")
+    ).select(F.col("l_partkey").alias("a_partkey"), "avg_qty")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avgq, li["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (
+                F.coalesce(
+                    finish(F.sum(F.col("l_extendedprice").cast(DEC)), 4),
+                    F.lit(0.0),
+                )
+                / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_pipeline_disjunctive_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)', 'revenue')},
+           count(*) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_pipeline_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: revenue from three disjunctive brand/size/
+    quantity windows — the OR-of-conjuncts query whose classic
+    optimization is deriving the single-table implications of the
+    disjunction so each scan prunes BEFORE the join.
+
+    Catalyst does not factor cross-table ORs by itself, so the derived
+    bounds are stated explicitly — `p_brand IN (…) AND p_size ≤ 15` on
+    part, `l_quantity BETWEEN 1 AND 30` on lineitem — exactly the
+    rewrite the Q19 literature describes; they are implied by the OR
+    (semantics unchanged, asserted by the oracle which omits them) and
+    reach both parquet scans as PushedFilters (plan-contract-tested).
+    The residual OR evaluates post-join on the pruned rows; part
+    broadcasts.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = load(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    q = F.col("l_quantity")
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 5)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#34") & (F.col("p_size") <= 15)
+           & (q >= 20) & (q <= 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(disj)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

@@ -272,3 +272,94 @@ def q_report_binational_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
     ).agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"))
+
+
+@query(
+    "q_report_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+               {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_rev')}
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+)
+def q_report_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: the supplier(s) with the maximum revenue in one
+    quarter — the view + scalar-subquery-on-the-view query.
+
+    The revenue "view" materializes once in the plan and feeds BOTH the
+    scalar max and the equality filter (Spark reuses the subplan; at
+    100 TB you would persist the view or let AQE reuse the exchange).
+    Revenues are finished decimal sums, so the max and the = compare
+    identical doubles in both engines — a float equality that is SAFE
+    here precisely because both sides are quantized finishes, the same
+    argument q_window_drawdown's cummax equality rests on. Ties (two
+    suppliers at the exact max) surface as multiple rows in both
+    engines rather than an arbitrary pick.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev["total_rev"] == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@query(
+    "q_report_supplier_parts",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND s.s_acctbal >= 0
+    GROUP BY p.p_type, p.p_size
+    """,
+)
+def q_report_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped: how many qualified suppliers can ship each
+    (type, size) part class — supplier diversity per product segment.
+    The fixture has no partsupp table, so the part↔supplier
+    relationship is the SHIPPED relationship observed in lineitem, and
+    Q16's "customer complaints" supplier exclusion adapts to negative
+    account balance.
+
+    Both dims broadcast with their filters pushed (brand ≠, size IN on
+    part; acctbal ≥ 0 on supplier); the distinct-supplier count is the
+    expand + two-phase aggregate Spark plans for COUNT(DISTINCT) —
+    shuffle keyed on the group, combine-side dedup. The anti-pattern
+    this avoids at 100 TB: collect_set per group (unbounded state per
+    key) — count(distinct) keeps it in the aggregate buffer.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    ).select("p_partkey", "p_type", "p_size")
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_acctbal") >= 0).select(
+        "s_suppkey"
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -92,6 +92,12 @@ _DRIVER_WINDOW = [
     "q_graph_pagerank_converged",
     "q_knn_join_multiprobe",
     "q_stream_stream_full_outer",
+    "q_pipeline_nation_profit",
+    "q_pipeline_fulfillment_priority",
+    "q_pipeline_small_qty_revenue",
+    "q_pipeline_disjunctive_revenue",
+    "q_report_top_supplier",
+    "q_report_supplier_parts",
     # --- 3a. stale + helper-coupled: dedup / text / similarity ---
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
@@ -134,12 +140,6 @@ _DRIVER_WINDOW = [
     #     new round-6 keys evict from the END of this block upward) ---
     "q_join_cross",
     "q_join_interval",
-    "q_filter_like",
-    "q_filter_null",
-    "q_distinct_rows",
-    "q_limit",
-    "q_explode_posexplode",
-    "q_array_funcs",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

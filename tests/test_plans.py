@@ -428,3 +428,24 @@ def test_substring_dedup_has_no_joins(spark, sf_dir):
     plan = plan_string(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_revenue_pushes_derived_bounds(spark, sf_dir):
+    """Q19 shape: the hand-derived single-table implications of the
+    cross-table OR must reach both parquet scans — quantity bounds on
+    lineitem, brand/size on part — and part must broadcast."""
+    df = QUERIES["q_pipeline_disjunctive_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_quantity" in pushed, pushed
+    assert "p_brand" in pushed and "p_size" in pushed, pushed
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_tpch_adapted_star_joins_broadcast_dims(spark, sf_dir):
+    """Q9/Q16 adaptations: every dim side (part, supplier, nation) must
+    broadcast — the fact table is the only shuffle participant."""
+    for key in ("q_pipeline_nation_profit", "q_report_supplier_parts"):
+        strategies = join_strategies(QUERIES[key](spark, sf_dir))
+        assert strategies and all(
+            s == "BroadcastHashJoin" for s in strategies
+        ), (key, strategies)
