@@ -156,6 +156,9 @@ HEADLINE = [
     "q_pipeline_disjunctive_revenue",  # Q19 OR-of-conjuncts with derived pushdown
     "q_report_top_supplier",         # Q15 scalar-max view reuse
     "q_report_supplier_parts",       # Q16 distinct-supplier diversity
+    "q_chunk_cdc",                   # content-defined chunking (md5 boundary)
+    "q_dedup_cdc_chunks",            # cross-doc duplicated-chunk report
+    "q_graph_triangles",             # degree-oriented wedge-join triangles
 ]
 
 RUNS = 3

@@ -824,3 +824,179 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_tokens", "n_shingles")
     )
+
+
+#: content-defined chunking: boundary when the md5 hex digest of the
+#: 8-token window starts with '0' (P = 1/16 → ~16-token average chunks).
+#: md5 renders identical hex in Spark and DuckDB, which is what makes the
+#: whole CDC pipeline SQL-oracle-able — an xxhash64 boundary would be
+#: engine-specific and force rows-only.
+_CDC_W = 8
+_CDC_PREFIX = "0"
+
+
+def _cdc_flags(tokens):
+    """Boolean boundary flags aligned to token positions (padded with
+    false past n-w+1 where no full window exists; sliced back to token
+    length so sub-window docs — none in the fixtures, but the operator
+    shouldn't care — still zip cleanly)."""
+    sh = _pos_shingles(tokens, _CDC_W)
+    flags = F.transform(
+        sh, lambda s: F.substring(F.md5(s), 1, 1) == F.lit(_CDC_PREFIX)
+    )
+    pad = F.array_repeat(F.lit(False), _CDC_W - 1)
+    return F.slice(F.concat(flags, pad), 1, F.size(tokens))
+
+
+#: shared CTE: per-(doc, chunk) rows with ordered text reassembly.
+_CDC_ORACLE_WITH = f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    flagged AS (
+        SELECT doc_id,
+               generate_subscripts(t, 1) AS pos,
+               unnest(t) AS token,
+               unnest(
+                   list_concat(
+                       list_transform(
+                           generate_series(1, greatest(len(t) - {_CDC_W - 1}, 0)),
+                           i -> substr(md5(concat_ws(' ',
+                                {", ".join(f"t[i+{j}]" for j in range(_CDC_W))}
+                           )), 1, 1) = '{_CDC_PREFIX}'
+                       ),
+                       list_transform(
+                           generate_series(1, least(len(t), {_CDC_W - 1})),
+                           i -> false
+                       )
+                   )
+               ) AS is_boundary
+        FROM toks
+    ),
+    numbered AS (
+        SELECT doc_id, pos, token,
+               cast(sum(CASE WHEN is_boundary OR pos = 1 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY doc_id ORDER BY pos) as bigint)
+                   AS chunk_id
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               min(pos) AS start_pos,
+               count(*) AS n_tokens,
+               md5(string_agg(token, ' ' ORDER BY pos)) AS chunk_md5
+        FROM numbered GROUP BY doc_id, chunk_id
+    )
+"""
+
+
+@query(
+    "q_chunk_cdc",
+    oracle=f"""
+    {_CDC_ORACLE_WITH}
+    SELECT doc_id, chunk_id, start_pos, n_tokens, chunk_md5 FROM chunks
+    """,
+)
+def q_chunk_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the Rabin/FastCDC shape at token
+    grain): a chunk boundary falls wherever the 8-token window's md5
+    hex digest starts with '0' — boundaries depend only on CONTENT, so
+    an insertion early in a document shifts every fixed-stride chunk
+    (q_chunk_overlap) but leaves all CDC chunks after the edit
+    identical, which is what makes chunk-level dedup survive edits.
+    ~16-token expected chunks at P = 1/16.
+
+    Plan: boundary flags are map-only (positional shingles → md5 →
+    prefix test, padded to token length); ONE posexplode of the
+    zipped (token, flag) arrays; chunk numbering is a running
+    conditional sum per doc (window); reassembly + md5 per chunk is
+    one groupBy with the order-pinned struct-sort collect (Spark
+    collect_list is arrival-ordered — never hash an unordered
+    concat). Two shuffles total, no joins.
+    """
+    return cdc_chunks(load(spark, sf_dir, "documents"))
+
+
+def cdc_chunks(d: DataFrame) -> DataFrame:
+    """CDC chunk table for any (doc_id, text) frame — see q_chunk_cdc."""
+    toks = _tokens()
+    zipped = F.arrays_zip(toks, _cdc_flags(toks))
+    ex = d.select(
+        "doc_id", F.posexplode(zipped).alias("pos0", "z")
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.col("z").getField("0").alias("token"),
+        F.col("z").getField("1").alias("is_boundary"),
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = ex.withColumn(
+        "chunk_id",
+        F.sum(
+            F.when(F.col("is_boundary") | (F.col("pos") == 1), 1).otherwise(0)
+        ).over(w_run),
+    )
+    return (
+        numbered.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("pos", "token"))
+                        ),
+                        lambda s: s.getField("token"),
+                    ),
+                    " ",
+                )
+            ).alias("chunk_md5"),
+        )
+        .select("doc_id", "chunk_id", "start_pos", "n_tokens", "chunk_md5")
+    )
+
+
+@query(
+    "q_dedup_cdc_chunks",
+    oracle=f"""
+    {_CDC_ORACLE_WITH}
+    SELECT chunk_md5,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs,
+           min(n_tokens) AS n_tokens,
+           min(doc_id) AS first_doc_id
+    FROM chunks
+    GROUP BY chunk_md5
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level dedup over the CDC chunks: content chunks appearing
+    in >= 2 distinct documents, with occurrence/document counts — the
+    blob-store dedup shape (and the edit-robust complement of
+    q_dedup_substring's positional islands: CDC finds the SAME payload
+    at ANY offset, islands find maximal repeated SPANS).
+
+    One extra hash-aggregate over q_chunk_cdc keyed on the 32-char
+    chunk_md5 — at 100 TB this is the textbook dedup shuffle: fixed
+    32-byte keys, near-uniform distribution, map-side combined. min()
+    over n_tokens is exact (identical md5 ⇒ identical token count —
+    md5 collisions are ignorable at any corpus size that fits a
+    datacenter).
+    """
+    chunks = q_chunk_cdc(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

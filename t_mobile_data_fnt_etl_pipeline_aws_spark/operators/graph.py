@@ -242,3 +242,125 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nations.join(F.broadcast(ranks), "n_nationkey").select(
         "n_nationkey", "n_name", F.col("r").alias("pagerank")
     )
+
+
+@query(
+    "q_graph_triangles",
+    oracle="""
+    WITH de AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    ue AS (
+        SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM de WHERE src <> dst
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue
+        ) GROUP BY node
+    ),
+    o_edges AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
+        FROM ue e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ),
+    tri AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM o_edges e1
+        JOIN o_edges e2 ON e2.a = e1.b
+        JOIN o_edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+        SELECT node, count(*) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        ) GROUP BY node
+    )
+    SELECT n.n_nationkey, n.n_name,
+           coalesce(p.n_triangles, 0) AS n_triangles
+    FROM nation n LEFT JOIN per_node p ON p.node = n.n_nationkey
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation triangle count in the undirected trade graph — the
+    clustering-coefficient numerator, and the classic "count without
+    enumerating the quadratic wedge space" MapReduce problem.
+
+    Scale algorithm (Suri-Vassilvitskii node-iterator++): orient every
+    undirected edge from its LOWER-(degree, id) endpoint to the higher
+    one — an acyclic orientation under which each triangle has exactly
+    one source node and is found exactly once, and, critically, the
+    out-degree of every node is O(√m) on any graph, so the wedge join
+    (e1 ⋈ e2 on e1.b = e2.a) touches O(m^{3/2}) rows instead of the
+    Σdeg² a random orientation allows on power-law graphs. The closing
+    check is a third equi-join against the oriented edge list. On the
+    25-node nation graph all joins broadcast; at 100 TB the oriented
+    edge list shuffles on its join keys and the same plan holds.
+    Integer counts — nothing to finish.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    de = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .distinct()
+    )
+    ue = (
+        de.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .distinct()
+    )
+    deg = (
+        ue.select(F.col("u").alias("node"))
+        .union(ue.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    lower_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    o_edges = (
+        ue.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
+            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
+        )
+    )
+    e1 = o_edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
+    e2 = o_edges.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
+    e3 = o_edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
+    tri = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"])
+    per_node = (
+        tri.select(F.col("t_a").alias("node"))
+        .union(tri.select(F.col("t_b").alias("node")))
+        .union(tri.select(F.col("t_c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return n.join(
+        per_node, n["n_nationkey"] == per_node["node"], "left"
+    ).select(
+        "n_nationkey",
+        "n_name",
+        F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+    )

@@ -98,6 +98,9 @@ _DRIVER_WINDOW = [
     "q_pipeline_disjunctive_revenue",
     "q_report_top_supplier",
     "q_report_supplier_parts",
+    "q_chunk_cdc",
+    "q_dedup_cdc_chunks",
+    "q_graph_triangles",
     # --- 3a. stale + helper-coupled: dedup / text / similarity ---
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
@@ -135,11 +138,9 @@ _DRIVER_WINDOW = [
     "q_pipeline_shipping_priority",
     "q_profile_table",
     "q_sample_stratified",
-    "q_agg_collect_sorted",
-    # --- 3d. stale: joins / filters / setops / scalar fns (drop zone —
-    #     new round-6 keys evict from the END of this block upward) ---
-    "q_join_cross",
-    "q_join_interval",
+    # (block 3d fully ceded its slots to round-6 additions: 16 stale
+    #  keys — filters/setops/scalar-fns/join_cross/join_interval —
+    #  rotate in round 7; all remain green in r1/r2 rows + local mirror)
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

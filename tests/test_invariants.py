@@ -311,13 +311,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 137 extras = 216 registered,
-    205 SQL-oracled / 11 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 140 extras = 219 registered,
+    208 SQL-oracled / 11 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 216
-    assert len(oracles) == 205
+    assert len(QUERIES) == 219
+    assert len(oracles) == 208
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1243,3 +1243,93 @@ def test_knn_multiprobe_recall_pinned(spark, sf_dir):
     single = recall("q_knn_join_bucketed")
     assert multi >= 0.3, f"multi-probe recall regressed: {multi:.3f}"
     assert multi > single, (multi, single)
+
+
+def test_cdc_chunks_tile_docs_and_survive_edits(spark, sf_dir):
+    """CDC chunks must (a) tile every document exactly — per-doc token
+    sums equal the doc's token count and chunk_ids are a contiguous
+    1..k run — and (b) be edit-robust, the property that justifies CDC
+    over fixed-stride chunking: prepending one token to a document
+    changes only the chunks overlapping the edit's 8-token horizon, so
+    the edited doc RETAINS at least half of the original's chunk
+    hashes, while the fixed-stride chunker (q_chunk_overlap) would
+    shift every chunk."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    chunks = QUERIES["q_chunk_cdc"](spark, sf_dir)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    j = per_doc.join(docs, on="doc_id")
+    assert j.filter(F.col("tok_sum") != F.col("n_tok")).count() == 0
+    assert j.filter(
+        (F.col("lo") != 1) | (F.col("hi") != F.col("n_chunks"))
+    ).count() == 0
+
+    # edit robustness on the longest fixture doc
+    row = (
+        load(spark, sf_dir, "documents")
+        .orderBy(F.desc(F.length("text")), F.asc("doc_id"))
+        .first()
+    )
+    pair = spark.createDataFrame(
+        [(0, row.text), (1, "inserted " + row.text)], ["doc_id", "text"]
+    )
+    out = cdc_chunks(pair).collect()
+    orig = {r.chunk_md5 for r in out if r.doc_id == 0}
+    edited = {r.chunk_md5 for r in out if r.doc_id == 1}
+    shared = len(orig & edited) / len(orig)
+    assert shared >= 0.5, f"CDC lost edit robustness: {shared:.2f}"
+
+
+def test_triangle_counts_match_brute_force(spark, sf_dir):
+    """Per-nation triangle counts from the degree-oriented wedge join
+    must equal a brute-force O(n³) enumeration of the same undirected
+    graph (feasible: |V| = 25 nations), and the per-node sum must be
+    3 × the number of distinct triangles."""
+    from itertools import combinations
+
+    got = {
+        r.n_nationkey: r.n_triangles
+        for r in QUERIES["q_graph_triangles"](spark, sf_dir).collect()
+    }
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = {
+        (min(r.src, r.dst), max(r.src, r.dst))
+        for r in (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, F.col("o_custkey") == c.c_custkey)
+            .join(s, F.col("l_suppkey") == s.s_suppkey)
+            .select(
+                F.col("c_nationkey").alias("src"),
+                F.col("s_nationkey").alias("dst"),
+            )
+            .distinct()
+            .collect()
+        )
+        if r.src != r.dst
+    }
+    nodes = sorted({x for e in edges for x in e})
+    per_node = dict.fromkeys(got, 0)
+    n_tri = 0
+    for a, b, cc in combinations(nodes, 3):
+        if (
+            (a, b) in edges and (b, cc) in edges and (a, cc) in edges
+        ):
+            n_tri += 1
+            for x in (a, b, cc):
+                per_node[x] += 1
+    assert n_tri > 0, "nation trade graph lost its triangles"
+    assert got == per_node, (got, per_node)
+    assert sum(got.values()) == 3 * n_tri
