@@ -159,6 +159,8 @@ HEADLINE = [
     "q_chunk_cdc",                   # content-defined chunking (md5 boundary)
     "q_dedup_cdc_chunks",            # cross-doc duplicated-chunk report
     "q_graph_triangles",             # degree-oriented wedge-join triangles
+    "q_profile_histogram_equidepth", # decile (equal-population) histogram
+    "q_window_trailing_distinct",    # rolling-7d distinct users (bounded fan-out)
 ]
 
 RUNS = 3

@@ -1510,3 +1510,98 @@ def q_pipeline_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "q_profile_histogram_equidepth",
+    oracle="""
+    WITH binned AS (
+        SELECT o_totalprice,
+               ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin_id
+        FROM orders
+    )
+    SELECT bin_id,
+           count(*) AS n_orders,
+           min(o_totalprice) AS bin_lo,
+           max(o_totalprice) AS bin_hi
+    FROM binned GROUP BY bin_id
+    """,
+)
+def q_profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram: 10 equal-population buckets over order
+    price — the quantile-sketch profiling complement of the equal-WIDTH
+    q_profile_histogram (uniform bin edges lie about skewed columns;
+    equal-population edges ARE the deciles).
+
+    ntile(10) with an (o_totalprice, o_orderkey) total order makes the
+    bucket boundary deterministic — ties on price can't flip rows
+    between engines. The window is a global sort: at 100 TB Spark
+    executes it as a range-partitioned sort (sampled boundaries), the
+    same machinery as orderBy — acceptable for a profiling pass that
+    runs once per table, and the reported bin_lo/bin_hi ARE the decile
+    edges a production profiler would feed to approx_percentile
+    thereafter. Integer counts + raw doubles — nothing to finish.
+    """
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("bin_id", F.ntile(10).over(w))
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("bin_lo"),
+            F.max("o_totalprice").alias("bin_hi"),
+        )
+    )
+
+
+@query(
+    "q_window_trailing_distinct",
+    oracle="""
+    WITH days AS (
+        SELECT date_trunc('day', ts) AS d, user_id
+        FROM events GROUP BY 1, 2
+    ),
+    spine AS (SELECT DISTINCT d FROM days)
+    SELECT s.d AS day,
+           count(DISTINCT u.user_id) AS users_7d
+    FROM spine s
+    JOIN days u
+      ON u.d <= s.d AND u.d > s.d - INTERVAL 7 DAY
+    GROUP BY s.d
+    """,
+)
+def q_window_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling-MAU
+    shape. COUNT(DISTINCT) over a sliding window is inexpressible as a
+    window function in either engine (distinct state can't merge by
+    frame), and the naive per-day re-scan is O(days × data).
+
+    Scale shape: collapse events to the (day, user) grain FIRST (one
+    hash-agg — the big shuffle, map-side combined), then fan each
+    day-user row out to the ≤ 7 spine days it can serve via a bounded
+    range join, and count distinct per spine day. The fan-out is
+    exactly 7×the collapsed grain — bounded, unlike the unbounded
+    running-distinct state q_window_cumulative_distinct handles with
+    first-appearance cumsum (which only works because ITS window is
+    unbounded-preceding). The range join's equi-core is empty, but the
+    spine side is tiny (distinct days) and broadcasts, so the plan is
+    a broadcast nested loop over |days| × collapsed-grain with the
+    range predicate — at 100 TB you'd bucket the spine by week to make
+    it an equi-join; at fixture scale the broadcast form is the right
+    plan and the honest one to measure.
+    """
+    e = load(spark, sf_dir, "events")
+    days = (
+        e.select(F.date_trunc("day", "ts").alias("d"), "user_id").distinct()
+    )
+    spine = days.select("d").distinct().select(F.col("d").alias("sd"))
+    return (
+        days.join(
+            F.broadcast(spine),
+            (F.col("d") <= F.col("sd"))
+            & (F.col("d") > F.col("sd") - F.expr("INTERVAL 7 DAYS")),
+        )
+        .groupBy(F.col("sd").alias("day"))
+        .agg(F.countDistinct("user_id").alias("users_7d"))
+    )

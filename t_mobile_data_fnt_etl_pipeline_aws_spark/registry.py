@@ -101,6 +101,8 @@ _DRIVER_WINDOW = [
     "q_chunk_cdc",
     "q_dedup_cdc_chunks",
     "q_graph_triangles",
+    "q_profile_histogram_equidepth",
+    "q_window_trailing_distinct",
     # --- 3a. stale + helper-coupled: dedup / text / similarity ---
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
@@ -136,11 +138,11 @@ _DRIVER_WINDOW = [
     "q_etl_upsert",
     "q_pipeline_region_volume",
     "q_pipeline_shipping_priority",
-    "q_profile_table",
-    "q_sample_stratified",
-    # (block 3d fully ceded its slots to round-6 additions: 16 stale
-    #  keys — filters/setops/scalar-fns/join_cross/join_interval —
-    #  rotate in round 7; all remain green in r1/r2 rows + local mirror)
+    # (block 3d and the 3c tail ceded their slots to round-6 additions:
+    #  18 stale keys — filters/setops/scalar-fns/join_cross/
+    #  join_interval/profile_table/sample_stratified/agg_collect_sorted
+    #  — rotate in round 7; all remain green in r1/r2 rows + local
+    #  mirror)
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6
