@@ -249,6 +249,40 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def compact_summary(payload: dict) -> dict:
+    """Tail-capture-safe summary emitted as the LAST stdout line.
+
+    The driver's tail capture clips at ~2 KB, so the full per-query
+    line is unparseable once the registry grew past ~60 keys
+    (BENCH_r04/r05 recorded parsed:null — VERDICT r5 item 2): same
+    contract fields, but "queries" holds only the top-10 most
+    expensive keys, and regressions are truncated to the 5 worst by
+    ratio so a pathological round can't blow the line past the cap
+    either. The complete map lives in the preceding full line and in
+    BENCH_LOCAL_r*.json."""
+    timings = payload["queries"]
+    regressions = dict(
+        sorted(
+            payload["regressions"].items(),
+            key=lambda kv: kv[1]["ratio"],
+            reverse=True,
+        )[:5]
+    )
+    top10 = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    return {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": "sec",
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "n_regressions": len(payload["regressions"]),
+        "regressions": regressions,
+        "queries": top10,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     queries = all_queries()
@@ -297,26 +331,7 @@ def main() -> None:
         "regressions": regressions,
     }
     print(json.dumps(payload))
-    # The driver's tail capture clips at ~2 KB, so the full line above is
-    # unparseable once the registry grew past ~60 keys (BENCH_r04/r05
-    # recorded parsed:null — VERDICT r5 item 2). Emit a compact summary as
-    # the LAST line: same contract fields, but "queries" holds only the
-    # top-10 most expensive keys so the line stays well under the cap.
-    # The complete per-query map lives in the line above and in
-    # BENCH_LOCAL_r*.json.
-    top10 = dict(
-        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
-    )
-    compact = {
-        "metric": payload["metric"],
-        "value": payload["value"],
-        "unit": "sec",
-        "sf": payload["sf"],
-        "n_queries": len(timings),
-        "regressions": regressions,
-        "queries": top10,
-    }
-    print(json.dumps(compact))
+    print(json.dumps(compact_summary(payload)))
     # Durable complete record: the driver's tail capture clips at ~2 KB,
     # which truncated the full-registry r04 line (ADVICE r4). Only the
     # default headline run and the full-registry sweep write — a

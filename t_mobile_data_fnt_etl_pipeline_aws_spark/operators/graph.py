@@ -247,7 +247,13 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_graph_triangles",
     oracle="""
-    WITH de AS (
+    -- MATERIALIZED hints are load-bearing: ue/deg/o_edges are each
+    -- referenced 2-3 times, and DuckDB's default inlining re-expands
+    -- the whole 4-table trade-graph subtree per reference — at sf0.1
+    -- the un-hinted form exceeded an 8 GB memory limit before any
+    -- result; materialized, the same query runs in 0.6 s (the
+    -- intermediates are <= 625 rows). Found by the sf0.1 mirror.
+    WITH de AS MATERIALIZED (
         SELECT c.c_nationkey AS src, s.s_nationkey AS dst
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -255,16 +261,16 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         GROUP BY 1, 2
     ),
-    ue AS (
+    ue AS MATERIALIZED (
         SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
         FROM de WHERE src <> dst
     ),
-    deg AS (
+    deg AS MATERIALIZED (
         SELECT node, count(*) AS d FROM (
             SELECT u AS node FROM ue UNION ALL SELECT v AS node FROM ue
         ) GROUP BY node
     ),
-    o_edges AS (
+    o_edges AS MATERIALIZED (
         SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS a,
                CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS b
         FROM ue e

@@ -1333,3 +1333,34 @@ def test_triangle_counts_match_brute_force(spark, sf_dir):
     assert n_tri > 0, "nation trade graph lost its triangles"
     assert got == per_node, (got, per_node)
     assert sum(got.values()) == 3 * n_tri
+
+
+def test_bench_compact_summary_fits_tail_capture():
+    """bench.py's LAST stdout line must parse inside the driver's ~2 KB
+    tail capture even with a worst-case registry: long key names, many
+    regressions. No Spark involved — pure helper contract."""
+    import json
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import compact_summary
+
+    timings = {f"q_very_long_operator_name_{i:03d}": i * 0.1234 for i in range(250)}
+    payload = {
+        "metric": "total_seconds_noop_materialize_sum_of_medians",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "regressions": {
+            k: {"prior": 0.1, "now": 9.9, "ratio": 99.0}
+            for k in list(timings)[:40]
+        },
+    }
+    line = json.dumps(compact_summary(payload))
+    assert len(line) < 1800, len(line)
+    parsed = json.loads(line)
+    assert parsed["n_queries"] == 250
+    assert parsed["n_regressions"] == 40
+    assert len(parsed["queries"]) == 10
+    assert len(parsed["regressions"]) == 5
