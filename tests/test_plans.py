@@ -449,3 +449,36 @@ def test_tpch_adapted_star_joins_broadcast_dims(spark, sf_dir):
         assert strategies and all(
             s == "BroadcastHashJoin" for s in strategies
         ), (key, strategies)
+
+
+def test_triangles_never_cartesian(spark, sf_dir):
+    """The wedge join must stay equi-join shaped: no CartesianProduct /
+    BroadcastNestedLoopJoin anywhere in q_graph_triangles — a nested
+    loop here is the O(n²) wedge-space plan the degree orientation
+    exists to avoid."""
+    plan = plan_string(QUERIES["q_graph_triangles"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stream_full_outer_is_hash_join_with_residual(spark, sf_dir):
+    """The full-outer interval join must key its shuffle on user_id with
+    the time range as a residual filter — equi-join strategies only
+    (SortMergeJoin/ShuffledHashJoin), never a nested loop over the
+    pair space."""
+    strategies = join_strategies(
+        QUERIES["q_stream_stream_full_outer"](spark, sf_dir)
+    )
+    assert strategies, "no join in plan?"
+    assert all(
+        s in ("SortMergeJoin", "ShuffledHashJoin") for s in strategies
+    ), strategies
+
+
+def test_cdc_chunking_has_no_joins(spark, sf_dir):
+    """q_chunk_cdc must be pure map + window + aggregate: boundary flags
+    are computed map-side and chunk numbering is a running window —
+    zero join operators; q_dedup_cdc_chunks adds only a hash-agg."""
+    for key in ("q_chunk_cdc", "q_dedup_cdc_chunks"):
+        df = QUERIES[key](spark, sf_dir)
+        assert join_strategies(df) == [], (key, join_strategies(df))
