@@ -161,6 +161,7 @@ HEADLINE = [
     "q_graph_triangles",             # degree-oriented wedge-join triangles
     "q_profile_histogram_equidepth", # decile (equal-population) histogram
     "q_window_trailing_distinct",    # rolling-7d distinct users (bounded fan-out)
+    "q_window_rolling_median",       # bounded collect-sort-frame robust median
 ]
 
 RUNS = 3

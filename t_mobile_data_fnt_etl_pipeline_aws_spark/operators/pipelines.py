@@ -1533,19 +1533,51 @@ def q_profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame
     q_profile_histogram (uniform bin edges lie about skewed columns;
     equal-population edges ARE the deciles).
 
-    ntile(10) with an (o_totalprice, o_orderkey) total order makes the
-    bucket boundary deterministic — ties on price can't flip rows
-    between engines. The window is a global sort: at 100 TB Spark
-    executes it as a range-partitioned sort (sampled boundaries), the
-    same machinery as orderBy — acceptable for a profiling pass that
-    runs once per table, and the reported bin_lo/bin_hi ARE the decile
-    edges a production profiler would feed to approx_percentile
-    thereafter. Integer counts + raw doubles — nothing to finish.
+    The (o_totalprice, o_orderkey) total order makes bucket boundaries
+    deterministic — ties on price can't flip rows between engines.
+
+    NOT a global ntile window on the Spark side: a partition-less
+    window funnels the whole table through ONE task (Exchange
+    SinglePartition — the first cut of this query did exactly that and
+    the repo-wide plan audit test_no_unpartitioned_window_over_raw_input
+    rejected it). Instead the two-phase global-rank pattern
+    (q_sort_zorder_layout's): shard rows by a dyadic price range,
+    count per shard, prefix-sum the ~35 shard counts into offsets (a
+    window over AGGREGATED tiny input — allowed), then global rank =
+    shard offset + row_number within shard, and the decile id is
+    computed arithmetically from (rank, n) by the SQL NTILE spec
+    (first n mod k buckets get ⌈n/k⌉ rows). The DuckDB oracle keeps
+    the native global ntile — single-node, no such constraint — which
+    independently cross-checks the arithmetic. Integer math + raw
+    doubles; nothing to finish.
     """
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    shard = F.floor(F.col("o_totalprice") / 16384).cast("bigint")
+    sharded = o.withColumn("shard", shard)
+    counts = sharded.groupBy("shard").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "shard", (F.sum("cnt").over(w_off) - F.col("cnt")).alias("off")
+    )
+    total = counts.agg(F.sum("cnt").cast("bigint").alias("n"))
+    w_shard = Window.partitionBy("shard").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        sharded.join(F.broadcast(offsets), "shard")
+        .withColumn("grank", F.col("off") + F.row_number().over(w_shard))
+        .crossJoin(F.broadcast(total))
+    )
+    small = (F.col("n") / 10).cast("bigint")
+    n_big = F.col("n") % 10
+    big = small + 1
+    cutoff = n_big * big
+    r = F.col("grank")
+    bin_id = F.when(
+        r <= cutoff, ((r - 1) / big).cast("bigint") + 1
+    ).otherwise(n_big + ((r - cutoff - 1) / small).cast("bigint") + 1)
     return (
-        o.withColumn("bin_id", F.ntile(10).over(w))
+        ranked.withColumn("bin_id", bin_id.cast("int"))
         .groupBy("bin_id")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, finish, sql_finish_dec
+from ..functions.numeric import DEC, dsum, finish, sql_dsum, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 
@@ -662,4 +662,66 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(lerp)
         .alias("value_interp"),
         F.col("value").isNotNull().alias("is_observed"),
+    )
+
+
+@query(
+    "q_window_rolling_median",
+    oracle=f"""
+    WITH daily AS (
+        SELECT year(o_orderdate) AS yr,
+               date_trunc('day', o_orderdate) AS day,
+               {sql_dsum('o_totalprice', 'revenue')},
+               count(*) AS n_orders
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, day, revenue, n_orders,
+           median(revenue) OVER (
+               PARTITION BY yr ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS median_7d
+    FROM daily
+    """,
+)
+def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day MEDIAN of daily revenue — the robust rolling
+    statistic (a single whale order shifts a trailing mean for a week;
+    the median shrugs it off). Spark has no median window function, so
+    the frame median is computed EXACTLY as
+    ``array_sort(collect_list(x) over frame)`` + middle element(s) —
+    the collect-sort-frame pattern: legitimate because the frame is
+    BOUNDED (≤ 7 values per row; never use it on an unbounded frame,
+    where per-row state grows with history — that is the
+    q_window_cumulative_distinct lesson).
+
+    Parity: daily revenues are finished decimal sums (identical
+    doubles both engines); the sorted-frame middle is those exact
+    doubles, and the even-count case averages the two middles —
+    matching DuckDB's interpolating ``median`` over the same frame
+    bit-for-bit because (a+b)/2 on identical doubles is identical.
+    Window partitions by YEAR (the 100-TB sharding rule for
+    unbounded-history series — same as q_report_mom_growth).
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.year("o_orderdate").alias("yr"),
+        F.date_trunc("day", "o_orderdate").alias("day"),
+    ).agg(
+        dsum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.partitionBy("yr").orderBy("day").rowsBetween(-6, 0)
+    frame = F.array_sort(F.collect_list("revenue").over(w))
+    n = F.size(frame)
+    odd = F.element_at(frame, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(frame, (n / 2).cast("int"))
+        + F.element_at(frame, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return daily.select(
+        "yr",
+        "day",
+        "revenue",
+        "n_orders",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("median_7d"),
     )

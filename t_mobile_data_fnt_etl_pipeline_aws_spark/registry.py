@@ -103,6 +103,7 @@ _DRIVER_WINDOW = [
     "q_graph_triangles",
     "q_profile_histogram_equidepth",
     "q_window_trailing_distinct",
+    "q_window_rolling_median",
     # --- 3a. stale + helper-coupled: dedup / text / similarity ---
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
@@ -137,12 +138,11 @@ _DRIVER_WINDOW = [
     "q_multimodal_decode_stub",
     "q_etl_upsert",
     "q_pipeline_region_volume",
-    "q_pipeline_shipping_priority",
     # (block 3d and the 3c tail ceded their slots to round-6 additions:
-    #  18 stale keys — filters/setops/scalar-fns/join_cross/
-    #  join_interval/profile_table/sample_stratified/agg_collect_sorted
-    #  — rotate in round 7; all remain green in r1/r2 rows + local
-    #  mirror)
+    #  19 stale keys — filters/setops/scalar-fns/join_cross/
+    #  join_interval/profile_table/sample_stratified/agg_collect_sorted/
+    #  pipeline_shipping_priority — rotate in round 7; all remain green
+    #  in r1/r2 rows + local mirror)
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

@@ -159,10 +159,13 @@ def test_no_unpartitioned_window_over_raw_input(spark, sf_dir):
     # distinct zkey-high-bits shards, not base rows) — same tiny-aggregate
     # class as the watermark boundary prefix-max. skyline: one prefix-max
     # over the per-price-shard MAX table (~100 rows at any SF).
+    # equidepth: the same zorder-style prefix-sum over the per-price-shard
+    # COUNT table (~35 rows) — the base-table rank is shard-partitioned.
     allowed = {
         "q_stream_watermark_late": 1,
         "q_sort_zorder_layout": 1,
         "q_skyline_pareto": 1,
+        "q_profile_histogram_equidepth": 1,
     }
     offenders = {}
     for key, fn in QUERIES.items():

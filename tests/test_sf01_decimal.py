@@ -46,6 +46,7 @@ DECIMAL_HEAVY = [
     "q_cluster_kmeans",        # per-iteration finished centroid means
     "q_agg_multi",             # multi-aggregate decimal battery
     "q_report_mom_growth",     # decimal month sums + growth ratios
+    "q_window_rolling_median", # sorted-frame median of finished sums
 ]
 
 
