@@ -176,3 +176,37 @@ def test_alternating_cc_matches_union_find(spark):
         assert rounds <= 10
 
     run()
+
+
+def test_equidepth_ntile_arithmetic_matches_duckdb():
+    """The NTILE bucket formula q_profile_histogram_equidepth computes
+    from (rank, n) — first n mod k buckets get ceil(n/k) rows — must
+    match DuckDB's native ntile for EVERY population size, not just
+    the fixture's; checked exhaustively for n in 10..400 at k=10 via
+    one set-based DuckDB query per n."""
+    import duckdb
+
+    con = duckdb.connect()
+    for n in list(range(10, 60)) + [97, 100, 123, 250, 399, 400]:
+        rows = con.execute(
+            f"""
+            WITH r AS (SELECT unnest(generate_series(1, {n})) AS rnk),
+            duck AS (
+                SELECT rnk, ntile(10) OVER (ORDER BY rnk) AS b FROM r
+            ),
+            mine AS (
+                SELECT rnk,
+                       CASE WHEN rnk <= ({n} % 10) * ({n} // 10 + 1)
+                            THEN (rnk - 1) // ({n} // 10 + 1) + 1
+                            ELSE {n} % 10
+                                 + (rnk - ({n} % 10) * ({n} // 10 + 1) - 1)
+                                   // ({n} // 10) + 1
+                       END AS b
+                FROM r
+            )
+            SELECT count(*) FROM duck JOIN mine USING (rnk)
+            WHERE duck.b <> mine.b
+            """
+        ).fetchone()[0]
+        assert rows == 0, f"ntile formula diverges from DuckDB at n={n}"
+    con.close()
