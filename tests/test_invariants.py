@@ -1364,3 +1364,63 @@ def test_bench_compact_summary_fits_tail_capture():
     assert parsed["n_regressions"] == 40
     assert len(parsed["queries"]) == 10
     assert len(parsed["regressions"]) == 5
+
+
+def test_equidepth_bins_tile_and_are_monotone(spark, sf_dir):
+    """Decile histogram sanity: bins 1..10 all present, populations sum
+    to |orders| and differ by at most 1 (equal-depth), and value ranges
+    are monotone non-overlapping (bin_hi_i <= bin_lo_{i+1})."""
+    rows = sorted(
+        QUERIES["q_profile_histogram_equidepth"](spark, sf_dir).collect(),
+        key=lambda r: r.bin_id,
+    )
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert [r.bin_id for r in rows] == list(range(1, 11))
+    assert sum(r.n_orders for r in rows) == n_orders
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1, sizes
+    for a, b in zip(rows, rows[1:]):
+        assert a.bin_hi <= b.bin_lo, (a, b)
+
+
+def test_trailing_distinct_bounds_daily_actives(spark, sf_dir):
+    """Rolling-7d distinct users must cover every active day, never be
+    below that day's own distinct actives, and never exceed the
+    trailing-7-day sum of dailies (distinct <= sum of parts)."""
+    daily = {
+        r.day: r.n
+        for r in load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r.day: r.users_7d
+        for r in QUERIES["q_window_trailing_distinct"](spark, sf_dir).collect()
+    }
+    assert set(got) == set(daily)
+    import datetime as dt
+
+    for day, users in got.items():
+        assert users >= daily[day], (day, users, daily[day])
+        window_sum = sum(
+            daily.get(day - dt.timedelta(days=i), 0) for i in range(7)
+        )
+        assert users <= window_sum, (day, users, window_sum)
+
+
+def test_rolling_median_within_frame_bounds(spark, sf_dir):
+    """Each rolling median must lie within [min, max] of its own
+    trailing frame, recomputed independently in Python."""
+    rows = QUERIES["q_window_rolling_median"](spark, sf_dir).collect()
+    by_yr: dict[int, list] = {}
+    for r in rows:
+        by_yr.setdefault(r.yr, []).append(r)
+    for yr, rs in by_yr.items():
+        rs.sort(key=lambda r: r.day)
+        for i, r in enumerate(rs):
+            frame = [x.revenue for x in rs[max(0, i - 6) : i + 1]]
+            assert min(frame) <= r.median_7d <= max(frame), (yr, r)
+            import statistics
+
+            assert abs(r.median_7d - statistics.median(frame)) < 1e-9, (yr, r)
