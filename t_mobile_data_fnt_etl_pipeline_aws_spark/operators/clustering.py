@@ -486,13 +486,17 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .collect()
         )
+        # Width comes from the live centroids, not a literal: a fixture
+        # with dim != 64 would otherwise leave None holes that corrupt
+        # the next E-step's np.array (ADVICE r6).
+        dim = len(cent_rows[0][1])
         by_cid: dict[int, list] = {}
         for r in sums:
             # finish(sum, 6) / count, exactly as _km_mstep / the oracle
             # twin: quantize the SUM (HALF_UP, 6 dp) to a double first,
             # THEN divide IEEE — not a quantized quotient.
             s6 = float(Decimal(r["s"]).quantize(q6, rounding=ROUND_HALF_UP))
-            by_cid.setdefault(r["c_id"], [None] * 64)[r["pos"]] = s6 / r["n"]
+            by_cid.setdefault(r["c_id"], [None] * dim)[r["pos"]] = s6 / r["n"]
         cent_rows = sorted((c, tuple(ce)) for c, ce in by_cid.items())
         if cent_rows == prev:
             break

@@ -192,7 +192,7 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nations.crossJoin(F.broadcast(nn)).select(
         "n_nationkey", (F.lit(1.0) / F.col("cnt").cast("double")).alias("r")
     )
-    prev_sig: tuple | None = None
+    prev_sig: list | None = None
     for _ in range(60):
         contrib = (
             ew.join(
@@ -228,17 +228,15 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        row = ranks.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.xxhash64("n_nationkey", F.col("r").cast("decimal(18,10)"))
-                .cast("decimal(38,0)")
-            ).alias("h"),
-        ).collect()[0]
-        sig = (row["n"], row["h"])
-        if sig == prev_sig:
+        # Exact fixed-point detection (ADVICE r6): the rank vector is
+        # one row per nation (25 at any SF — nations are a fixed dim),
+        # so collect and compare the tuples directly, as kmeans-lloyd
+        # does, instead of a hash-sum signature that could (however
+        # improbably) collide between non-identical vectors.
+        cur = sorted((row["n_nationkey"], row["r"]) for row in ranks.collect())
+        if cur == prev_sig:
             break
-        prev_sig = sig
+        prev_sig = cur
     return nations.join(F.broadcast(ranks), "n_nationkey").select(
         "n_nationkey", "n_name", F.col("r").alias("pagerank")
     )

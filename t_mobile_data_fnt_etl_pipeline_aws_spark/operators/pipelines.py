@@ -1568,14 +1568,24 @@ def q_profile_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame
         .withColumn("grank", F.col("off") + F.row_number().over(w_shard))
         .crossJoin(F.broadcast(total))
     )
-    small = (F.col("n") / 10).cast("bigint")
-    n_big = F.col("n") % 10
-    big = small + 1
-    cutoff = n_big * big
-    r = F.col("grank")
+    # Exact integer arithmetic throughout (ADVICE r6): `div` is true
+    # integer division — the previous double-divide-then-truncate form
+    # can cross an integer boundary once ranks approach 2^53, exactly
+    # the 100-TB regime this query claims. When n < 10, small = 0 and
+    # every rank satisfies the cutoff branch (cutoff = n_big = n);
+    # NULLIF keeps the then-dead otherwise-branch null-safe even under
+    # ANSI mode instead of dividing by zero.
+    ranked = ranked.withColumn("small", F.expr("n div 10")).withColumn(
+        "n_big", F.expr("n % 10")
+    )
     bin_id = F.when(
-        r <= cutoff, ((r - 1) / big).cast("bigint") + 1
-    ).otherwise(n_big + ((r - cutoff - 1) / small).cast("bigint") + 1)
+        F.col("grank") <= F.col("n_big") * (F.col("small") + 1),
+        F.expr("(grank - 1) div (small + 1)") + F.lit(1),
+    ).otherwise(
+        F.col("n_big")
+        + F.expr("(grank - n_big * (small + 1) - 1) div nullif(small, 0)")
+        + F.lit(1)
+    )
     return (
         ranked.withColumn("bin_id", bin_id.cast("int"))
         .groupBy("bin_id")

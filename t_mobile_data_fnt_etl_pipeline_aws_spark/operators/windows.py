@@ -684,10 +684,16 @@ def q_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day MEDIAN of daily revenue — the robust rolling
-    statistic (a single whale order shifts a trailing mean for a week;
-    the median shrugs it off). Spark has no median window function, so
-    the frame median is computed EXACTLY as
+    """Trailing-7-OBSERVATION median of daily revenue — the robust
+    rolling statistic (a single whale order shifts a trailing mean for
+    a week; the median shrugs it off). NOTE the frame is ROWS BETWEEN
+    6 PRECEDING (last 7 observed days), NOT a calendar RANGE: on a
+    series with day gaps the window spans more than 7 calendar days
+    (ADVICE r6). Both engines use the identical ROWS frame, and the
+    fixture's daily grain is gap-free, so the semantics match; a true
+    calendar-day variant would use the trailing-distinct day-spine
+    fan-out pattern (q_window_trailing_distinct). Spark has no median
+    window function, so the frame median is computed EXACTLY as
     ``array_sort(collect_list(x) over frame)`` + middle element(s) —
     the collect-sort-frame pattern: legitimate because the frame is
     BOUNDED (≤ 7 values per row; never use it on an unbounded frame,
@@ -696,11 +702,12 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity: daily revenues are finished decimal sums (identical
     doubles both engines); the sorted-frame middle is those exact
-    doubles, and the even-count case averages the two middles —
-    matching DuckDB's interpolating ``median`` over the same frame
-    bit-for-bit because (a+b)/2 on identical doubles is identical.
-    Window partitions by YEAR (the 100-TB sharding rule for
-    unbounded-history series — same as q_report_mom_growth).
+    doubles. The even-count case averages the two middles as (a+b)/2 —
+    ASSUMED equal to DuckDB's quantile_cont interpolation
+    a + 0.5*(b-a); the two formulas can differ by 1 ulp on adversarial
+    doubles, so this parity is fixture-verified rather than proven
+    (ADVICE r6). Window partitions by YEAR (the 100-TB sharding rule
+    for unbounded-history series — same as q_report_mom_growth).
     """
     o = load(spark, sf_dir, "orders")
     daily = o.groupBy(
