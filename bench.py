@@ -246,6 +246,53 @@ def find_regressions(
     return out
 
 
+#: Host-speed anchor for drift confirmation: the flagship query — present
+#: in every round's record, stable plan, ~1 s at sf0.1 (comfortably above
+#: DRIFT_MIN_SEC so its own ratio is signal, not scheduling noise).
+ANCHOR_KEY = "q_agg_hash"
+
+
+def confirm_regressions(
+    flagged: dict[str, dict[str, float]],
+    prior: dict[str, float],
+    rerun,
+) -> dict[str, dict[str, float]]:
+    """Second-chance drift gate: cross-round seconds measure the HOST as
+    much as the code (round-6 lesson: unchanged round-5 code ran
+    1.3-1.9x slower on a busier VM, and all three driver flags that
+    round were exactly such artifacts). For each raw flag, re-run the
+    ANCHOR key and the flagged key back-to-back in this same JVM and
+    normalize the flagged key's cross-round ratio by the anchor's
+    cross-round ratio — the ratio of ratios (VERDICT r6 item 2). A real
+    regression survives the normalization; a host-speed artifact
+    cancels out. ``rerun(key) -> float`` must produce a fresh median
+    with the same protocol as the main loop. If the anchor has no prior
+    record the raw flags pass through unconfirmed (better to over-flag
+    than to silently drop the gate)."""
+    anchor_prior = prior.get(ANCHOR_KEY)
+    if not flagged or not anchor_prior:
+        return flagged
+    host = rerun(ANCHOR_KEY) / anchor_prior
+    confirmed = {}
+    for k, info in flagged.items():
+        if k == ANCHOR_KEY:
+            # the anchor normalizes itself to 1.0 by construction; a
+            # genuine anchor regression still shows in the total and in
+            # every OTHER key's adj ratio dropping below 1.
+            continue
+        now2 = rerun(k)
+        adj = (now2 / prior[k]) / host
+        if adj > DRIFT_FACTOR:
+            confirmed[k] = {
+                **info,
+                "rerun": round(now2, 4),
+                "host_factor": round(host, 2),
+                "adj_ratio": round(adj, 2),
+                "ratio": round(adj, 2),
+            }
+    return confirmed
+
+
 def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -316,7 +363,21 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     repo_dir = os.path.dirname(os.path.abspath(__file__))
     prior = load_prior_timings(repo_dir)
-    regressions = find_regressions(timings, prior)
+    raw_flags = find_regressions(timings, prior)
+
+    def rerun(key: str) -> float:
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        fn = queries[key]
+        materialize(fn(spark, sf_dir))
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples)
+
+    regressions = confirm_regressions(raw_flags, prior, rerun)
     payload = {
         # value = SUM over queries of the per-query median-of-3;
         # per-query medians are under "queries".

@@ -626,6 +626,40 @@ def prefix_filter_jaccard_pairs(tok: DataFrame, num: int, den: int) -> DataFrame
     )
 
 
+@query("q_dedup_pairs_full", oracle=None)
+def q_dedup_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT word-Jaccard ≥ 0.8 pairs over the FULL documents corpus —
+    the unbounded twin of q_dedup_prefix_filter (which runs on a
+    doc_id < 500 slice only so its O(n²) DuckDB oracle stays
+    runnable). Same lossless AllPairs prefix-filter machinery
+    (prefix_filter_jaccard_pairs), no key bound: this is the entry a
+    100-TB user actually calls.
+
+    Rows-only by necessity: the quadratic cross-join oracle cannot
+    follow the full corpus. Verified instead by invariants
+    (tests/test_invariants.py::test_dedup_pairs_full_invariants):
+    (a) restricted to doc_id < 500 the result equals the
+    hash-oracled bounded key EXACTLY (same machinery, same τ — the
+    restriction is sound because prefix filtering is lossless and
+    Jaccard of a pair depends only on the pair), (b) every emitted
+    pair satisfies doc_a < doc_b, jaccard ≥ 0.8, n_common ≤
+    min(sz_a, sz_b), and jaccard == n_common/(sz_a+sz_b-n_common)
+    recomputed, (c) the bounded slice's pairs are a subset — no pair
+    the oracle proves can go missing.
+
+    Scale shape: identical to q_dedup_prefix_filter — two hash aggs
+    + tiny per-doc window + rare-token inverted-index equi-join +
+    verify-candidates-only; never a cross join (plan-contract
+    enforced with the other pair queries).
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    ).filter(F.col("token") != "")
+    return prefix_filter_jaccard_pairs(tok, 4, 5)
+
+
 @query(
     "q_dedup_incremental",
     oracle="""

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum as _dsum
+from ..functions.numeric import sql_dsum as _sql_dsum
 from ..registry import query
 from ..sources.tables import load
 
@@ -727,5 +729,60 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "state_at_purchase",
             "version_at_purchase",
+        )
+    )
+
+
+@query(
+    "q_join_bloom_pruned",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           {_sql_dsum("l_extendedprice * (1 - l_discount)", "revenue")}
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_totalprice > 400000
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective fact-dim shuffle join — the runtime BLOOM-FILTER
+    pruning shape (SURVEY §4's last untouched built-in 100-TB lever).
+
+    orders filtered to whale orders (o_totalprice > 400000, a few
+    percent of keys) joins lineitem on the orderkey. At 100 TB neither
+    side broadcasts, so the join shuffles both — and most lineitem
+    rows shuffle only to be discarded at the join. Catalyst's runtime
+    Bloom-filter optimization (spark.sql.optimizer.runtime.
+    bloomFilter.enabled) builds a bloom_filter_agg over the filtered
+    creation side and injects might_contain(l_orderkey) into the
+    lineitem scan side BEFORE its shuffle, pruning the dead rows at
+    map time. The MERGE hint pins the sort-merge strategy the 100-TB
+    planner would pick (the toy-scale planner would broadcast and
+    bypass the demonstration).
+
+    tests/test_plans.py::test_bloom_filter_join_pruning_fires enables
+    the feature (the 10-GB application-side scan threshold blocks it
+    at toy scale), asserts might_contain lands in the plan, and that
+    results are identical with it on and off — a pure perf rewrite.
+    Oracle: plain selective join (Bloom pruning is result-invariant).
+    """
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        l.hint("merge")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
         )
     )

@@ -199,6 +199,107 @@ def q_etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_etl_merge_tombstones",
+    oracle=f"""
+    WITH changes AS (
+        SELECT o_orderkey, 'u' AS op, o_totalprice * 1.1 AS price, 1 AS seq
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'i', o_totalprice, 2
+        FROM orders WHERE o_orderkey % 1000 = 0
+        UNION ALL
+        SELECT o_orderkey, 'd', cast(NULL AS double), 2
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, 'u', o_totalprice * 1.2, 3
+        FROM orders WHERE o_orderkey % 14 = 0
+    ),
+    compact AS (
+        SELECT o_orderkey, op, price
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY seq DESC) AS rn
+              FROM changes)
+        WHERE rn = 1
+    ),
+    merged AS (
+        SELECT CASE WHEN c.o_orderkey IS NULL THEN 'keep'
+                    WHEN c.op = 'd' THEN 'delete'
+                    WHEN b.o_orderkey IS NULL THEN 'insert'
+                    ELSE 'update' END AS action,
+               coalesce(c.price, b.o_totalprice) AS price
+        FROM orders b FULL JOIN compact c ON b.o_orderkey = c.o_orderkey
+    )
+    SELECT action, count(*) AS n_rows, {sql_dsum('price', 'sum_price')}
+    FROM merged GROUP BY action
+    """,
+)
+def q_etl_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-style CDC apply WITH DELETES — q_etl_upsert extended to the
+    full op alphabet (u/i/d) and multi-version keys: the change feed
+    carries sequence numbers, a key's ops compact latest-wins BEFORE
+    the merge, a trailing tombstone removes the key, and a tombstone
+    followed by a later upsert RESURRECTS it (keys %14: d@seq2 then
+    u@seq3 → final action 'update'; keys %70 get u@1 + d@2 → 'delete').
+
+    Derived deterministically from orders (10% updates, 0.1% inserts,
+    1/7 deletes, 1/14 resurrections). Plan: one window pick-latest on
+    the change feed (shuffle on the key, WindowGroupLimit) + one full
+    join on the same key — at 100 TB the change feed is the small side
+    and both shuffles key identically, so AQE coalesces them into the
+    standard lakehouse MERGE shape; audit agg is map-side combined.
+    The streaming half lives in tests/test_streaming.py::
+    test_stream_cdc_tombstone_merge_converges — per-micro-batch
+    foreachBatch merges (latest-seq-wins, order-independent) must
+    converge to exactly this answer.
+    """
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("u").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit(1).alias("seq"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("i").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(2).alias("seq"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("d").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(2).alias("seq"),
+    )
+    upd3 = base.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        F.lit("u").alias("op"),
+        (F.col("o_totalprice") * 1.2).alias("price"),
+        F.lit(3).alias("seq"),
+    )
+    changes = upd1.unionByName(ins).unionByName(dels).unionByName(upd3)
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
+    compact = (
+        changes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "seq")
+    )
+    b, c = base.alias("b"), compact.alias("c")
+    merged = b.join(c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full").select(
+        F.when(F.col("c.o_orderkey").isNull(), "keep")
+        .when(F.col("c.op") == "d", "delete")
+        .when(F.col("b.o_orderkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce(F.col("c.price"), F.col("b.o_totalprice")).alias("price"),
+    )
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("price"), "sum_price"),
+    )
+
+
+@query(
     "q_profile_table",
     oracle="""
     SELECT 'c_custkey' AS column_name, count(*) AS n_rows,

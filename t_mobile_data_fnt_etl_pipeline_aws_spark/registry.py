@@ -64,85 +64,78 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01–r05: all 204 keys have passed
-#: at least once (196 hash-green, 8 rows-only by design, 0 failures ever).
+#: registration order. Cumulative record r01-r06: all 222 then-registered
+#: keys have passed at least once (211 hash-green, 11 rows-only by design,
+#: 0 failures ever); the latest row for every key passes.
 #:
-#: ROUND-6 WINDOW (this list), in priority order (VERDICT r5 item 1):
-#:   1. Reworked-then-stale: q_dedup_ngram_jaccard — its prefix-filter
-#:      candidate rewrite landed in round 5 but its newest driver row is
-#:      round 2 (pre-rewrite). The driver has never confirmed the shipped
-#:      plan; highest-priority slot this round.
-#:   2. NEW round-6 operators get slots at the top as they land (each
-#:      insertion evicts the lowest-priority stale key from the tail).
-#:   3. The r1/r2-stale tail (58 keys, newest driver row from round 1 or
-#:      2), ordered by shared-helper coupling: the dedup/text/similarity
-#:      family first (they share _shingles / prefix_filter_* / numeric
-#:      helpers that changed in rounds 4-5), then UDF, streaming,
-#:      multimodal, pipeline, filter/join/setop/scalar blocks. The ~14
-#:      that don't fit rotate in round 7; all remain green in r1/r2 rows
-#:      and the local sf0.001/0.01/0.1 exact-value mirror.
+#: ROUND-7 WINDOW (this list), in priority order (VERDICT r6 items 1+3+4):
+#:   1. NEW round-7 keys (never driver-checked): the unbounded exact-pair
+#:      dedup, the Bloom-pruned join, the tombstone MERGE.
+#:   2. ALL 26 r1/r2-stale keys — VERDICT r6 corrected the round-6
+#:      comment's "19" undercount to 26 (9 r1 + 17 r2, recomputed from
+#:      the CORRECTNESS_r01-r06 union); every one rotates THIS round so
+#:      no key's newest driver row stays older than r3.
+#:   3. 21 of the 47 r3-stale keys, helper-coupled / scale-critical
+#:      first (prefix-filter backs the new pairs_full key; theta
+#:      bucketed + asof tolerance share join machinery; the llmprep
+#:      block shares tokenizers). The remaining 26 r3-stale rotate in
+#:      round 8; all stay green in old rows + the local exact mirror.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. reworked in r5, driver row predates the rework ---
-    "q_dedup_ngram_jaccard",
-    # --- 2. new round-6 operators (inserted as they land) ---
-    "q_dedup_substring",
-    "q_cluster_kmeans",
-    "q_cluster_kmeans_lloyd",
-    "q_graph_pagerank_converged",
-    "q_knn_join_multiprobe",
-    "q_stream_stream_full_outer",
-    "q_pipeline_nation_profit",
-    "q_pipeline_fulfillment_priority",
-    "q_pipeline_small_qty_revenue",
-    "q_pipeline_disjunctive_revenue",
-    "q_report_top_supplier",
-    "q_report_supplier_parts",
-    "q_chunk_cdc",
-    "q_dedup_cdc_chunks",
-    "q_graph_triangles",
-    "q_profile_histogram_equidepth",
-    "q_window_trailing_distinct",
-    "q_window_rolling_median",
-    # --- 3a. stale + helper-coupled: dedup / text / similarity ---
-    "q_dedup_fuzzy_minhash",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_dedup_exact",
-    "q_text_dedup_normalized",
-    "q_text_ngrams",
-    "q_text_fingerprint",
-    "q_text_token_stats",
-    "q_text_doc_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_sim_cosine_pair",
-    "q_sim_search_topk",
-    "q_sim_search_topk_vectorized",
-    "q_sim_search_ivf",
-    "q_label_centroids",
-    # --- 3b. stale: UDF + streaming blocks ---
-    "q_udf_scalar_pandas",
-    "q_udaf_grouped_agg",
-    "q_udtf_grouped_map",
-    "q_udtf_python",
-    "q_udf_registered_sql",
-    "q_stream_tumbling",
-    "q_stream_sliding",
-    "q_stream_session",
-    "q_stream_watermark_late",
-    "q_stream_dedup",
-    "q_stream_stateful_count",
-    # --- 3c. stale: multimodal + pipeline + sampling ---
-    "q_multimodal_enrich",
-    "q_multimodal_decode_stub",
-    "q_etl_upsert",
-    "q_pipeline_region_volume",
-    # (block 3d and the 3c tail ceded their slots to round-6 additions:
-    #  19 stale keys — filters/setops/scalar-fns/join_cross/
-    #  join_interval/profile_table/sample_stratified/agg_collect_sorted/
-    #  pipeline_shipping_priority — rotate in round 7; all remain green
-    #  in r1/r2 rows + local mirror)
+    # --- 1. new round-7 keys ---
+    "q_dedup_pairs_full",
+    "q_join_bloom_pruned",
+    "q_etl_merge_tombstones",
+    # --- 2a. all 9 r1-stale ---
+    "q_distinct_rows",
+    "q_filter_like",
+    "q_filter_null",
+    "q_join_cross",
+    "q_join_interval",
+    "q_limit",
+    "q_sample_stratified",
+    "q_union_all",
+    "q_union_distinct",
+    # --- 2b. all 17 r2-stale ---
+    "q_agg_collect_sorted",
+    "q_array_funcs",
+    "q_cast_types",
+    "q_conditional",
+    "q_date_funcs",
+    "q_except",
+    "q_except_all",
+    "q_explode_posexplode",
+    "q_intersect",
+    "q_intersect_all",
+    "q_json_funcs",
+    "q_map_funcs",
+    "q_math_funcs",
+    "q_pipeline_shipping_priority",
+    "q_profile_table",
+    "q_string_funcs",
+    "q_struct_funcs",
+    # --- 3. r3-stale fill (21 of 47; rest rotate round 8) ---
+    "q_dedup_prefix_filter",
+    "q_join_theta_bucketed",
+    "q_join_asof_tolerance",
+    "q_contamination_ngram",
+    "q_chunk_overlap",
+    "q_corpus_mix_weighted",
+    "q_pack_sequences",
+    "q_pii_redact",
+    "q_quality_repetition",
+    "q_text_edit_distance",
+    "q_text_tokenize_bpe",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_sketch_bloom_prune",
+    "q_sketch_cms_freq",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_sessionize_batch",
+    "q_subquery_exists",
+    "q_subquery_not_exists",
+    "q_cdc_compact",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

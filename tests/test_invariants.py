@@ -26,6 +26,33 @@ def test_dedup_exact_partitions_the_corpus(spark, sf_dir):
     assert kept.agg(F.sum("n_copies")).first()[0] == total_docs
 
 
+def test_dedup_pairs_full_invariants(spark, sf_dir):
+    """q_dedup_pairs_full is rows-only (the O(n²) oracle can't follow
+    the full corpus), so pin it three ways: (a) restricted to the
+    bounded slice it must equal the hash-oracled q_dedup_prefix_filter
+    EXACTLY — prefix filtering is lossless and a pair's Jaccard
+    depends only on the pair, so restriction commutes with the
+    operator; (b) per-row witness consistency (ordering, threshold,
+    intersection bound, recomputed quotient); (c) oracle-proved pairs
+    are a subset of the full result (no false negatives)."""
+    full = {
+        (r.doc_a, r.doc_b, r.n_common, r.sz_a, r.sz_b, r.jaccard)
+        for r in QUERIES["q_dedup_pairs_full"](spark, sf_dir).collect()
+    }
+    bounded = {
+        (r.doc_a, r.doc_b, r.n_common, r.sz_a, r.sz_b, r.jaccard)
+        for r in QUERIES["q_dedup_prefix_filter"](spark, sf_dir).collect()
+    }
+    full_restricted = {t for t in full if t[0] < 500 and t[1] < 500}
+    assert full_restricted == bounded
+    assert bounded <= full
+    for doc_a, doc_b, n_common, sz_a, sz_b, jacc in full:
+        assert doc_a < doc_b
+        assert jacc >= 0.8
+        assert 0 < n_common <= min(sz_a, sz_b)
+        assert jacc == n_common / (sz_a + sz_b - n_common)
+
+
 def test_union_all_is_sum_of_slices(spark, sf_dir):
     a_plus_b = QUERIES["q_union_all"](spark, sf_dir).count()
     o = load(spark, sf_dir, "orders")
@@ -152,13 +179,13 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-6 driver-window
-    list — the grading driver records only the first 50. Round-6 contract
-    (VERDICT r5 item 1): reworked-then-stale keys first
-    (q_dedup_ngram_jaccard), new round-6 operators as they land, then the
-    r1/r2-stale tail ordered by shared-helper coupling. Every key that has
-    never PASSED a driver check (no row, or a hard-failed row) must be
-    inside the window or declared in _POST_WINDOW_ADDITIONS."""
+    """The first 50 registry keys must be exactly the round-7 driver-window
+    list — the grading driver records only the first 50. Round-7 contract
+    (VERDICT r6 items 1+3+4): new never-checked keys first, then ALL 26
+    r1/r2-stale keys (the r6 comment undercounted them as 19), then a
+    21-key r3-stale fill. Every key that has never PASSED a driver check
+    (no row, or a hard-failed row) must be inside the window or declared
+    in _POST_WINDOW_ADDITIONS."""
     import json
     from pathlib import Path
 
@@ -311,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 143 extras = 222 registered,
-    211 SQL-oracled / 11 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 146 extras = 225 registered,
+    213 SQL-oracled / 12 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 222
-    assert len(oracles) == 211
+    assert len(QUERIES) == 225
+    assert len(oracles) == 213
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -331,6 +358,9 @@ def test_registry_totals_match_survey():
         "q_agg_approx_percentile",
         "q_cluster_kmeans_lloyd",
         "q_graph_pagerank_converged",
+        # r7: full-corpus exact-pair dedup — the O(n²) oracle can't
+        # follow; invariant-pinned against the bounded oracled twin
+        "q_dedup_pairs_full",
     }
 
 
@@ -1364,6 +1394,52 @@ def test_bench_compact_summary_fits_tail_capture():
     assert parsed["n_regressions"] == 40
     assert len(parsed["queries"]) == 10
     assert len(parsed["regressions"]) == 5
+
+
+def test_bench_drift_gate_is_contention_immune():
+    """confirm_regressions must cancel host-speed artifacts (everything
+    uniformly slower, anchor included) and keep true regressions (one
+    key slower while the anchor holds) — the ratio-of-ratios gate
+    (VERDICT r6 item 2; round 6 burned hours on three spurious flags
+    from cross-round raw-seconds comparison). No Spark involved."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import ANCHOR_KEY, confirm_regressions, find_regressions
+
+    prior = {ANCHOR_KEY: 1.0, "q_x": 2.0, "q_y": 0.8}
+
+    # Case 1: busier host — everything (anchor included) reruns 1.8x
+    # slower than the prior round. Raw gate flags both keys; the
+    # confirmation pass must clear them all.
+    host_now = {ANCHOR_KEY: 1.8, "q_x": 3.6, "q_y": 1.44}
+    raw = find_regressions({k: v for k, v in host_now.items()}, prior)
+    assert set(raw) == {ANCHOR_KEY, "q_x", "q_y"}
+    confirmed = confirm_regressions(raw, prior, rerun=lambda k: host_now[k])
+    assert confirmed == {}, confirmed
+
+    # Case 2: true regression — q_x is 3x slower while the anchor (and
+    # the rerun) hold at prior speed. Must survive confirmation with
+    # the adjusted ratio reported.
+    true_now = {ANCHOR_KEY: 1.0, "q_x": 6.0, "q_y": 0.8}
+    raw = find_regressions(true_now, prior)
+    assert set(raw) == {"q_x"}
+    confirmed = confirm_regressions(raw, prior, rerun=lambda k: true_now[k])
+    assert set(confirmed) == {"q_x"}
+    assert confirmed["q_x"]["adj_ratio"] == 3.0
+    assert confirmed["q_x"]["host_factor"] == 1.0
+
+    # Case 3: no anchor prior — raw flags pass through unconfirmed
+    # rather than silently dropping the gate.
+    raw = find_regressions(true_now, {"q_x": 2.0})
+    assert confirm_regressions(raw, {"q_x": 2.0}, rerun=None) == raw
+
+    # Case 4: mixed — host 1.5x slower AND q_x genuinely 3x: adj ratio
+    # 3.0/1.5 = 2.0 still trips the 1.5x gate; q_y (host-only) clears.
+    mixed_now = {ANCHOR_KEY: 1.5, "q_x": 9.0, "q_y": 1.2}
+    raw = find_regressions(mixed_now, prior)
+    confirmed = confirm_regressions(raw, prior, rerun=lambda k: mixed_now[k])
+    assert set(confirmed) == {"q_x"}, confirmed
 
 
 def test_equidepth_bins_tile_and_are_monotone(spark, sf_dir):

@@ -674,3 +674,100 @@ def test_stream_stream_full_outer_flushes_on_watermark(spark, sf_dir, tmp_path):
     assert got == want
     assert any(v is None for v, _ in want), "fixture lost orphan purchases"
     assert any(p is None for _, p in want), "fixture lost abandoned views"
+
+
+def test_stream_cdc_tombstone_merge_converges(spark, sf_dir, tmp_path):
+    """MERGE-style CDC with DELETES under foreachBatch: the change feed
+    (u/i/d ops with sequence numbers, including delete-then-resurrect
+    keys) arrives in micro-batches; each batch compacts to latest-seq
+    per touched key and merges against prior state (latest-seq-wins —
+    an order-independent algebraic merge, so arrival order can't
+    matter). The final state applied to the base table must reproduce
+    q_etl_merge_tombstones' audit exactly — tombstones remove keys,
+    later upserts resurrect them."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import dsum
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upd1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey", F.lit("u").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("price"), F.lit(1).alias("seq"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+        F.lit("i").alias("op"), F.col("o_totalprice").alias("price"),
+        F.lit(2).alias("seq"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", F.lit("d").alias("op"),
+        F.lit(None).cast("double").alias("price"), F.lit(2).alias("seq"),
+    )
+    upd3 = base.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey", F.lit("u").alias("op"),
+        (F.col("o_totalprice") * 1.2).alias("price"), F.lit(3).alias("seq"),
+    )
+    changes = upd1.unionByName(ins).unionByName(dels).unionByName(upd3)
+    stream_dir = str(tmp_path / "cdc_stream")
+    # one file per seq epoch — three micro-batches, deletes before the
+    # resurrecting upserts so the tombstone path genuinely executes
+    for seq in (1, 2, 3):
+        changes.filter(F.col("seq") == seq).coalesce(1).write.mode(
+            "append"
+        ).parquet(stream_dir)
+
+    state = {"path": None, "v": 0}
+
+    def merge(batch_df, batch_id):
+        partial = batch_df.groupBy("o_orderkey").agg(
+            F.max(F.struct("seq", "op", "price")).alias("latest")
+        )
+        if state["path"] is not None:
+            old = batch_df.sparkSession.read.parquet(state["path"])
+            partial = (
+                partial.unionByName(old)
+                .groupBy("o_orderkey")
+                .agg(F.max("latest").alias("latest"))
+            )
+        state["v"] += 1
+        new_path = str(tmp_path / f"cdc_state_v{state['v']}")
+        partial.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    s = (
+        spark.readStream.schema(
+            "o_orderkey BIGINT, op STRING, price DOUBLE, seq INT"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        s.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert state["v"] >= 3, "expected one micro-batch per seq epoch"
+
+    compact = spark.read.parquet(state["path"]).select(
+        "o_orderkey",
+        F.col("latest.op").alias("op"),
+        F.col("latest.price").alias("price"),
+    )
+    b, c = base.alias("b"), compact.alias("c")
+    merged = b.join(
+        c, F.col("b.o_orderkey") == F.col("c.o_orderkey"), "full"
+    ).select(
+        F.when(F.col("c.o_orderkey").isNull(), "keep")
+        .when(F.col("c.op") == "d", "delete")
+        .when(F.col("b.o_orderkey").isNull(), "insert")
+        .otherwise("update")
+        .alias("action"),
+        F.coalesce(F.col("c.price"), F.col("b.o_totalprice")).alias("price"),
+    )
+    streamed = merged.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum(F.col("price"), "sum_price")
+    ).toPandas()
+    batch = QUERIES["q_etl_merge_tombstones"](spark, sf_dir).toPandas()
+    assert canonicalize(streamed) == canonicalize(batch)
+    assert set(streamed["action"]) == {"keep", "update", "insert", "delete"}
