@@ -47,6 +47,8 @@ DECIMAL_HEAVY = [
     "q_agg_multi",             # multi-aggregate decimal battery
     "q_report_mom_growth",     # decimal month sums + growth ratios
     "q_window_rolling_median", # sorted-frame median of finished sums
+    "q_etl_merge_tombstones",  # r7: dsum over merged/deleted price sets
+    "q_join_bloom_pruned",     # r7: dsum revenue over the selective join
 ]
 
 

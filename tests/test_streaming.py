@@ -771,3 +771,114 @@ def test_stream_cdc_tombstone_merge_converges(spark, sf_dir, tmp_path):
     batch = QUERIES["q_etl_merge_tombstones"](spark, sf_dir).toPandas()
     assert canonicalize(streamed) == canonicalize(batch)
     assert set(streamed["action"]) == {"keep", "update", "insert", "delete"}
+
+
+def test_stream_sessionize_with_state_converges_to_batch(spark, sf_dir, tmp_path):
+    """Arbitrary-stateful SESSIONIZATION (applyInPandasWithState, append
+    mode) must converge to the batch gaps-and-islands answer
+    (q_sessionize_batch): per-user open-session state (session counter,
+    start, last-seen, count) carries across micro-batches, sessions
+    emit as their 30-min gap closes them — mid-batch or across batch
+    boundaries — and a past-the-gap sentinel row per user flushes the
+    final open sessions (the watermark-advancing-sentinel pattern from
+    the full-outer test). Events arrive time-ordered (3 ts-tertile
+    files with forced ascending mtimes), which is what the no-timeout
+    state contract requires."""
+    import os
+    from glob import glob
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("tsec")
+    )
+    t1, t2 = ev.approxQuantile("tsec", [0.33, 0.66], 0.0)
+    hi = ev.agg(F.max("tsec")).first()[0]
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.lit(-1).cast("bigint").alias("event_id"),
+            F.lit(hi + 10**6).cast("bigint").alias("tsec"),
+        )
+    )
+    chunks = [
+        ev.filter(F.col("tsec") <= t1),
+        ev.filter((F.col("tsec") > t1) & (F.col("tsec") <= t2)),
+        ev.filter(F.col("tsec") > t2),
+        sentinel,
+    ]
+    stream_dir = str(tmp_path / "sess_stream")
+    seen: set[str] = set()
+    ordered: list[str] = []
+    for c in chunks:
+        c.coalesce(1).write.mode("append").parquet(stream_dir)
+        new = set(glob(os.path.join(stream_dir, "part-*"))) - seen
+        ordered.extend(sorted(new))
+        seen |= new
+    base = os.path.getmtime(ordered[0])
+    for i, p in enumerate(ordered):
+        os.utime(p, (base + i, base + i))
+
+    def update(key, pdfs, state):
+        if state.exists:
+            sess_no, start, last, n = state.get
+        else:
+            sess_no, start, last, n = 0, -1, -1, 0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["tsec", "event_id"])
+            for r in pdf.itertuples():
+                tsec = int(r.tsec)
+                if r.event_id < 0:  # flush sentinel: close, open nothing
+                    if n:
+                        out.append((key[0], sess_no, n, start, last, last - start))
+                        n = 0
+                    continue
+                if n == 0:
+                    sess_no, start, last, n = sess_no + 1, tsec, tsec, 1
+                elif tsec - last > 1800:
+                    out.append((key[0], sess_no, n, start, last, last - start))
+                    sess_no, start, last, n = sess_no + 1, tsec, tsec, 1
+                else:
+                    last, n = tsec, n + 1
+        state.update((sess_no, start, last, n))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "session_no",
+                    "n_events",
+                    "start_sec",
+                    "end_sec",
+                    "duration_sec",
+                ],
+            )
+
+    s = (
+        spark.readStream.schema("user_id BIGINT, event_id BIGINT, tsec BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    sessions = s.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id bigint, session_no bigint, n_events bigint, "
+            "start_sec bigint, end_sec bigint, duration_sec bigint"
+        ),
+        stateStructType=(
+            "sess_no bigint, start bigint, last bigint, n bigint"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    run_available_now(
+        sessions, "sessionize_state_mem", str(tmp_path / "ckpt"), "append"
+    )
+    streamed = spark.table("sessionize_state_mem").toPandas()
+    batch = QUERIES["q_sessionize_batch"](spark, sf_dir).toPandas()
+    assert len(streamed) == len(batch)
+    assert canonicalize(streamed) == canonicalize(batch)
