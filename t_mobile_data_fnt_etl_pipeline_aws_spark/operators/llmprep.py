@@ -676,3 +676,97 @@ def q_corpus_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(kept, F.col("n_words"))), F.lit(0)
         ).cast("bigint").alias("n_kept_tokens"),
     )
+
+
+@query("q_bpe_train_merges", oracle=None)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the first 10 BPE merges over the corpus — the Sennrich
+    byte-pair-encoding loop every tokenizer build runs, distributed the
+    way it actually distributes at 100 TB:
+
+      1. ONE corpus-scale pass: word → count (the only big shuffle;
+         map-side combined hash agg, exactly q_dedup_exact's shape).
+      2. The merge loop then operates on the WORD-TYPE table (vocab),
+         which is corpus-size-independent (~10⁵-10⁶ types vs 10¹²
+         tokens): per round, explode each type's adjacent symbol pairs
+         weighted by count, hash-agg pair frequencies, collect the ONE
+         argmax row (count desc, then lexicographic — deterministic
+         ties), and rewrite the symbol arrays with a leftmost-scan
+         fold (F.aggregate — pure JVM, no UDF). localCheckpoint caps
+         lineage per round, the pagerank/kmeans driver-loop pattern;
+         driver state is O(1) per round.
+
+    The fold IS the textbook leftmost merge scan: popping the
+    accumulator tail when (tail, next) equals the chosen pair never
+    re-merges a just-merged token (its string differs from `left`
+    whenever `right` is non-empty), so fold(word) == scan(word) — the
+    invariant test proves the full merge SEQUENCE equals a pure-Python
+    reference BPE run exactly (tests/test_invariants.py::
+    test_bpe_train_matches_reference). Rows-only: 10 rounds of
+    data-dependent argmax + string rewriting have no SQL-expressible
+    form; the exact Python-reference equality is the stronger check.
+    """
+    n_merges = 10
+    d = load(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # regexp_extract_all('.'), not split("(?!^)"): the lookahead regex
+    # also matches the END position and Spark's split (unlike Java's)
+    # keeps the trailing empty string, planting a phantom '' symbol in
+    # every word (caught by the reference-equality test).
+    vocab = words.select(
+        "cnt",
+        F.concat(
+            F.regexp_extract_all(F.col("w"), F.lit("."), 0),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, n_merges + 1):
+        n = F.size("syms")
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("syms", 1, n - 1).alias("l"),
+                    F.slice("syms", 2, n - 1).alias("r"),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.l").alias("left"), F.col("p.r").alias("right")
+            )
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right, cnt = top[0]["left"], top[0]["right"], top[0]["pair_count"]
+        merges.append((rank, left, right, int(cnt)))
+        l_lit, r_lit = F.lit(left), F.lit(right)
+        merged = F.aggregate(
+            "syms",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == l_lit)
+                & (x == r_lit),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1),
+                    F.array(F.concat(l_lit, r_lit)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        vocab = vocab.select("cnt", merged.alias("syms")).localCheckpoint()
+
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count bigint"
+    )

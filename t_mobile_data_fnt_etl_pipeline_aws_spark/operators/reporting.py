@@ -363,3 +363,59 @@ def q_report_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+@query(
+    "q_report_wow_growth",
+    oracle=f"""
+    WITH weekly AS (
+        SELECT date_trunc('week', o_orderdate) AS wk,
+               {sql_dsum('o_totalprice', 'revenue')}
+        FROM orders GROUP BY 1
+    )
+    SELECT a.wk AS wk,
+           a.revenue AS revenue,
+           b.revenue AS prev_revenue,
+           a.revenue / b.revenue AS wow_ratio
+    FROM weekly a LEFT JOIN weekly b ON b.wk = a.wk - INTERVAL 7 DAY
+    """,
+)
+def q_report_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR-aligned week-over-week revenue via aggregate self-join —
+    the shuffle-REUSE demonstration shape.
+
+    Not expressible as lag(): lag gives the previous EXISTING row, so a
+    missing week silently compares against the week before it;
+    calendar WoW must join each week to (wk - 7 days), NULL when that
+    week is absent. The naive cost is two aggregations of the fact
+    table; Spark's exchange reuse recognizes the two sides of the
+    self-join as the identical aggregate subtree and computes the
+    corpus-scale shuffle ONCE (ReusedExchange in the plan —
+    tests/test_plans.py::test_wow_self_join_reuses_exchange). At
+    100 TB that is the difference between one fact shuffle and two.
+    The lag() form on a gap-free series is q_report_mom_growth; this
+    is its sparse-calendar-correct sibling. wow_ratio is one IEEE
+    division of finished decimal sums (NULL-propagating on both
+    engines for the first week).
+    """
+    weekly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("week", "o_orderdate").alias("wk"))
+        .agg(dsum(F.col("o_totalprice"), "revenue"))
+        # explicit on BOTH sides: the left join infers isnotnull(wk)
+        # on the build side only, which would push to that side's scan
+        # and break the canonical subtree equality exchange reuse
+        # matches on (measured: no ReusedExchange without this)
+        .filter(F.col("wk").isNotNull())
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    return a.join(
+        b,
+        F.col("b.wk") == F.col("a.wk") - F.expr("INTERVAL 7 DAY"),
+        "left",
+    ).select(
+        F.col("a.wk").alias("wk"),
+        F.col("a.revenue").alias("revenue"),
+        F.col("b.revenue").alias("prev_revenue"),
+        (F.col("a.revenue") / F.col("b.revenue")).alias("wow_ratio"),
+    )

@@ -75,10 +75,10 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:      comment's "19" undercount to 26 (9 r1 + 17 r2, recomputed from
 #:      the CORRECTNESS_r01-r06 union); every one rotates THIS round so
 #:      no key's newest driver row stays older than r3.
-#:   3. 21 of the 47 r3-stale keys, helper-coupled / scale-critical
+#:   3. 19 of the 47 r3-stale keys, helper-coupled / scale-critical
 #:      first (prefix-filter backs the new pairs_full key; theta
 #:      bucketed + asof tolerance share join machinery; the llmprep
-#:      block shares tokenizers). The remaining 26 r3-stale rotate in
+#:      block shares tokenizers). The remaining 28 r3-stale rotate in
 #:      round 8; all stay green in old rows + the local exact mirror.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
@@ -86,6 +86,8 @@ _DRIVER_WINDOW = [
     "q_dedup_pairs_full",
     "q_join_bloom_pruned",
     "q_etl_merge_tombstones",
+    "q_bpe_train_merges",
+    "q_report_wow_growth",
     # --- 2a. all 9 r1-stale ---
     "q_distinct_rows",
     "q_filter_like",
@@ -134,8 +136,10 @@ _DRIVER_WINDOW = [
     "q_stream_stream_join",
     "q_sessionize_batch",
     "q_subquery_exists",
-    "q_subquery_not_exists",
-    "q_cdc_compact",
+    # (q_subquery_not_exists + q_cdc_compact ceded their fill slots to
+    #  the late round-7 additions q_bpe_train_merges /
+    #  q_report_wow_growth; they stay r3-green and head the round-8
+    #  rotation with the other 26 r3-stale keys)
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

@@ -183,7 +183,7 @@ def test_driver_window_rotation():
     list — the grading driver records only the first 50. Round-7 contract
     (VERDICT r6 items 1+3+4): new never-checked keys first, then ALL 26
     r1/r2-stale keys (the r6 comment undercounted them as 19), then a
-    21-key r3-stale fill. Every key that has never PASSED a driver check
+    19-key r3-stale fill. Every key that has never PASSED a driver check
     (no row, or a hard-failed row) must be inside the window or declared
     in _POST_WINDOW_ADDITIONS."""
     import json
@@ -338,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 146 extras = 225 registered,
-    213 SQL-oracled / 12 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 148 extras = 227 registered,
+    214 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 225
-    assert len(oracles) == 213
+    assert len(QUERIES) == 227
+    assert len(oracles) == 214
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -361,6 +361,9 @@ def test_registry_totals_match_survey():
         # r7: full-corpus exact-pair dedup — the O(n²) oracle can't
         # follow; invariant-pinned against the bounded oracled twin
         "q_dedup_pairs_full",
+        # r7: 10-round data-dependent BPE merge training — no SQL form;
+        # pinned by exact pure-Python reference-sequence equality
+        "q_bpe_train_merges",
     }
 
 
@@ -1500,3 +1503,60 @@ def test_rolling_median_within_frame_bounds(spark, sf_dir):
             import statistics
 
             assert abs(r.median_7d - statistics.median(frame)) < 1e-9, (yr, r)
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """q_bpe_train_merges is rows-only, so pin it with the strongest
+    possible check: the full 10-merge SEQUENCE (pair, order, AND
+    weighted counts) must equal a pure-Python textbook Sennrich BPE
+    run — leftmost-scan merges, count-desc-then-lexicographic argmax —
+    over the same collected word counts. Any divergence in the fold
+    rewrite, the tie-break, or the pair weighting breaks equality on
+    the first differing round."""
+    from collections import Counter
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    docs = load(spark, sf_dir, "documents").select("text").collect()
+    counts = Counter(
+        w for r in docs for w in r.text.split(" ") if w
+    )
+    vocab = {w: tuple(w) + ("</w>",) for w in counts}
+
+    def scan_merge(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    expected = []
+    for rank in range(1, 11):
+        pair_counts = Counter()
+        for w, syms in vocab.items():
+            c = counts[w]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] += c
+        if not pair_counts:
+            break
+        # count desc, then lexicographically SMALLEST (left, right)
+        top_count = max(pair_counts.values())
+        best_pair = min(p for p, c in pair_counts.items() if c == top_count)
+        expected.append((rank, best_pair[0], best_pair[1], top_count))
+        vocab = {
+            w: scan_merge(s, best_pair[0], best_pair[1])
+            for w, s in vocab.items()
+        }
+
+    got = [
+        (r.merge_rank, r.left, r.right, r.pair_count)
+        for r in sorted(
+            QUERIES["q_bpe_train_merges"](spark, sf_dir).collect(),
+            key=lambda r: r.merge_rank,
+        )
+    ]
+    assert got == expected, (got, expected)

@@ -645,3 +645,18 @@ def test_skew_stress_aqe_splits_skewed_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_wow_self_join_reuses_exchange(spark, sf_dir):
+    """q_report_wow_growth self-joins the weekly aggregate: the plan
+    must contain a ReusedExchange — the fact-table shuffle computed
+    once and read by both sides. Two independent aggregations of the
+    same 100-TB fact table is exactly the cost this operator shape
+    exists to avoid."""
+    df = QUERIES["q_report_wow_growth"](spark, sf_dir)
+    # AQE materializes exchange reuse at runtime (stage cache): the
+    # marker appears in the FINAL adaptive plan, so execute first —
+    # same pattern as the codegen contract.
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan, plan
