@@ -391,3 +391,48 @@ def q_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+@query(
+    "q_variant_shred",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingest via Spark 4's VARIANT type — the modern
+    schema-on-read lake pattern: parse the JSON ONCE into the binary
+    variant encoding (parse_json), keep it opaque through the pipeline,
+    and shred typed fields out at the point of use (variant_get with a
+    target type; absent paths surface as NULL, counted here instead of
+    erroring — the open-schema contract).
+
+    VARIANT beats string-JSON at scale because the parse cost is paid
+    once at ingest, fields extract by direct binary offset instead of
+    re-tokenizing the text per access, and Parquet shredding
+    (variantShreddingEnabled) can push extraction into the scan. The
+    aggregate mirrors a plain JSON-path oracle — same values, the
+    variant hop proven lossless. variant_get stays JVM-side (no UDF);
+    the group-by is one ordinary shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        e.select("event_type", v.alias("v"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_k"),
+        )
+    )

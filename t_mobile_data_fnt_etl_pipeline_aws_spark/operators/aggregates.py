@@ -940,3 +940,99 @@ def q_agg_pythagorean_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             / finish(F.sum((F.lit(1.0) / x).cast(DEC)), 6)
         ).alias("harmonic_mean"),
     )
+
+
+@query(
+    "q_agg_winsorized_mean",
+    oracle=f"""
+    WITH ranked AS MATERIALIZED (
+        SELECT l_returnflag, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ) AS rn,
+               count(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM lineitem
+    ),
+    bounds AS (
+        SELECT l_returnflag,
+               CAST(max(n) AS BIGINT) AS n_rows,
+               max(CASE WHEN rn = (5 * n + 99) // 100
+                        THEN l_extendedprice END) AS p05,
+               max(CASE WHEN rn = (95 * n + 99) // 100
+                        THEN l_extendedprice END) AS p95
+        FROM ranked GROUP BY 1
+    )
+    SELECT r.l_returnflag, b.n_rows AS n_rows, b.p05 AS p05, b.p95 AS p95,
+           {sql_davg(
+               "least(greatest(r.l_extendedprice, b.p05), b.p95)",
+               "winsorized_mean",
+           )}
+    FROM ranked r JOIN bounds b ON b.l_returnflag = r.l_returnflag
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95%) of extended price per return flag — the
+    robust-mean complement to q_agg_mad_outliers: instead of dropping
+    outliers, clamp them to the nearest-rank 5th/95th percentile values
+    and average. The standard way to report a mean that one fat-finger
+    price can't move.
+
+    Percentiles are NEAREST-RANK order statistics at rank
+    ceil(q·n) = (q·100·n + 99) div 100 under the (price, orderkey,
+    linenumber) total order — exact integer arithmetic, engine-portable
+    (percentile_disc/quantile_disc were rejected: Spark picks the
+    smallest value with cume_dist ≥ q, DuckDB floor-indexes — they
+    disagree on tie geometries; interpolating percentile_cont has the
+    1-ulp formula-parity problem the rolling-median docstring records).
+
+    Scale: ONE window shuffle on the group key ranks every row
+    (q_agg_median_exact's shape), the 3-row bounds table broadcasts
+    back, and the clamped mean is one more hash agg with decimal
+    accumulation (clamping picks existing data values, so the
+    double→decimal cast stays in verified territory). No global sort,
+    no per-group collect.
+    """
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bounds = ranked.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(5 * n + 99) div 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p05"),
+        F.max(
+            F.when(
+                F.col("rn") == F.expr("(95 * n + 99) div 100"),
+                F.col("l_extendedprice"),
+            )
+        ).alias("p95"),
+    )
+    clamped = ranked.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "n_rows",
+        "p05",
+        "p95",
+        F.least(
+            F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95")
+        ).alias("cl"),
+    )
+    return clamped.groupBy("l_returnflag", "n_rows", "p05", "p95").agg(
+        davg(F.col("cl"), "winsorized_mean")
+    )

@@ -19,7 +19,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import DEC, dsum, finish, sql_dsum, sql_finish_dec
+from ..functions.numeric import (
+    DEC,
+    davg,
+    dsum,
+    finish,
+    sql_davg,
+    sql_dsum,
+    sql_finish_dec,
+)
 from ..registry import query
 from ..sources.tables import load
 
@@ -646,4 +654,113 @@ def q_pattern_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return runs.filter(F.col("n_errors") >= 2).select(
         "user_id", "first_event_id", "last_event_id", "n_errors", "span_us"
+    )
+
+
+@query(
+    "q_ts_seasonal_decompose",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               CAST(datediff('day', TIMESTAMP '1992-01-01',
+                             date_trunc('day', o_orderdate)) % 7
+                    AS BIGINT) AS dow,
+               sum(cast(o_totalprice as {DEC})) AS rev_dec
+        FROM orders GROUP BY 1, 2
+    ),
+    fan AS (
+        SELECT d.day + (o.o * INTERVAL 1 DAY) AS center_day, d.rev_dec
+        FROM daily d, (SELECT unnest([-3,-2,-1,0,1,2,3]) AS o) o
+    ),
+    s7 AS (
+        SELECT center_day, count(*) AS cnt, sum(rev_dec) AS s7_dec
+        FROM fan GROUP BY 1
+    ),
+    det AS MATERIALIZED (
+        SELECT d.day, d.dow,
+               {sql_finish_dec("d.rev_dec", 4)} AS revenue,
+               {sql_finish_dec("s.s7_dec", 4)} / 7.0 AS trend
+        FROM daily d JOIN s7 s ON s.center_day = d.day AND s.cnt = 7
+    ),
+    seasonal AS (
+        SELECT dow, {sql_davg("revenue - trend", "seasonal")}
+        FROM det GROUP BY 1
+    )
+    SELECT det.day AS day, det.dow AS dow, det.revenue AS revenue,
+           det.trend AS trend, se.seasonal AS seasonal,
+           det.revenue - det.trend - se.seasonal AS residual
+    FROM det JOIN seasonal se ON se.dow = det.dow
+    """,
+)
+def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily revenue
+    series: value = trend + seasonal + residual, with trend = centered
+    7-CALENDAR-DAY moving average and seasonal = per-day-of-week mean of
+    the detrended series — the moving-average step of STL, the shape
+    every ops dashboard computes before anomaly detection.
+
+    Scale shape: NO global window (a partition-less ORDER BY day window
+    funnels the series through one task — the audited anti-pattern).
+    Instead the trailing-distinct spine trick: fan each day's decimal
+    revenue to its 7 calendar center positions (a 7x map-only explode of
+    the DAILY AGGREGATE, rows = distinct days, tiny at any corpus size)
+    and hash-agg on center_day — calendar-true RANGE semantics (a
+    missing day leaves cnt < 7 and the center drops out, where a ROWS
+    frame would silently widen), shuffle-parallel on day.
+
+    Numeric discipline (numeric.py rules): daily revenue and the 7-day
+    sum accumulate in decimal and finish once; trend = finished_s7/7.0
+    is ONE IEEE division of bit-identical doubles (never finish a
+    quotient, rule 5); detrended = revenue - trend is IEEE-deterministic
+    per row, and its per-dow mean re-enters decimal via davg — safe
+    because trend's /7 leaves a full mantissa, making decimal-cast ties
+    measure-zero (rule 6). residual = revenue - trend - seasonal, fixed
+    left association on both engines.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+            F.expr(
+                "timestampdiff(DAY, timestamp_ntz'1992-01-01 00:00:00',"
+                " date_trunc('day', o_orderdate)) % 7"
+            )
+            .cast("bigint")
+            .alias("dow"),
+        )
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev_dec"))
+    )
+    offsets = F.array([F.lit(i) for i in range(-3, 4)])
+    fan = daily.select(
+        F.explode(offsets).alias("o"), F.col("day"), F.col("rev_dec")
+    ).select(
+        F.expr("timestampadd(DAY, o, day)").alias("center_day"), "rev_dec"
+    )
+    s7 = fan.groupBy("center_day").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("rev_dec").alias("s7_dec")
+    )
+    det = (
+        daily.join(
+            s7,
+            (s7["center_day"] == daily["day"]) & (s7["cnt"] == 7),
+        )
+        .select(
+            "day",
+            "dow",
+            finish(F.col("rev_dec"), 4).alias("revenue"),
+            (finish(F.col("s7_dec"), 4) / F.lit(7.0)).alias("trend"),
+        )
+    )
+    seasonal = det.groupBy("dow").agg(
+        davg(F.col("revenue") - F.col("trend"), "seasonal")
+    )
+    return det.join(F.broadcast(seasonal), "dow").select(
+        "day",
+        "dow",
+        "revenue",
+        "trend",
+        "seasonal",
+        (F.col("revenue") - F.col("trend") - F.col("seasonal")).alias(
+            "residual"
+        ),
     )

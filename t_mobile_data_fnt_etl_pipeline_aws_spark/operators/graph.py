@@ -368,3 +368,196 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_name",
         F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
     )
+
+
+@query(
+    "q_graph_bfs_hops",
+    oracle="""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY w DESC, dst) AS rn
+            FROM e
+        ) WHERE rn <= 3
+    ),
+    bfs(node, hops) AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+        UNION
+        SELECT e2.dst AS node, b.hops + 1 AS hops
+        FROM bfs b JOIN edges e2 ON e2.src = b.node
+        WHERE b.hops < 24
+    )
+    SELECT n.n_nationkey, n.n_name, CAST(min(b.hops) AS BIGINT) AS hops
+    FROM bfs b JOIN nation n ON n.n_nationkey = b.node
+    GROUP BY 1, 2
+    """,
+)
+def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source BFS shortest hop counts over the top-3-routes trade
+    graph — the iterative-frontier reachability primitive (supply-chain
+    blast radius: "which nations can a disruption at nation 0 reach, and
+    in how many hops?").
+
+    Graph: each nation keeps only its 3 STRONGEST outgoing supply routes
+    (row_number over (w desc, dst) inside a src-PARTITIONED window — a
+    k-NN graph, deterministic at any scale; a weight threshold was
+    rejected because relative edge-weight variance shrinks as counts
+    grow, degenerating the graph at 10x data). BFS is the textbook
+    distributed frontier loop: per round, frontier ⨝ edges (one hash
+    join on src), dedup, anti-join the visited set, stop on empty
+    frontier. Each round materializes via eager localCheckpoint so
+    lineage stays O(1); driver state is a round counter — the visited
+    set itself stays distributed (at 100 TB / billions of nodes the
+    frontier join and anti-join shuffle on node id; nothing collects).
+    Edge build is the q_graph_pagerank 4-table star, computed once and
+    checkpointed.
+
+    The DuckDB oracle is a recursive CTE (UNION-distinct bfs table with
+    a hop cap, then min(hops) per node) — the first recursive-CTE
+    oracle in the registry; both sides return only REACHED nations.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    e = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .filter(c["c_nationkey"] != s["s_nationkey"])
+        .groupBy(
+            c["c_nationkey"].alias("src"), s["s_nationkey"].alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    from pyspark.sql import Window
+
+    rk = Window.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    edges = (
+        e.select("src", "dst", F.row_number().over(rk).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
+        .localCheckpoint()
+    )
+
+    visited = spark.createDataFrame([(0, 0)], "node bigint, hops int")
+    frontier = visited
+    for hop in range(1, 25):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(hop))
+            .localCheckpoint()
+        )
+        if not nxt.head(1):
+            break
+        visited = visited.union(nxt).localCheckpoint()
+        frontier = nxt
+
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return n.join(visited, n["n_nationkey"] == visited["node"]).select(
+        "n_nationkey", "n_name", F.col("hops").cast("bigint").alias("hops")
+    )
+
+
+@query(
+    "q_graph_bfs_recursive_sql",
+    oracle="""
+    WITH RECURSIVE e AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY 1, 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY w DESC, dst) AS rn
+            FROM e
+        ) WHERE rn <= 3
+    ),
+    bfs(node, hops) AS (
+        SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+        UNION
+        SELECT e2.dst AS node, b.hops + 1 AS hops
+        FROM bfs b JOIN edges e2 ON e2.src = b.node
+        WHERE b.hops < 8
+    )
+    SELECT n.n_nationkey, n.n_name, CAST(min(b.hops) AS BIGINT) AS hops
+    FROM bfs b JOIN nation n ON n.n_nationkey = b.node
+    GROUP BY 1, 2
+    """,
+)
+def q_graph_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DECLARATIVE twin of q_graph_bfs_hops: the same single-source
+    reachability expressed as a Spark 4 native RECURSIVE CTE
+    (SPARK-24497) — no driver loop, the engine owns the iteration.
+
+    Same top-3-routes graph, same answer; the recursion uses UNION ALL
+    walk expansion bounded at 8 levels (min(hops) collapses walks to
+    shortest paths; the top-3 graphs measured here have eccentricity
+    ≤ 3 from the seed, and the 8-cap bounds the walk fan-out at
+    3^8 rows worst-case — both engines apply the identical cap, so
+    nodes farther than 8 hops would be excluded identically). The
+    DuckDB oracle is the same recursive text with UNION-distinct
+    semantics (its working-table dedup; same min-hop fixed point).
+
+    Trade-off vs the frontier-loop twin, recorded for the 100-TB
+    reader: the native recursion re-plans the whole lineage each level
+    and cannot localCheckpoint intermediate frontiers or anti-join the
+    visited set (walk dedup happens only at the final aggregate), so
+    the manual loop remains the scale-preferred form on cyclic graphs;
+    the recursive form wins on readability and on DAGs where walk
+    count ≈ path count. Having both, hash-equal, is the point.
+    """
+    for t in ("lineitem", "orders", "customer", "supplier", "nation"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"bfs_{t}")
+    return spark.sql(
+        """
+        WITH RECURSIVE e AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   count(*) AS w
+            FROM bfs_lineitem l
+            JOIN bfs_orders o ON l.l_orderkey = o.o_orderkey
+            JOIN bfs_customer c ON o.o_custkey = c.c_custkey
+            JOIN bfs_supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY w DESC, dst) AS rn
+                FROM e
+            ) WHERE rn <= 3
+        ),
+        bfs(node, hops) AS (
+            SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
+            UNION ALL
+            SELECT e2.dst AS node, b.hops + 1 AS hops
+            FROM bfs b JOIN edges e2 ON e2.src = b.node
+            WHERE b.hops < 8
+        )
+        SELECT n.n_nationkey, n.n_name,
+               CAST(min(b.hops) AS BIGINT) AS hops
+        FROM bfs b JOIN bfs_nation n ON n.n_nationkey = b.node
+        GROUP BY 1, 2
+        """
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import query
 from ..sources.tables import SCHEMAS, load
 
@@ -447,4 +448,115 @@ def q_gen_calendar_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_month_end"),
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_orders"),
         )
+    )
+
+
+@query(
+    "q_scan_binaryfile",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) + 1 AS BIGINT) AS n_bytes,
+           md5(text || chr(10)) AS content_md5
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def q_scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-blob ingest via the `binaryFile` source — the Spark
+    pattern every image/audio/video lake uses: one row per FILE with
+    (path, modificationTime, length, content binary), schema-on-read,
+    no decode until you ask.
+
+    Round-trip: documents (doc_id < 200 — a bounded, SF-independent
+    blob set) are written DISTRIBUTED as one text file per doc via
+    repartition(doc_id).write.partitionBy(doc_id).text() — no driver
+    loop — then re-ingested with binaryFile, which (a) discovers
+    doc_id back from the hive-style directory layout (partition
+    pruning works on blob lakes exactly like on parquet) and (b)
+    hands each file's bytes as ONE binary cell. Fingerprint = JVM-side
+    md5 over raw bytes; the text writer appends one trailing '\\n' per
+    row, which the oracle mirrors as md5(text || chr(10)) /
+    octet_length + 1 — byte-level parity proven through a real
+    filesystem hop, the plumbing q_multimodal_decode_stub's codecs
+    would plug into. At 100 TB the scan parallelizes per file (and
+    per block for large blobs via spark.sql.files.maxPartitionBytes);
+    nothing here collects.
+    """
+    out = _sink_dir("documents_blobs")
+    (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+        .repartition("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(out)
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+    )
+    return bf.select(
+        F.col("doc_id").cast("int").alias("doc_id"),
+        F.length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+    )
+
+
+@query(
+    "q_sink_dynamic_partition_overwrite",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           cast(cast(round((sum(cast((CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 0.5 ELSE o_totalprice END) as decimal(30,10)))), 4) as decimal(38,4)) as double) as total_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_sink_dynamic_partition_overwrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition-level backfill via DYNAMIC partition overwrite — the
+    warehouse pattern for reprocessing one day/slice of a 100-TB
+    partitioned table without rewriting (or, under static mode,
+    DESTROYING) the rest.
+
+    Step 1 lands orders partitioned by o_orderstatus. Step 2 recomputes
+    ONLY the 'F' slice (prices restated x0.5 — dyadic, exact IEEE) and
+    writes it with mode("overwrite") under
+    spark.sql.sources.partitionOverwriteMode=dynamic: Spark replaces
+    exactly the partitions present in the incoming frame ('F') and
+    leaves 'O'/'P' untouched — the same write under the default STATIC
+    mode would truncate the whole table to the F slice (the classic
+    backfill footgun; the conf is set around the write and restored,
+    driver-session hygiene). The readback aggregate proves both halves:
+    O/P groups match the original data, F matches the restatement.
+    """
+    out = _sink_dir("orders_dyn_overwrite")
+    cols = ["o_orderkey", "o_totalprice", "o_orderstatus"]
+    o = load(spark, sf_dir, "orders").select(*cols)
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+
+    backfill = o.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey",
+        (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        backfill.write.mode("overwrite").partitionBy(
+            "o_orderstatus"
+        ).parquet(out)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total_price"),
     )

@@ -255,3 +255,67 @@ def q_sketch_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("is_member").alias("n_members"),
         F.count(F.when(cand & F.col("is_member").isNull(), 1)).alias("n_false_pos"),
     )
+
+
+@query(
+    "q_sketch_approx_topk",
+    oracle="""
+    WITH counts AS (
+        SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT o_orderstatus, o_orderpriority, cnt,
+               row_number() OVER (
+                   PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority) AS rk
+        FROM counts
+    )
+    SELECT o_orderstatus, CAST(rk AS INT) AS rk, o_orderpriority,
+           CAST(cnt AS BIGINT) AS cnt
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_sketch_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters per group via Spark 4's approx_top_k sketch — the
+    one-pass frequent-items summary (Apache DataSketches frequent-items
+    under the hood) that replaces a full groupBy-count-rank cascade
+    when only the top few items matter.
+
+    approx_top_k(item, k, maxItemsTracked) is EXACT whenever the
+    per-group distinct-item count stays within maxItemsTracked — true
+    here (5 order priorities, 10_000 tracked) and verifiable at any scale
+    where the item domain is bounded (ship modes, status codes, country
+    codes — precisely the columns heavy-hitter queries target). That
+    exactness makes the sketch SQL-oracle-able: the oracle is the plain
+    count-rank form. Engine tie-break inside the sketch is unspecified,
+    so the sketch is asked for k=10 (> the 5-priority domain, so the
+    boundary never lands on a tie) and the returned (item, count)
+    structs are re-ranked DETERMINISTICALLY (count desc, item asc)
+    before the top-3 cut, rather than trusting sketch order. One
+    partial-aggregated shuffle carrying a KB-sized sketch per group —
+    vs the count-rank cascade's full (group, item) shuffle.
+    """
+    o = load(spark, sf_dir, "orders")
+    sk = o.groupBy("o_orderstatus").agg(
+        F.expr("approx_top_k(o_orderpriority, 10, 10000)").alias("top")
+    )
+    from pyspark.sql import Window
+
+    exploded = sk.select(
+        "o_orderstatus",
+        F.explode("top").alias("e"),
+    ).select(
+        "o_orderstatus",
+        F.col("e.item").alias("o_orderpriority"),
+        F.col("e.count").alias("cnt"),
+    )
+    rk = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return exploded.select(
+        "o_orderstatus",
+        F.row_number().over(rk).alias("rk"),
+        "o_orderpriority",
+        F.col("cnt").cast("bigint").alias("cnt"),
+    ).filter(F.col("rk") <= 3)

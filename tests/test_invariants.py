@@ -182,8 +182,8 @@ def test_driver_window_rotation():
     """The first 50 registry keys must be exactly the round-7 driver-window
     list — the grading driver records only the first 50. Round-7 contract
     (VERDICT r6 items 1+3+4): new never-checked keys first, then ALL 26
-    r1/r2-stale keys (the r6 comment undercounted them as 19), then a
-    19-key r3-stale fill. Every key that has never PASSED a driver check
+    r1/r2-stale keys (the r6 comment undercounted them as 19), then an
+    11-key r3-stale fill. Every key that has never PASSED a driver check
     (no row, or a hard-failed row) must be inside the window or declared
     in _POST_WINDOW_ADDITIONS."""
     import json
@@ -338,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 148 extras = 227 registered,
-    214 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 156 extras = 235 registered,
+    222 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 227
-    assert len(oracles) == 214
+    assert len(QUERIES) == 235
+    assert len(oracles) == 222
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1560,3 +1560,25 @@ def test_bpe_train_matches_reference(spark, sf_dir):
         )
     ]
     assert got == expected, (got, expected)
+
+
+def test_bfs_twins_agree(spark, sf_dir):
+    """The imperative frontier loop (q_graph_bfs_hops) and the Spark 4
+    native recursive CTE (q_graph_bfs_recursive_sql) must return the
+    IDENTICAL hop map — same graph, same seed, two execution
+    strategies. Any divergence means one of the iteration strategies
+    lost or duplicated a frontier."""
+    a = sorted(
+        (r.n_nationkey, r.hops)
+        for r in QUERIES["q_graph_bfs_hops"](spark, sf_dir).collect()
+    )
+    b = sorted(
+        (r.n_nationkey, r.hops)
+        for r in QUERIES["q_graph_bfs_recursive_sql"](spark, sf_dir).collect()
+    )
+    assert a == b, (a, b)
+    # BFS well-formedness: exactly one seed at hop 0, and hop levels
+    # are contiguous (a hop-h node implies some hop-(h-1) node exists).
+    hops = [h for _, h in a]
+    assert hops.count(0) == 1
+    assert set(hops) == set(range(max(hops) + 1))

@@ -660,3 +660,30 @@ def test_wow_self_join_reuses_exchange(spark, sf_dir):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan, plan
+
+
+def test_binaryfile_partition_pruning(spark, sf_dir):
+    """The binaryFile blob lake must prune on the hive-discovered
+    doc_id partition column: a doc_id filter appears as a
+    PartitionFilter on the scan, not a post-scan Filter over all
+    blobs — at 100 TB that is the difference between opening one
+    directory and statting a billion files."""
+    QUERIES["q_scan_binaryfile"](spark, sf_dir).collect()  # lay the blobs
+    import os
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_sinks_{os.getpid()}",
+        "documents_blobs",
+    )
+    bf = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(out)
+        .filter("doc_id = 7")
+    )
+    plan = plan_string(bf)
+    assert "PartitionFilters" in plan and "doc_id" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0], plan
