@@ -163,7 +163,11 @@ HEADLINE = [
     "q_window_trailing_distinct",    # rolling-7d distinct users (bounded fan-out)
     "q_window_rolling_median",       # bounded collect-sort-frame robust median
     # round-7 additions
-    "q_dedup_pairs_full",            # full-corpus prefix-filter exact pairs
+    # q_dedup_pairs_full is NOT in the headline: at sf0.1 it EMITS
+    # 2.97M exact pairs (65 s) — the cost is the output's size, not the
+    # plan (the candidate generation is the same prefix-filter the
+    # headline's bounded twin exercises); the full "all" sweep records
+    # it.
     "q_join_bloom_pruned",           # runtime-Bloom-shaped selective SMJ
     "q_etl_merge_tombstones",        # u/i/d MERGE compaction with deletes
     "q_report_wow_growth",           # ReusedExchange weekly self-join
