@@ -183,6 +183,8 @@ HEADLINE = [
     "q_variant_shred",               # parse_json once + variant_get
     "q_sink_dynamic_partition_overwrite",  # one-slice dynamic backfill
     "q_sketch_approx_topk",          # frequent-items sketch heavy hitters
+    "q_udf_arrow_optimized",         # Arrow-transport row UDF boundary
+    "q_scan_agg_pushdown",           # footer-stats count/min/max profile
 ]
 
 RUNS = 3

@@ -297,3 +297,44 @@ def q_udf_cogrouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="month_id bigint, n_orders bigint, n_lines bigint, "
         "order_revenue double, line_revenue double, ship_to_book_ratio double",
     )
+
+
+@query(
+    "q_udf_arrow_optimized",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(substr(o_orderpriority, 1, 1) AS INT) * 10
+                + CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END
+                AS BIGINT) AS urgency_score
+    FROM orders
+    """,
+)
+def q_udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-OPTIMIZED scalar Python UDF (``F.udf(..., useArrow=True)``,
+    SPARK-40307) — the third point on the Python-boundary spectrum,
+    between q_udf_registered_sql's pickled row-at-a-time UDF and
+    q_udf_scalar_pandas's vectorized pandas UDF: the author still
+    writes a plain per-row Python function (no pandas), but transport
+    switches from pickle round-trips to Arrow record batches
+    (ArrowEvalPython in the plan — asserted in tests/test_plans.py).
+    The remaining gap to a pandas UDF is per-row Python-call overhead,
+    which is why the module docstring still ranks pandas UDFs as the
+    hot-path form; useArrow is the drop-in accelerator for existing
+    row-UDF code a user migrates from the reference engine.
+
+    Scoring is integer-only (priority digit x 10 + a whale-order bit),
+    so the oracle is exact with no float-parity caveats.
+    """
+    from pyspark.sql.types import LongType
+
+    def urgency(priority: str, total: float) -> int:
+        return int(priority[0]) * 10 + (1 if total > 200000 else 0)
+
+    u = F.udf(urgency, LongType(), useArrow=True)
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        u(F.col("o_orderpriority"), F.col("o_totalprice")).alias(
+            "urgency_score"
+        ),
+    )

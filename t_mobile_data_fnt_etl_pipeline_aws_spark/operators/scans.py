@@ -560,3 +560,46 @@ def q_sink_dynamic_partition_overwrite(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"),
         dsum(F.col("o_totalprice"), "total_price"),
     )
+
+
+@query(
+    "q_scan_agg_pushdown",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-only table profile (count / min / max) — the shape Spark's
+    parquet AGGREGATE pushdown answers from footer statistics without
+    reading a single data page.
+
+    With spark.sql.parquet.aggregatePushdown=true on the DSv2 read
+    path (useV1SourceList excludes parquet), the plan's BatchScan
+    returns [count(*), min(...), max(...)] directly
+    (PushedAggregation in the scan node — asserted, with confs enabled
+    and result equality proven, in tests/test_plans.py::
+    test_parquet_aggregate_pushdown_fires; the feature follows the
+    q_join_bloom_pruned precedent: the conf lives in the contract
+    test, the query's ANSWER is conf-invariant). At 100 TB this is the
+    difference between a metadata read of ~row-group-count stats
+    entries and a full-column scan — the cheapest query an engine can
+    run, and the one every table-health dashboard runs hourly.
+    Pushdown is all-or-nothing over the aggregate list, so the profile
+    sticks to types the parquet stats path supports (double + int64):
+    the fixture's nanos-encoded timestamps would veto the whole
+    rewrite, and a NaN-bearing double column would too (parquet stats
+    ordering with NaN is unspecified — Spark only pushes safe types).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

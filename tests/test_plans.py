@@ -687,3 +687,47 @@ def test_binaryfile_partition_pruning(spark, sf_dir):
     assert "PartitionFilters" in plan and "doc_id" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0], plan
+
+
+def test_arrow_optimized_udf_uses_arrow_eval(spark, sf_dir):
+    """q_udf_arrow_optimized must cross the Python boundary via Arrow
+    record batches (ArrowEvalPython), not the pickled row-at-a-time
+    BatchEvalPython — the whole point of useArrow=True."""
+    df = QUERIES["q_udf_arrow_optimized"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_parquet_aggregate_pushdown_fires(spark, sf_dir):
+    """q_scan_agg_pushdown's stats-only profile must be answerable from
+    parquet footer statistics: with aggregatePushdown on the DSv2 read
+    path the BatchScan node carries PushedAggregation (count/min/max
+    served per row group with no data-page reads) — and, being a pure
+    perf rewrite, the answer must equal the plain-scan form."""
+    baseline = sorted(
+        map(tuple, QUERIES["q_scan_agg_pushdown"](spark, sf_dir).collect())
+    )
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = QUERIES["q_scan_agg_pushdown"](spark, sf_dir)
+        plan = plan_string(df)
+        assert "PushedAggregation" in plan, plan
+        assert sorted(map(tuple, df.collect())) == baseline
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
