@@ -185,6 +185,8 @@ HEADLINE = [
     "q_sketch_approx_topk",          # frequent-items sketch heavy hitters
     "q_udf_arrow_optimized",         # Arrow-transport row UDF boundary
     "q_scan_agg_pushdown",           # footer-stats count/min/max profile
+    "q_join_lateral_topk",           # decorrelated LATERAL top-k join
+    "q_etl_observed_load",           # observe()-gated filtered load
 ]
 
 RUNS = 3

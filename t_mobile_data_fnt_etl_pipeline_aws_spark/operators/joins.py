@@ -786,3 +786,60 @@ def q_join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_join_lateral_topk",
+    oracle="""
+    SELECT r.r_name AS r_name, t.n_name AS n_name,
+           t.n_customers AS n_customers
+    FROM region r,
+    LATERAL (
+        SELECT n.n_name AS n_name,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+        WHERE n.n_regionkey = r.r_regionkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n_name
+        LIMIT 2
+    ) t
+    """,
+)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL (correlated table) join — the SQL-standard form of
+    "for each row of the driving table, run this parameterized
+    subquery": each region picks its top-2 nations by customer count.
+
+    The lateral subquery references the OUTER row (r.r_regionkey) in
+    its WHERE, aggregates, orders, and LIMITs — the shape analysts
+    write naturally and engines must DECORRELATE: Spark rewrites the
+    correlated LIMIT into a window-rank over a single grouped join
+    (DomainJoin elimination), never a per-row re-execution loop — the
+    same guarantee the EXISTS/scalar-subquery plan contracts pin for
+    their shapes. Semantically identical to q_topk_per_group's
+    window form; shipping both, hash-equal against the same oracle
+    family, is API-surface parity (a reference-engine user migrating
+    LATERAL queries keeps their syntax). Scale note: the driving side
+    here is a dimension table; driving a LATERAL from a fact table is
+    fine too AFTER decorrelation (it becomes one join + one window),
+    which is exactly why the no-nested-loop audit covers this key.
+    """
+    for t in ("region", "nation", "customer"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"lat_{t}")
+    return spark.sql(
+        """
+        SELECT r.r_name AS r_name, t.n_name AS n_name,
+               t.n_customers AS n_customers
+        FROM lat_region r,
+        LATERAL (
+            SELECT n.n_name AS n_name,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM lat_nation n
+            JOIN lat_customer c ON c.c_nationkey = n.n_nationkey
+            WHERE n.n_regionkey = r.r_regionkey
+            GROUP BY n.n_name
+            ORDER BY n_customers DESC, n_name
+            LIMIT 2
+        ) t
+        """
+    )

@@ -1748,3 +1748,59 @@ def q_window_trailing_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("sd").alias("day"))
         .agg(F.countDistinct("user_id").alias("users_7d"))
     )
+
+
+@query(
+    "q_etl_observed_load",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+)
+def q_etl_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ETL load with an INLINE data-quality gate via df.observe() — the
+    free-QC pattern: Observation metrics accumulate DURING the load's
+    own action (accumulator-backed, no second scan), so the pipeline
+    validates the batch it just processed at zero extra passes. The
+    alternative — a separate QC query — reads the 100-TB input twice.
+
+    The observe() node sits on the SCAN (pre-filter), watching the raw
+    feed: row count, NULL-key count, min price. The gate asserts the
+    load contract (non-empty batch, zero NULL keys, positive prices)
+    and raises on violation — the q_etl_quarantine philosophy applied
+    at ingest time. Metrics that cross rows use exact decimal/integer
+    forms only (counts + min — no float sums), so the gate is
+    deterministic. The returned aggregate is the ordinary distributed
+    load output (decimal-finished revenue per status); the observation
+    is populated by the SAME collect that materializes it, which the
+    query triggers on the 3-row aggregate before handing the result
+    back (bfs-style driver-state return).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    o = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+        ).alias("n_null_keys"),
+        F.min("o_totalprice").alias("min_price"),
+    )
+    agg = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+    rows = agg.collect()  # 3-row aggregate; populates the observation
+    m = obs.get
+    if not (m["n_rows"] > 0 and m["n_null_keys"] == 0 and m["min_price"] > 0):
+        raise ValueError(f"QC gate failed on load metrics: {m}")
+    return spark.createDataFrame(rows, agg.schema)
