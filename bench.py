@@ -187,6 +187,8 @@ HEADLINE = [
     "q_scan_agg_pushdown",           # footer-stats count/min/max profile
     "q_join_lateral_topk",           # decorrelated LATERAL top-k join
     "q_etl_observed_load",           # observe()-gated filtered load
+    "q_udf_map_in_arrow",            # raw-RecordBatch pyarrow.compute kernel
+    "q_sql_parameterized",           # named-param + IDENTIFIER templated SQL
 ]
 
 RUNS = 3

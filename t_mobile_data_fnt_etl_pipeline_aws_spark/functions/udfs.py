@@ -338,3 +338,51 @@ def q_udf_arrow_optimized(spark: SparkSession, sf_dir: str) -> DataFrame:
             "urgency_score"
         ),
     )
+
+
+@query(
+    "q_udf_map_in_arrow",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity >= 45
+    """,
+)
+def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the LOWEST-overhead Python boundary: the function
+    receives raw pyarrow RecordBatches and computes with pyarrow.compute
+    kernels (C++ SIMD), skipping even the Arrow→pandas conversion that
+    pandas UDFs pay (no index construction, no object boxing, no copy
+    for string columns). The completion of the §2.10 spectrum:
+    registered row UDF (pickle) → useArrow row UDF (Arrow transport,
+    Python per row) → pandas UDF (vectorized, pandas tax) → mapInArrow
+    (vectorized, zero pandas tax). Same net-price semantics as
+    q_udf_scalar_pandas on a different quantity slice; per-row
+    arithmetic is one IEEE multiply chain on identical parquet doubles,
+    so the oracle is exact. Plan shows a MapInArrow node (plan
+    contract); map-only — no shuffle, fully pipelined with the scan.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def net_price(batches):
+        for b in batches:
+            keep = pc.greater_equal(b.column("l_quantity"), 45.0)
+            f = b.filter(keep)
+            net = pc.multiply(
+                f.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), f.column("l_discount")),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [f.column("l_orderkey"), f.column("l_linenumber"), net],
+                names=["l_orderkey", "l_linenumber", "net_price"],
+            )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    return li.mapInArrow(
+        net_price, "l_orderkey bigint, l_linenumber int, net_price double"
+    )

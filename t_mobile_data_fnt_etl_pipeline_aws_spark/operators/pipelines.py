@@ -1804,3 +1804,39 @@ def q_etl_observed_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (m["n_rows"] > 0 and m["n_null_keys"] == 0 and m["min_price"] > 0):
         raise ValueError(f"QC gate failed on load metrics: {m}")
     return spark.createDataFrame(rows, agg.schema)
+
+
+@query(
+    "q_sql_parameterized",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_totalprice > 250000 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL — spark.sql(text, args) with NAMED parameter
+    markers (:min_price, :status) plus the IDENTIFIER(:tbl) clause for
+    the table reference: the injection-safe templating surface every
+    production SQL pipeline needs (values bind as typed literals in the
+    parser, identifiers resolve through a dedicated clause — string
+    concatenation never touches the query text). The oracle is the
+    same query with the parameters inlined as constants; binding must
+    not change semantics, plans, or the decimal finishing.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               cast(cast(sum(cast(o_totalprice as decimal(30,10)))
+                    as decimal(38,4)) as double) AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "param_orders", "min_price": 250000, "status": "O"},
+    )

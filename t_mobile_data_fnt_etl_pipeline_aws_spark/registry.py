@@ -74,15 +74,16 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #:      BPE training, WoW, both BFS forms, seasonal decompose,
 #:      winsorized mean, binaryFile, VARIANT, dynamic overwrite,
 #:      approx_top_k, arrow-optimized UDF, parquet agg pushdown,
-#:      LATERAL top-k join, observe()-gated load — 17 in all.
+#:      LATERAL top-k join, observe()-gated load, mapInArrow,
+#:      parameterized SQL — 19 in all.
 #:   2. ALL 26 r1/r2-stale keys — VERDICT r6 corrected the round-6
 #:      comment's "19" undercount to 26 (9 r1 + 17 r2, recomputed from
 #:      the CORRECTNESS_r01-r06 union); every one rotates THIS round so
 #:      no key's newest driver row stays older than r3.
-#:   3. 7 of the 47 r3-stale keys, helper-coupled / scale-critical
+#:   3. 5 of the 47 r3-stale keys, helper-coupled / scale-critical
 #:      first (prefix-filter backs the new pairs_full key; theta
 #:      bucketed + asof tolerance share join machinery; the llmprep
-#:      block shares tokenizers). The remaining 40 r3-stale rotate in
+#:      block shares tokenizers). The remaining 42 r3-stale rotate in
 #:      round 8; all stay green in old rows + the local exact mirror.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
@@ -104,6 +105,8 @@ _DRIVER_WINDOW = [
     "q_scan_agg_pushdown",
     "q_join_lateral_topk",
     "q_etl_observed_load",
+    "q_udf_map_in_arrow",
+    "q_sql_parameterized",
     # --- 2a. all 9 r1-stale ---
     "q_distinct_rows",
     "q_filter_like",
@@ -132,26 +135,26 @@ _DRIVER_WINDOW = [
     "q_profile_table",
     "q_string_funcs",
     "q_struct_funcs",
-    # --- 3. r3-stale fill (7 of 47; rest rotate round 8) ---
+    # --- 3. r3-stale fill (5 of 47; rest rotate round 8) ---
     "q_dedup_prefix_filter",
     "q_join_theta_bucketed",
     "q_join_asof_tolerance",
     "q_contamination_ngram",
     "q_chunk_overlap",
-    "q_corpus_mix_weighted",
-    "q_pack_sequences",
-    # (q_pii_redact, q_quality_repetition,
+    # (q_corpus_mix_weighted, q_pack_sequences,
+    #  q_pii_redact, q_quality_repetition,
     #  q_text_edit_distance, q_text_tokenize_bpe,
     #  q_multimodal_framesample, q_multimodal_resize,
     #  q_sketch_bloom_prune, q_sketch_cms_freq, q_stream_static_join,
     #  q_stream_stream_join, q_sessionize_batch, q_subquery_exists,
     #  q_subquery_not_exists and q_cdc_compact ceded their fill slots
-    #  to the fourteen late round-7 additions (q_bpe_train_merges,
+    #  to the sixteen late round-7 additions (q_bpe_train_merges,
     #  q_report_wow_growth, q_graph_bfs_hops, q_ts_seasonal_decompose,
     #  q_agg_winsorized_mean, q_scan_binaryfile, q_variant_shred,
     #  q_graph_bfs_recursive_sql, q_sink_dynamic_partition_overwrite,
     #  q_sketch_approx_topk, q_udf_arrow_optimized,
-    #  q_scan_agg_pushdown, q_join_lateral_topk, q_etl_observed_load);
+    #  q_scan_agg_pushdown, q_join_lateral_topk, q_etl_observed_load,
+    #  q_udf_map_in_arrow, q_sql_parameterized);
     #  they stay r3-green and head the round-8
     #  rotation with the other r3-stale keys)
 ]

@@ -183,7 +183,7 @@ def test_driver_window_rotation():
     list — the grading driver records only the first 50. Round-7 contract
     (VERDICT r6 items 1+3+4): new never-checked keys first, then ALL 26
     r1/r2-stale keys (the r6 comment undercounted them as 19), then a
-    7-key r3-stale fill. Every key that has never PASSED a driver check
+    5-key r3-stale fill. Every key that has never PASSED a driver check
     (no row, or a hard-failed row) must be inside the window or declared
     in _POST_WINDOW_ADDITIONS."""
     import json
@@ -338,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 160 extras = 239 registered,
-    226 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 162 extras = 241 registered,
+    228 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 239
-    assert len(oracles) == 226
+    assert len(QUERIES) == 241
+    assert len(oracles) == 228
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",

@@ -731,3 +731,12 @@ def test_parquet_aggregate_pushdown_fires(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_map_in_arrow_uses_arrow_node(spark, sf_dir):
+    """q_udf_map_in_arrow must execute as a MapInArrow node (raw
+    RecordBatch transport, no pandas conversion) — not a pandas-eval
+    or pickled-Python node."""
+    df = QUERIES["q_udf_map_in_arrow"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "MapInArrow" in plan, plan
