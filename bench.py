@@ -370,29 +370,15 @@ def main() -> None:
         keys = HEADLINE
     spark = get_spark("spark-graft-bench")
 
-    timings: dict[str, float] = {}
-    for key in keys:
-        # Isolate queries sharing one JVM: drop cached plans/data and nudge
-        # GC so query N's garbage doesn't tax query N+1's timed runs (round-2
-        # bench showed 2.5-2.8x phantom regressions on unchanged queries once
-        # the suite grew from 33 to 48 keys).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        fn = queries[key]
-        materialize(fn(spark, sf_dir))  # warm-up (plan + JIT + page cache)
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            samples.append(time.perf_counter() - t0)
-        timings[key] = round(statistics.median(samples), 4)
-
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    repo_dir = os.path.dirname(os.path.abspath(__file__))
-    prior = load_prior_timings(repo_dir)
-    raw_flags = find_regressions(timings, prior)
-
-    def rerun(key: str) -> float:
+    def time_query(key: str) -> float:
+        """ONE timing protocol for the main loop AND the confirm-gate
+        reruns — two copies drifted apart would make the gate compare
+        medians measured under different protocols, the exact
+        methodology bug it exists to prevent. Isolates queries sharing
+        one JVM (clearCache + GC nudge: round-2 showed 2.5-2.8x phantom
+        regressions from cross-query garbage), one warm-up
+        materialization (plan + JIT + page cache), then the median of
+        RUNS timed noop materializations."""
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
         fn = queries[key]
@@ -404,7 +390,27 @@ def main() -> None:
             samples.append(time.perf_counter() - t0)
         return statistics.median(samples)
 
-    regressions = confirm_regressions(raw_flags, prior, rerun)
+    timings: dict[str, float] = {}
+    for key in keys:
+        timings[key] = round(time_query(key), 4)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    prior = load_prior_timings(repo_dir)
+    raw_flags = find_regressions(timings, prior)
+
+    regressions = confirm_regressions(raw_flags, prior, time_query)
+
+    # Surface the anchor's own cross-round ratio UNCONDITIONALLY: the
+    # confirm gate normalizes by the anchor, so a uniform real slowdown
+    # (e.g. a shared numeric-helper regression that drags anchor and
+    # keys alike) would cancel to adj_ratio ~1 and vanish — this field
+    # keeps it visible. > DRIFT_FACTOR here with empty regressions
+    # means either a host change or an across-the-board code change;
+    # compare the totals (and BENCH_SCALING) to tell which.
+    anchor_ratio = None
+    if prior.get(ANCHOR_KEY) and ANCHOR_KEY in timings:
+        anchor_ratio = round(timings[ANCHOR_KEY] / prior[ANCHOR_KEY], 2)
     payload = {
         # value = SUM over queries of the per-query median-of-3;
         # per-query medians are under "queries".
@@ -418,6 +424,9 @@ def main() -> None:
         # flag rides along in the JSON rather than failing the
         # run so the driver still records the numbers.
         "regressions": regressions,
+        # anchor's own cross-round ratio (host proxy; see above) —
+        # null when the anchor has no prior record
+        "anchor_ratio": anchor_ratio,
     }
     print(json.dumps(payload))
     print(json.dumps(compact_summary(payload)))

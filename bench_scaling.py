@@ -76,10 +76,10 @@ def _fixture_profiles():
         f"SELECT lang, count(*) FROM {doc} GROUP BY lang ORDER BY lang"
     ).fetchall()
     sources = con.execute(
-        f"SELECT DISTINCT source FROM {doc} ORDER BY source"
+        f"SELECT source, count(*) FROM {doc} GROUP BY source ORDER BY source"
     ).fetchall()
     con.close()
-    return vocab, langs, [s[0] for s in sources]
+    return vocab, langs, sources
 
 
 def _gen_documents(out: str, n: int, rng) -> None:
@@ -94,6 +94,9 @@ def _gen_documents(out: str, n: int, rng) -> None:
     lang_names = np.array([l for l, _ in langs])
     p_lang = np.array([c for _, c in langs], dtype=float)
     p_lang /= p_lang.sum()
+    src_names = np.array([s for s, _ in sources])
+    p_src = np.array([c for _, c in sources], dtype=float)
+    p_src /= p_src.sum()
 
     lengths = rng.randint(10, 100, size=n)
     flat = rng.choice(len(words), size=int(lengths.sum()), p=p_words)
@@ -110,7 +113,7 @@ def _gen_documents(out: str, n: int, rng) -> None:
                 pa.string(),
             ),
             "source": pa.array(
-                np.array(sources)[rng.randint(0, len(sources), size=n)],
+                src_names[rng.choice(len(src_names), size=n, p=p_src)],
                 pa.string(),
             ),
             "n_chars": pa.array([len(t) for t in texts], pa.int64()),

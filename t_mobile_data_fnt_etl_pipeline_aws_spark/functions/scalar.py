@@ -423,10 +423,17 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     the group-by is one ordinary shuffle.
     """
     e = load(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
-    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    # parse ONCE into a variant column, then extract from IT — a
+    # second parse_json per extraction would silently re-tokenize the
+    # text and defeat the pattern this key demonstrates.
+    parsed = e.select(
+        "event_type", F.parse_json(F.col("props")).alias("v")
+    )
     return (
-        e.select("event_type", v.alias("v"), k.alias("k"))
+        parsed.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+        )
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -395,7 +395,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION
         SELECT e2.dst AS node, b.hops + 1 AS hops
         FROM bfs b JOIN edges e2 ON e2.src = b.node
-        WHERE b.hops < 24
+        WHERE b.hops < 8
     )
     SELECT n.n_nationkey, n.n_name, CAST(min(b.hops) AS BIGINT) AS hops
     FROM bfs b JOIN nation n ON n.n_nationkey = b.node
@@ -425,6 +425,11 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle is a recursive CTE (UNION-distinct bfs table with
     a hop cap, then min(hops) per node) — the first recursive-CTE
     oracle in the registry; both sides return only REACHED nations.
+    The hop cap is 8 EVERYWHERE (this loop, this oracle, and the
+    q_graph_bfs_recursive_sql twin + its oracle): the twins' hash
+    equality depends on identical caps, and 8 covers the measured
+    eccentricity (≤3 at every fixture scale) with margin while keeping
+    the recursive twin's UNION ALL walk fan-out bounded.
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -452,7 +457,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     visited = spark.createDataFrame([(0, 0)], "node bigint, hops int")
     frontier = visited
-    for hop in range(1, 25):
+    for hop in range(1, 9):
         nxt = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))

@@ -198,6 +198,42 @@ def q_etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def build_tombstone_changes(base: DataFrame) -> DataFrame:
+    """The u/i/d change feed q_etl_merge_tombstones applies — shared
+    with tests/test_streaming.py's foreachBatch convergence twin so the
+    two can never drift apart. Synthetic insert keys are the NEGATED
+    base keys: disjoint from every real (positive) orderkey at ANY
+    scale — an additive offset (the first cut used +10**7) collides
+    with real keys once max(o_orderkey) crosses it (~sf7), creating
+    same-seq ties that make the latest-wins compaction engine-dependent.
+    """
+    upd1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("u").alias("op"),
+        (F.col("o_totalprice") * 1.1).alias("price"),
+        F.lit(1).alias("seq"),
+    )
+    ins = base.filter(F.col("o_orderkey") % 1000 == 0).select(
+        (-F.col("o_orderkey")).alias("o_orderkey"),
+        F.lit("i").alias("op"),
+        F.col("o_totalprice").alias("price"),
+        F.lit(2).alias("seq"),
+    )
+    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        F.lit("d").alias("op"),
+        F.lit(None).cast("double").alias("price"),
+        F.lit(2).alias("seq"),
+    )
+    upd3 = base.filter(F.col("o_orderkey") % 14 == 0).select(
+        "o_orderkey",
+        F.lit("u").alias("op"),
+        (F.col("o_totalprice") * 1.2).alias("price"),
+        F.lit(3).alias("seq"),
+    )
+    return upd1.unionByName(ins).unionByName(dels).unionByName(upd3)
+
+
 @query(
     "q_etl_merge_tombstones",
     oracle=f"""
@@ -205,7 +241,7 @@ def q_etl_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey, 'u' AS op, o_totalprice * 1.1 AS price, 1 AS seq
         FROM orders WHERE o_orderkey % 10 = 0
         UNION ALL
-        SELECT o_orderkey + 10000000, 'i', o_totalprice, 2
+        SELECT -o_orderkey, 'i', o_totalprice, 2
         FROM orders WHERE o_orderkey % 1000 = 0
         UNION ALL
         SELECT o_orderkey, 'd', cast(NULL AS double), 2
@@ -253,31 +289,7 @@ def q_etl_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     converge to exactly this answer.
     """
     base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    upd1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey",
-        F.lit("u").alias("op"),
-        (F.col("o_totalprice") * 1.1).alias("price"),
-        F.lit(1).alias("seq"),
-    )
-    ins = base.filter(F.col("o_orderkey") % 1000 == 0).select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-        F.lit("i").alias("op"),
-        F.col("o_totalprice").alias("price"),
-        F.lit(2).alias("seq"),
-    )
-    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey",
-        F.lit("d").alias("op"),
-        F.lit(None).cast("double").alias("price"),
-        F.lit(2).alias("seq"),
-    )
-    upd3 = base.filter(F.col("o_orderkey") % 14 == 0).select(
-        "o_orderkey",
-        F.lit("u").alias("op"),
-        (F.col("o_totalprice") * 1.2).alias("price"),
-        F.lit(3).alias("seq"),
-    )
-    changes = upd1.unionByName(ins).unionByName(dels).unionByName(upd3)
+    changes = build_tombstone_changes(base)
     w = Window.partitionBy("o_orderkey").orderBy(F.desc("seq"))
     compact = (
         changes.withColumn("rn", F.row_number().over(w))

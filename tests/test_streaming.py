@@ -686,27 +686,13 @@ def test_stream_cdc_tombstone_merge_converges(spark, sf_dir, tmp_path):
     q_etl_merge_tombstones' audit exactly — tombstones remove keys,
     later upserts resurrect them."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import dsum
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.pipelines import (
+        build_tombstone_changes,
+    )
     from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
 
     base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    upd1 = base.filter(F.col("o_orderkey") % 10 == 0).select(
-        "o_orderkey", F.lit("u").alias("op"),
-        (F.col("o_totalprice") * 1.1).alias("price"), F.lit(1).alias("seq"),
-    )
-    ins = base.filter(F.col("o_orderkey") % 1000 == 0).select(
-        (F.col("o_orderkey") + 10000000).alias("o_orderkey"),
-        F.lit("i").alias("op"), F.col("o_totalprice").alias("price"),
-        F.lit(2).alias("seq"),
-    )
-    dels = base.filter(F.col("o_orderkey") % 7 == 0).select(
-        "o_orderkey", F.lit("d").alias("op"),
-        F.lit(None).cast("double").alias("price"), F.lit(2).alias("seq"),
-    )
-    upd3 = base.filter(F.col("o_orderkey") % 14 == 0).select(
-        "o_orderkey", F.lit("u").alias("op"),
-        (F.col("o_totalprice") * 1.2).alias("price"), F.lit(3).alias("seq"),
-    )
-    changes = upd1.unionByName(ins).unionByName(dels).unionByName(upd3)
+    changes = build_tombstone_changes(base)
     stream_dir = str(tmp_path / "cdc_stream")
     # one file per seq epoch — three micro-batches, deletes before the
     # resurrecting upserts so the tombstone path genuinely executes
@@ -828,9 +814,14 @@ def test_stream_sessionize_with_state_converges_to_batch(spark, sf_dir, tmp_path
         else:
             sess_no, start, last, n = 0, -1, -1, 0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["tsec", "event_id"])
-            for r in pdf.itertuples():
+        # concat ALL the group's Arrow chunks before sorting: chunks
+        # arrive in shuffle order, so sorting each independently would
+        # fabricate or miss session gaps whenever a user's batch rows
+        # span a maxRecordsPerBatch boundary.
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            whole = pd.concat(frames).sort_values(["tsec", "event_id"])
+            for r in whole.itertuples():
                 tsec = int(r.tsec)
                 if r.event_id < 0:  # flush sentinel: close, open nothing
                     if n:
