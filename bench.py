@@ -189,6 +189,12 @@ HEADLINE = [
     "q_etl_observed_load",           # observe()-gated filtered load
     "q_udf_map_in_arrow",            # raw-RecordBatch pyarrow.compute kernel
     "q_sql_parameterized",           # named-param + IDENTIFIER templated SQL
+    # round-9 additions
+    "q_sim_search_batch_topk",       # IVF-routed batch retrieval join (RAG shape)
+    "q_bpe_apply",                   # frozen-merge BPE tokenize (codegen replace chain)
+    "q_scan_python_datasource",      # Python DataSource API per-file partitions
+    "q_udtf_polymorphic",            # analyze-time polymorphic UDTF
+    "q_sql_udf_create_function",     # inlined SQL-body scalar function
 ]
 
 RUNS = 3
@@ -273,10 +279,18 @@ def find_regressions(
     return out
 
 
-#: Host-speed anchor for drift confirmation: the flagship query — present
-#: in every round's record, stable plan, ~1 s at sf0.1 (comfortably above
-#: DRIFT_MIN_SEC so its own ratio is signal, not scheduling noise).
-ANCHOR_KEY = "q_agg_hash"
+#: Host-speed anchors for drift confirmation (VERDICT r8 item 4): TWO
+#: independent plan families — the flagship scan→filter→hash-agg and the
+#: global TakeOrderedAndProject top-k — both present in every round's
+#: record, stable plans, comfortably above DRIFT_MIN_SEC at sf0.1. Two
+#: anchors close the single-anchor blind spots: an anchor-LOCAL
+#: regression no longer self-normalizes to ~1.0 (the other anchor
+#: adjudicates it and it surfaces as an ``anchor_regression`` entry),
+#: and a key is confirmed only when BOTH normalizations agree (divide by
+#: the larger host factor), so one anchor's own jitter can't mint flags.
+ANCHOR_KEYS = ("q_agg_hash", "q_topk_global")
+#: primary anchor (back-compat: the payload's scalar "anchor_ratio")
+ANCHOR_KEY = ANCHOR_KEYS[0]
 
 
 def confirm_regressions(
@@ -288,34 +302,44 @@ def confirm_regressions(
     much as the code (round-6 lesson: unchanged round-5 code ran
     1.3-1.9x slower on a busier VM, and all three driver flags that
     round were exactly such artifacts). For each raw flag, re-run the
-    ANCHOR key and the flagged key back-to-back in this same JVM and
-    normalize the flagged key's cross-round ratio by the anchor's
-    cross-round ratio — the ratio of ratios (VERDICT r6 item 2). A real
-    regression survives the normalization; a host-speed artifact
-    cancels out. ``rerun(key) -> float`` must produce a fresh median
-    with the same protocol as the main loop. If the anchor has no prior
-    record the raw flags pass through unconfirmed (better to over-flag
-    than to silently drop the gate)."""
-    anchor_prior = prior.get(ANCHOR_KEY)
-    if not flagged or not anchor_prior:
+    anchors and the flagged key back-to-back in this same JVM and
+    normalize the flagged key's cross-round ratio by the anchors'
+    cross-round ratios — the ratio of ratios (VERDICT r6 item 2). A real
+    regression survives BOTH normalizations (the larger host factor is
+    the divisor); a host-speed artifact cancels out. A flagged ANCHOR is
+    normalized by the OTHER anchor and, if confirmed, emitted with
+    ``anchor_regression: true`` instead of being silently dropped
+    (ADVICE r7 item 2). ``rerun(key) -> float`` must produce a fresh
+    median with the same protocol as the main loop. With no
+    anchor prior on record, raw flags pass through unconfirmed (better
+    to over-flag than to silently drop the gate)."""
+    if not flagged:
         return flagged
-    host = rerun(ANCHOR_KEY) / anchor_prior
+    hosts = {
+        a: rerun(a) / prior[a] for a in ANCHOR_KEYS if prior.get(a)
+    }
+    if not hosts:
+        return flagged
     confirmed = {}
     for k, info in flagged.items():
-        if k == ANCHOR_KEY:
-            # the anchor normalizes itself to 1.0 by construction; a
-            # genuine anchor regression still shows in the total and in
-            # every OTHER key's adj ratio dropping below 1.
+        partners = {a: h for a, h in hosts.items() if a != k}
+        if not partners:
+            # k is the only anchor with a prior — nothing independent to
+            # normalize by; surface the raw flag rather than drop it.
+            confirmed[k] = {**info, "anchor_regression": True}
             continue
         now2 = rerun(k)
+        host = max(partners.values())
         adj = (now2 / prior[k]) / host
         if adj > DRIFT_FACTOR:
             confirmed[k] = {
                 **info,
                 "rerun": round(now2, 4),
                 "host_factor": round(host, 2),
+                "host_factors": {a: round(h, 2) for a, h in partners.items()},
                 "adj_ratio": round(adj, 2),
                 "ratio": round(adj, 2),
+                **({"anchor_regression": True} if k in ANCHOR_KEYS else {}),
             }
     return confirmed
 
@@ -401,16 +425,23 @@ def main() -> None:
 
     regressions = confirm_regressions(raw_flags, prior, time_query)
 
-    # Surface the anchor's own cross-round ratio UNCONDITIONALLY: the
-    # confirm gate normalizes by the anchor, so a uniform real slowdown
-    # (e.g. a shared numeric-helper regression that drags anchor and
-    # keys alike) would cancel to adj_ratio ~1 and vanish — this field
-    # keeps it visible. > DRIFT_FACTOR here with empty regressions
+    # Surface the anchors' own cross-round ratios UNCONDITIONALLY: the
+    # confirm gate normalizes by the anchors, so a uniform real slowdown
+    # (e.g. a shared numeric-helper regression that drags anchors and
+    # keys alike) would cancel to adj_ratio ~1 and vanish — these fields
+    # keep it visible. > DRIFT_FACTOR here with empty regressions
     # means either a host change or an across-the-board code change;
-    # compare the totals (and BENCH_SCALING) to tell which.
+    # compare the totals (and BENCH_SCALING) to tell which. An
+    # anchor-LOCAL regression is no longer only visible here: the
+    # confirm gate now emits it as an anchor_regression entry.
     anchor_ratio = None
     if prior.get(ANCHOR_KEY) and ANCHOR_KEY in timings:
         anchor_ratio = round(timings[ANCHOR_KEY] / prior[ANCHOR_KEY], 2)
+    anchor_ratios = {
+        a: round(timings[a] / prior[a], 2)
+        for a in ANCHOR_KEYS
+        if prior.get(a) and a in timings
+    }
     payload = {
         # value = SUM over queries of the per-query median-of-3;
         # per-query medians are under "queries".
@@ -424,9 +455,10 @@ def main() -> None:
         # flag rides along in the JSON rather than failing the
         # run so the driver still records the numbers.
         "regressions": regressions,
-        # anchor's own cross-round ratio (host proxy; see above) —
-        # null when the anchor has no prior record
+        # anchors' own cross-round ratios (host proxy; see above) —
+        # scalar kept for cross-round back-compat, dict carries both
         "anchor_ratio": anchor_ratio,
+        "anchor_ratios": anchor_ratios,
     }
     print(json.dumps(payload))
     print(json.dumps(compact_summary(payload)))

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-from ..functions.numeric import DEC, sql_finish_dec
+from ..functions.numeric import DEC, sql_finish_dbl, sql_finish_dec
 from ..registry import query
 from ..sources.tables import load
 
@@ -385,4 +385,124 @@ def q_udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return li.mapInArrow(
         net_price, "l_orderkey bigint, l_linenumber int, net_price double"
+    )
+
+
+@query(
+    "q_udtf_polymorphic",
+    oracle="""
+    WITH ws AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE doc_id < 25
+    )
+    SELECT doc_id,
+           w[1] AS tok_1, w[2] AS tok_2, w[3] AS tok_3, w[4] AS tok_4
+    FROM ws
+    """,
+)
+def q_udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (SPARK-44503, Spark ≥4): the output
+    schema is computed at ANALYZE time by the UDTF's static ``analyze``
+    method from the call's constant argument — ``first_tokens(text, 4)``
+    plans 4 token columns, ``first_tokens(text, 2)`` would plan 2 — the
+    table-function counterpart of a dynamic projection, impossible with
+    the fixed ``returnType`` form (q_udtf_python). Catalyst sees the
+    concrete 4-column schema before optimization, so pruning/pushdown
+    work exactly as for a static source; ``n`` must be foldable
+    (``isConstantExpression`` — enforced with a clear error, since a
+    per-row column count has no relational meaning).
+
+    Parity: pure token slicing with NULL padding; DuckDB's list
+    subscript returns NULL past the end, matching the generator's pads.
+    """
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+    from pyspark.sql.functions import udtf
+
+    @udtf
+    class FirstTokens:
+        @staticmethod
+        def analyze(
+            doc_id: AnalyzeArgument, text: AnalyzeArgument, n: AnalyzeArgument
+        ) -> AnalyzeResult:
+            if not n.isConstantExpression or not isinstance(n.value, int):
+                raise ValueError("first_tokens: n must be a constant int")
+            schema = StructType().add("doc_id", LongType())
+            for i in range(1, n.value + 1):
+                schema = schema.add(f"tok_{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, doc_id: int, text: str, n: int):
+            toks = text.split(" ")
+            yield (doc_id, *(toks[i] if i < len(toks) else None for i in range(n)))
+
+    spark.udtf.register("first_tokens", FirstTokens)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 25)
+    d.createOrReplaceTempView("udtf_poly_docs")
+    return spark.sql(
+        "SELECT s.* FROM udtf_poly_docs, "
+        "LATERAL first_tokens(doc_id, text, 4) s"
+    )
+
+
+#: the price is cast to exact decimal BEFORE the multiply: a double
+#: product here is a parity trap on ties — 119114.3 × 0.95 in IEEE is
+#: …58499999999272 whose ×100 rounds to exactly 11315858.5, so DuckDB's
+#: float-path double→decimal cast says .59 while Spark's exact
+#: BigDecimal route says .58. decimal × decimal is exact in BOTH
+#: engines (…585 → .59 HALF_UP, identical), the standard DEC recipe.
+_SQL_UDF_LADDER = (
+    f"cast({{price}} as {DEC})"
+    " * (1 - CASE WHEN {price} > 200000 THEN 0.10"
+    "             WHEN {price} > 100000 THEN 0.05"
+    "             ELSE 0.0 END)"
+)
+
+
+@query(
+    "q_sql_udf_create_function",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_finish_dec(_SQL_UDF_LADDER.format(price='o_totalprice'), 2)}
+               AS billed
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+)
+def q_sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF via ``CREATE TEMPORARY FUNCTION … RETURN expr``
+    (SPARK-46246, Spark ≥4): the function body is a SQL EXPRESSION, so
+    Catalyst INLINES it at plan time — unlike every Python UDF in this
+    module there is no serialization boundary at all; the call compiles
+    to the same whole-stage-codegen CASE the user could have written by
+    hand (asserted in tests/test_plans.py::test_sql_udf_inlines_to_case).
+    This is the right form for shared business logic (discount ladders,
+    tier rules) that must run at scan throughput on 100 TB while staying
+    centrally defined — the catalog-function migration path for the
+    reference engine's stored scalar functions.
+
+    Parity: the ladder multiplies in EXACT decimal (see _SQL_UDF_LADDER's
+    note — the double-product form misrounds the 113158.585 tie because
+    DuckDB's double→decimal cast is float-path while Spark's is exact
+    BigDecimal), finished at 2 dp with the standard DEC recipe
+    (Spark decimal downcast rounds HALF_UP; DuckDB round()-before-
+    downcast via sql_finish_dec).
+    """
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS volume_discount")
+    ladder = _SQL_UDF_LADDER.format(price="price")
+    spark.sql(
+        f"""
+        CREATE TEMPORARY FUNCTION volume_discount(price DOUBLE)
+        RETURNS DOUBLE
+        RETURN cast(cast(({ladder}) as decimal(38,2)) as double)
+        -- decimal(38,2) downcast rounds HALF_UP in Spark (== the
+        -- oracle's round-then-downcast sql_finish_dec recipe)
+        """
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sqludf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, volume_discount(o_totalprice) AS billed
+        FROM sqludf_orders WHERE o_orderstatus = 'O'
+        """
     )

@@ -275,7 +275,9 @@ def q_etl_merge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries sequence numbers, a key's ops compact latest-wins BEFORE
     the merge, a trailing tombstone removes the key, and a tombstone
     followed by a later upsert RESURRECTS it (keys %14: d@seq2 then
-    u@seq3 → final action 'update'; keys %70 get u@1 + d@2 → 'delete').
+    u@seq3 → final action 'update'; keys %7-but-not-%14, e.g. 35, end
+    on the d@seq2 tombstone → 'delete' — %70 keys can't, they are %14
+    and always resurrect).
 
     Derived deterministically from orders (10% updates, 0.1% inserts,
     1/7 deletes, 1/14 resurrections). Plan: one window pick-latest on

@@ -603,3 +603,78 @@ def q_scan_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+@query(
+    "q_scan_python_datasource",
+    oracle="""
+    SELECT n_nationkey, upper(n_name) AS nation, n_regionkey
+    FROM nation
+    """,
+)
+def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch source via the Python Data Source API (SPARK-44076,
+    Spark 4): a user-defined ``DataSource``/``DataSourceReader`` pair
+    registered under a format name and consumed with the ordinary
+    ``spark.read.format(...)`` entry point — the extension surface for
+    feeds Spark has no built-in connector for (ticket systems, bespoke
+    binary logs, internal REST exports).
+
+    The reader here ingests a '|'-delimited export of nation (written
+    by this query so the fixture tree stays read-only) and demonstrates
+    the part of the API that matters at scale: ``partitions()`` returns
+    ONE InputPartition PER FILE, so Spark schedules each file to a
+    different task — reader parallelism is the source author's job, and
+    a single-partition reader would serialize a 100-TB feed through one
+    task no matter how big the cluster (the same reason JDBC reads need
+    partitionColumn bounds). Parsing happens executor-side in ``read``;
+    the upper() projection is applied by the ENGINE on top, showing the
+    custom source composes with ordinary Catalyst operators.
+
+    Parity: int/string fields round-trip the text format losslessly;
+    the oracle reads the same 25 rows straight from parquet.
+    """
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    out = _sink_dir("nation_pipe")
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).repartition(4).write.mode("overwrite").option("sep", "|").csv(out)
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class PipeNationReader(DataSourceReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def partitions(self):
+            return [
+                _FilePartition(os.path.join(self.dir, f))
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".csv")
+            ]
+
+        def read(self, partition):
+            with open(partition.path) as fh:
+                for line in fh:
+                    key, name, region = line.rstrip("\n").split("|")
+                    yield int(key), name, int(region)
+
+    class PipeNationSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pipe_nation"
+
+        def schema(self) -> str:
+            return "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+        def reader(self, schema) -> DataSourceReader:
+            return PipeNationReader(self.options)
+
+    spark.dataSource.register(PipeNationSource)
+    df = spark.read.format("pipe_nation").option("path", out).load()
+    return df.select(
+        "n_nationkey", F.upper("n_name").alias("nation"), "n_regionkey"
+    )

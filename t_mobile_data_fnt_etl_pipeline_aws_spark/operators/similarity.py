@@ -574,6 +574,150 @@ def q_topic_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @query(
+    "q_sim_search_batch_topk",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings
+        WHERE vec_id % 20 <> 0
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id,
+               list_transform(embedding, x -> cast(x as double)) AS pe
+        FROM embeddings WHERE vec_id % 20 = 0
+    ),
+    cent AS (
+        SELECT label AS c_label, array_agg(cval ORDER BY pos) AS ce
+        FROM (SELECT label, pos,
+                     {sql_finish_dec(f'sum(cast(val as {DEC}))', 6)}
+                         / count(*) AS cval
+              FROM (SELECT label,
+                           generate_subscripts(embedding, 1) AS pos,
+                           cast(unnest(embedding) as double) AS val
+                    FROM corpus)
+              GROUP BY label, pos)
+        GROUP BY label
+    ),
+    assigned AS (
+        SELECT probe_id, pe, c_label AS cell
+        FROM (SELECT p.probe_id, p.pe, c.c_label,
+                     row_number() OVER (
+                         PARTITION BY p.probe_id
+                         ORDER BY {_SQL_DOT.format(a='p.pe', b='c.ce')}
+                                  / ({_SQL_NORM.format(a='p.pe')}
+                                     * {_SQL_NORM.format(a='c.ce')}) DESC,
+                                  c.c_label ASC) AS rn
+              FROM probes p CROSS JOIN cent c)
+        WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT a.probe_id, e.vec_id, e.label,
+               {_SQL_DOT.format(a='e.embedding', b='a.pe')}
+                   / ({_SQL_NORM.format(a='e.embedding')}
+                      * {_SQL_NORM.format(a='a.pe')}) AS cos
+        FROM assigned a JOIN corpus e ON e.label = a.cell
+    )
+    SELECT probe_id, vec_id, label, cos AS cosine
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY probe_id ORDER BY cos DESC, vec_id ASC) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def q_sim_search_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch top-k retrieval join — the RAG shape: N held-out probe
+    vectors (vec_id % 20 == 0, ~100 at bench scale) each retrieve their
+    top-5 corpus neighbors via IVF cell routing + per-probe window
+    re-rank. Bracketed by q_sim_search_topk (ONE probe, brute force)
+    and q_knn_join_bucketed (corpus self-join); this is the
+    many-probes-vs-corpus retrieval join neither of those is
+    (VERDICT r8 item 3).
+
+    Plan, stage by stage:
+      1. centroids: per-label element-wise means over the CORPUS side
+         only (posexplode → (label, pos) decimal agg — q_label_centroids'
+         recipe) → |cells| rows, broadcast;
+      2. probe routing: probes × broadcast centroids (map-side
+         BroadcastNestedLoopJoin fan-out of |cells| per probe), the
+         nprobe=2 nearest cells via row_number ≤ 2 with a label
+         tiebreak — multi-cell probing is the standard IVF recall
+         lever (the fixture vectors are near-random, so one cell
+         recalls ~0.18; two recall ~0.3 for 2/|cells| of the scan);
+      3. candidate join: probe cell list equi-joins corpus ON the cell
+         id, the probe side broadcast (~2·|probes| rows) — the corpus
+         is never shuffled at all, and each probe scans
+         nprobe/|cells| of it, exactly how an IVF layout partitions
+         the index at 100 TB (no cartesian anywhere,
+         plan-contract-tested);
+      4. re-rank: exact cosine per candidate, row_number ≤ 5 per probe
+         (WindowGroupLimit pushes the top-k below the shuffle).
+
+    Parity: centroid components are finished-decimal means, dot/norm
+    sequential left folds on double-cast elements, both argmaxes are
+    row_number with deterministic tiebreaks (label asc / vec_id asc) —
+    the same recipes q_sim_search_ivf and q_topic_assign_nearest_centroid
+    already pin. Recall vs brute force is pinned by
+    tests/test_invariants.py::test_batch_topk_recall_vs_brute.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 20 != 0)
+    probes = e.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("probe_id"), _as_dbl("embedding").alias("pe")
+    )
+    exploded = corpus.select(
+        "label", F.posexplode(_as_dbl("embedding")).alias("pos", "val")
+    )
+    cent = (
+        exploded.groupBy("label", "pos")
+        .agg(
+            (finish(F.sum(F.col("val").cast(DEC)), 6) / F.count(F.lit(1))).alias(
+                "cval"
+            )
+        )
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "cval"))).alias("pc"))
+        .select(
+            F.col("label").alias("c_label"),
+            F.transform(F.col("pc"), lambda s: s.getField("cval")).alias("ce"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_route = Window.partitionBy("probe_id").orderBy(
+        F.desc("c_cos"), F.asc("c_label")
+    )
+    assigned = (
+        probes.crossJoin(F.broadcast(cent))
+        .select(
+            "probe_id",
+            "pe",
+            "c_label",
+            (
+                _dot(F.col("pe"), F.col("ce"))
+                / (_norm(F.col("pe")) * _norm(F.col("ce")))
+            ).alias("c_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w_route))
+        .filter(F.col("rn") <= 2)
+        .select("probe_id", "pe", F.col("c_label").alias("cell"))
+    )
+    emb = _as_dbl("embedding")
+    scored = assigned.join(
+        corpus, assigned.cell == corpus.label
+    ).select(
+        "probe_id",
+        "vec_id",
+        "label",
+        (_dot(emb, F.col("pe")) / (_norm(emb) * _norm(F.col("pe")))).alias("cos"),
+    )
+    w_rank = Window.partitionBy("probe_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= 5)
+        .select("probe_id", "vec_id", "label", F.col("cos").alias("cosine"))
+    )
+
+
+@query(
     "q_embedding_quantize_int8",
     oracle="""
     WITH m AS (

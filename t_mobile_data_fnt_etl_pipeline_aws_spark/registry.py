@@ -64,99 +64,81 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01-r06: all 222 then-registered
-#: keys have passed at least once (211 hash-green, 11 rows-only by design,
-#: 0 failures ever); the latest row for every key passes.
+#: registration order. Cumulative record r01-r08: all 241 then-registered
+#: keys have a passing latest row (228 hash-green, 13 rows-only by design,
+#: 0 failures ever). Staleness histogram entering round 9 (judge-computed
+#: from the CORRECTNESS_r01-r08 union): r3:42 / r4:49 / r5:50 / r6:50 /
+#: r8:50 — round 8 was a zero-turn round, so the r7 window was re-run
+#: verbatim and the 42 r3-stale keys ordered rotated by VERDICT r7 item 1
+#: (re-issued as VERDICT r8 item 1) are rotated HERE.
 #:
-#: ROUND-7 WINDOW (this list), in priority order (VERDICT r6 items 1+3+4):
-#:   1. NEW round-7 keys (never driver-checked): the
-#:      unbounded exact-pair dedup, Bloom-pruned join, tombstone MERGE,
-#:      BPE training, WoW, both BFS forms, seasonal decompose,
-#:      winsorized mean, binaryFile, VARIANT, dynamic overwrite,
-#:      approx_top_k, arrow-optimized UDF, parquet agg pushdown,
-#:      LATERAL top-k join, observe()-gated load, mapInArrow,
-#:      parameterized SQL — 19 in all.
-#:   2. ALL 26 r1/r2-stale keys — VERDICT r6 corrected the round-6
-#:      comment's "19" undercount to 26 (9 r1 + 17 r2, recomputed from
-#:      the CORRECTNESS_r01-r06 union); every one rotates THIS round so
-#:      no key's newest driver row stays older than r3.
-#:   3. 5 of the 47 r3-stale keys, helper-coupled / scale-critical
-#:      first (prefix-filter backs the new pairs_full key; theta
-#:      bucketed + asof tolerance share join machinery; the llmprep
-#:      block shares tokenizers). The remaining 42 r3-stale rotate in
-#:      round 8; all stay green in old rows + the local exact mirror.
+#: ROUND-9 WINDOW (this list), in priority order:
+#:   1. NEW round-9 keys (never driver-checked): the batch top-k
+#:      retrieval join (VERDICT r8 item 3), the BPE apply twin (item 6),
+#:      and the Spark-4 surface stragglers (item 8: Python data source,
+#:      polymorphic UDTF, SQL UDF via CREATE FUNCTION).
+#:   2. ALL 42 r3-stale keys (VERDICT r8 item 1's full cohort, verified
+#:      against the judge's recomputed histogram) — after this round no
+#:      key's newest driver row is older than r4.
+#:   3. r4-stale fill to 50, bench-anchor keys first (q_agg_hash and
+#:      q_topk_global are the two drift anchors — freshest driver
+#:      evidence belongs on the keys every regression gate normalizes
+#:      by). The remaining 46 r4-stale keys head the round-10 rotation.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. new round-7 keys ---
-    "q_dedup_pairs_full",
-    "q_join_bloom_pruned",
-    "q_etl_merge_tombstones",
-    "q_bpe_train_merges",
-    "q_report_wow_growth",
-    "q_graph_bfs_hops",
-    "q_ts_seasonal_decompose",
-    "q_agg_winsorized_mean",
-    "q_scan_binaryfile",
-    "q_variant_shred",
-    "q_graph_bfs_recursive_sql",
-    "q_sink_dynamic_partition_overwrite",
-    "q_sketch_approx_topk",
-    "q_udf_arrow_optimized",
-    "q_scan_agg_pushdown",
-    "q_join_lateral_topk",
-    "q_etl_observed_load",
-    "q_udf_map_in_arrow",
-    "q_sql_parameterized",
-    # --- 2a. all 9 r1-stale ---
-    "q_distinct_rows",
-    "q_filter_like",
-    "q_filter_null",
-    "q_join_cross",
-    "q_join_interval",
-    "q_limit",
-    "q_sample_stratified",
-    "q_union_all",
-    "q_union_distinct",
-    # --- 2b. all 17 r2-stale ---
-    "q_agg_collect_sorted",
-    "q_array_funcs",
-    "q_cast_types",
-    "q_conditional",
-    "q_date_funcs",
-    "q_except",
-    "q_except_all",
-    "q_explode_posexplode",
-    "q_intersect",
-    "q_intersect_all",
-    "q_json_funcs",
-    "q_map_funcs",
-    "q_math_funcs",
-    "q_pipeline_shipping_priority",
-    "q_profile_table",
-    "q_string_funcs",
-    "q_struct_funcs",
-    # --- 3. r3-stale fill (5 of 47; rest rotate round 8) ---
-    "q_dedup_prefix_filter",
-    "q_join_theta_bucketed",
-    "q_join_asof_tolerance",
-    "q_contamination_ngram",
-    "q_chunk_overlap",
-    # (q_corpus_mix_weighted, q_pack_sequences,
-    #  q_pii_redact, q_quality_repetition,
-    #  q_text_edit_distance, q_text_tokenize_bpe,
-    #  q_multimodal_framesample, q_multimodal_resize,
-    #  q_sketch_bloom_prune, q_sketch_cms_freq, q_stream_static_join,
-    #  q_stream_stream_join, q_sessionize_batch, q_subquery_exists,
-    #  q_subquery_not_exists and q_cdc_compact ceded their fill slots
-    #  to the sixteen late round-7 additions (q_bpe_train_merges,
-    #  q_report_wow_growth, q_graph_bfs_hops, q_ts_seasonal_decompose,
-    #  q_agg_winsorized_mean, q_scan_binaryfile, q_variant_shred,
-    #  q_graph_bfs_recursive_sql, q_sink_dynamic_partition_overwrite,
-    #  q_sketch_approx_topk, q_udf_arrow_optimized,
-    #  q_scan_agg_pushdown, q_join_lateral_topk, q_etl_observed_load,
-    #  q_udf_map_in_arrow, q_sql_parameterized);
-    #  they stay r3-green and head the round-8
-    #  rotation with the other r3-stale keys)
+    # --- 1. new round-9 keys ---
+    "q_sim_search_batch_topk",
+    "q_bpe_apply",
+    "q_scan_python_datasource",
+    "q_udtf_polymorphic",
+    "q_sql_udf_create_function",
+    # --- 2. all 42 r3-stale keys ---
+    "q_agg_argminmax",
+    "q_agg_incremental_merge",
+    "q_agg_mad_outliers",
+    "q_agg_percentile_multi",
+    "q_alloc_proration",
+    "q_attribution_last_touch",
+    "q_cdc_compact",
+    "q_cohort_retention",
+    "q_corpus_mix_weighted",
+    "q_dq_referential",
+    "q_etl_scd2",
+    "q_etl_table_diff",
+    "q_funnel_conversion",
+    "q_interval_merge",
+    "q_multimodal_framesample",
+    "q_multimodal_resize",
+    "q_pack_sequences",
+    "q_pareto_abc",
+    "q_pii_redact",
+    "q_pipeline_market_share",
+    "q_pivot_wide",
+    "q_profile_skew",
+    "q_quality_repetition",
+    "q_report_binational_volume",
+    "q_report_custdist",
+    "q_report_prospects",
+    "q_resample_ffill",
+    "q_rfm_segmentation",
+    "q_sessionize_batch",
+    "q_sketch_bloom_prune",
+    "q_sketch_cms_freq",
+    "q_stream_static_join",
+    "q_stream_stream_join",
+    "q_subquery_exists",
+    "q_subquery_not_exists",
+    "q_subquery_scalar",
+    "q_subquery_waiting_supplier",
+    "q_text_edit_distance",
+    "q_text_tokenize_bpe",
+    "q_timeseries_twap",
+    "q_unpivot_long",
+    "q_window_cumulative_distinct",
+    # --- 3. r4-stale fill (3 of 49; rest rotate round 10) ---
+    "q_agg_hash",
+    "q_topk_global",
+    "q_join_broadcast",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

@@ -740,3 +740,43 @@ def test_map_in_arrow_uses_arrow_node(spark, sf_dir):
     df = QUERIES["q_udf_map_in_arrow"](spark, sf_dir)
     plan = plan_string(df)
     assert "MapInArrow" in plan, plan
+
+
+def test_batch_topk_routes_cells_never_cartesian(spark, sf_dir):
+    """q_sim_search_batch_topk's corpus-scale stage must be the cell
+    equi-join with the probe set on the broadcast side (~100 rows vs
+    the corpus — no shuffle of the big side at all); nested-loop is
+    allowed ONLY for the |cells|-sized centroid routing fan-out, and
+    the per-probe top-5 must run as WindowGroupLimit, not a global
+    sort of the candidate set."""
+    df = QUERIES["q_sim_search_batch_topk"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "CartesianProduct" not in plan
+    strategies = join_strategies(df)
+    assert "BroadcastHashJoin" in strategies, strategies
+    # the only nested-loop joins are the broadcast centroid routing
+    # (|cells| rows); the candidate join must never degrade to one
+    assert strategies.count("BroadcastNestedLoopJoin") <= 2, strategies
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_sql_udf_inlines_to_case(spark, sf_dir):
+    """The CREATE FUNCTION SQL UDF must be INLINED by Catalyst: no
+    Python evaluation node of any kind in the plan (the whole point of
+    a SQL-body function vs the Python UDF spectrum) — the call
+    compiles into the scan-side projection under whole-stage codegen."""
+    df = QUERIES["q_sql_udf_create_function"](spark, sf_dir)
+    plan = plan_string(df)
+    for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                 "MapInArrow", "FlatMapGroupsInPandas"):
+        assert node not in plan, (node, plan)
+    assert codegen_operator_count(df) > 0, plan
+
+
+def test_python_datasource_parallelizes_per_file(spark, sf_dir):
+    """The custom Python data source must plan one input partition per
+    exported file (4 written) — a single-partition reader would
+    serialize the whole feed through one task regardless of cluster
+    size, the classic custom-connector scale bug."""
+    df = QUERIES["q_scan_python_datasource"](spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 4

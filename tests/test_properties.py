@@ -210,3 +210,27 @@ def test_equidepth_ntile_arithmetic_matches_duckdb():
         ).fetchone()[0]
         assert rows == 0, f"ntile formula diverges from DuckDB at n={n}"
     con.close()
+
+
+def test_polymorphic_udtf_schema_follows_argument(spark, sf_dir):
+    """The SAME registered UDTF must plan different output schemas for
+    different constant n (analyze-time polymorphism), and reject a
+    non-constant n with the analyze-time error, not a runtime crash."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_queries
+
+    all_queries()["q_udtf_polymorphic"](spark, sf_dir)  # registers + view
+    two = spark.sql(
+        "SELECT s.* FROM udtf_poly_docs, LATERAL first_tokens(doc_id, text, 2) s"
+    )
+    assert two.columns == ["doc_id", "tok_1", "tok_2"]
+    six = spark.sql(
+        "SELECT s.* FROM udtf_poly_docs, LATERAL first_tokens(doc_id, text, 6) s"
+    )
+    assert six.columns == ["doc_id"] + [f"tok_{i}" for i in range(1, 7)]
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="constant"):
+        spark.sql(
+            "SELECT s.* FROM udtf_poly_docs, "
+            "LATERAL first_tokens(doc_id, text, cast(doc_id as int)) s"
+        ).collect()
