@@ -181,6 +181,113 @@ def ensure_scale_dir(k: int) -> str:
     return d
 
 
+def _replicate_keyed(src: str, out: str, k: int, shifts: dict[str, int]) -> None:
+    """k copies of a parquet table with per-copy key-column shifts.
+
+    Copy i adds ``i * shifts[col]`` to each column in ``shifts`` — the
+    same replication recipe _gen_lineitem uses, generalized so parent /
+    child tables can share ONE shift per key family and keep their FKs
+    intact across copies.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = pq.read_table(src)
+    copies = []
+    for i in range(k):
+        t = base
+        if i:
+            for col, shift in shifts.items():
+                t = t.set_column(
+                    t.schema.get_field_index(col),
+                    col,
+                    pc.add(t[col], i * shift),
+                )
+        copies.append(t)
+    pq.write_table(pa.concat_tables(copies), out)
+
+
+def ensure_full_scale_dir(k: int) -> str:
+    """Generate /tmp/spark_graft_scaling/x{k}full — ALL TEN fixture
+    tables at k× sf0.1 — if absent; return the dir.
+
+    The oracle-parity family (VERDICT r8 item 3): unlike ensure_scale_dir
+    (4 tables, timing only), this family is complete so the DuckDB
+    oracle harness can run against it — the check that catches
+    synthetic-key constructions that only collide past fixture scale
+    (the q_etl_merge_tombstones +10**7 insert-key bug fixed in commit
+    3ff3f0f collided from ~sf7; this dir IS sf1-equivalent and the
+    negated-key fix is exercised at 10× the key range).
+
+      * orders + lineitem: replicated k-fold with a SHARED orderkey
+        shift (max orderkey over both tables + 1), so every copied
+        lineitem still joins its copied order — growth that preserves
+        FK integrity. o_custkey / l_suppkey / l_partkey stay in the
+        fixed dimension universe (10× facts per dim row — how real
+        growth looks to a star schema).
+      * events: replicated k-fold with shifted event_id, SAME user_id
+        and ts — per-user/per-day densities grow 10× and duplicated
+        timestamps make the family deliberately TIE-DENSE, exactly the
+        regime where rank/median interpolation and decimal rounding-tie
+        bugs live.
+      * documents / embeddings: fresh seeded generation at k× rows
+        (the ensure_scale_dir recipe — replication would plant
+        quadratic duplicate cliques).
+      * region/nation/customer/supplier/part: copied fixed (dimensions).
+    """
+    import shutil
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = os.path.join(WORK_DIR, f"x{k}full")
+    marker = os.path.join(d, ".complete")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rng = np.random.RandomState(SEED + 100 + k)
+    _gen_documents(os.path.join(d, "documents.parquet"), 5000 * k, rng)
+    _gen_embeddings(os.path.join(d, "embeddings.parquet"), 2000 * k, rng)
+
+    o_max = int(
+        pc.max(pq.read_table(f"{BASE_SF_DIR}/orders.parquet")["o_orderkey"]).as_py()
+    )
+    l_max = int(
+        pc.max(pq.read_table(f"{BASE_SF_DIR}/lineitem.parquet")["l_orderkey"]).as_py()
+    )
+    okey_shift = max(o_max, l_max) + 1
+    _replicate_keyed(
+        f"{BASE_SF_DIR}/orders.parquet",
+        os.path.join(d, "orders.parquet"),
+        k,
+        {"o_orderkey": okey_shift},
+    )
+    _replicate_keyed(
+        f"{BASE_SF_DIR}/lineitem.parquet",
+        os.path.join(d, "lineitem.parquet"),
+        k,
+        {"l_orderkey": okey_shift},
+    )
+    e_max = int(
+        pc.max(pq.read_table(f"{BASE_SF_DIR}/events.parquet")["event_id"]).as_py()
+    )
+    _replicate_keyed(
+        f"{BASE_SF_DIR}/events.parquet",
+        os.path.join(d, "events.parquet"),
+        k,
+        {"event_id": e_max + 1},
+    )
+    for dim in ("region", "nation", "customer", "supplier", "part"):
+        shutil.copyfile(
+            f"{BASE_SF_DIR}/{dim}.parquet", os.path.join(d, f"{dim}.parquet")
+        )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return d
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scales", default="1,2,5,10")

@@ -1,0 +1,60 @@
+"""Generated-scale (10× sf0.1 ≈ TPC-H sf1) DuckDB-oracle parity.
+
+Why this opt-in marker exists (VERDICT r8 item 3): correctness is proven
+at sf ≤ 0.1 and timing at the 10× generated family, but until round 9
+the ORACLE had never run past sf0.1 — and two whole bug classes only
+appear with bigger data: (a) synthetic-key constructions that collide
+past fixture scale (the q_etl_merge_tombstones +10**7 insert-key offset
+fixed in 3ff3f0f collided from ~sf7 — the negated-key fix is exercised
+here at 10× the key range), and (b) rounding/rank ties that need enough
+accumulated mass to land ON a tie (the round-5 q_agg_linreg_trend
+quantizer split; the replicated events family is deliberately TIE-DENSE
+— every timestamp appears 10×).
+
+Run with:  python -m pytest tests/ -m scale10 -q
+Deselected by default (pytest.ini addopts); generation is seeded and
+cached under /tmp/spark_graft_scaling/x10full (~200 MB, first run only).
+
+Key set: the sf01_decimal battery (accumulation-deep keys) plus the
+synthetic-key ETL merges and q_etl_upsert — the constructions VERDICT r8
+names as the collision class.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from t_mobile_data_fnt_etl_pipeline_aws_spark.oracle import check_query
+from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import (
+    all_oracles,
+    all_queries,
+)
+
+from test_sf01_decimal import DECIMAL_HEAVY  # noqa: E402 (tests are rootdir-imported)
+
+#: synthetic-key / scale-sensitive additions beyond the decimal battery
+SCALE_SENSITIVE_EXTRA = [
+    "q_etl_upsert",            # full-join MERGE with derived change keys
+]
+
+SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
+
+
+@pytest.fixture(scope="module")
+def x10_dir() -> str:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench_scaling import ensure_full_scale_dir
+
+    return ensure_full_scale_dir(10)
+
+
+@pytest.mark.scale10
+@pytest.mark.parametrize("key", SCALE10_KEYS)
+def test_scale10_oracle_mirror(spark, x10_dir, key):
+    queries, oracles = all_queries(), all_oracles()
+    assert key in oracles, f"{key} lost its oracle (marker list stale?)"
+    diff = check_query(spark, x10_dir, queries[key], oracles[key])
+    assert diff is None, f"{key} @ x10full: {diff}"
