@@ -195,6 +195,9 @@ HEADLINE = [
     "q_scan_python_datasource",      # Python DataSource API per-file partitions
     "q_udtf_polymorphic",            # analyze-time polymorphic UDTF
     "q_sql_udf_create_function",     # inlined SQL-body scalar function
+    "q_udtf_table_argument",         # TABLE(...) PARTITION BY UDTF boundary
+    "q_agg_listagg",                 # ANSI ordered string aggregate
+    "q_try_functions",               # error-safe try_* scalar battery
 ]
 
 RUNS = 3

@@ -443,3 +443,98 @@ def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_missing_k"),
         )
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT r_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           count(*) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_regionkey
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg — the ANSI SQL:2016 ordered string aggregate, native in
+    Spark 4.0 (SPARK-42746): per-region nation roster as ONE delimited
+    string, ordered inside the aggregate (WITHIN GROUP semantics) so
+    the result is deterministic without a post-sort. Before 4.0 this
+    needed the collect_list → array_sort → array_join chain
+    (q_agg_collect_sorted's recipe) — listagg is the single-aggregate
+    form the reference engine's users expect to keep writing.
+
+    Scale: one hash-agg shuffle on the group key; the ordered variant
+    sorts WITHIN each group's collected values (group-local cost), not
+    globally. String rosters belong on LOW-cardinality groups (here 5
+    regions × 5 nations); an unbounded-group listagg is the same
+    memory trap as collect_list and gets the same review flag.
+
+    Parity: DuckDB's string_agg(expr, sep ORDER BY …) is the same
+    ANSI aggregate; nation names are unique so ordering is total.
+
+    Cites nation/region join: reference has no code
+    (/root/reference/README.md:1-2); surface from SURVEY §2.4.
+    """
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").select("r_regionkey")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.groupBy("r_regionkey").agg(
+        F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+            "nations"
+        ),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+@query(
+    "q_try_functions",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN cnt = 0 THEN NULL ELSE value / cnt END AS per_item,
+           try_cast(json_extract_string(props, '$.k') as int) AS k_int,
+           try_cast(event_type as int) AS type_as_int,
+           CASE WHEN len(string_split(event_type, '_')) >= 3
+                THEN string_split(event_type, '_')[3] END AS third_part
+    FROM (
+        SELECT event_id, value, event_type, props,
+               cast(json_extract_string(props, '$.k') as int) % 3 AS cnt
+        FROM events
+    )
+    """,
+)
+def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe battery (Spark 3.2-4.0, ANSI-mode
+    companions): try_divide (NULL on ÷0 instead of the ANSI error),
+    try_cast (NULL on malformed input — event_type is never numeric,
+    so the column is a deliberate all-NULL cast probe), and
+    try_element_at (NULL past the end of the split array). This is the
+    dirty-ingest surface: under ANSI SQL semantics (Spark 4's default)
+    each of these raises mid-job on bad rows — at 100 TB a single
+    malformed record 6 hours into a scan kills the job; the try_ forms
+    turn data errors into NULLs the pipeline can quarantine
+    (q_etl_quarantine is the downstream pattern).
+
+    Parity: DuckDB has no try_divide/try_element_at, so the oracle
+    spells the same NULL semantics with CASE guards; try_cast exists
+    in both. The ÷0 branch is exercised for real: k % 3 == 0 rows.
+
+    Scale: pure map-side expressions, whole-stage codegen, no UDF.
+    """
+    e = load(spark, sf_dir, "events")
+    staged = e.select(
+        "event_id",
+        "value",
+        "event_type",
+        "props",
+        (F.get_json_object("props", "$.k").cast("int") % 3).alias("cnt"),
+    )
+    return staged.select(
+        "event_id",
+        F.try_divide(F.col("value"), F.col("cnt")).alias("per_item"),
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.try_element_at(
+            F.split(F.col("event_type"), "_"), F.lit(3)
+        ).alias("third_part"),
+    )

@@ -506,3 +506,64 @@ def q_sql_udf_create_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM sqludf_orders WHERE o_orderstatus = 'O'
         """
     )
+
+
+@query(
+    "q_udtf_table_argument",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           cast(sum(len(string_split(text, ' '))) as bigint) AS total_words,
+           min(doc_id) AS first_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF with a TABLE argument + PARTITION BY / ORDER BY
+    (SPARK-44233, Spark ≥3.5/4): the table function consumes a whole
+    RELATION — ``summarize_lang(TABLE(docs) PARTITION BY lang ORDER BY
+    doc_id)`` — with the ENGINE doing the shuffle: each UDTF instance
+    receives exactly one partition's rows in the requested order,
+    accumulates in ``eval`` and emits its summary from ``terminate``.
+    This is the third UDTF form after the lateral scalar-args UDTF
+    (q_udtf_python) and the analyze-time polymorphic one
+    (q_udtf_polymorphic), and the API-level counterpart of
+    applyInPandas for row-at-a-time logic that needs partition-scoped
+    state (sessionizers, legacy per-group parsers).
+
+    Scale: PARTITION BY lang is a real hash shuffle planned by Spark
+    (same cardinality rules as any groupBy — few large groups is the
+    right shape, q_udtf_grouped_map's lesson); the Python boundary
+    streams rows per partition, state is O(1) per instance.
+
+    Parity: count/sum/min of integer quantities, ORDER BY doc_id makes
+    first-row state deterministic — plain SQL aggregation oracle.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="lang string, n_docs bigint, total_words bigint, first_doc bigint")
+    class SummarizeLang:
+        def __init__(self):
+            self.lang = None
+            self.n = 0
+            self.words = 0
+            self.first = None
+
+        def eval(self, row):
+            self.lang = row["lang"]
+            self.n += 1
+            self.words += len(row["text"].split(" "))
+            if self.first is None:
+                self.first = row["doc_id"]
+
+        def terminate(self):
+            if self.n:
+                yield self.lang, self.n, self.words, self.first
+
+    spark.udtf.register("summarize_lang", SummarizeLang)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("udtf_tablearg_docs")
+    return spark.sql(
+        "SELECT * FROM summarize_lang("
+        "TABLE(udtf_tablearg_docs) PARTITION BY lang ORDER BY doc_id)"
+    )

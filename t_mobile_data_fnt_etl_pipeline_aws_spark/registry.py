@@ -73,17 +73,16 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: (re-issued as VERDICT r8 item 1) are rotated HERE.
 #:
 #: ROUND-9 WINDOW (this list), in priority order:
-#:   1. NEW round-9 keys (never driver-checked): the batch top-k
-#:      retrieval join (VERDICT r8 item 3), the BPE apply twin (item 6),
-#:      and the Spark-4 surface stragglers (item 8: Python data source,
-#:      polymorphic UDTF, SQL UDF via CREATE FUNCTION).
+#:   1. ALL 8 NEW round-9 keys (never driver-checked — always first):
+#:      the batch top-k retrieval join (VERDICT r8 item 3), the BPE
+#:      apply twin (item 6), the Spark-4 surface stragglers (item 8:
+#:      Python data source, polymorphic UDTF, table-argument UDTF,
+#:      SQL UDF via CREATE FUNCTION), listagg, and the try_* battery.
 #:   2. ALL 42 r3-stale keys (VERDICT r8 item 1's full cohort, verified
 #:      against the judge's recomputed histogram) — after this round no
-#:      key's newest driver row is older than r4.
-#:   3. r4-stale fill to 50, bench-anchor keys first (q_agg_hash and
-#:      q_topk_global are the two drift anchors — freshest driver
-#:      evidence belongs on the keys every regression gate normalizes
-#:      by). The remaining 46 r4-stale keys head the round-10 rotation.
+#:      key's newest driver row is older than r4. 8 + 42 fills the 50
+#:      slots exactly; the 49 r4-stale keys (bench anchors first) head
+#:      the round-10 rotation.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
     # --- 1. new round-9 keys ---
@@ -91,7 +90,10 @@ _DRIVER_WINDOW = [
     "q_bpe_apply",
     "q_scan_python_datasource",
     "q_udtf_polymorphic",
+    "q_udtf_table_argument",
     "q_sql_udf_create_function",
+    "q_agg_listagg",
+    "q_try_functions",
     # --- 2. all 42 r3-stale keys ---
     "q_agg_argminmax",
     "q_agg_incremental_merge",
@@ -135,10 +137,6 @@ _DRIVER_WINDOW = [
     "q_timeseries_twap",
     "q_unpivot_long",
     "q_window_cumulative_distinct",
-    # --- 3. r4-stale fill (3 of 49; rest rotate round 10) ---
-    "q_agg_hash",
-    "q_topk_global",
-    "q_join_broadcast",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Round-6

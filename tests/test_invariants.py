@@ -182,8 +182,8 @@ def test_driver_window_rotation():
     """The first 50 registry keys must be exactly the round-9 driver-window
     list — the grading driver records only the first 50. Round-9 contract
     (VERDICT r8 item 1, re-issuing the unexecuted round-8 rotation): the
-    5 new never-checked round-9 keys first, then ALL 42 r3-stale keys,
-    then a 3-key r4-stale fill led by the two bench anchors. Every key
+    8 new never-checked round-9 keys first, then ALL 42 r3-stale keys
+    (8 + 42 fills the window exactly; r4-stale rotates round 10). Every key
     that has never PASSED a driver check (no row, or a hard-failed row)
     must be inside the window or declared in _POST_WINDOW_ADDITIONS."""
     import json
@@ -338,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 167 extras = 246 registered,
-    233 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 170 extras = 249 registered,
+    236 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 246
-    assert len(oracles) == 233
+    assert len(QUERIES) == 249
+    assert len(oracles) == 236
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",

@@ -50,6 +50,7 @@ DECIMAL_HEAVY = [
     "q_etl_merge_tombstones",  # r7: dsum over merged/deleted price sets
     "q_join_bloom_pruned",     # r7: dsum revenue over the selective join
     "q_report_wow_growth",     # r7: decimal week sums + WoW ratio division
+    "q_sim_search_batch_topk", # r9: finished-decimal IVF centroid means
 ]
 
 
