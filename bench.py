@@ -198,6 +198,14 @@ HEADLINE = [
     "q_udtf_table_argument",         # TABLE(...) PARTITION BY UDTF boundary
     "q_agg_listagg",                 # ANSI ordered string aggregate
     "q_try_functions",               # error-safe try_* scalar battery
+    "q_topk_global",                 # global TakeOrderedAndProject top-k
+    # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
+    # an anchor missing from the record leaves the next round's confirm
+    # gate with no prior and silently degrades it to single-anchor
+    # (round-9 lesson: the first r9 bench ran with its second anchor
+    # absent and an anchor-jitter flag survived confirmation); pinned
+    # by test_anchors_in_headline. q_agg_hash and q_join_sortmerge are
+    # both long-standing headline keys.
 ]
 
 RUNS = 3
@@ -284,14 +292,17 @@ def find_regressions(
 
 #: Host-speed anchors for drift confirmation (VERDICT r8 item 4): TWO
 #: independent plan families — the flagship scan→filter→hash-agg and the
-#: global TakeOrderedAndProject top-k — both present in every round's
-#: record, stable plans, comfortably above DRIFT_MIN_SEC at sf0.1. Two
-#: anchors close the single-anchor blind spots: an anchor-LOCAL
-#: regression no longer self-normalizes to ~1.0 (the other anchor
-#: adjudicates it and it surfaces as an ``anchor_regression`` entry),
-#: and a key is confirmed only when BOTH normalizations agree (divide by
-#: the larger host factor), so one anchor's own jitter can't mint flags.
-ANCHOR_KEYS = ("q_agg_hash", "q_topk_global")
+#: fact-fact sort-merge shuffle join — both present in every round's
+#: record, stable plans, comfortably above DRIFT_MIN_SEC at sf0.1
+#: (q_join_sortmerge holds 0.47-0.67 s across r7-r9; the first pick,
+#: q_topk_global, measured 0.116 s — inside scheduling noise — and was
+#: replaced the same round). Two anchors close the single-anchor blind
+#: spots: an anchor-LOCAL regression no longer self-normalizes to ~1.0
+#: (the other anchor adjudicates it and it surfaces as an
+#: ``anchor_regression`` entry), and a key is confirmed only when BOTH
+#: normalizations agree (divide by the larger host factor), so one
+#: anchor's own jitter can't mint flags.
+ANCHOR_KEYS = ("q_agg_hash", "q_join_sortmerge")
 #: primary anchor (back-compat: the payload's scalar "anchor_ratio")
 ANCHOR_KEY = ANCHOR_KEYS[0]
 

@@ -1744,3 +1744,19 @@ def test_survey_registry_table_matches_registry():
     oracles = all_oracles()
     for k, kind in rows:
         assert (kind == "SQL") == (k in oracles), (k, kind)
+
+
+def test_anchors_in_headline():
+    """Every drift anchor must be in the default headline set: an anchor
+    missing from the record leaves the next round's confirm gate with no
+    prior for it, silently degrading dual-anchor adjudication back to
+    single-anchor (the round-9 first bench ran exactly so, and an
+    anchor-jitter artifact flag survived confirmation)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from bench import ANCHOR_KEYS, HEADLINE
+
+    missing = [a for a in ANCHOR_KEYS if a not in HEADLINE]
+    assert not missing, f"anchors absent from HEADLINE: {missing}"
+    assert set(ANCHOR_KEYS) <= set(QUERIES)
