@@ -47,14 +47,19 @@ WORK_DIR = "/tmp/spark_graft_scaling"
 SEED = 42
 
 #: the five most expensive keys per BENCH_LOCAL_r06_full.json, one per
-#: cost family: convergence loop, LSH banding, CC loop, decimal agg,
-#: bucketed band join
+#: cost family (convergence loop, LSH banding, CC loop, decimal agg,
+#: bucketed band join), plus the round-9 additions: the IVF batch
+#: retrieval join (probe count AND corpus grow with scale — the RAG
+#: serving shape) and the zero-shuffle BPE tokenize (pure map stage,
+#: the slope-1.0 control).
 KEYS = [
     "q_cluster_kmeans_lloyd",
     "q_dedup_fuzzy_minhash",
     "q_dedup_clusters_cc",
     "q_agg_higher_moments",
     "q_join_theta_bucketed",
+    "q_sim_search_batch_topk",
+    "q_bpe_apply",
 ]
 
 #: tables each key loads — each scale dir carries exactly these
@@ -340,7 +345,7 @@ def main() -> None:
 
 def _write_md(scales, results, slopes) -> None:
     lines = [
-        "# BENCH_SCALING — seconds-vs-scale exponents (round 7)",
+        "# BENCH_SCALING — seconds-vs-scale exponents (round 9)",
         "",
         "Measured by `bench_scaling.py` on local[32]: the five most",
         "expensive registry keys run against a seeded generated data",
@@ -381,6 +386,18 @@ def _write_md(scales, results, slopes) -> None:
         "  engine property under test). Scaling the part side too would",
         "  measure the band-match model's inherent quadratic growth,",
         "  not the join strategy.",
+        "- **q_sim_search_batch_topk** — IVF batch retrieval join with",
+        "  the probe batch FIXED (<= 100 held-out vectors at every",
+        "  scale; serving query rate does not grow with corpus size):",
+        "  centroid agg + the per-probe nprobe/|cells| candidate scan",
+        "  are linear in the corpus. The first cut scaled the probe",
+        "  set with the data and measured slope 1.76 -- the data",
+        "  model's probes x scan quadratic, same class as scaling the",
+        "  theta join's dimension side; capping the batch restores the",
+        "  engine-shape measurement.",
+        "- **q_bpe_apply** — zero-shuffle codegen replace chain over",
+        "  the documents scan; the pure map-stage control, expected",
+        "  slope ~1 exactly.",
         "",
         "No super-linear surprise = the plan-contract story (pushdown,",
         "broadcast, bucketing, no nested loops) holds empirically",

@@ -578,12 +578,12 @@ def q_topic_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
     oracle=f"""
     WITH corpus AS (
         SELECT vec_id, label, embedding FROM embeddings
-        WHERE vec_id % 20 <> 0
+        WHERE NOT (vec_id % 20 = 0 AND vec_id < 2000)
     ),
     probes AS (
         SELECT vec_id AS probe_id,
                list_transform(embedding, x -> cast(x as double)) AS pe
-        FROM embeddings WHERE vec_id % 20 = 0
+        FROM embeddings WHERE vec_id % 20 = 0 AND vec_id < 2000
     ),
     cent AS (
         SELECT label AS c_label, array_agg(cval ORDER BY pos) AS ce
@@ -624,13 +624,21 @@ def q_topic_assign_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFra
     """,
 )
 def q_sim_search_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch top-k retrieval join — the RAG shape: N held-out probe
-    vectors (vec_id % 20 == 0, ~100 at bench scale) each retrieve their
-    top-5 corpus neighbors via IVF cell routing + per-probe window
-    re-rank. Bracketed by q_sim_search_topk (ONE probe, brute force)
-    and q_knn_join_bucketed (corpus self-join); this is the
-    many-probes-vs-corpus retrieval join neither of those is
-    (VERDICT r8 item 3).
+    """Batch top-k retrieval join — the RAG shape: a FIXED batch of
+    held-out probe vectors (vec_id % 20 == 0 AND vec_id < 2000 — ≤ 100
+    probes at every scale) each retrieve their top-5 corpus neighbors
+    via IVF cell routing + per-probe window re-rank. Bracketed by
+    q_sim_search_topk (ONE probe, brute force) and q_knn_join_bucketed
+    (corpus self-join); this is the many-probes-vs-corpus retrieval
+    join neither of those is (VERDICT r8 item 3).
+
+    The probe batch is CAPPED, not proportional: serving query rate
+    does not grow with corpus size, and the first cut (every 20th
+    vec_id, unbounded) measured a 1.76 seconds-vs-scale exponent on
+    the 1×-10× family — probes × per-probe scan both growing is the
+    data model's quadratic, not the plan's. With the fixed batch the
+    study measures the engine shape (slope ~1: centroids + candidate
+    scan are linear in the corpus; see BENCH_SCALING.md).
 
     Plan, stage by stage:
       1. centroids: per-label element-wise means over the CORPUS side
@@ -659,8 +667,9 @@ def q_sim_search_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_invariants.py::test_batch_topk_recall_vs_brute.
     """
     e = load(spark, sf_dir, "embeddings")
-    corpus = e.filter(F.col("vec_id") % 20 != 0)
-    probes = e.filter(F.col("vec_id") % 20 == 0).select(
+    is_probe = (F.col("vec_id") % 20 == 0) & (F.col("vec_id") < 2000)
+    corpus = e.filter(~is_probe)
+    probes = e.filter(is_probe).select(
         F.col("vec_id").alias("probe_id"), _as_dbl("embedding").alias("pe")
     )
     exploded = corpus.select(

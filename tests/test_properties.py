@@ -234,3 +234,74 @@ def test_polymorphic_udtf_schema_follows_argument(spark, sf_dir):
             "SELECT s.* FROM udtf_poly_docs, "
             "LATERAL first_tokens(doc_id, text, cast(doc_id as int)) s"
         ).collect()
+
+
+def test_bpe_replace_chain_equals_scan_merge_property():
+    """The load-bearing claim behind q_bpe_apply (and the
+    q_bpe_train_merges fold): on the double-space symbol encoding,
+    literal replace(' l  r ', ' lr ') — left-to-right, non-overlapping,
+    never rescanning replaced output, the shared semantics of Spark's
+    replace(), DuckDB's replace(), and Python's str.replace — equals
+    the textbook leftmost BPE merge scan, for EVERY word and every
+    realistic merge sequence. Hypothesis drives a tiny alphabet (so
+    overlap-heavy cases like merging (a,a) over 'aaaa' are dense) and
+    REALISTIC merge lists: each round's pair is drawn from pairs
+    actually adjacent in the current vocab, exactly how trained merge
+    tables arise (including self-pairs and merged-symbol chaining)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def scan_merge(syms, left, right):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    def encode(word):
+        return "".join(f" {c} " for c in list(word) + ["</w>"])
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        words=st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=8),
+            min_size=1,
+            max_size=6,
+        ),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(words, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = {w: list(w) + ["</w>"] for w in words}
+        encs = {w: encode(w) for w in words}
+        for _ in range(6):
+            pairs = sorted(
+                {
+                    (s[i], s[i + 1])
+                    for s in vocab.values()
+                    for i in range(len(s) - 1)
+                }
+            )
+            if not pairs:
+                break
+            left, right = rng.choice(pairs)
+            vocab = {w: scan_merge(s, left, right) for w, s in vocab.items()}
+            encs = {
+                w: e.replace(f" {left}  {right} ", f" {left}{right} ")
+                for w, e in encs.items()
+            }
+            for w in words:
+                got = encs[w].split("  ")
+                got = [t.strip(" ") for t in got]
+                assert got == vocab[w], (w, left, right, encs[w], vocab[w])
+                # the token-count arithmetic q_bpe_apply relies on
+                n_spaces = len(encs[w]) - len(encs[w].replace(" ", ""))
+                assert n_spaces == 2 * len(vocab[w])
+
+    check()

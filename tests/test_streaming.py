@@ -873,3 +873,48 @@ def test_stream_sessionize_with_state_converges_to_batch(spark, sf_dir, tmp_path
     batch = QUERIES["q_sessionize_batch"](spark, sf_dir).toPandas()
     assert len(streamed) == len(batch)
     assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_python_stream_source_exactly_once(spark, tmp_path):
+    """The custom Python streaming source (streaming/python_source.py)
+    driven by a REAL readStream: the microbatch engine must pull the
+    bounded sequence through the offset protocol in ~limit/chunk
+    micro-batches, and the sink must hold EXACTLY the arithmetic
+    sequence — every row once, none duplicated, none lost (the
+    replay/offset contract), with batch_start proving rows arrived in
+    offset-aligned chunks."""
+    import time
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.python_source import (
+        register,
+    )
+
+    register(spark)
+    stream = (
+        spark.readStream.format("seq_ticks")
+        .option("chunk", "17")
+        .option("limit", "100")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("seq_ticks_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_pysrc"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("seq_ticks_mem").count() >= 100:
+                break
+            time.sleep(0.5)
+        rows = spark.table("seq_ticks_mem").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 100, f"expected 100 rows, got {len(rows)}"
+    got = {(r.seq, r.batch_start, r.value) for r in rows}
+    expected = {
+        (i, (i // 17) * 17, i * 0.5) for i in range(100)
+    }
+    assert got == expected
