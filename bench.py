@@ -199,6 +199,8 @@ HEADLINE = [
     "q_agg_listagg",                 # ANSI ordered string aggregate
     "q_try_functions",               # error-safe try_* scalar battery
     "q_topk_global",                 # global TakeOrderedAndProject top-k
+    "q_sink_python_datasource",      # Python DataSource two-phase-commit sink
+    "q_report_shared_scan",          # cached-base multi-report fan-out
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -419,3 +419,69 @@ def q_report_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.revenue").alias("prev_revenue"),
         (F.col("a.revenue") / F.col("b.revenue")).alias("wow_ratio"),
     )
+
+
+@query(
+    "q_report_shared_scan",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderpriority, o_orderstatus, o_totalprice
+        FROM orders WHERE year(o_orderdate) = 1995
+    )
+    SELECT 'priority' AS report, o_orderpriority AS grp,
+           count(*) AS n_orders, {sql_dsum('o_totalprice', 'sum_price')}
+    FROM base GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'status', o_orderstatus,
+           count(*), {sql_dsum('o_totalprice', 'sum_price')}
+    FROM base GROUP BY o_orderstatus
+    """,
+)
+def q_report_shared_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-report fan-out over ONE cached base — the storage-reuse
+    pattern for report suites: filter/clean the fact ONCE, persist it,
+    and let every downstream rollup read the materialized intermediate
+    instead of re-scanning (and re-filtering) the raw table.
+
+    Spark does NOT deduplicate identical sub-plans across a union on
+    its own (no common-subexpression materialization for separate
+    aggregates), so without the ``persist()`` this plan scans orders
+    TWICE — at 100 TB, a 20-report suite over a curated base would pay
+    a 20× scan tax. With it, branch 1's first pass populates the
+    columnar block cache and every other branch hits
+    InMemoryTableScan (both branches plan against the cached relation
+    — asserted in tests/test_plans.py::test_shared_scan_reports_hit_cache).
+    The cache is an explicit lifecycle choice: at cluster scale this
+    is persist(DISK_ONLY or MEMORY_AND_DISK_SER) sized to the curated
+    slice, or a materialized staging table — the plan shape is
+    identical.
+
+    Parity: count + exact-decimal sums per group; the oracle's CTE is
+    the same base expressed relationally (DuckDB may or may not
+    materialize it — either way the values are identical).
+    """
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_orderpriority", "o_orderstatus", "o_totalprice")
+        .persist()
+    )
+    by_prio = base.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    ).select(
+        F.lit("priority").alias("report"),
+        F.col("o_orderpriority").alias("grp"),
+        "n_orders",
+        "sum_price",
+    )
+    by_status = base.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "sum_price"),
+    ).select(
+        F.lit("status").alias("report"),
+        F.col("o_orderstatus").alias("grp"),
+        "n_orders",
+        "sum_price",
+    )
+    return by_prio.unionByName(by_status)

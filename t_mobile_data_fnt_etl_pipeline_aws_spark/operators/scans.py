@@ -678,3 +678,135 @@ def q_scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "n_nationkey", F.upper("n_name").alias("nation"), "n_regionkey"
     )
+
+
+@query(
+    "q_sink_python_datasource",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom batch SINK via the Python Data Source API writer protocol
+    (SPARK-44076, Spark 4) — the write half that completes
+    q_scan_python_datasource: ``df.write.format(...)`` drives a
+    user-defined ``DataSourceWriter`` through Spark's TWO-PHASE commit:
+
+      1. ``write(iterator)`` runs ON EACH EXECUTOR TASK and must stage
+         its partition's output under a task-unique temp name (partition
+         id + task attempt id — speculative or retried attempts of the
+         same partition MUST NOT collide), returning a picklable commit
+         message naming what it staged;
+      2. ``commit(messages)`` runs once on the driver ONLY after every
+         task succeeded, promoting temp files to final names and
+         writing the _SUCCESS manifest — so readers never observe a
+         torn write; ``abort()`` discards the temp generation instead.
+
+    This is the exactly-once sink contract every warehouse writer
+    (parquet committer, Iceberg/Delta commit protocols) implements; the
+    Python API hands it to connector authors for systems Spark has no
+    built-in sink for. The round-trip read-back goes through the
+    matching custom reader (one input partition per committed file), so
+    the oracle proves write+read lossless end to end.
+    """
+    import uuid
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    out = _sink_dir("nation_pipe_sink")
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, tmp_name: str):
+            self.tmp_name = tmp_name
+
+    class PipeRowsWriter(DataSourceWriter):
+        def __init__(self, options, overwrite: bool):
+            self.dir = options["path"]
+            self.overwrite = overwrite
+            os.makedirs(self.dir, exist_ok=True)
+            if overwrite:
+                for f in os.listdir(self.dir):
+                    os.remove(os.path.join(self.dir, f))
+
+        def write(self, iterator):
+            ctx = TaskContext.get()
+            tmp = (
+                f".tmp-{ctx.partitionId()}-{ctx.taskAttemptId()}-"
+                f"{uuid.uuid4().hex[:8]}"
+            )
+            with open(os.path.join(self.dir, tmp), "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        f"{row['n_nationkey']}|{row['n_name']}|"
+                        f"{row['n_regionkey']}\n"
+                    )
+            return _Staged(tmp)
+
+        def commit(self, messages) -> None:
+            for i, m in enumerate(messages):
+                os.replace(
+                    os.path.join(self.dir, m.tmp_name),
+                    os.path.join(self.dir, f"part-{i:05d}.csv"),
+                )
+            with open(os.path.join(self.dir, "_SUCCESS"), "w") as fh:
+                fh.write("ok")
+
+        def abort(self, messages) -> None:
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.dir, m.tmp_name))
+                    except OSError:
+                        pass
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class PipeRowsReader(DataSourceReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def partitions(self):
+            if not os.path.exists(os.path.join(self.dir, "_SUCCESS")):
+                raise FileNotFoundError("uncommitted pipe_rows sink")
+            return [
+                _FilePartition(os.path.join(self.dir, f))
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".csv")
+            ]
+
+        def read(self, partition):
+            with open(partition.path) as fh:
+                for line in fh:
+                    key, name, region = line.rstrip("\n").split("|")
+                    yield int(key), name, int(region)
+
+    class PipeRowsSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pipe_rows"
+
+        def schema(self) -> str:
+            return "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+        def writer(self, schema, overwrite: bool) -> PipeRowsWriter:
+            return PipeRowsWriter(self.options, overwrite)
+
+        def reader(self, schema) -> PipeRowsReader:
+            return PipeRowsReader(self.options)
+
+    spark.dataSource.register(PipeRowsSource)
+    load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).repartition(3).write.format("pipe_rows").option("path", out).mode(
+        "overwrite"
+    ).save()
+    return spark.read.format("pipe_rows").option("path", out).load()

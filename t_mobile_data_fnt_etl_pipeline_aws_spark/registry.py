@@ -139,12 +139,17 @@ _DRIVER_WINDOW = [
     "q_window_cumulative_distinct",
 ]
 
-#: Keys added AFTER the current round's window was frozen. Round-6
-#: additions are inserted directly into block 2 of the window above
-#: (evicting the tail of block 3d), so this stays empty unless an
-#: addition lands after the window can no longer change. Keep
-#: test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = []
+#: Keys added AFTER the current round's window was frozen. The round-9
+#: window's 50 slots are exactly spoken for (8 new + the full 42-key
+#: r3-stale cohort VERDICT r8 item 1 requires rotated THIS round, its
+#: done-criterion being CORRECTNESS_r09 rows for all 42), so the two
+#: late round-9 additions wait here and HEAD the round-10 window. Both
+#: are locally verified (driver-sim FAILURES: 0, oracle suite at
+#: sf0.001/0.01). Keep test_driver_window_rotation's exemption in sync.
+_POST_WINDOW_ADDITIONS: list[str] = [
+    "q_sink_python_datasource",
+    "q_report_shared_scan",
+]
 
 
 def _import_all() -> None:

@@ -780,3 +780,15 @@ def test_python_datasource_parallelizes_per_file(spark, sf_dir):
     size, the classic custom-connector scale bug."""
     df = QUERIES["q_scan_python_datasource"](spark, sf_dir)
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_shared_scan_reports_hit_cache(spark, sf_dir):
+    """q_report_shared_scan's two report branches must BOTH plan
+    against the persisted base (InMemoryTableScan / InMemoryRelation
+    in ≥ 2 places) — without the cache each union branch re-scans the
+    fact table, the 100-TB report-suite scan tax the operator exists
+    to avoid."""
+    df = QUERIES["q_report_shared_scan"](spark, sf_dir)
+    plan = plan_string(df)
+    n_cached = plan.count("InMemoryTableScan") or plan.count("TableCacheQueryStage")
+    assert n_cached >= 2, f"cached base not reused across branches:\n{plan}"
