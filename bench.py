@@ -201,6 +201,12 @@ HEADLINE = [
     "q_topk_global",                 # global TakeOrderedAndProject top-k
     "q_sink_python_datasource",      # Python DataSource two-phase-commit sink
     "q_report_shared_scan",          # cached-base multi-report fan-out
+    "q_join_shuffled_hash",          # pinned SHJ (third join strategy)
+    "q_join_dpp_prune",              # dynamic partition pruning star join
+    "q_er_resolve_entities",         # blocked fuzzy entity resolution
+    "q_er_golden_record",            # survivorship golden records
+    "q_window_gaps_islands",         # consecutive-day streak islands
+    "q_scan_file_metadata",          # _metadata file-provenance lineage
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -843,3 +843,134 @@ def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) t
         """
     )
+
+
+@query(
+    "q_join_shuffled_hash",
+    oracle=f"""
+    SELECT c_mktsegment,
+           count(*) AS n_orders,
+           {_sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_shuffled_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The THIRD equi-join strategy, pinned: SHUFFLE_HASH — completing
+    the strategy triad with q_join_broadcast (no shuffle, dim fits
+    everywhere) and q_join_sortmerge (shuffle + sort both sides).
+
+    Shuffled-hash shuffles both sides on the key like sort-merge but
+    then BUILDS an in-memory hash table from the smaller side per
+    partition instead of sorting either side — the middle regime's
+    win: the build side is too big to broadcast (it would have to fit
+    on the driver AND in every executor), yet each of its shuffle
+    partitions fits in one task's memory, so both sort passes are
+    skipped. At 100 TB this is the fact ⋈ mid-size-dimension shape
+    (e.g. 10^8-row customer dim): broadcast is impossible, sort-merge
+    pays two O(n log n) sorts, shuffled-hash pays one hash build of
+    fact_rows/num_partitions. The trade is memory discipline — the
+    per-partition build must fit (size shuffle.partitions to the
+    build side; AQE's OptimizeShuffledHashJoin makes the same call
+    from runtime sizes). Plan contract
+    (tests/test_plans.py::test_shuffled_hash_join_pinned): the hint
+    yields ShuffledHashJoin — no SortMergeJoin, no sort operators on
+    the join inputs, and no broadcast of a side the planner was told
+    to treat as too big.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").hint("SHUFFLE_HASH")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "inner")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
+@query(
+    "q_join_dpp_prune",
+    oracle=f"""
+    WITH caldim AS (
+        SELECT ship_year,
+               date_diff('day', make_date(ship_year, 1, 1),
+                         make_date(ship_year + 1, 1, 1)) AS n_days
+        FROM (SELECT DISTINCT year(l_shipdate) AS ship_year FROM lineitem)
+    )
+    SELECT year(l_shipdate) AS ship_year,
+           count(*) AS n_rows,
+           {_sql_dsum('l_extendedprice', 'sum_revenue')}
+    FROM lineitem
+    JOIN caldim ON year(l_shipdate) = caldim.ship_year
+    WHERE caldim.n_days = 366
+    GROUP BY 1
+    """,
+)
+def q_join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic Partition Pruning — the star-schema scan killer and the
+    one built-in 100-TB lever the join block didn't yet demonstrate:
+    when a fact table is PARTITIONED on the join key and the dimension
+    side carries a selective filter, Spark injects the dim's surviving
+    join keys into the fact scan's PartitionFilters AT RUNTIME
+    (dynamicpruningexpression over the reused broadcast), so pruned
+    partitions are never read — not "filtered after read": never
+    listed, never opened. On a date-partitioned 100-TB fact, a dim
+    predicate selecting 2 of 2,500 day-partitions turns a full scan
+    into ~0.1% I/O with zero query rewrite.
+
+    Setup mirrors the TPC-DS date-dim shape on the fixture: lineitem
+    is landed partitioned by ship_year (the hive layout a production
+    fact would already have), the calendar dimension is derived with
+    one attribute per year (its day count), and the query filters the
+    DIM on that attribute (n_days = 366 → leap years) rather than on
+    the partition column. Because the fixture attribute happens to be
+    a deterministic function of the join key, constraint propagation
+    ALSO folds a static twin of the predicate into the fact scan (a
+    free bonus, visible in PartitionFilters); the contract pins the
+    RUNTIME dynamicpruningexpression, which is the mechanism that
+    remains when the dim attribute is genuinely external (is_holiday,
+    fiscal-period flags, d_year = 2000 in a surrogate-keyed date dim)
+    and no static fold exists. The dim is pinned broadcast, satisfying
+    the default reuseBroadcastOnly contract (the pruning subquery
+    reuses the join's own broadcast exchange — no second dim scan, no
+    extra job). Plan contract (tests/test_plans.py::
+    test_dpp_injects_runtime_partition_filter): the fact scan's
+    PartitionFilters must carry a dynamicpruningexpression, and the
+    result must equal the unpartitioned-join answer (the oracle joins
+    raw lineitem — parity itself proves pruning lost no rows).
+    """
+    from .scans import _sink_dir
+
+    out = _sink_dir("lineitem_by_shipyear")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("ship_year"),
+        "l_shipdate",
+        "l_extendedprice",
+    )
+    li.write.mode("overwrite").partitionBy("ship_year").parquet(out)
+
+    fact = spark.read.parquet(out)
+    dim = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.year("l_shipdate").alias("ship_year"))
+        .distinct()
+        .withColumn(
+            "n_days",
+            F.datediff(
+                F.make_date(F.col("ship_year") + 1, F.lit(1), F.lit(1)),
+                F.make_date(F.col("ship_year"), F.lit(1), F.lit(1)),
+            ),
+        )
+        .filter(F.col("n_days") == 366)
+    )
+    return (
+        fact.join(F.broadcast(dim), "ship_year", "inner")
+        .groupBy("ship_year")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("l_extendedprice"), "sum_revenue"),
+        )
+    )

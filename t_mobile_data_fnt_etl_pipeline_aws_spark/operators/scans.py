@@ -810,3 +810,56 @@ def q_sink_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         "overwrite"
     ).save()
     return spark.read.format("pipe_rows").option("path", out).load()
+
+
+@query(
+    "q_scan_file_metadata",
+    oracle="""
+    SELECT doc_id % 8 AS bucket,
+           count(*) AS n_rows,
+           1 AS n_files,
+           CAST(0 AS BIGINT) AS min_idx,
+           CAST(count(*) - 1 AS BIGINT) AS max_idx
+    FROM documents GROUP BY 1
+    """,
+)
+def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest lineage via the hidden ``_metadata`` struct — the file
+    provenance every production loader records (which physical file did
+    this row come from, at which position): ``_metadata.file_path`` /
+    ``row_index`` are served by the parquet scan itself (constant-cost
+    per batch, no extra I/O), the modern replacement for the legacy
+    ``input_file_name()`` that composes with DSv2 and vectorized reads.
+
+    Setup writes documents hive-partitioned by ``bucket = doc_id % 8``
+    AFTER a hash-repartition ON the partition column, which makes the
+    layout a bucket↔file bijection (each bucket's rows land in exactly
+    one task, each task writes exactly one file per partition dir).
+    That bijection is what makes the lineage ORACLE-ABLE with no path
+    exchanged at all: per bucket, the physical expectations are fully
+    determined relationally — n_files = 1 (the bijection itself),
+    min(row_index) = 0 and max(row_index) = count-1 (row_index is the
+    0-based position within the row's file). Spark reports the left
+    side of each equation from file metadata; DuckDB derives the right
+    side from the documents table alone — agreement proves the
+    provenance columns carry the physical truth, not a reconstruction.
+
+    At 100 TB this is the audit/debug path: joining a quarantine
+    sample back to exact source files + offsets without re-scanning,
+    per-file row counts for incremental-load reconciliation, and
+    skew-by-file diagnostics — all from scan-time metadata.
+    """
+    out = _sink_dir("docs_bucketed_meta")
+    d = load(spark, sf_dir, "documents").withColumn(
+        "bucket", F.col("doc_id") % 8
+    )
+    d.repartition(8, "bucket").write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct(F.col("_metadata.file_path")).alias("n_files"),
+        F.min(F.col("_metadata.row_index")).alias("min_idx"),
+        F.max(F.col("_metadata.row_index")).alias("max_idx"),
+    )

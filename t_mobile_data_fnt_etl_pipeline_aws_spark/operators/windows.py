@@ -732,3 +732,73 @@ def q_window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.when(n % 2 == 1, odd).otherwise(even).alias("median_7d"),
     )
+
+
+@query(
+    "q_window_gaps_islands",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT l_suppkey, CAST(l_shipdate AS DATE) AS ship_day
+        FROM lineitem
+    ),
+    grouped AS (
+        SELECT l_suppkey, ship_day,
+               ship_day - CAST(row_number() OVER (
+                   PARTITION BY l_suppkey ORDER BY ship_day
+               ) AS INTEGER) AS island_key
+        FROM days
+    ),
+    islands AS (
+        SELECT l_suppkey, count(*) AS streak_days,
+               min(ship_day) AS streak_start
+        FROM grouped GROUP BY l_suppkey, island_key
+    )
+    SELECT l_suppkey,
+           count(*) AS n_islands,
+           max(streak_days) AS longest_streak,
+           CAST(sum(streak_days) AS BIGINT) AS active_days,
+           CAST(min(streak_start) AS TIMESTAMP) AS first_active
+    FROM islands
+    GROUP BY l_suppkey
+    """,
+)
+def q_window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per supplier, maximal runs of CONSECUTIVE
+    calendar ship days (streaks), via the classic rn-difference trick —
+    date minus its per-partition row_number is CONSTANT exactly within
+    a consecutive run, so one partitioned window + two hash aggregates
+    find every island with no self-join and no per-row loop (the naive
+    formulations — anti-join against date+1, or a correlated "previous
+    day" probe — are a second shuffle or worse).
+
+    Distinct (supplier, day) first: duplicate same-day shipments must
+    not break the rn arithmetic. All three stages key on l_suppkey, so
+    the window shuffle is the ONLY data movement — the aggregates reuse
+    its partitioning. Streak semantics (longest/count/coverage) are the
+    engagement/uptime/SLA analytics shape; everything is integer/date
+    arithmetic, so parity is exact by construction.
+    """
+    days = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", F.to_date("l_shipdate").alias("ship_day"))
+        .distinct()
+    )
+    grouped = days.withColumn(
+        "island_key",
+        F.date_sub(
+            "ship_day",
+            F.row_number().over(
+                Window.partitionBy("l_suppkey").orderBy("ship_day")
+            ),
+        ),
+    )
+    islands = grouped.groupBy("l_suppkey", "island_key").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("ship_day").alias("streak_start"),
+    )
+    return islands.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("streak_days").alias("longest_streak"),
+        F.sum("streak_days").alias("active_days"),
+        F.min("streak_start").cast("timestamp").alias("first_active"),
+    )

@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "operators.setops",
     "operators.dedup",
     "operators.clustering",
+    "operators.linkage",
     "operators.stats",
     "operators.mining",
     "operators.graph",
@@ -149,6 +150,12 @@ _DRIVER_WINDOW = [
 _POST_WINDOW_ADDITIONS: list[str] = [
     "q_sink_python_datasource",
     "q_report_shared_scan",
+    "q_join_shuffled_hash",
+    "q_join_dpp_prune",
+    "q_er_resolve_entities",
+    "q_er_golden_record",
+    "q_window_gaps_islands",
+    "q_scan_file_metadata",
 ]
 
 

@@ -338,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 172 extras = 251 registered,
-    238 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 178 extras = 257 registered,
+    244 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 251
-    assert len(oracles) == 238
+    assert len(QUERIES) == 257
+    assert len(oracles) == 244
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1760,3 +1760,54 @@ def test_anchors_in_headline():
     missing = [a for a in ANCHOR_KEYS if a not in HEADLINE]
     assert not missing, f"anchors absent from HEADLINE: {missing}"
     assert set(ANCHOR_KEYS) <= set(QUERIES)
+
+
+def test_python_sink_abort_leaves_no_committed_generation(spark, sf_dir):
+    """The two-phase-commit contract's NEGATIVE half: when any task of
+    a pipe_rows write fails, commit() must never run — no _SUCCESS, and
+    the matching reader refuses the directory outright (readers must
+    not observe a torn write). A sink that passes only the happy-path
+    oracle could still be a torn-write generator; this pins the
+    failure path."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.scans import (
+        _sink_dir,
+    )
+
+    # Baseline committed write (also registers the pipe_rows format).
+    assert QUERIES["q_sink_python_datasource"](spark, sf_dir).count() > 0
+    out = _sink_dir("nation_pipe_sink")
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+
+    @F.udf(LongType())
+    def poison(k):
+        if k == 13:
+            raise ValueError("synthetic task failure")
+        return k
+
+    bad = (
+        spark.read.parquet(f"{sf_dir}/nation.parquet")
+        .select(
+            poison(F.col("n_nationkey")).alias("n_nationkey"),
+            "n_name",
+            "n_regionkey",
+        )
+    )
+    with _pytest.raises(Exception):
+        bad.write.format("pipe_rows").option("path", out).mode(
+            "overwrite"
+        ).save()
+
+    assert not os.path.exists(os.path.join(out, "_SUCCESS")), (
+        "failed write must not commit a _SUCCESS manifest"
+    )
+    with _pytest.raises(Exception):
+        spark.read.format("pipe_rows").option("path", out).load().collect()
+
+    # Restore the committed generation for any later consumer.
+    assert QUERIES["q_sink_python_datasource"](spark, sf_dir).count() > 0

@@ -792,3 +792,68 @@ def test_shared_scan_reports_hit_cache(spark, sf_dir):
     plan = plan_string(df)
     n_cached = plan.count("InMemoryTableScan") or plan.count("TableCacheQueryStage")
     assert n_cached >= 2, f"cached base not reused across branches:\n{plan}"
+
+
+def test_shuffled_hash_join_pinned(spark, sf_dir):
+    """q_join_shuffled_hash must plan the hinted ShuffledHashJoin — the
+    middle-regime strategy (build side too big to broadcast, small
+    enough per shuffle partition) — never a sort-merge (the hint's
+    whole point is skipping both sort passes) and never a broadcast
+    (the scenario stipulates the dim exceeds the broadcast budget)."""
+    df = QUERIES["q_join_shuffled_hash"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert any("ShuffledHashJoin" in s for s in strategies), strategies
+    assert not any("SortMergeJoin" in s for s in strategies), strategies
+    assert not any("BroadcastHashJoin" in s for s in strategies), strategies
+
+
+def test_dpp_injects_runtime_partition_filter(spark, sf_dir):
+    """q_join_dpp_prune's fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the runtime
+    star-schema pruning that turns a 2,500-partition fact scan into
+    reading only the dim-surviving slices. Filtering rows AFTER a full
+    read would produce the same answer (the oracle proves parity) with
+    none of the I/O win, so the plan text is the real contract here."""
+    df = QUERIES["q_join_dpp_prune"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "dynamicpruning" in plan.lower(), (
+        f"no dynamic partition pruning in fact scan:\n{plan}"
+    )
+
+
+def test_er_assignment_is_broadcast(spark, sf_dir):
+    """Entity resolution's only corpus-scale stage must be the
+    broadcast of the ~64-row type→entity map onto the instance table —
+    if the assignment join shuffles the part table, resolution cost
+    scales with instances instead of with the name vocabulary. The
+    RESOLUTION stage's own joins (blocking self-joins, CC star
+    contractions) run on the bounded type table where strategy is
+    immaterial, so the contract is anchored to the part scan: the
+    nearest enclosing join above the instance-table scan in the plan
+    tree must be a BroadcastHashJoin."""
+    df = QUERIES["q_er_resolve_entities"](spark, sf_dir)
+    tree = plan_string(df, mode="simple")
+    lines = tree.splitlines()
+    scan_idx = [
+        i
+        for i, ln in enumerate(lines)
+        if "Scan parquet" in ln and "part" in ln.lower()
+    ]
+    assert scan_idx, f"no part scan found:\n{tree}"
+
+    def indent(ln: str) -> int:
+        return len(ln) - len(ln.lstrip(" :+-*"))
+
+    ok = False
+    for i in scan_idx:
+        depth = indent(lines[i])
+        for j in range(i - 1, -1, -1):
+            if "Join" in lines[j] and indent(lines[j]) < depth:
+                assert "BroadcastHashJoin" in lines[j], (
+                    f"instance scan feeds a non-broadcast join:\n{tree}"
+                )
+                ok = True
+                break
+        if ok:
+            break
+    assert ok, f"no join found above the part scan:\n{tree}"

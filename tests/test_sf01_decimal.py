@@ -51,6 +51,10 @@ DECIMAL_HEAVY = [
     "q_join_bloom_pruned",     # r7: dsum revenue over the selective join
     "q_report_wow_growth",     # r7: decimal week sums + WoW ratio division
     "q_sim_search_batch_topk", # r9: finished-decimal IVF centroid means
+    "q_report_shared_scan",    # r9: dsum branches over the cached base
+    "q_join_shuffled_hash",    # r9: dsum revenue through the SHJ
+    "q_join_dpp_prune",        # r9: dsum revenue over pruned partitions
+    "q_er_resolve_entities",   # r9: dsum retail per resolved entity
 ]
 
 
