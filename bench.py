@@ -207,6 +207,14 @@ HEADLINE = [
     "q_er_golden_record",            # survivorship golden records
     "q_window_gaps_islands",         # consecutive-day streak islands
     "q_scan_file_metadata",          # _metadata file-provenance lineage
+    "q_udf_iterator_pandas",         # SCALAR_ITER per-task-init UDF boundary
+    "q_join_skew_aqe",               # AQE OptimizeSkewedJoin split join
+    "q_sql_group_by_all",            # GROUP BY ALL / ORDER BY ALL sugar
+    "q_sql_lateral_alias",           # lateral column aliases + * EXCEPT
+    "q_agg_median_mode",             # exact order-statistics aggregates
+    "q_agg_bitmap_distinct",         # segment-mergeable exact distinct bitmaps
+    "q_sql_pipe_syntax",             # SQL pipe dataflow front-end
+    "q_sql_collation_group",         # UTF8_LCASE collated grouping
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

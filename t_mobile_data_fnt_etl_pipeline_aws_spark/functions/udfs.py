@@ -18,6 +18,9 @@ q_udf_registered_sql documents that explicitly.
 from __future__ import annotations
 
 import math
+from typing import Iterator  # module-level: pandas-UDF eval-type inference
+# resolves stringified annotations (PEP 563) against module globals, so
+# Iterator must live here, not inside the defining function.
 
 import pandas as pd
 
@@ -567,3 +570,43 @@ def q_udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT * FROM summarize_lang("
         "TABLE(udtf_tablearg_docs) PARTITION BY lang ORDER BY doc_id)"
     )
+
+
+@query(
+    "q_udf_iterator_pandas",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '),
+                                x -> x IN ('spark', 'data', 'query', 'join')))
+                AS BIGINT) AS n_engine_terms
+    FROM documents
+    """,
+)
+def q_udf_iterator_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterator-of-Series pandas UDF (SCALAR_ITER) — the boundary form
+    for EXPENSIVE PER-TASK INITIALIZATION: the generator body runs once
+    per task, so the costly setup (here a compiled regex standing in for
+    the usual tokenizer/model/dictionary load) is amortized across every
+    Arrow batch the task processes, instead of being re-paid per batch
+    (plain pandas UDF closure) or per row (row UDF). This is the shape
+    a 100-TB text pipeline uses to apply a loaded artifact — langid
+    model, spaCy pipeline, BPE vocab — where init costs seconds and must
+    not multiply by batch count (Spark feeds ~10k-row batches, so a 1 GB
+    input partition sees hundreds of batches per task).
+
+    Counting is integer (term occurrences among whitespace tokens), so
+    the oracle is exact. Plan shows ArrowEvalPython like any pandas UDF
+    (SCALAR_ITER changes the Python-side protocol, not the plan node);
+    map-only, pipelined with the scan — no shuffle.
+    """
+    import re
+
+    @pandas_udf("long")
+    def count_terms(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-task init — the whole point of SCALAR_ITER
+        pattern = re.compile(r"\b(?:spark|data|query|join)\b")
+        for s in batches:
+            yield s.str.count(pattern).astype("int64")
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", count_terms("text").alias("n_engine_terms"))

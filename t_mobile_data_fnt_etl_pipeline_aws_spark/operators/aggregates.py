@@ -1036,3 +1036,96 @@ def q_agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clamped.groupBy("l_returnflag", "n_rows", "p05", "p95").agg(
         davg(F.col("cl"), "winsorized_mean")
     )
+
+
+@query(
+    "q_agg_median_mode",
+    oracle="""
+    SELECT o_orderstatus,
+           mode(pr) AS top_priority,
+           median(o_orderkey) AS med_orderkey,
+           CAST(count(*) AS BIGINT) AS n
+    FROM (
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 7 < 4 THEN 'HOT'
+                    ELSE o_orderpriority END AS pr,
+               o_orderkey
+        FROM orders
+    )
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN and MODE builtins (Spark 3.4+): the order-statistics
+    aggregates every profiling pipeline wants and pre-3.4 Spark forced
+    through percentile_approx or a window sort. Scale contract: exact
+    median is a per-group sort — Spark plans it as a partial/final
+    ObjectHashAggregate over a sorted buffer, so cost is
+    O(rows log rows) per group but still shuffle-once (no second pass);
+    at 100 TB you reach for this when the group count is high and
+    per-group rows moderate, and fall back to approx_percentile (the
+    registered q_agg_approx_percentile twin) when single groups carry
+    billions of rows.
+
+    Parity notes: median of BIGINT interpolates to DOUBLE in both
+    engines ((a+b)/2 on integers is exact in binary — no float-finish
+    caveat); MODE is nondeterministic on ties in BOTH engines, so the
+    input synthesizes a guaranteed-unique mode ('HOT' on 4/7 of rows
+    via the key-modulus CASE — strictly dominant in every group).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 < 4, F.lit("HOT"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("pr"),
+        "o_orderkey",
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.mode("pr").alias("top_priority"),
+        F.median("o_orderkey").alias("med_orderkey"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(DISTINCT CASE WHEN o_orderstatus = 'O'
+                                    THEN o_custkey END) AS BIGINT)
+               AS n_open_custs
+    FROM orders
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmaps (Spark 3.5 bitmap_* family) —
+    the segment-mergeable alternative to COUNT(DISTINCT): group keys
+    into 32k-wide buckets (bitmap_bucket_number), build one fixed-size
+    bitmap per bucket (bitmap_construct_agg of bitmap_bit_position),
+    then sum bitmap_count over buckets. Why it matters at 100 TB:
+    COUNT(DISTINCT) shuffles every distinct VALUE; the bitmap form
+    shuffles one <=4 KB blob per bucket per partition and — unlike HLL —
+    stays exact AND re-mergeable, so per-segment bitmaps can be
+    persisted once and OR-merged (bitmap_or_agg) across arbitrary
+    segment subsets without rescanning the fact table. The open-orders
+    column proves filtered re-aggregation from the same bitmap build.
+    Oracle is the plain COUNT(DISTINCT) twin — exact equality, no
+    sketch tolerance.
+    """
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    per_bucket = (
+        o.groupBy(F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"))
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(o_custkey))"
+            ).alias("bm_all"),
+            F.expr(
+                "bitmap_construct_agg(CASE WHEN o_orderstatus = 'O' "
+                "THEN bitmap_bit_position(o_custkey) END)"
+            ).alias("bm_open"),
+        )
+    )
+    return per_bucket.agg(
+        F.sum(F.expr("bitmap_count(bm_all)")).alias("n_custs"),
+        F.sum(F.expr("bitmap_count(bm_open)")).alias("n_open_custs"),
+    )

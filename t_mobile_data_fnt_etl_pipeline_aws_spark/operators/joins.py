@@ -974,3 +974,126 @@ def q_join_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("l_extendedprice"), "sum_revenue"),
         )
     )
+
+
+def _skew_aqe_confs() -> dict[str, str]:
+    """AQE skew-join thresholds scaled DOWN to fire on the toy fixture.
+
+    At real scale the defaults (factor 5, 256 MB threshold) are right;
+    here the hot partition is only ~hundreds of KB, so the detector
+    thresholds shrink with the data. Shared by the query and its plan
+    contract (tests/test_plans.py::test_join_skew_aqe_plan)."""
+    return {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+
+
+def _skew_aqe_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skewed fact-dim join q_join_skew_aqe executes under AQE.
+
+    orders gets a synthetic hot key (30% of rows collapse onto custkey
+    42 — same distribution as the salting stress test, so the two
+    mitigation paths are measured on identical skew). The md5 pad makes
+    the hot partition's COMPRESSED shuffle bytes clear the scaled-down
+    detector threshold; repartition(8) gives the join shuffle multiple
+    map tasks so a skewed reduce partition has mapper ranges to split
+    along."""
+    pad = F.concat(
+        *[
+            F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(str(i))))
+            for i in range(4)
+        ]
+    )
+    fact = (
+        load(spark, sf_dir, "orders")
+        .repartition(8)
+        .select(
+            F.when(F.col("o_orderkey") % 10 < 3, F.lit(42))
+            .otherwise(F.col("o_custkey"))
+            .alias("custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            pad.alias("pad"),
+        )
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    return fact.join(dim, "custkey")
+
+
+@query(
+    "q_join_skew_aqe",
+    oracle="""
+    WITH fact AS (
+        SELECT CASE WHEN o_orderkey % 10 < 3 THEN 42 ELSE o_custkey END
+                   AS custkey,
+               o_orderkey, o_totalprice
+        FROM orders
+    )
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           count(DISTINCT f.custkey) AS n_custs,
+           min(f.o_totalprice) AS min_price,
+           max(f.o_totalprice) AS max_price
+    FROM fact f JOIN customer c ON f.custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join via AQE's OptimizeSkewedJoin — the AUTOMATIC
+    twin of q_join_salted_skew (explicit salting) on the same synthetic
+    hot-key distribution (one customer owning ~30% of orders). AQE reads
+    the map-output statistics at the shuffle boundary, detects the
+    oversized reduce partition, and splits it along mapper-index ranges,
+    replicating the matching dim rows — no query rewrite, no salt column.
+    This is the production-default path for moderate skew at 100 TB
+    (defaults: factor 5 / 256 MB); explicit salting remains the tool for
+    single-key hot spots AQE cannot subdivide further.
+
+    The skew confs are runtime-read, so the join is EXECUTED inside the
+    scoped-conf block and the 5-row aggregate is localized before the
+    confs are restored (returning a lazy plan would execute after
+    restore, silently dropping the skew handling — same eager-execute
+    discipline as scans.py's dynamic-overwrite sink). Driver data is
+    O(groups): 5 rows. Aggregates are count/distinct/min/max — exact,
+    no float-sum parity caveats.
+    """
+    confs = _skew_aqe_confs()
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        agg = (
+            _skew_aqe_joined(spark, sf_dir)
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.countDistinct("custkey").alias("n_custs"),
+                F.min("o_totalprice").alias("min_price"),
+                F.max("o_totalprice").alias("max_price"),
+            )
+        )
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:
+                    pass
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)

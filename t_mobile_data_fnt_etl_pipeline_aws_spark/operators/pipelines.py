@@ -1854,3 +1854,174 @@ def q_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "param_orders", "min_price": 250000, "status": "O"},
     )
+
+
+@query(
+    "q_sql_group_by_all",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM orders
+    GROUP BY order_year, o_orderpriority
+    ORDER BY order_year, o_orderpriority, n_orders, n_custs
+    """,
+)
+def q_sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (Spark 3.4+ / 4.x sugar, same syntax
+    DuckDB pioneered): every non-aggregate select-list item becomes a
+    grouping key, and ORDER BY ALL orders by the full select list left
+    to right — the analyst shorthand that kills the
+    keys-drifted-from-GROUP-BY class of bug in wide reports. Resolution
+    is purely syntactic (the analyzer expands ALL before optimization),
+    so the plan is the ordinary partial/final hash aggregate + sort; no
+    new physical operator and no scale caveat. Counts only — exact
+    oracle (the DuckDB side spells the expansion out explicitly, proving
+    the sugar resolves to the same semantics).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("gba_orders")
+    return spark.sql(
+        """
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+        FROM gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )
+
+
+@query(
+    "q_sql_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey % 7 AS bucket,
+           (o_orderkey % 7) * (o_orderkey % 7) AS bucket_sq,
+           (o_orderkey % 7) * (o_orderkey % 7) + o_orderkey % 7
+               AS bucket_tri,
+           o_orderstatus, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+)
+def q_sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column alias references (SPARK-27561, 3.4+) plus
+    ``SELECT * EXCEPT`` (Spark 4.x): a select-list item referencing an
+    alias defined earlier IN THE SAME select list (bucket → bucket_sq →
+    bucket_tri), which classic SQL forces into nested subqueries or
+    repeated expressions, and star-expansion minus named columns for
+    wide-table hygiene. Both are analyzer-time rewrites — the lateral
+    chain inlines into one Project, EXCEPT prunes the scan's ReadSchema
+    like an explicit column list (column pruning still reaches parquet).
+    Integer arithmetic only — exact oracle with the chain spelled out
+    (DuckDB's own lateral-alias support is deliberately not leaned on).
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lca_orders")
+    return spark.sql(
+        """
+        WITH chained AS (
+            SELECT o_orderkey,
+                   o_orderkey % 7 AS bucket,
+                   bucket * bucket AS bucket_sq,
+                   bucket_sq + bucket AS bucket_tri,
+                   o_orderstatus, o_orderpriority, o_custkey
+            FROM lca_orders
+            WHERE o_orderkey < 400
+        )
+        SELECT * EXCEPT (o_custkey) FROM chained
+        """
+    )
+
+
+@query(
+    "q_sql_pipe_syntax",
+    oracle="""
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > 1000
+    GROUP BY o_orderstatus, o_orderpriority
+    HAVING count(*) > 5
+    """,
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (SPARK-49555, Spark 4.0): the query written as a
+    left-to-right dataflow — FROM |> WHERE |> AGGREGATE ... GROUP BY |>
+    WHERE — matching how engineers actually reason about pipelines (and
+    how the DataFrame API reads). Purely a parser front-end: each |>
+    stage maps onto the same logical operators as nested SQL, so the
+    optimized plan is identical to the classic form (scan with pushed
+    filter → partial/final hash aggregate → post-agg filter) and there
+    is no scale caveat. The post-aggregation |> WHERE is the pipe
+    spelling of HAVING — the oracle writes the classic form, proving
+    the two syntaxes denote the same query. max() on a price column is
+    order-statistics, not a float sum — exact parity.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pipe_orders")
+    return spark.sql(
+        """
+        FROM pipe_orders
+        |> WHERE o_totalprice > 1000
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     max(o_totalprice) AS max_price
+           GROUP BY o_orderstatus, o_orderpriority
+        |> WHERE n_orders > 5
+        |> SELECT o_orderstatus, o_orderpriority, n_orders, max_price
+        """
+    )
+
+
+@query(
+    "q_sql_collation_group",
+    oracle="""
+    SELECT lower(seg) AS priority_ci,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs
+    FROM (
+        SELECT CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                    ELSE lower(o_orderpriority) END AS seg,
+               o_custkey
+        FROM orders
+    )
+    GROUP BY priority_ci
+    """,
+)
+def q_sql_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (SPARK-46830, Spark 4.0): GROUP BY under
+    UTF8_LCASE compares case-insensitively AT THE TYPE LEVEL — the
+    collation travels with the column, so every comparison, join key,
+    and aggregate group honors it without sprinkling lower() at each
+    use site (the classic source of one-missed-callsite bugs in
+    multi-source ingestion where vendors disagree on casing). The
+    fixture's priorities are single-case, so the input deliberately
+    re-cases half the rows by key parity; grouping under the collation
+    must merge both casings. Scale note: collated grouping hashes a
+    collation key instead of raw bytes — same shuffle shape as any
+    groupBy. The SELECTED representative of a collated group is
+    whichever casing arrives first (nondeterministic), so the output
+    emits lower(seg_ci) — deterministic regardless of representative —
+    and the oracle is the explicit lower() spelling.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("seg"),
+        "o_custkey",
+    )
+    return (
+        o.groupBy(F.expr("seg COLLATE UTF8_LCASE").alias("seg_ci"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+        )
+        .select(
+            F.lower("seg_ci").alias("priority_ci"),
+            "n",
+            "n_custs",
+        )
+    )

@@ -156,6 +156,14 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_er_golden_record",
     "q_window_gaps_islands",
     "q_scan_file_metadata",
+    "q_udf_iterator_pandas",
+    "q_join_skew_aqe",
+    "q_sql_group_by_all",
+    "q_sql_lateral_alias",
+    "q_agg_median_mode",
+    "q_agg_bitmap_distinct",
+    "q_sql_pipe_syntax",
+    "q_sql_collation_group",
 ]
 
 

@@ -575,26 +575,26 @@ def test_skew_stress_salting_bounds_per_task_input(spark, sf_dir):
     assert max_salted <= 3 * (total / parts), (max_salted, total / parts)
 
 
-def test_skew_stress_aqe_splits_skewed_join(spark, sf_dir):
-    """Empirical skew proof, half 2 — AQE: the same hot-key fact joined
-    to customer as a sort-merge join must get its skewed partition
-    SPLIT by AQE's OptimizeSkewedJoin at runtime (skew=true in the
-    final adaptive plan) once the skew thresholds reflect the toy
-    data volume. This is the automatic path for moderate skew;
-    explicit salting (half 1) remains the tool for the pathological
-    single-key hot spots AQE can't split further."""
-    from pyspark.sql import functions as F
-    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+def test_join_skew_aqe_plan(spark, sf_dir):
+    """Empirical skew proof, half 2 — AQE (and the plan contract for
+    q_join_skew_aqe, which shares these exact helpers): the hot-key
+    fact joined to customer as a sort-merge join must get its skewed
+    partition SPLIT by AQE's OptimizeSkewedJoin at runtime (skew=true
+    in the final adaptive plan) once the skew thresholds reflect the
+    toy data volume. repartition(8) inside _skew_aqe_joined gives the
+    join shuffle multiple map tasks (a skewed reduce partition splits
+    along mapper-index ranges; a single-file 1-mapper scan has nothing
+    to split), and the md5 pad makes the hot partition's COMPRESSED
+    shuffle bytes — what the detector reads — clear the scaled-down
+    threshold. This is the automatic path for moderate skew; explicit
+    salting (half 1) remains the tool for the pathological single-key
+    hot spots AQE can't split further."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.joins import (
+        _skew_aqe_confs,
+        _skew_aqe_joined,
+    )
 
-    confs = {
-        "spark.sql.adaptive.enabled": "true",
-        "spark.sql.adaptive.skewJoin.enabled": "true",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2KB",
-        "spark.sql.adaptive.coalescePartitions.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
-    }
+    confs = _skew_aqe_confs()
     old = {}
     for k in confs:
         try:
@@ -604,35 +604,7 @@ def test_skew_stress_aqe_splits_skewed_join(spark, sf_dir):
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
-        # repartition(8) gives the join shuffle MULTIPLE map tasks — a
-        # skewed reduce partition is split along mapper-index ranges, so
-        # with the toy fixture's single-file scan (1 mapper) there is
-        # nothing to split and OptimizeSkewedJoin can never fire. The
-        # pad is md5-incompressible so the hot partition's COMPRESSED
-        # shuffle bytes (what the skew detector reads) clear the
-        # threshold.
-        pad = F.concat(
-            *[
-                F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(str(i))))
-                for i in range(4)
-            ]
-        )
-        fact = (
-            load(spark, sf_dir, "orders")
-            .repartition(8)
-            .select(
-                F.when(F.col("o_orderkey") % 10 < 3, F.lit(42))
-                .otherwise(F.col("o_custkey"))
-                .alias("custkey"),
-                "o_orderkey",
-                "o_totalprice",
-                pad.alias("pad"),
-            )
-        )
-        dim = load(spark, sf_dir, "customer").select(
-            F.col("c_custkey").alias("custkey"), "c_mktsegment"
-        )
-        joined = fact.join(dim, "custkey")
+        joined = _skew_aqe_joined(spark, sf_dir)
         # collect() drives THIS DataFrame's queryExecution to its final
         # adaptive plan (a noop write would execute a copy and leave
         # isFinalPlan=false here)
@@ -857,3 +829,28 @@ def test_er_assignment_is_broadcast(spark, sf_dir):
         if ok:
             break
     assert ok, f"no join found above the part scan:\n{tree}"
+
+
+def test_iterator_udf_is_arrow_eval_map_only(spark, sf_dir):
+    """q_udf_iterator_pandas (SCALAR_ITER) must execute as an
+    ArrowEvalPython node pipelined with the scan — zero exchanges.
+    SCALAR_ITER changes the Python-side protocol (per-task init
+    amortized across batches), not the plan shape; a shuffle anywhere
+    would mean the map-only contract broke."""
+    df = QUERIES["q_udf_iterator_pandas"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "ArrowEvalPython" in plan, plan
+    assert exchange_count(df) == 0, plan
+
+
+def test_lateral_alias_except_prunes_scan(spark, sf_dir):
+    """q_sql_lateral_alias: SELECT * EXCEPT (o_custkey) is analyzer
+    sugar, so column pruning must still reach the parquet scan — the
+    excluded column absent from ReadSchema, and the orderkey<400 filter
+    pushed. Sugar that defeated pruning would re-read every byte of a
+    wide table at 100 TB."""
+    df = QUERIES["q_sql_lateral_alias"](spark, sf_dir)
+    cols = scan_columns(df)
+    assert "o_custkey" not in cols, cols
+    assert {"o_orderkey", "o_orderstatus", "o_orderpriority"} <= set(cols), cols
+    assert any("400" in f for f in pushed_filters(df)), pushed_filters(df)
