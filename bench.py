@@ -215,6 +215,19 @@ HEADLINE = [
     "q_agg_bitmap_distinct",         # segment-mergeable exact distinct bitmaps
     "q_sql_pipe_syntax",             # SQL pipe dataflow front-end
     "q_sql_collation_group",         # UTF8_LCASE collated grouping
+    "q_join_null_skew",              # null-key shuffle-bypass outer join
+    "q_scan_csv_permissive",         # malformed-line PERMISSIVE/DROPMALFORMED
+    "q_etl_mv_incremental",          # additive MV partial-state refresh
+    "q_sql_variables",               # DECLARE/SET VARIABLE + EXECUTE IMMEDIATE
+    "q_agg_percentile_within_group", # ANSI ordered-set exact quantiles
+    "q_udf_pandas_struct",           # struct-returning one-transfer featurizer
+    "q_string_regexp_battery",       # codegen regex battery (count/extract/instr)
+    "q_text_url_parse",              # parse_url crawl canonicalization
+    "q_sql_named_window",            # shared named-window single shuffle
+    "q_sql_pivot_unpivot",           # SQL PIVOT static-schema single pass
+    "q_xml_funcs",                   # xpath_* + from_xml extraction battery
+    "q_agg_grouping_id",             # ROLLUP grouping()/grouping_id() labels
+    "q_agg_hll_sketch_merge",        # Datasketches HLL build + union-merge
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

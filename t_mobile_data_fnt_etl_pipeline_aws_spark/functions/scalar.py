@@ -538,3 +538,102 @@ def q_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.split(F.col("event_type"), "_"), F.lit(3)
         ).alias("third_part"),
     )
+
+
+@query(
+    "q_string_regexp_battery",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\b[a-z]{6,}\b')) AS BIGINT)
+               AS n_long,
+           CAST(len(regexp_extract_all(text, '\b(s[a-z]+)\b', 1)) AS BIGINT)
+               AS n_swords,
+           coalesce(array_to_string(
+               regexp_extract_all(text, '\b(s[a-z]+)\b', 1)[1:5], ','), '')
+               AS first_swords,
+           CAST(CASE WHEN regexp_matches(text, 'merge')
+                     THEN position('merge' in text) ELSE 0 END AS BIGINT)
+               AS pos_merge,
+           regexp_matches(text, '\bvector\b') AS has_vector,
+           regexp_replace(substr(text, 1, 40), '[aeiou]+', '_', 'g')
+               AS devoweled_head
+    FROM documents
+    """,
+)
+def q_string_regexp_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex function battery (Spark 3.5 additions): regexp_count,
+    regexp_extract_all (+ capture group), regexp_instr, rlike, and
+    global regexp_replace — the text-wrangling surface a crawl/ETL
+    pipeline leans on for pattern mining before heavier NLP. All run
+    JVM-side inside whole-stage codegen (java.util.regex), map-only
+    with the scan — the cheap path; only genuinely stateful tokenizers
+    need the Python boundary (q_udf_iterator_pandas). Patterns are kept
+    to the RE2-compatible common subset (no backrefs/lookaround) so
+    Java regex (Spark) and RE2 (DuckDB) agree; extract-all order is
+    left-to-right in both, so array_join-ing the first 5 captures is
+    deterministic. regexp_instr is 1-based first-match position (0 =
+    no match) in both spellings.
+    """
+    d = load(spark, sf_dir, "documents")
+    stems = F.expr(r"regexp_extract_all(text, '\\b(s[a-z]+)\\b', 1)")
+    return d.select(
+        "doc_id",
+        F.expr(r"regexp_count(text, '\\b[a-z]{6,}\\b')").alias("n_long"),
+        F.size(stems).cast("long").alias("n_swords"),
+        F.array_join(F.slice(stems, 1, 5), ",").alias("first_swords"),
+        F.expr("regexp_instr(text, 'merge')").cast("long").alias("pos_merge"),
+        F.col("text").rlike(r"\bvector\b").alias("has_vector"),
+        F.regexp_replace(F.substring("text", 1, 40), "[aeiou]+", "_").alias(
+            "devoweled_head"
+        ),
+    )
+
+
+@query(
+    "q_xml_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus AS st,
+           o_orderkey * 3 AS tot,
+           o_orderpriority AS pri,
+           CAST(o_orderkey % 7 AS BIGINT) AS parsed_a
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML extraction battery: the legacy xpath_* family (attribute and
+    element access via XPath — JVM-side, codegen-friendly) plus Spark
+    4.0's from_xml (schema-directed parse to a struct, the XML twin of
+    from_json). Vendor/EDI feeds still arrive as XML at every telecom
+    and logistics shop, so an ETL engine needs both: xpath for cheap
+    single-field plucks, from_xml when the whole record becomes typed
+    columns. The XML is synthesized deterministically from order
+    attributes, so the oracle derives the SAME fields from the raw
+    columns — agreement proves extraction round-trips the construction
+    exactly (values, attribute quoting, element nesting). Map-only with
+    the scan; no shuffle. Struct output is flattened to scalars per the
+    no-complex-outputs contract.
+    """
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    xml = F.concat(
+        F.lit('<order status="'),
+        F.col("o_orderstatus"),
+        F.lit('"><total>'),
+        (F.col("o_orderkey") * 3).cast("string"),
+        F.lit("</total><priority>"),
+        F.col("o_orderpriority"),
+        F.lit("</priority><meta><a>"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("</a></meta></order>"),
+    )
+    x = o.select("o_orderkey", xml.alias("x"))
+    return x.select(
+        "o_orderkey",
+        F.expr("xpath_string(x, '/order/@status')").alias("st"),
+        F.expr("xpath_long(x, '/order/total')").alias("tot"),
+        F.expr("xpath_string(x, '/order/priority')").alias("pri"),
+        F.expr("from_xml(x, 'meta STRUCT<a: BIGINT>')").getField("meta")
+        .getField("a")
+        .alias("parsed_a"),
+    )

@@ -610,3 +610,44 @@ def q_udf_iterator_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", count_terms("text").alias("n_engine_terms"))
+
+
+@query(
+    "q_udf_pandas_struct",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(text) AS INT) AS nchars,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+           string_split(text, ' ')[1] AS first_word
+    FROM documents
+    """,
+)
+def q_udf_pandas_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct-returning scalar pandas UDF: one Arrow round-trip computes
+    MULTIPLE derived columns (the UDF returns a pd.DataFrame whose
+    columns map onto a STRUCT type), then the struct is flattened with
+    field access. This is the boundary shape for feature extraction at
+    100 TB — a featurizer producing k outputs costs ONE Python
+    transfer, not k UDF invocations each re-shipping the text column
+    (k-fold serialization savings on wide feature sets). Plan is a
+    single ArrowEvalPython pipelined with the scan; the flattening
+    projection is free (no extra node). Derivations are integer counts
+    + a substring pick — exact parity with the string_split oracle
+    (single-space split semantics match pandas .str.split(' ')).
+    """
+
+    @pandas_udf("nchars int, n_words int, first_word string")
+    def featurize(texts: pd.Series) -> pd.DataFrame:
+        parts = texts.str.split(" ")
+        return pd.DataFrame(
+            {
+                "nchars": texts.str.len().astype("int32"),
+                "n_words": parts.str.len().astype("int32"),
+                "first_word": parts.str[0],
+            }
+        )
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", featurize("text").alias("f")).select(
+        "doc_id", "f.nchars", "f.n_words", "f.first_word"
+    )

@@ -1129,3 +1129,127 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("bitmap_count(bm_all)")).alias("n_custs"),
         F.sum(F.expr("bitmap_count(bm_open)")).alias("n_open_custs"),
     )
+
+
+@query(
+    "q_agg_percentile_within_group",
+    oracle="""
+    SELECT o_orderstatus,
+           percentile_cont(0.25) WITHIN GROUP (ORDER BY o_orderkey) AS p25,
+           percentile_cont(0.75) WITHIN GROUP (ORDER BY o_orderkey) AS p75,
+           CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_orderkey)
+                AS DOUBLE) AS p25_disc,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ordered-set aggregates: PERCENTILE_CONT / PERCENTILE_DISC
+    WITHIN GROUP (ORDER BY ...) — the standard spelling (Spark 3.4+ SQL)
+    of exact quantiles, complementing q_agg_median_mode (median builtin)
+    and q_agg_approx_percentile (the sketch path for billion-row
+    groups). Same scale contract as exact median: a per-group sorted
+    buffer inside a one-shuffle ObjectHashAggregate. Parity is exact by
+    construction: the fractions are powers of two (0.25/0.75), so
+    CONT's interpolation between BIGINT neighbors is exact in IEEE
+    double in both engines; DISC returns the value type (BIGINT in
+    DuckDB, DOUBLE in Spark's percentile_disc) so the oracle casts.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pct_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_cont(0.25) WITHIN GROUP (ORDER BY o_orderkey)
+                   AS p25,
+               percentile_cont(0.75) WITHIN GROUP (ORDER BY o_orderkey)
+                   AS p75,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_orderkey)
+                   AS p25_disc,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pct_orders
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+@query(
+    "q_agg_grouping_id",
+    oracle="""
+    SELECT coalesce(o_orderstatus, '<all>') AS status,
+           coalesce(o_orderpriority, '<all>') AS priority,
+           CAST(grouping(o_orderstatus) AS INT) AS g_status,
+           CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() / GROUPING_ID() disambiguation over ROLLUP — the
+    companion q_agg_rollup deliberately avoids: in a rollup result a
+    NULL group value is ambiguous (real NULL data vs subtotal row);
+    grouping() returns 1 exactly when the column is rolled up, and
+    grouping_id() packs those bits into the level number reports key
+    their subtotal logic on. Same single-pass Expand + hash-aggregate
+    plan as any grouping set (one shuffle, subtotals computed in the
+    same pass — no per-level re-scan at 100 TB). DuckDB spells
+    grouping_id as an expression over grouping() bits (bit order
+    matches the column list), pinning the semantics rather than the
+    function name.
+    """
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr("grouping(o_orderstatus)").cast("int").alias("g_status"),
+            F.expr("grouping_id(o_orderstatus, o_orderpriority)")
+            .cast("long")
+            .alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "g_status",
+            "gid",
+            "n",
+        )
+    )
+
+
+@query("q_agg_hll_sketch_merge")  # rows-only: Datasketches HLL registers
+def q_agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable APPROX distinct via Datasketches HLL (Spark 3.5
+    hll_sketch_agg / hll_union_agg / hll_sketch_estimate) — the third
+    point on the distinct-counting spectrum this registry pins:
+    COUNT(DISTINCT) (exact, shuffles values), bitmaps
+    (q_agg_bitmap_distinct: exact, mergeable, fixed 4 KB/bucket), and
+    HLL (approximate, mergeable, ~1 KB TOTAL per group at any
+    cardinality). At 100 TB the HLL shape is the only affordable one
+    for high-cardinality distinct-per-segment dashboards: per-segment
+    sketches persist once, arbitrary segment unions are register-max
+    merges — never a rescan. The query builds per-status sketches,
+    re-aggregates them through hll_union_agg (the persisted-sketch
+    merge path), and emits per-status + merged estimates. Rows-only by
+    design: DuckDB's approx_count_distinct uses a different sketch, so
+    no SQL oracle can hash-match; determinism holds (register max is
+    order-independent) and tests/test_invariants.py pins every estimate
+    within 5% of the exact counts (lgConfigK=12 → ~1.6% rse).
+    """
+    o = load(spark, sf_dir, "orders").select("o_orderstatus", "o_custkey")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.expr("hll_sketch_agg(o_custkey, 12)").alias("sk"),
+        F.countDistinct("o_custkey").alias("n_exact"),
+    )
+    per = per_status.select(
+        "o_orderstatus",
+        F.expr("hll_sketch_estimate(sk)").alias("n_approx"),
+        "n_exact",
+    )
+    merged = per_status.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_approx"),
+        F.lit(None).cast("long").alias("n_exact"),
+    ).select(F.lit("<merged>").alias("o_orderstatus"), "n_approx", "n_exact")
+    return per.unionByName(merged)

@@ -1097,3 +1097,58 @@ def q_join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema)
+
+
+@query(
+    "q_join_null_skew",
+    oracle="""
+    SELECT coalesce(c.c_mktsegment, '<no-key>') AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT f.o_orderkey) AS BIGINT) AS n_orders,
+           max(f.o_totalprice) AS max_price
+    FROM (SELECT CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                      ELSE o_custkey END AS k,
+                 o_orderkey, o_totalprice
+          FROM orders) f
+    LEFT JOIN customer c ON f.k = c.c_custkey
+    GROUP BY seg
+    """,
+)
+def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-key bypass for outer joins — the third skew-mitigation tool
+    next to salting (q_join_salted_skew) and AQE splitting
+    (q_join_skew_aqe), for the skew AQE cannot fix: NULL join keys. A
+    null key can never match, but a plain LEFT JOIN still shuffles every
+    null-key row, and they all hash to ONE reduce partition — in
+    real fact tables (optional foreign keys, unparseable IDs) nulls are
+    routinely 10-50% of rows, so that partition becomes the straggler.
+    The rewrite splits map-side: null-key rows bypass the shuffle
+    entirely (a map-only branch appending the dim columns as typed
+    nulls), only non-null keys join, and UNION reassembles — same
+    semantics, proven by the oracle being the PLAIN left join. 20% of
+    keys are nulled by modulus here (deterministic), and the aggregate
+    keeps the output O(segments).
+    """
+    o = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    matched = o.filter(F.col("k").isNotNull()).join(dim, "k", "left")
+    bypassed = o.filter(F.col("k").isNull()).withColumn(
+        "c_mktsegment", F.lit(None).cast("string")
+    )
+    return (
+        matched.unionByName(bypassed)
+        .groupBy(F.coalesce("c_mktsegment", F.lit("<no-key>")).alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

@@ -2025,3 +2025,216 @@ def q_sql_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_custs",
         )
     )
+
+
+_MV_CUTOFF = "1999-01-01 00:00:00"
+
+
+@query(
+    "q_etl_mv_incremental",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(CASE WHEN o_orderdate < TIMESTAMP '{_MV_CUTOFF}'
+                           THEN 1 END) AS BIGINT) AS n_base,
+           CAST(count(CASE WHEN o_orderdate >= TIMESTAMP '{_MV_CUTOFF}'
+                           THEN 1 END) AS BIGINT) AS n_delta,
+           CAST(count(*) AS BIGINT) AS n_total,
+           {{sum_price}}
+    FROM orders
+    GROUP BY o_custkey
+    """.format(sum_price=sql_dsum("o_totalprice", "sum_price")),
+)
+def q_etl_mv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance for ADDITIVE aggregates
+    — the pattern that keeps a 100-TB rollup fresh without rescanning
+    the base table. The MV state per group is (count, exact-decimal
+    sum): both are commutative monoids, so refreshing with a new batch
+    is aggregate-the-delta + merge-partial-states — a union of two
+    aggregate tables re-aggregated, never a re-scan of the base. Here
+    the 'base' is orders before the cutoff (in production: the stored
+    MV), the 'delta' is the new batch after it; the merge keeps the
+    decimal accumulator UNFINISHED across the union (finish only at
+    output) so incremental totals are bit-identical to a from-scratch
+    rebuild — which is exactly what the oracle computes (a full
+    aggregate over base+delta). The per-source counters double as the
+    audit columns a production refresh logs. Non-additive aggregates
+    (distinct, median) need sketch states or rebuilds — covered by
+    q_agg_bitmap_distinct (mergeable exact distinct) and
+    q_agg_sketch_reaggregate (mergeable approx).
+    """
+    o = load(spark, sf_dir, "orders")
+
+    def partial(df: DataFrame, flag: int) -> DataFrame:
+        return (
+            df.groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+            )
+            .select("o_custkey", "n", "s", F.lit(flag).alias("is_delta"))
+        )
+
+    base = partial(o.filter(F.col("o_orderdate") < _MV_CUTOFF), 0)
+    delta = partial(o.filter(F.col("o_orderdate") >= _MV_CUTOFF), 1)
+    return (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(F.col("is_delta") == 0, F.col("n")).otherwise(F.lit(0))
+            ).alias("n_base"),
+            F.sum(
+                F.when(F.col("is_delta") == 1, F.col("n")).otherwise(F.lit(0))
+            ).alias("n_delta"),
+            F.sum("n").alias("n_total"),
+            finish(F.sum("s"), 4).alias("sum_price"),
+        )
+    )
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_big,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_totalprice > 150000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (SPARK-46908, Spark 4.0) + EXECUTE
+    IMMEDIATE: DECLARE a typed variable, SET it, and reference it by
+    name inside a query — the parameterization path for SQL-script
+    pipelines (thresholds, run dates) that previously forced string
+    interpolation (injection-prone) or temp-view indirection.
+    EXECUTE IMMEDIATE ... USING is the dynamic-SQL spelling with
+    positional binds; the query runs both forms and INTERSECTs them
+    structurally by returning the variable-driven one (the bind-driven
+    twin is asserted equal inside — a mismatch raises rather than
+    returning wrong data). Variables resolve at analysis time to
+    literals, so the plan is identical to the constant-folded form:
+    filter pushed to the scan, no scale caveat. max/count only — exact.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE min_price DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE min_price = 150000.0")
+    via_var = spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_big,
+               max(o_totalprice) AS max_price
+        FROM var_orders
+        WHERE o_totalprice > min_price
+        GROUP BY o_orderstatus
+        """
+    )
+    via_bind = spark.sql(
+        "EXECUTE IMMEDIATE 'SELECT o_orderstatus, CAST(count(*) AS BIGINT) "
+        "AS n_big, max(o_totalprice) AS max_price FROM var_orders "
+        "WHERE o_totalprice > ? GROUP BY o_orderstatus' USING 150000.0"
+    )
+    a = sorted(map(tuple, via_var.collect()))
+    b = sorted(map(tuple, via_bind.collect()))
+    if a != b:  # defensive: the two parameterization paths must agree
+        raise AssertionError(f"variable vs bind mismatch: {a} != {b}")
+    return via_var
+
+
+@query(
+    "q_sql_named_window",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(rank() OVER (PARTITION BY o_orderstatus
+                             ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS price_rank,
+           CAST(count(*) OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice DESC, o_orderkey
+                               ROWS UNBOUNDED PRECEDING)
+                AS BIGINT) AS n_so_far,
+           max(o_totalprice) OVER (PARTITION BY o_orderstatus)
+               AS status_max
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause: window definitions declared once (`WINDOW w
+    AS ...`) and referenced by several analytic functions — the ANSI
+    dedup mechanism for the define-the-window-once-use-it-five-times
+    report style (Spark supports named references but not the ANSI
+    refine-a-named-window form `OVER (w ROWS ...)`; the framed variant
+    is its own named definition). Purely syntactic (the analyzer
+    inlines each reference), but the SHARED partitioning/ordering
+    matters physically: all three functions resolve to compatible
+    windows, so Catalyst plans ONE window shuffle + sort serving every
+    function — the spelled-out oracle proves semantic equivalence.
+    Ordering is made total with the key tiebreak, so rank/frame outputs
+    are deterministic.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("nw_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               o_orderstatus,
+               CAST(rank() OVER w AS BIGINT) AS price_rank,
+               CAST(count(*) OVER wf AS BIGINT) AS n_so_far,
+               max(o_totalprice) OVER wp AS status_max
+        FROM nw_orders
+        WHERE o_orderkey < 1000
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice DESC, o_orderkey),
+               wf AS (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS UNBOUNDED PRECEDING),
+               wp AS (PARTITION BY o_orderstatus)
+        """
+    )
+
+
+@query(
+    "q_sql_pivot_unpivot",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
+               AS n_f,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
+               AS n_o,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
+               AS n_p,
+           max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
+               AS max_o_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause (the declarative twin of q_pivot_wide's
+    DataFrame groupBy().pivot()): rows → columns with an explicit IN
+    list of pivot values. The explicit list is the scale-relevant
+    detail — it makes the output schema static at analysis time, so
+    the plan is ONE pass (a single hash aggregate emitting CASE-guarded
+    aggregates per pivot value), with no values-discovery pre-query
+    and no second scan; an open-ended pivot on a 100-TB fact would
+    first have to DISTINCT the pivot column. Multiple aggregates per
+    cell (count + max) exercise the clause's composite form; the
+    oracle spells out the CASE expansion PIVOT desugars to.
+    """
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pv_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               coalesce(F_cnt, 0) AS n_f,
+               coalesce(O_cnt, 0) AS n_o,
+               coalesce(P_cnt, 0) AS n_p,
+               O_maxp AS max_o_price
+        FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice
+              FROM pv_orders)
+        PIVOT (
+            count(*) AS cnt, max(o_totalprice) AS maxp
+            FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)
+        )
+        """
+    )

@@ -863,3 +863,71 @@ def q_scan_file_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.col("_metadata.row_index")).alias("min_idx"),
         F.max(F.col("_metadata.row_index")).alias("max_idx"),
     )
+
+
+@query(
+    "q_scan_csv_permissive",
+    oracle="""
+    SELECT CAST(count(*) + 3 AS BIGINT) AS n_permissive,
+           CAST(count(*) AS BIGINT) AS n_good,
+           CAST(3 AS BIGINT) AS n_corrupt,
+           CAST(count(*) AS BIGINT) AS n_dropmalformed
+    FROM nation
+    """,
+)
+def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on CSV ingest — the PERMISSIVE /
+    DROPMALFORMED contract every real lake loader depends on (vendor
+    feeds always contain broken lines). nation is written as clean CSV
+    by the distributed writer, then a second file with 3 malformed
+    lines (bad types, wrong arity) is planted in the same directory —
+    exactly how a bad upstream file lands next to good ones. PERMISSIVE
+    mode must keep every line, parking broken ones in the
+    columnNameOfCorruptRecord column with typed fields null;
+    DROPMALFORMED must silently keep only the clean rows. The corrupt
+    column legally requires a cache before it can be referenced
+    (Spark's documented restriction — the raw text is not otherwise
+    retained after parsing); the cached frame is 28 rows. Counts are
+    fully determined by the construction, so the oracle derives them
+    from the nation row count.
+    """
+    out = _sink_dir("nation_csv_mixed")
+    load(spark, sf_dir, "nation").write.mode("overwrite").csv(out)
+    bad = os.path.join(out, "part-99999-malformed.csv")
+    with open(bad, "w") as fh:
+        fh.write("notanint,BADLAND,alsonotanint\n")
+        fh.write("1,TOOMANY,2,extra,fields,here\n")
+        fh.write("x\n")
+    schema = StructType.fromDDL(SCHEMAS["nation"] + ", _corrupt string")
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+        .cache()
+    )
+    # Column-pruning trap (documented Spark CSV behavior): malformed
+    # detection only sees the columns the query actually parses, and a
+    # bare count(*) parses NONE — so DROPMALFORMED + count(*) counts the
+    # broken lines too. Touching every schema column in the filter
+    # forces a full-width parse, making the drop observable. At 100 TB
+    # this trap is the difference between a row-count audit passing and
+    # the same data failing downstream.
+    dropped = (
+        spark.read.schema(StructType.fromDDL(SCHEMAS["nation"]))
+        .option("mode", "DROPMALFORMED")
+        .csv(out)
+        .filter(
+            F.col("n_nationkey").isNotNull()
+            | F.col("n_name").isNotNull()
+            | F.col("n_regionkey").isNotNull()
+        )
+    )
+    counts = permissive.agg(
+        F.count(F.lit(1)).alias("n_permissive"),
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+    )
+    return counts.crossJoin(
+        dropped.agg(F.count(F.lit(1)).alias("n_dropmalformed"))
+    )

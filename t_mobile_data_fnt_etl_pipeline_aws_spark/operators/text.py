@@ -493,3 +493,62 @@ def q_text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "lang", "token", "tfidf")
     )
+
+
+@query(
+    "q_text_url_parse",
+    oracle="""
+    WITH urls AS (
+        SELECT concat('https://seg', o_orderkey % 7, '.example.com/orders/',
+                      o_orderkey, '?pri=', replace(o_orderpriority, ' ', '+'),
+                      '&st=', o_orderstatus) AS u
+        FROM orders
+    )
+    SELECT split_part(split_part(u, '//', 2), '/', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT split_part(split_part(u, '?', 1), '.com', 2))
+                AS BIGINT) AS n_paths,
+           CAST(count(DISTINCT split_part(split_part(u, 'pri=', 2), '&', 1))
+                AS BIGINT) AS n_priorities
+    FROM urls
+    GROUP BY host
+    """,
+)
+def q_text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition with parse_url — the canonicalization step every
+    crawl-dedup pipeline runs before hashing (host grouping, path
+    extraction, tracking-param stripping). Spark's parse_url is a
+    JVM-side builtin (HOST/PATH/QUERY/REF parts, plus keyed QUERY
+    lookup), map-only with the scan; grouping by host is the natural
+    crawl-partitioning key (per-site politeness, per-site dedup scope).
+    URLs are synthesized deterministically from order attributes (7
+    hosts, per-order paths); DuckDB lacks parse_url, so the oracle
+    derives the same parts with split_part string algebra — agreement
+    proves the parser semantics, not just the plumbing. The QUERY('pri')
+    keyed form is checked via the distinct-priorities count per host.
+    """
+    o = load(spark, sf_dir, "orders")
+    url = F.concat(
+        F.lit("https://seg"),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit(".example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?pri="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("+")),
+        F.lit("&st="),
+        F.col("o_orderstatus"),
+    )
+    u = o.select(url.alias("u"))
+    return (
+        u.select(
+            F.parse_url("u", F.lit("HOST")).alias("host"),
+            F.parse_url("u", F.lit("PATH")).alias("path"),
+            F.parse_url("u", F.lit("QUERY"), F.lit("pri")).alias("pri"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("path").alias("n_paths"),
+            F.countDistinct("pri").alias("n_priorities"),
+        )
+    )

@@ -82,5 +82,15 @@ def codegen_operator_count(df: DataFrame) -> int:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Shuffle exchanges in the plan (the scale currency to minimize)."""
-    return len(re.findall(r"\bExchange (?:hash|range|Single)", plan_string(df)))
+    """Shuffle exchanges in the plan (the scale currency to minimize).
+
+    Counts on the SIMPLE-mode plan, where shuffle exchanges print inline
+    as ``Exchange hashpartitioning/rangepartitioning/SinglePartition``
+    (formatted mode moves the partitioning to an ``Arguments:`` detail
+    line, which silently made this regex count 0 for every plan — caught
+    when a deliberately-1-shuffle contract read 0). BroadcastExchange is
+    intentionally NOT counted: broadcasts move the small side only.
+    """
+    return len(
+        re.findall(r"\bExchange (?:hash|range|Single)", plan_string(df, "simple"))
+    )

@@ -164,6 +164,19 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_agg_bitmap_distinct",
     "q_sql_pipe_syntax",
     "q_sql_collation_group",
+    "q_join_null_skew",
+    "q_scan_csv_permissive",
+    "q_etl_mv_incremental",
+    "q_sql_variables",
+    "q_agg_percentile_within_group",
+    "q_udf_pandas_struct",
+    "q_string_regexp_battery",
+    "q_text_url_parse",
+    "q_sql_named_window",
+    "q_sql_pivot_unpivot",
+    "q_xml_funcs",
+    "q_agg_grouping_id",
+    "q_agg_hll_sketch_merge",
 ]
 
 

@@ -338,13 +338,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 186 extras = 265 registered,
-    252 SQL-oracled / 13 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 199 extras = 278 registered,
+    264 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 265
-    assert len(oracles) == 252
+    assert len(QUERIES) == 278
+    assert len(oracles) == 264
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -364,6 +364,9 @@ def test_registry_totals_match_survey():
         # r7: 10-round data-dependent BPE merge training — no SQL form;
         # pinned by exact pure-Python reference-sequence equality
         "q_bpe_train_merges",
+        # r9: Datasketches HLL registers — DuckDB's approx sketch differs;
+        # pinned within 5% of exact by test_hll_sketch_estimates_within_tolerance
+        "q_agg_hll_sketch_merge",
     }
 
 
@@ -1811,3 +1814,32 @@ def test_python_sink_abort_leaves_no_committed_generation(spark, sf_dir):
 
     # Restore the committed generation for any later consumer.
     assert QUERIES["q_sink_python_datasource"](spark, sf_dir).count() > 0
+
+
+def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
+    """q_agg_hll_sketch_merge is rows-only (Datasketches registers have
+    no DuckDB twin) — pin it numerically instead: every per-status
+    estimate within 5% of its exact count (carried in the same row),
+    and the merged estimate within 5% of the true global distinct
+    (lgConfigK=12 → ~1.6% rse; 5% is 3 sigma)."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    rows = QUERIES["q_agg_hll_sketch_merge"](spark, sf_dir).collect()
+    per = [r for r in rows if r.o_orderstatus != "<merged>"]
+    assert per, rows
+    for r in per:
+        assert abs(r.n_approx - r.n_exact) <= max(1, 0.05 * r.n_exact), r
+    merged = [r for r in rows if r.o_orderstatus == "<merged>"]
+    assert len(merged) == 1
+    exact_global = (
+        load(spark, sf_dir, "orders")
+        .agg(F.countDistinct("o_custkey"))
+        .collect()[0][0]
+    )
+    got = merged[0].n_approx
+    assert abs(got - exact_global) <= max(1, 0.05 * exact_global), (
+        got,
+        exact_global,
+    )

@@ -854,3 +854,61 @@ def test_lateral_alias_except_prunes_scan(spark, sf_dir):
     assert "o_custkey" not in cols, cols
     assert {"o_orderkey", "o_orderstatus", "o_orderpriority"} <= set(cols), cols
     assert any("400" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_null_skew_bypass_union_filters_nulls(spark, sf_dir):
+    """q_join_null_skew: the plan must be a Union of (isnotnull-filtered
+    join branch, isnull map-only branch) — null keys never reach the
+    join's shuffle. One join only; the bypass branch is join-free."""
+    df = QUERIES["q_join_null_skew"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Union" in plan, plan
+    # exactly one join node in the tree section (the detail listing
+    # repeats node names — count before the first node detail)
+    tree = plan.split("(1) Scan")[0]
+    assert sum("Join" in ln for ln in tree.splitlines()) == 1, tree
+    # the join branch filters nulls out; the bypass branch keeps only
+    # nulls (filters appear pushed into the scans as CASE predicates)
+    assert "isnotnull" in plan and "isnull" in plan, plan
+
+
+def test_pandas_struct_udf_single_arrow_eval(spark, sf_dir):
+    """q_udf_pandas_struct: k derived columns must cost ONE
+    ArrowEvalPython (one Arrow transfer), pipelined with the scan —
+    zero exchanges; the struct flattening is projection-only."""
+    df = QUERIES["q_udf_pandas_struct"](spark, sf_dir)
+    plan = plan_string(df)
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("ArrowEvalPython") == 1, plan
+    assert exchange_count(df) == 0, plan
+
+
+def test_mv_incremental_merges_partials_no_join(spark, sf_dir):
+    """q_etl_mv_incremental: the refresh is union-of-partial-states +
+    re-aggregate — there must be NO join anywhere (a join-based MV
+    merge re-keys the whole MV), and the final plan re-aggregates the
+    union (>=2 aggregate layers)."""
+    df = QUERIES["q_etl_mv_incremental"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not join_strategies(df), join_strategies(df)
+    assert "Union" in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_named_window_shares_one_shuffle(spark, sf_dir):
+    """q_sql_named_window: three analytic functions over compatible
+    named windows must share ONE window exchange (same partitioning),
+    and the orderkey filter must still reach the scan."""
+    df = QUERIES["q_sql_named_window"](spark, sf_dir)
+    assert exchange_count(df) == 1, plan_string(df)
+    assert any("1000" in f for f in pushed_filters(df)), pushed_filters(df)
+
+
+def test_sql_pivot_single_scan_no_join(spark, sf_dir):
+    """q_sql_pivot_unpivot: the explicit IN-list PIVOT must compile to
+    one scan + one aggregate — no values-discovery subquery, no join,
+    no second scan of orders."""
+    df = QUERIES["q_sql_pivot_unpivot"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not join_strategies(df), plan
+    assert plan.count("Scan parquet") <= 2, plan  # tree + detail listing

@@ -35,6 +35,11 @@ from test_sf01_decimal import DECIMAL_HEAVY  # noqa: E402 (tests are rootdir-imp
 #: synthetic-key / scale-sensitive additions beyond the decimal battery
 SCALE_SENSITIVE_EXTRA = [
     "q_etl_upsert",            # full-join MERGE with derived change keys
+    # r9 second session: exact order statistics — interpolation and DISC
+    # rank picks are where tie-density bites (the replicated family makes
+    # every key appear 10×, so quartile boundaries land ON ties)
+    "q_agg_median_mode",
+    "q_agg_percentile_within_group",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA

@@ -55,6 +55,7 @@ DECIMAL_HEAVY = [
     "q_join_shuffled_hash",    # r9: dsum revenue through the SHJ
     "q_join_dpp_prune",        # r9: dsum revenue over pruned partitions
     "q_er_resolve_entities",   # r9: dsum retail per resolved entity
+    "q_etl_mv_incremental",    # r9: unfinished-decimal partial-state merge
 ]
 
 
