@@ -2198,43 +2198,41 @@ def q_sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_sql_pivot_unpivot",
     oracle="""
     SELECT o_orderpriority,
-           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT)
-               AS n_f,
-           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT)
-               AS n_o,
-           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT)
-               AS n_p,
-           max(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)
-               AS max_o_price
+           o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n
     FROM orders
-    GROUP BY o_orderpriority
+    WHERE o_orderstatus IN ('F', 'O', 'P')
+    GROUP BY o_orderpriority, o_orderstatus
     """,
 )
 def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL PIVOT clause (the declarative twin of q_pivot_wide's
-    DataFrame groupBy().pivot()): rows → columns with an explicit IN
-    list of pivot values. The explicit list is the scale-relevant
-    detail — it makes the output schema static at analysis time, so
-    the plan is ONE pass (a single hash aggregate emitting CASE-guarded
-    aggregates per pivot value), with no values-discovery pre-query
-    and no second scan; an open-ended pivot on a 100-TB fact would
-    first have to DISTINCT the pivot column. Multiple aggregates per
-    cell (count + max) exercise the clause's composite form; the
-    oracle spells out the CASE expansion PIVOT desugars to.
+    """SQL PIVOT and UNPIVOT clauses as a lossless round-trip: long →
+    wide (PIVOT with an explicit IN list) → long again (UNPIVOT of the
+    generated columns). The explicit IN list is the scale-relevant
+    detail — it makes the wide schema static at analysis time, so the
+    PIVOT plans as ONE pass (a hash aggregate emitting CASE-guarded
+    aggregates per pivot value), with no values-discovery pre-query; an
+    open-ended pivot on a 100-TB fact would first have to DISTINCT the
+    pivot column. UNPIVOT is the inverse generator (columns → rows,
+    map-side Expand, no shuffle) and by default DROPS null cells —
+    which is exactly the long form's semantics (absent combinations
+    simply have no row), so the round-trip equals the plain GROUP BY
+    oracle. This is the SQL-clause twin of q_pivot_wide/q_unpivot_long
+    (the DataFrame API forms).
     """
     load(spark, sf_dir, "orders").createOrReplaceTempView("pv_orders")
     return spark.sql(
         """
-        SELECT o_orderpriority,
-               coalesce(F_cnt, 0) AS n_f,
-               coalesce(O_cnt, 0) AS n_o,
-               coalesce(P_cnt, 0) AS n_p,
-               O_maxp AS max_o_price
-        FROM (SELECT o_orderpriority, o_orderstatus, o_totalprice
-              FROM pv_orders)
-        PIVOT (
-            count(*) AS cnt, max(o_totalprice) AS maxp
-            FOR o_orderstatus IN ('F' AS F, 'O' AS O, 'P' AS P)
+        WITH wide AS (
+            SELECT * FROM (SELECT o_orderpriority, o_orderstatus
+                           FROM pv_orders)
+            PIVOT (count(*)
+                   FOR o_orderstatus IN ('F' AS n_f, 'O' AS n_o, 'P' AS n_p))
         )
+        SELECT o_orderpriority,
+               upper(substr(status_label, 3)) AS status,
+               CAST(n AS BIGINT) AS n
+        FROM wide
+        UNPIVOT (n FOR status_label IN (n_f, n_o, n_p))
         """
     )

@@ -891,7 +891,19 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully determined by the construction, so the oracle derives them
     from the nation row count.
     """
-    out = _sink_dir("nation_csv_mixed")
+    # Unique dir per invocation: the planted malformed file aliases with
+    # session state keyed on the path (CacheManager plan-match + file
+    # status cache) when the SAME path is rewritten across invocations
+    # in one session — a prior invocation's registration can serve a
+    # listing that predates this invocation's plant, reading 0 corrupt
+    # rows (caught by the full-suite run, where the schema audits build
+    # this query twice before the oracle test materializes it). The
+    # mandatory .cache() makes this key uniquely alias-prone; a fresh
+    # path per call sidesteps every path-keyed layer for ~2 KB of /tmp
+    # per invocation.
+    import uuid
+
+    out = _sink_dir(f"nation_csv_mixed_{uuid.uuid4().hex[:8]}")
     load(spark, sf_dir, "nation").write.mode("overwrite").csv(out)
     bad = os.path.join(out, "part-99999-malformed.csv")
     with open(bad, "w") as fh:

@@ -912,3 +912,17 @@ def test_sql_pivot_single_scan_no_join(spark, sf_dir):
     plan = plan_string(df)
     assert not join_strategies(df), plan
     assert plan.count("Scan parquet") <= 2, plan  # tree + detail listing
+
+
+def test_bitmap_distinct_no_expand_two_level(spark, sf_dir):
+    """q_agg_bitmap_distinct: the bitmap form must NOT plan the
+    count-distinct Expand (the thing it exists to avoid — Expand
+    multiplies every input row per distinct aggregate before the
+    shuffle); it is two aggregate levels: per-bucket bitmap build
+    (hash exchange on ~cardinality/32k buckets) + global sum (single
+    partition) — exactly 2 exchanges, both over bitmap blobs, never
+    raw key values."""
+    df = QUERIES["q_agg_bitmap_distinct"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "Expand" not in plan, plan
+    assert exchange_count(df) == 2, plan
