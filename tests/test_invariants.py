@@ -1843,3 +1843,104 @@ def test_hll_sketch_estimates_within_tolerance(spark, sf_dir):
         got,
         exact_global,
     )
+
+
+def test_mv_incremental_cutoff_invariant(spark, sf_dir):
+    """The additive-MV refresh must be cutoff-invariant: whatever date
+    splits base from delta, merging the two partial states yields the
+    SAME result (and the oracle pins that result to a from-scratch
+    rebuild). Re-runs q_etl_mv_incremental's merge shape at two extra
+    cutoffs and compares totals column-for-column against each other."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import (
+        DEC,
+        finish,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders")
+
+    def refresh(cutoff: str):
+        def partial(df, flag):
+            return (
+                df.groupBy("o_custkey")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("o_totalprice").cast(DEC)).alias("s"),
+                )
+                .select("o_custkey", "n", "s")
+            )
+
+        base = partial(o.filter(F.col("o_orderdate") < cutoff), 0)
+        delta = partial(o.filter(F.col("o_orderdate") >= cutoff), 1)
+        merged = (
+            base.unionByName(delta)
+            .groupBy("o_custkey")
+            .agg(
+                F.sum("n").alias("n_total"),
+                finish(F.sum("s"), 4).alias("sum_price"),
+            )
+        )
+        return sorted(map(tuple, merged.collect()))
+
+    a = refresh("1996-06-15 00:00:00")
+    b = refresh("2000-01-01 00:00:00")
+    assert a == b, "merge result depends on the cutoff"
+
+
+def test_percentile_cont_median_consistency(spark, sf_dir):
+    """percentile_cont(0.5) WITHIN GROUP must equal the MEDIAN builtin
+    per group — two independent implementations of the same order
+    statistic (q_agg_percentile_within_group vs q_agg_median_mode)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    load(spark, sf_dir, "orders").createOrReplaceTempView("pm_orders")
+    rows = spark.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_cont(0.5) WITHIN GROUP (ORDER BY o_orderkey) AS p50,
+               median(o_orderkey) AS med
+        FROM pm_orders GROUP BY o_orderstatus
+        """
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 == r.med, (r.o_orderstatus, r.p50, r.med)
+
+
+def test_null_skew_bypass_equals_plain_join(spark, sf_dir):
+    """The null-bypass rewrite must be row-for-row equal to the plain
+    LEFT JOIN it replaces (the oracle proves it at the aggregate level;
+    this pins the detail rows on a bounded slice)."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None).cast("long"))
+            .otherwise(F.col("o_custkey"))
+            .alias("k"),
+            "o_orderkey",
+        )
+    )
+    dim = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), "c_mktsegment"
+    )
+    plain = o.join(dim, "k", "left").select("o_orderkey", "c_mktsegment")
+    bypass = (
+        o.filter(F.col("k").isNotNull())
+        .join(dim, "k", "left")
+        .select("o_orderkey", "c_mktsegment")
+        .unionByName(
+            o.filter(F.col("k").isNull()).select(
+                "o_orderkey", F.lit(None).cast("string").alias("c_mktsegment")
+            )
+        )
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, bypass.collect())
+    )
