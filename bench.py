@@ -228,6 +228,9 @@ HEADLINE = [
     "q_xml_funcs",                   # xpath_* + from_xml extraction battery
     "q_agg_grouping_id",             # ROLLUP grouping()/grouping_id() labels
     "q_agg_hll_sketch_merge",        # Datasketches HLL build + union-merge
+    "q_sink_rowgroup_stats_audit",   # footer-stats layout audit (pyarrow)
+    "q_date_timezone",               # IANA tz conversion battery (DST + half-hour)
+    "q_join_geo_grid",               # grid-cell spatial radius join
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

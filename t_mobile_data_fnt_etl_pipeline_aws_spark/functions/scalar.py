@@ -637,3 +637,44 @@ def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .getField("a")
         .alias("parsed_a"),
     )
+
+
+@query(
+    "q_date_timezone",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(timezone('America/New_York', o_orderdate AT TIME ZONE 'UTC')
+                AS VARCHAR) AS ny_wall,
+           CAST(hour(timezone('Asia/Kolkata', o_orderdate AT TIME ZONE 'UTC'))
+                AS INT) AS kolkata_hour,
+           CAST(o_orderdate AS VARCHAR) AS roundtrip
+    FROM orders
+    """,
+)
+def q_date_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-zone conversion battery: from_utc_timestamp /
+    to_utc_timestamp against named IANA zones — the correctness surface
+    global event data lives or dies on (a telco's switches log UTC; the
+    business reads local wall time). America/New_York exercises the
+    FULL DST table across the fixture's 1995-2001 span (midnight UTC is
+    19:00 OR 20:00 the previous NY day depending on the date — both
+    engines must consult the same tz database rules); Asia/Kolkata
+    exercises a half-hour offset (+05:30, no DST). The roundtrip column
+    pins to_utc(from_utc(ts)) == ts — the invariant that catches
+    accidental double conversion. Wall times are emitted as STRINGS
+    (naive-timestamp column types differ across the pandas bridge);
+    conversion is JVM-side codegen, map-only. DuckDB spells the same
+    conversions with ICU timezone()/AT TIME ZONE.
+    """
+    o = load(spark, sf_dir, "orders")
+    ny = F.from_utc_timestamp("o_orderdate", "America/New_York")
+    return o.select(
+        "o_orderkey",
+        ny.cast("string").alias("ny_wall"),
+        F.hour(F.from_utc_timestamp("o_orderdate", "Asia/Kolkata"))
+        .cast("int")
+        .alias("kolkata_hour"),
+        F.to_utc_timestamp(ny, "America/New_York")
+        .cast("string")
+        .alias("roundtrip"),
+    )

@@ -1152,3 +1152,83 @@ def q_join_null_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@query(
+    "q_join_geo_grid",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      (c_custkey * 7919) % 200000 AS x,
+                      (c_custkey * 104729) % 200000 AS y
+               FROM customer),
+         s AS (SELECT s_suppkey,
+                      (s_suppkey * 7919 + 131) % 200000 AS sx,
+                      (s_suppkey * 104729 + 257) % 200000 AS sy
+               FROM supplier)
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_matched_customers,
+           CAST(min((x-sx)*(x-sx) + (y-sy)*(y-sy)) AS BIGINT) AS min_d2
+    FROM c, s
+    WHERE (x-sx)*(x-sx) + (y-sy)*(y-sy) <= 25000000
+    GROUP BY c_mktsegment
+    """,
+)
+def q_join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join via GRID-CELL bucketing — the geohash family
+    of the LSH/band tricks this repo uses for similarity: points in a
+    2-D plane (deterministic integer-meter coordinates synthesized from
+    keys), find all (customer, supplier) pairs within radius R. The
+    scale shape: bucket each point into an R-sized grid cell, replicate
+    the SMALL side into its 3x3 neighborhood (any pair within R spans
+    adjacent cells at most — cell size == R guarantees losslessness),
+    equi-join on cell, then apply the exact distance predicate. The
+    cross product never materializes: candidates are O(points x
+    density), not O(n*m) — exactly how production engines (and Sedona /
+    PostGIS grid strategies) execute distance joins. Each supplier's 9
+    expanded cells are DISTINCT, and a customer has ONE cell, so no
+    pair can match twice — no dedup pass needed. The distance filter is
+    INTEGER arithmetic (squared meters vs R^2) so the boundary decision
+    is exact in both engines — no transcendental in any predicate (the
+    haversine form lives in the trig batteries; a float boundary could
+    flip on a ulp). The oracle is the brute-force cross join — lossless
+    bucketing must return identical pairs.
+    """
+    R2 = 25_000_000  # R = 5,000 m, squared
+    CELL = 5_000     # cell size == R => 3x3 neighborhood is lossless
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        ((F.col("c_custkey") * 7919) % 200000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 200000).alias("y"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919 + 131) % 200000).alias("sx"),
+        ((F.col("s_suppkey") * 104729 + 257) % 200000).alias("sy"),
+    )
+    s_exp = (
+        s.select("*", F.explode(F.expr("sequence(-1, 1)")).alias("dx"))
+        .select("*", F.explode(F.expr("sequence(-1, 1)")).alias("dy"))
+        .select(
+            "s_suppkey",
+            "sx",
+            "sy",
+            (F.floor(F.col("sx") / CELL) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("sy") / CELL) + F.col("dy")).alias("cy"),
+        )
+    )
+    cc = c.select(
+        "*",
+        F.floor(F.col("x") / CELL).alias("cx"),
+        F.floor(F.col("y") / CELL).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    pairs = cc.join(s_exp, ["cx", "cy"]).filter(d2 <= R2)
+    return pairs.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("c_custkey").alias("n_matched_customers"),
+        F.min(d2).alias("min_d2"),
+    )

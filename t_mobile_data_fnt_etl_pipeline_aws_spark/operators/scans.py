@@ -943,3 +943,72 @@ def q_scan_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.crossJoin(
         dropped.agg(F.count(F.lit(1)).alias("n_dropmalformed"))
     )
+
+
+@query(
+    "q_sink_rowgroup_stats_audit",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderdate) AS VARCHAR) AS min_ts,
+           CAST(max(o_orderdate) AS VARCHAR) AS max_ts
+    FROM orders
+    GROUP BY yr
+    """,
+)
+def q_sink_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-layout audit: write orders as a pruning-friendly layout
+    (partitionBy(year) + repartition on the partition column so each
+    directory gets exactly ONE file + sortWithinPartitions on the sort
+    key), then read the parquet FOOTER statistics back with pyarrow and
+    prove the layout delivers what pruning needs — per-file min/max of
+    o_orderdate that match the true per-year bounds exactly (the oracle
+    recomputes them relationally). This is the audit a 100-TB table
+    owner runs after compaction: partition pruning eliminates
+    directories, then row-group stats (what q_scan_agg_pushdown and
+    PushedFilters consume) eliminate row groups inside surviving files;
+    stats that are absent or wider than the data silently disable both.
+    Footer reads are metadata-plane — O(#files) driver-side operations
+    on kilobyte footers (the same plane as q_scan_file_metadata), never
+    a data scan; at production file counts this audit itself would be
+    distributed over the file list (binaryFile scan of footers).
+    """
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    out = _sink_dir("orders_rowgroup_audit")
+    (
+        load(spark, sf_dir, "orders")
+        .withColumn("yr", F.year("o_orderdate"))
+        .repartition("yr")
+        .sortWithinPartitions("o_orderdate")
+        .write.mode("overwrite")
+        .partitionBy("yr")
+        .parquet(out)
+    )
+    per_year: dict[int, list] = {}
+    for f in sorted(_glob.glob(os.path.join(out, "yr=*", "*.parquet"))):
+        yr = int(f.split("yr=")[1].split(os.sep)[0])
+        md = _pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            col = next(
+                rgm.column(i)
+                for i in range(rgm.num_columns)
+                if rgm.column(i).path_in_schema == "o_orderdate"
+            )
+            ent = per_year.setdefault(yr, [0, 0, None, None])
+            ent[1] += rgm.num_rows
+            s = col.statistics
+            ent[2] = s.min if ent[2] is None else min(ent[2], s.min)
+            ent[3] = s.max if ent[3] is None else max(ent[3], s.max)
+        per_year[yr][0] += 1
+    rows = [
+        (yr, n_files, n_rows, str(mn), str(mx))
+        for yr, (n_files, n_rows, mn, mx) in sorted(per_year.items())
+    ]
+    return spark.createDataFrame(
+        rows, "yr int, n_files bigint, n_rows bigint, min_ts string, max_ts string"
+    )

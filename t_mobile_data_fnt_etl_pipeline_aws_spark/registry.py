@@ -177,6 +177,9 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_xml_funcs",
     "q_agg_grouping_id",
     "q_agg_hll_sketch_merge",
+    "q_sink_rowgroup_stats_audit",
+    "q_date_timezone",
+    "q_join_geo_grid",
 ]
 
 

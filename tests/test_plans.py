@@ -926,3 +926,17 @@ def test_bitmap_distinct_no_expand_two_level(spark, sf_dir):
     plan = plan_string(df)
     assert "Expand" not in plan, plan
     assert exchange_count(df) == 2, plan
+
+
+def test_geo_grid_join_is_equi_never_cartesian(spark, sf_dir):
+    """q_join_geo_grid: the radius join must execute as an equi-join on
+    the grid cell (hash/sort-merge/broadcast-HASH), never a nested-loop
+    or cartesian pairing — the cross product is what the grid exists to
+    avoid. The distance predicate appears as a post-join filter."""
+    df = QUERIES["q_join_geo_grid"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies, plan_string(df)
+    assert all(
+        s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        for s in strategies
+    ), strategies
