@@ -231,6 +231,7 @@ HEADLINE = [
     "q_sink_rowgroup_stats_audit",   # footer-stats layout audit (pyarrow)
     "q_date_timezone",               # IANA tz conversion battery (DST + half-hour)
     "q_join_geo_grid",               # grid-cell spatial radius join
+    "q_graph_hierarchy_rollup",      # recursive ancestor-closure subtree rollup
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

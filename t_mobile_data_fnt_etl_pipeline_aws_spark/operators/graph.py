@@ -566,3 +566,53 @@ def q_graph_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+_HIERARCHY_ROLLUP_SQL = """
+WITH RECURSIVE closure AS (
+    SELECT c_custkey AS node, c_custkey AS anc FROM {table}
+    UNION ALL
+    SELECT cl.node, CAST(floor(cl.anc / 3) AS BIGINT) AS anc
+    FROM closure cl WHERE cl.anc >= 3
+)
+SELECT cl.anc AS node,
+       CAST(count(*) AS BIGINT) AS n_subtree,
+       {dsum}
+FROM closure cl JOIN {table} c ON cl.node = c.c_custkey
+WHERE cl.anc IN (SELECT c_custkey FROM {table})
+GROUP BY cl.anc
+"""
+
+
+def _hierarchy_rollup_sql(table: str) -> str:
+    from ..functions.numeric import sql_dsum
+
+    return _HIERARCHY_ROLLUP_SQL.format(
+        table=table, dsum=sql_dsum("c.c_acctbal", "subtree_bal")
+    )
+
+
+@query("q_graph_hierarchy_rollup", oracle=_hierarchy_rollup_sql("customer"))
+def q_graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup — the bill-of-materials / org-chart
+    aggregation shape: every node's aggregate over its ENTIRE subtree
+    (descendant count + exact-decimal balance sum), computed by
+    materializing the ancestor CLOSURE with a recursive CTE (each
+    recursion step walks one level UP the parent chain, so closure size
+    is n x depth — O(n log n) rows for a balanced hierarchy, never the
+    transitive O(n^2) of dense graphs) and re-aggregating it by
+    ancestor. The hierarchy is key-derived (parent(k) = floor(k/3), so
+    depth is ~log3(maxkey) — 7 levels at sf0.001, 9 at sf0.1): both
+    engines run the IDENTICAL recursive SQL, which also pins Spark 4's
+    native WITH RECURSIVE against DuckDB's on a multi-level aggregate
+    (q_graph_bfs_recursive_sql pins reachability; this pins closure +
+    rollup). Scale notes: recursion depth is log(keyspace), each level
+    is one self-join on the (tiny) frontier of still-climbing rows, and
+    the rollup is an ordinary partial/final hash aggregate on the
+    closure; the float column goes through the decimal dsum contract.
+    Parity trap pinned here: CAST(x/3 AS BIGINT) ROUNDS in DuckDB and
+    TRUNCATES in Spark — floor() before the cast is the portable
+    floor-division spelling.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("hier_customer")
+    return spark.sql(_hierarchy_rollup_sql("hier_customer"))

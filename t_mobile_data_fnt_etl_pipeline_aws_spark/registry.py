@@ -180,6 +180,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_sink_rowgroup_stats_audit",
     "q_date_timezone",
     "q_join_geo_grid",
+    "q_graph_hierarchy_rollup",
 ]
 
 

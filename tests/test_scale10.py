@@ -40,6 +40,9 @@ SCALE_SENSITIVE_EXTRA = [
     # every key appear 10×, so quartile boundaries land ON ties)
     "q_agg_median_mode",
     "q_agg_percentile_within_group",
+    # r9 third session: key-derived hierarchy — closure depth grows with
+    # the keyspace (log3), the class scale10 exists to exercise
+    "q_graph_hierarchy_rollup",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
