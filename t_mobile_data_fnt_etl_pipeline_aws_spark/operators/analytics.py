@@ -764,3 +764,76 @@ def q_ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             "residual"
         ),
     )
+
+
+@query(
+    "q_interval_concurrency",
+    oracle="""
+    WITH ev AS (
+        SELECT o_orderpriority AS pri, o_orderdate AS ts, 1 AS delta,
+               o_orderkey
+        FROM orders
+        UNION ALL
+        SELECT o_orderpriority,
+               o_orderdate + to_days(CAST(o_orderkey % 30 + 1 AS INT)),
+               -1, o_orderkey
+        FROM orders
+    ),
+    run AS (
+        SELECT pri, ts, delta,
+               sum(delta) OVER (PARTITION BY pri
+                                ORDER BY ts, delta, o_orderkey
+                                ROWS UNBOUNDED PRECEDING) AS concurrent
+        FROM ev
+    )
+    SELECT pri, CAST(max(concurrent) AS BIGINT) AS max_concurrent,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM run GROUP BY pri
+    """,
+)
+def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum concurrent intervals (peak load) via the +1/-1 event
+    sweep: each order carries a synthetic validity interval
+    [orderdate, orderdate + 1..30 days); exploding every interval into
+    a start(+1)/end(-1) event and running a partitioned cumulative sum
+    over event time yields the concurrency curve, whose per-group max
+    is the capacity-planning number (peak simultaneous sessions /
+    circuits / leases). This is the interval-algebra sibling of
+    q_interval_merge (islands) and q_window_gaps_islands: O(2n) events,
+    ONE window shuffle partitioned by the reporting key — never an
+    interval self-join (which is O(n^2) candidates at 100 TB). The
+    running sum orders by (ts, delta, key): delta=-1 sorts BEFORE +1 at
+    the same timestamp, making [a,b) + [b,c) count as 1 at instant b —
+    half-open semantics, deterministic under the key tiebreak. Spark
+    spells the variable-width interval with make_interval(days=n),
+    DuckDB with to_days(n) — no common literal syntax exists
+    (`INTERVAL (expr) DAY` parses in neither).
+    """
+    o = load(spark, sf_dir, "orders")
+    starts = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("delta"),
+        "o_orderkey",
+    )
+    ends = o.select(
+        F.col("o_orderpriority").alias("pri"),
+        (
+            F.col("o_orderdate")
+            + F.expr("make_interval(0, 0, 0, CAST(o_orderkey % 30 + 1 AS INT))")
+        ).alias("ts"),
+        F.lit(-1).alias("delta"),
+        "o_orderkey",
+    )
+    w = (
+        Window.partitionBy("pri")
+        .orderBy("ts", "delta", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = starts.unionByName(ends).select(
+        "pri", F.sum("delta").over(w).alias("concurrent")
+    )
+    return run.groupBy("pri").agg(
+        F.max("concurrent").cast("long").alias("max_concurrent"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -1232,3 +1232,57 @@ def q_join_geo_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("c_custkey").alias("n_matched_customers"),
         F.min(d2).alias("min_d2"),
     )
+
+
+@query(
+    "q_join_nearest_value",
+    oracle="""
+    WITH refs AS (
+        SELECT s_suppkey, (s_suppkey * 4799) % 500000 AS price_point
+        FROM supplier
+    ),
+    ranked AS (
+        SELECT o_orderkey, s_suppkey,
+               abs(o_totalprice - price_point) AS dist,
+               row_number() OVER (
+                   PARTITION BY o_orderkey
+                   ORDER BY abs(o_totalprice - price_point), s_suppkey) AS rn
+        FROM orders, refs
+    )
+    SELECT o_orderkey, s_suppkey AS nearest_supp, dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-VALUE 1-D join: every order matched to the reference row
+    whose (synthesized) price point is numerically closest — the
+    price-matching / sensor-calibration shape that as-of joins don't
+    cover (as-of picks the latest BEFORE; nearest picks the MIN
+    DISTANCE in either direction). Scale shape for a dimension-sized
+    reference side: broadcast the refs, then ARGMIN VIA STRUCT-MIN —
+    min(struct(dist, key)) is lexicographic, so the partial aggregate
+    reduces each probe to one candidate map-side and the shuffle
+    carries one row per probe, never the probe x ref cross product
+    (the oracle is that cross product, ranked — proving the reduction
+    lossless). Ties break on the ref key inside the struct, matching
+    the oracle's ORDER BY. dist is |double - exact-integer-double|:
+    IEEE subtraction of exactly-representable values, so the min
+    comparison is ulp-proof. When BOTH sides are fact-scale the play
+    becomes the sorted union-merge (the q_join_asof family) with
+    forward+backward candidates — documented, not needed at dim scale.
+    """
+    probes = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    refs = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", ((F.col("s_suppkey") * 4799) % 500000).alias("price_point")
+    )
+    dist = F.abs(F.col("o_totalprice") - F.col("price_point"))
+    return (
+        probes.crossJoin(F.broadcast(refs))
+        .groupBy("o_orderkey")
+        .agg(F.min(F.struct(dist.alias("dist"), F.col("s_suppkey"))).alias("m"))
+        .select(
+            "o_orderkey",
+            F.col("m.s_suppkey").alias("nearest_supp"),
+            F.col("m.dist").alias("dist"),
+        )
+    )

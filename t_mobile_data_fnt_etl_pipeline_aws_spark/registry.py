@@ -181,6 +181,8 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_date_timezone",
     "q_join_geo_grid",
     "q_graph_hierarchy_rollup",
+    "q_join_nearest_value",
+    "q_interval_concurrency",
 ]
 
 

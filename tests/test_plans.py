@@ -940,3 +940,13 @@ def test_geo_grid_join_is_equi_never_cartesian(spark, sf_dir):
         s in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
         for s in strategies
     ), strategies
+
+
+def test_nearest_value_broadcasts_and_reduces_mapside(spark, sf_dir):
+    """q_join_nearest_value: refs broadcast (BroadcastNestedLoopJoin —
+    tiny dim side, no shuffle of probes for the join) and the argmin
+    runs as a partial/final aggregate, so the only exchange is the
+    one-row-per-probe shuffle — exactly 1."""
+    df = QUERIES["q_join_nearest_value"](spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in join_strategies(df), plan_string(df)
+    assert exchange_count(df) == 1, plan_string(df)
