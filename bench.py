@@ -234,6 +234,7 @@ HEADLINE = [
     "q_graph_hierarchy_rollup",      # recursive ancestor-closure subtree rollup
     "q_join_nearest_value",          # broadcast + struct-argmin nearest-1D join
     "q_interval_concurrency",        # +1/-1 sweep peak-concurrency curve
+    "q_graph_hierarchy_path",        # recursive breadcrumb materialization
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -616,3 +616,57 @@ def q_graph_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     load(spark, sf_dir, "customer").createOrReplaceTempView("hier_customer")
     return spark.sql(_hierarchy_rollup_sql("hier_customer"))
+
+
+@query(
+    "q_graph_hierarchy_path",
+    oracle="""
+    WITH RECURSIVE walk AS (
+        SELECT c_custkey AS node, c_custkey AS cur,
+               CAST(c_custkey AS VARCHAR) AS path, 0 AS depth
+        FROM customer
+        UNION ALL
+        SELECT node, CAST(floor(cur / 3) AS BIGINT) AS cur,
+               CAST(CAST(floor(cur / 3) AS BIGINT) AS VARCHAR) || '/' || path,
+               depth + 1
+        FROM walk WHERE cur >= 3
+    )
+    SELECT node, CAST(max(depth) AS INT) AS depth,
+           max_by(path, depth) AS root_path
+    FROM walk GROUP BY node
+    """,
+)
+def q_graph_hierarchy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized hierarchy paths (breadcrumbs): for every node, its
+    depth and full root-to-node path string — the denormalization every
+    catalog/org UI and path-prefix filter wants (`WHERE path LIKE
+    '1/4/%'` turns subtree queries into a range scan). The recursion
+    walks UP the same key-derived parent chain as
+    q_graph_hierarchy_rollup, CONCATENATING the path as it climbs; the
+    deepest row per node (max_by(path, depth)) is the completed
+    breadcrumb. Rows in flight stay O(n) per level (each node walks one
+    chain — no closure blow-up), depth is log3(keyspace). Identical
+    recursive SQL runs on both engines except the unparameterized
+    string type's name (Spark STRING vs DuckDB VARCHAR — Spark rejects
+    bare VARCHAR, DuckDB accepts both). max_by ties are impossible:
+    depth is strictly increasing along a node's walk.
+    """
+    load(spark, sf_dir, "customer").createOrReplaceTempView("path_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk AS (
+            SELECT c_custkey AS node, c_custkey AS cur,
+                   CAST(c_custkey AS STRING) AS path, 0 AS depth
+            FROM path_customer
+            UNION ALL
+            SELECT node, CAST(floor(cur / 3) AS BIGINT) AS cur,
+                   CAST(CAST(floor(cur / 3) AS BIGINT) AS STRING)
+                       || '/' || path,
+                   depth + 1
+            FROM walk WHERE cur >= 3
+        )
+        SELECT node, CAST(max(depth) AS INT) AS depth,
+               max_by(path, depth) AS root_path
+        FROM walk GROUP BY node
+        """
+    )

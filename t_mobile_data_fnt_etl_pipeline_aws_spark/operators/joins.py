@@ -14,8 +14,11 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from ..functions.numeric import dsum as _dsum
 from ..functions.numeric import sql_dsum as _sql_dsum
@@ -1259,30 +1262,55 @@ def q_join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     price-matching / sensor-calibration shape that as-of joins don't
     cover (as-of picks the latest BEFORE; nearest picks the MIN
     DISTANCE in either direction). Scale shape for a dimension-sized
-    reference side: broadcast the refs, then ARGMIN VIA STRUCT-MIN —
-    min(struct(dist, key)) is lexicographic, so the partial aggregate
-    reduces each probe to one candidate map-side and the shuffle
-    carries one row per probe, never the probe x ref cross product
-    (the oracle is that cross product, ranked — proving the reduction
-    lossless). Ties break on the ref key inside the struct, matching
-    the oracle's ORDER BY. dist is |double - exact-integer-double|:
-    IEEE subtraction of exactly-representable values, so the min
-    comparison is ulp-proof. When BOTH sides are fact-scale the play
-    becomes the sorted union-merge (the q_join_asof family) with
+    reference side: collect the refs ONCE driver-side (O(dim) — same
+    class as the broadcast-centroid keys), sort them, and run a
+    vectorized np.searchsorted per Arrow batch — O(n log m) map-only
+    with the scan, ZERO shuffles, one row out per probe. A first cut
+    used broadcast-cross-join + struct-argmin: correct, but it
+    materializes n x m rows through a row-at-a-time
+    BroadcastNestedLoopJoin (45 s at sf0.1 vs 0.4 s for this kernel —
+    the bench caught it); binary search is the honest algorithm when
+    one side fits in memory. The left/right neighbors from searchsorted
+    are compared exactly (|double - exact-integer-double| — IEEE
+    subtraction of exactly-representable values), equidistant ties
+    break on the smaller ref key, matching the oracle's ORDER BY
+    (dist, s_suppkey). The oracle is the full cross product, ranked —
+    proving the search lossless. When BOTH sides are fact-scale the
+    play becomes the sorted union-merge (q_join_asof family) with
     forward+backward candidates — documented, not needed at dim scale.
     """
-    probes = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    refs = load(spark, sf_dir, "supplier").select(
-        "s_suppkey", ((F.col("s_suppkey") * 4799) % 500000).alias("price_point")
-    )
-    dist = F.abs(F.col("o_totalprice") - F.col("price_point"))
-    return (
-        probes.crossJoin(F.broadcast(refs))
-        .groupBy("o_orderkey")
-        .agg(F.min(F.struct(dist.alias("dist"), F.col("s_suppkey"))).alias("m"))
+    import numpy as np
+
+    refs = (
+        load(spark, sf_dir, "supplier")
         .select(
-            "o_orderkey",
-            F.col("m.s_suppkey").alias("nearest_supp"),
-            F.col("m.dist").alias("dist"),
+            "s_suppkey",
+            ((F.col("s_suppkey") * 4799) % 500000).alias("price_point"),
         )
-    )
+        .orderBy("price_point", "s_suppkey")
+        .collect()
+    )  # O(dim): the ref side is a dimension table (same class as centroids)
+    points = np.array([r.price_point for r in refs], dtype="float64")
+    keys = np.array([r.s_suppkey for r in refs], dtype="int64")
+
+    @pandas_udf("nearest_supp long, dist double")
+    def nearest(prices: pd.Series) -> pd.DataFrame:
+        v = prices.to_numpy(dtype="float64")
+        idx = np.searchsorted(points, v)
+        left = np.clip(idx - 1, 0, len(points) - 1)
+        right = np.clip(idx, 0, len(points) - 1)
+        dl = np.abs(v - points[left])
+        dr = np.abs(v - points[right])
+        kl, kr = keys[left], keys[right]
+        pick_left = (dl < dr) | ((dl == dr) & (kl <= kr))
+        return pd.DataFrame(
+            {
+                "nearest_supp": np.where(pick_left, kl, kr),
+                "dist": np.where(pick_left, dl, dr),
+            }
+        )
+
+    probes = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return probes.select(
+        "o_orderkey", nearest("o_totalprice").alias("m")
+    ).select("o_orderkey", "m.nearest_supp", "m.dist")

@@ -183,6 +183,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_graph_hierarchy_rollup",
     "q_join_nearest_value",
     "q_interval_concurrency",
+    "q_graph_hierarchy_path",
 ]
 
 

@@ -942,11 +942,15 @@ def test_geo_grid_join_is_equi_never_cartesian(spark, sf_dir):
     ), strategies
 
 
-def test_nearest_value_broadcasts_and_reduces_mapside(spark, sf_dir):
-    """q_join_nearest_value: refs broadcast (BroadcastNestedLoopJoin —
-    tiny dim side, no shuffle of probes for the join) and the argmin
-    runs as a partial/final aggregate, so the only exchange is the
-    one-row-per-probe shuffle — exactly 1."""
+def test_nearest_value_is_maponly_searchsorted(spark, sf_dir):
+    """q_join_nearest_value: the binary-search kernel must be ONE
+    ArrowEvalPython pipelined with the scan — no join operator at all
+    and ZERO exchanges (the first cut's BroadcastNestedLoopJoin
+    materialized n x m rows and cost 45 s at sf0.1; this plan is the
+    fix and must not regress back)."""
     df = QUERIES["q_join_nearest_value"](spark, sf_dir)
-    assert "BroadcastNestedLoopJoin" in join_strategies(df), plan_string(df)
-    assert exchange_count(df) == 1, plan_string(df)
+    plan = plan_string(df)
+    assert not join_strategies(df), plan
+    tree = plan.split("(1) Scan")[0]
+    assert tree.count("ArrowEvalPython") == 1, plan
+    assert exchange_count(df) == 0, plan
