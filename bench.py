@@ -235,6 +235,7 @@ HEADLINE = [
     "q_join_nearest_value",          # broadcast + struct-argmin nearest-1D join
     "q_interval_concurrency",        # +1/-1 sweep peak-concurrency curve
     "q_graph_hierarchy_path",        # recursive breadcrumb materialization
+    "q_filter_inset_large",          # 400-id InSet allowlist filter (pushed In)
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

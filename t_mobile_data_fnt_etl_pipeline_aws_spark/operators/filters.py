@@ -142,3 +142,44 @@ def q_distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level distinct over a projection (exact-dedup base case §2.11)."""
     c = load(spark, sf_dir, "customer")
     return c.select("c_mktsegment", "c_nationkey").distinct()
+
+
+@query(
+    "q_filter_inset_large",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_custkey % 3 = 1 AND o_custkey < 1200
+    GROUP BY o_orderstatus
+    """,
+)
+def q_filter_inset_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large literal IN-list filter — the entitlement/allowlist shape
+    (hundreds to thousands of ids handed down from an auth service).
+    Above spark.sql.optimizer.inSetConversionThreshold (default 10)
+    Catalyst compiles the IN to an InSet hash-set probe instead of a
+    chained OR — O(1) per row instead of O(list), and the predicate
+    still reaches the parquet scan as PushedFilters: In(...) so
+    row-group stats can prune (tests/test_plans.py pins both). The
+    400-element list is GENERATED as range(1, 1200, 3), so the oracle
+    can spell the identical membership as arithmetic
+    (custkey % 3 = 1 AND custkey < 1200) — parity proves the list
+    semantics, not just the plumbing. At 100 TB, lists beyond ~10^5
+    elements graduate to a broadcast semi-join (q_join_semi) or a Bloom
+    prune (q_sketch_bloom_prune) — both registered; this key pins the
+    literal-list regime.
+    """
+    allow = list(range(1, 1200, 3))  # 400 ids, arithmetic-describable
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey").isin(allow))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("o_custkey").alias("n_custs"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )

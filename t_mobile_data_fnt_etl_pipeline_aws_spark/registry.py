@@ -184,6 +184,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_join_nearest_value",
     "q_interval_concurrency",
     "q_graph_hierarchy_path",
+    "q_filter_inset_large",
 ]
 
 

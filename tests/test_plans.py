@@ -954,3 +954,15 @@ def test_nearest_value_is_maponly_searchsorted(spark, sf_dir):
     tree = plan.split("(1) Scan")[0]
     assert tree.count("ArrowEvalPython") == 1, plan
     assert exchange_count(df) == 0, plan
+
+
+def test_inset_large_compiles_to_hash_set_and_pushes(spark, sf_dir):
+    """q_filter_inset_large: a 400-element IN list must compile to the
+    InSet hash-set probe (not 400 chained ORs) and reach the scan as a
+    pushed In(...) filter so stats-based pruning stays possible."""
+    df = QUERIES["q_filter_inset_large"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "INSET" in plan.upper(), plan[:3000]
+    assert any("o_custkey" in f and f.lstrip().startswith("In(") for f in pushed_filters(df)) or any(
+        "In(o_custkey" in f for f in pushed_filters(df)
+    ), pushed_filters(df)
