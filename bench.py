@@ -232,10 +232,12 @@ HEADLINE = [
     "q_date_timezone",               # IANA tz conversion battery (DST + half-hour)
     "q_join_geo_grid",               # grid-cell spatial radius join
     "q_graph_hierarchy_rollup",      # recursive ancestor-closure subtree rollup
-    "q_join_nearest_value",          # broadcast + struct-argmin nearest-1D join
+    "q_join_nearest_value",          # driver-sorted searchsorted nearest-1D kernel (map-only)
     "q_interval_concurrency",        # +1/-1 sweep peak-concurrency curve
     "q_graph_hierarchy_path",        # recursive breadcrumb materialization
     "q_filter_inset_large",          # 400-id InSet allowlist filter (pushed In)
+    "q_sink_avro_python",            # spec-implemented Avro container sink+readback (deflate)
+    "q_scan_avro_python",            # Avro scan + Catalyst agg composed on top
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -345,9 +345,9 @@ def main() -> None:
 
 def _write_md(scales, results, slopes) -> None:
     lines = [
-        "# BENCH_SCALING — seconds-vs-scale exponents (round 9)",
+        "# BENCH_SCALING — seconds-vs-scale exponents (round 10)",
         "",
-        "Measured by `bench_scaling.py` on local[32]: the five most",
+        f"Measured by `bench_scaling.py` on local[32]: the {len(KEYS)} most",
         "expensive registry keys run against a seeded generated data",
         "family at 1x/2x/5x/10x the sf0.1 row counts (10x = TPC-H",
         "sf1-equivalent; generation recipe in the script docstring).",

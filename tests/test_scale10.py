@@ -43,6 +43,22 @@ SCALE_SENSITIVE_EXTRA = [
     # r9 third session: key-derived hierarchy — closure depth grows with
     # the keyspace (log3), the class scale10 exists to exercise
     "q_graph_hierarchy_rollup",
+    # VERDICT r9 item 6: the remaining round-9 additions whose failure
+    # class is scale-coupled —
+    # nearest-value join: the driver-collected reference array is
+    # dim-sized; 10× data means 10× probes against it and denser value
+    # ties (searchsorted midpoint picks land ON ties)
+    "q_join_nearest_value",
+    # batch top-k retrieval: rank ties within the capped probe batch get
+    # denser as the corpus replicates 10×
+    "q_sim_search_batch_topk",
+    # entity resolution: blocking-key collision rate grows with the
+    # keyspace — the exact class (a) synthetic-key construction
+    "q_er_resolve_entities",
+    # round-10: Avro container round-trip — 10× data exercises the
+    # multi-block path (block_rows boundaries) and varint edges at
+    # larger keys
+    "q_scan_avro_python",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
