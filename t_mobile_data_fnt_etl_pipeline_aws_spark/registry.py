@@ -75,13 +75,14 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ROUND-10 WINDOW (this list), in priority order:
 #:   1. ALL 37 never-driver-checked round-9 additions (VERDICT r9 item 1)
 #:      — every "— (new)" SURVEY row gets its first driver row this round.
-#:   2. The 2 NEW round-10 keys (q_sink_avro_python / q_scan_avro_python,
-#:      the spec-implemented Avro wire format — never driver-checked, so
-#:      they outrank stale-green keys).
-#:   3. 11 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
-#:      q_join_sortmerge) first, then the SS2.4 agg core + core joins +
-#:      q_filter_pred. 37 + 2 + 11 fills the 50 slots exactly; the
-#:      remaining 38 r4-stale keys head the ROUND-11 rotation
+#:   2. The 3 NEW round-10 keys (q_sink_avro_python / q_scan_avro_python
+#:      / q_events_protobuf_decode, the spec-implemented Avro + protobuf
+#:      wire formats — never driver-checked, so they outrank stale-green
+#:      keys).
+#:   3. 10 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
+#:      q_join_sortmerge) first, then the SS2.4 agg core +
+#:      q_filter_pred. 37 + 3 + 10 fills the 50 slots exactly; the
+#:      remaining 39 r4-stale keys head the ROUND-11 rotation
 #:      (q_agg_approx_distinct, q_agg_boolean, q_agg_median_exact,
 #:      q_agg_mode_deterministic, q_agg_sketch_reaggregate, q_agg_stats_corr,
 #:      the scan/sink/window/join remainder — recompute from the
@@ -129,7 +130,8 @@ _DRIVER_WINDOW = [
     # --- 2. new round-10 keys (never driver-checked) ---
     "q_sink_avro_python",
     "q_scan_avro_python",
-    # --- 3. 11 r4-stale keys (bench anchors first, then agg/join core) ---
+    "q_events_protobuf_decode",
+    # --- 3. 10 r4-stale keys (bench anchors first, then agg core) ---
     "q_agg_hash",
     "q_join_sortmerge",
     "q_agg_multi",
@@ -140,7 +142,6 @@ _DRIVER_WINDOW = [
     "q_agg_grouping_sets",
     "q_agg_conditional",
     "q_filter_pred",
-    "q_join_inner_hash",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Empty at the

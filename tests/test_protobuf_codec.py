@@ -1,0 +1,112 @@
+"""Unit tests for the pure-Python protobuf wire-format codec
+(sources/protobuf_python.py) — the protobuf docs' own byte vectors,
+proto3 default omission, projected decode with structural skips. Pure
+Python; the Spark integration is covered by the q_events_protobuf_decode
+oracle mirror in test_queries.py."""
+
+import pytest
+
+from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.protobuf_python import (
+    decode_message,
+    encode_message,
+)
+
+SCHEMA = {
+    "event_id": (1, "int64"),
+    "ts_us": (2, "int64"),
+    "user_id": (3, "int64"),
+    "event_type": (4, "string"),
+    "value": (5, "double"),
+    "props": (6, "string"),
+    "flag": (7, "bool"),
+    "delta": (8, "sint64"),
+}
+ALL = {num: (name, kind) for name, (num, kind) in SCHEMA.items()}
+
+
+def test_docs_byte_vectors():
+    """The exact encodings from protobuf.dev's encoding guide:
+    field 1 = varint 150 -> `08 96 01`; field 2 = string "testing"
+    -> `12 07 74 65 73 74 69 6e 67`."""
+    assert encode_message({"a": (1, "int64")}, {"a": 150}).hex() == "089601"
+    assert (
+        encode_message({"b": (2, "string")}, {"b": "testing"}).hex()
+        == "120774657374696e67"
+    )
+
+
+def test_full_roundtrip():
+    row = {
+        "event_id": 2**62,
+        "ts_us": 1234567890123456,
+        "user_id": 42,
+        "event_type": "héllo",
+        "value": -0.0001,
+        "props": "x" * 300,
+        "flag": True,
+        "delta": -(2**40),
+    }
+    assert decode_message(encode_message(SCHEMA, row), ALL) == row
+
+
+def test_proto3_defaults_omitted_and_restored():
+    """All-default message encodes to ZERO bytes; decode restores the
+    defaults — proto3's sparse-payload property."""
+    row = {
+        "event_id": 0,
+        "ts_us": 0,
+        "user_id": 0,
+        "event_type": "",
+        "value": 0.0,
+        "props": "",
+        "flag": False,
+        "delta": 0,
+    }
+    enc = encode_message(SCHEMA, row)
+    assert enc == b""
+    assert decode_message(enc, ALL) == row
+
+
+def test_negative_int64_ten_byte_varint():
+    """Wire rule: negative int64 (non-zigzag) is a 10-byte varint of
+    the two's-complement value."""
+    enc = encode_message({"a": (1, "int64")}, {"a": -1})
+    assert len(enc) == 1 + 10  # tag + 10-byte varint
+    assert decode_message(enc, {1: ("a", "int64")}) == {"a": -1}
+
+
+def test_sint64_zigzag_compact():
+    """sint64 zigzag keeps small negatives small (docs: -1 -> 1)."""
+    enc = encode_message({"d": (8, "sint64")}, {"d": -1})
+    assert enc.hex() == "4001"  # tag (8<<3|0)=0x40, zigzag(-1)=1
+
+
+def test_projected_decode_skips_unwanted():
+    row = {
+        "event_id": 7,
+        "ts_us": 99,
+        "user_id": 1,
+        "event_type": "click",
+        "value": 3.25,
+        "props": "p" * 1000,
+        "flag": True,
+        "delta": 5,
+    }
+    enc = encode_message(SCHEMA, row)
+    got = decode_message(
+        enc, {4: ("event_type", "string"), 5: ("value", "double")}
+    )
+    assert got == {"event_type": "click", "value": 3.25}
+
+
+def test_decode_order_insensitive():
+    """Fields may arrive in any order on the wire."""
+    a = encode_message({"x": (1, "int64")}, {"x": 5})
+    b = encode_message({"y": (2, "string")}, {"y": "z"})
+    wanted = {1: ("x", "int64"), 2: ("y", "string")}
+    assert decode_message(b + a, wanted) == decode_message(a + b, wanted)
+
+
+def test_unknown_wire_type_raises():
+    with pytest.raises(ValueError, match="wire type"):
+        decode_message(bytes([0x0B]), {2: ("y", "string")})  # wiretype 3
