@@ -46,12 +46,12 @@ BASE_SF_DIR = "/root/testdata/sf0.1"
 WORK_DIR = "/tmp/spark_graft_scaling"
 SEED = 42
 
-#: the five most expensive keys per BENCH_LOCAL_r06_full.json, one per
+#: the most expensive keys per BENCH_LOCAL_r06_full.json, one per
 #: cost family (convergence loop, LSH banding, CC loop, decimal agg,
-#: bucketed band join), plus the round-9 additions: the IVF batch
+#: bucketed band join), plus the round-9 additions — the IVF batch
 #: retrieval join (probe count AND corpus grow with scale — the RAG
 #: serving shape) and the zero-shuffle BPE tokenize (pure map stage,
-#: the slope-1.0 control).
+#: the slope-1.0 control) — and the round-10 Avro codec throughput key.
 KEYS = [
     "q_cluster_kmeans_lloyd",
     "q_dedup_fuzzy_minhash",
@@ -60,6 +60,10 @@ KEYS = [
     "q_join_theta_bucketed",
     "q_sim_search_batch_topk",
     "q_bpe_apply",
+    # round-10: pure-Python Avro codec throughput — encode+decode are
+    # map-only over lineitem, so the expected slope is ~1.0 (file count
+    # is fixed at 8; bytes per file grow linearly)
+    "q_scan_avro_python",
 ]
 
 #: tables each key loads — each scale dir carries exactly these

@@ -151,7 +151,9 @@ _DRIVER_WINDOW = [
 #: lands before the driver has run, it may instead displace a tail
 #: r4-stale entry in the window above. Keep
 #: test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = []
+_POST_WINDOW_ADDITIONS: list[str] = [
+    "q_stream_avro_ingest",
+]
 
 
 def _import_all() -> None:

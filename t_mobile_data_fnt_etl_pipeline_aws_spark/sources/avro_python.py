@@ -501,3 +501,69 @@ def make_avro_source():
             return AvroPyWriter(self.options, schema, overwrite)
 
     return AvroPySource
+
+
+def make_avro_stream_source():
+    """Streaming half of the Avro surface: tail an Avro LANDING DIRECTORY
+    (the Kafka-less ingest pattern — an upstream system drops immutable
+    container files; the stream consumes them in name order).
+
+    Offset = count of files consumed over the SORTED listing, so the
+    determinism contract is the same one Spark's own FileStreamSource
+    documents: landing files must arrive with monotonically increasing
+    names (part-00000 counters, timestamped names) and are immutable
+    once visible. ``read`` consumes the next ≤ maxFilesPerBatch files;
+    ``readBetweenOffsets`` replays any committed file range
+    byte-identically (files are immutable, listing is sorted — a pure
+    function of the offset pair). Decoding runs through the same
+    spec-implemented codec as the batch source.
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    class AvroDirStreamReader(SimpleDataSourceStreamReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+            self.max_files = int(options.get("maxFilesPerBatch", "1"))
+
+        def _files(self) -> list[str]:
+            return sorted(
+                f for f in os.listdir(self.dir) if f.endswith(".avro")
+            )
+
+        def initialOffset(self) -> dict:
+            return {"idx": 0}
+
+        def read(self, start: dict):
+            files = self._files()
+            lo = int(start["idx"])
+            hi = min(lo + self.max_files, len(files))
+            rows: list[tuple] = []
+            for f in files[lo:hi]:
+                rows.extend(read_container(os.path.join(self.dir, f)))
+            return iter(rows), {"idx": hi}
+
+        def readBetweenOffsets(self, start: dict, end: dict):
+            files = self._files()
+            for f in files[int(start["idx"]) : int(end["idx"])]:
+                yield from read_container(os.path.join(self.dir, f))
+
+    class AvroStreamSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "avro_py_stream"
+
+        def schema(self) -> str:
+            d = self.options["path"]
+            files = sorted(f for f in os.listdir(d) if f.endswith(".avro"))
+            if not files:
+                raise FileNotFoundError(f"no .avro files under {d}")
+            schema, _, _, _ = read_header(os.path.join(d, files[0]))
+            return spark_ddl_from_avro(schema)
+
+        def simpleStreamReader(self, schema) -> AvroDirStreamReader:
+            return AvroDirStreamReader(self.options)
+
+    return AvroStreamSource

@@ -517,3 +517,62 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v_id").isNull(), F.col("p_id"))
         ).alias("n_orphan_purchases"),
     )
+
+
+@query(
+    "q_stream_avro_ingest",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest of an Avro LANDING DIRECTORY — the Kafka-less
+    file-drop pattern: an upstream system lands immutable Avro container
+    files (sources/avro_python.py, spec-implemented codec) and the
+    stream tails them in name order through the Python Data Source
+    offset protocol (``avro_py_stream``: offset = files consumed, replay
+    = re-decode the committed file range — byte-identical because files
+    are immutable and the listing is sorted).
+
+    Declared here in the §2.9 batch-equivalent form (bounded landing
+    dir → DuckDB-oracle-checkable aggregate);
+    tests/test_streaming.py::test_avro_stream_ingest_converges drives
+    the REAL ``readStream`` over the same files in 1-file micro-batches
+    and asserts convergence to exactly this result.
+
+    Scale notes: each microbatch decodes only newly landed files
+    (incremental work ∝ arrival rate, not corpus size); the aggregate
+    state is per-event-type — O(|types|), not O(rows).
+    """
+    import os
+    import tempfile
+    import uuid
+
+    from ..sources.avro_python import make_avro_source
+
+    spark.dataSource.register(make_avro_source())
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    # uuid-unique landing dir per invocation (write-then-read rule)
+    landing = os.path.join(base, f"events_avro_landing_{uuid.uuid4().hex[:8]}")
+    load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    ).repartition(6).write.format("avro_py").option("path", landing).mode(
+        "overwrite"
+    ).save()
+    return (
+        spark.read.format("avro_py")
+        .option("path", landing)
+        .load()
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+    )

@@ -918,3 +918,63 @@ def test_python_stream_source_exactly_once(spark, tmp_path):
         (i, (i // 17) * 17, i * 0.5) for i in range(100)
     }
     assert got == expected
+
+
+def test_avro_stream_ingest_converges(spark, sf_dir, tmp_path):
+    """The Avro landing-dir streaming source (avro_py_stream) driven by
+    a REAL readStream: 6 immutable container files consumed in 2-file
+    micro-batches through the offset protocol must converge to exactly
+    the batch aggregate q_stream_avro_ingest declares (every row once —
+    the file-range replay contract)."""
+    import time
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import QUERIES
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        make_avro_source,
+        make_avro_stream_source,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    spark.dataSource.register(make_avro_source())
+    spark.dataSource.register(make_avro_stream_source())
+    landing = str(tmp_path / "landing")
+    src = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    n_expected = src.count()
+    src.repartition(6).write.format("avro_py").option("path", landing).mode(
+        "overwrite"
+    ).save()
+
+    stream = (
+        spark.readStream.format("avro_py_stream")
+        .option("path", landing)
+        .option("maxFilesPerBatch", "2")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("avro_stream_mem")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_avro"))
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if spark.table("avro_stream_mem").count() >= n_expected:
+                break
+            time.sleep(0.5)
+        got = (
+            spark.table("avro_stream_mem")
+            .groupBy("event_type")
+            .count()
+            .collect()
+        )
+        n_rows = spark.table("avro_stream_mem").count()
+    finally:
+        q.stop()
+    assert n_rows == n_expected, f"stream delivered {n_rows} != {n_expected}"
+    batch = {
+        r.event_type: r.n_events
+        for r in QUERIES["q_stream_avro_ingest"](spark, sf_dir).collect()
+    }
+    assert {r.event_type: r["count"] for r in got} == batch
