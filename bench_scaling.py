@@ -402,6 +402,10 @@ def _write_md(scales, results, slopes) -> None:
         "- **q_bpe_apply** — zero-shuffle codegen replace chain over",
         "  the documents scan; the pure map-stage control, expected",
         "  slope ~1 exactly.",
+        "- **q_scan_avro_python** — pure-Python Avro container",
+        "  encode+decode over lineitem, map-only with a FIXED file",
+        "  count (8): bytes per file grow linearly and so does codec",
+        "  CPU; the second map-stage control alongside q_bpe_apply.",
         "",
         "No super-linear surprise = the plan-contract story (pushdown,",
         "broadcast, bucketing, no nested loops) holds empirically",

@@ -153,6 +153,7 @@ _DRIVER_WINDOW = [
 #: test_driver_window_rotation's exemption in sync.
 _POST_WINDOW_ADDITIONS: list[str] = [
     "q_stream_avro_ingest",
+    "q_events_protobuf_nested",
 ]
 
 

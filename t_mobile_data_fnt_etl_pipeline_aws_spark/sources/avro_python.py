@@ -107,8 +107,6 @@ def _read_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
 # dict, or a ["null", T] union list.
 # ---------------------------------------------------------------------------
 
-_PRIMITIVES = {"long", "int", "double", "string", "bytes", "boolean", "null"}
-
 
 def _base_type(typ) -> str:
     if isinstance(typ, dict):

@@ -110,3 +110,87 @@ def test_decode_order_insensitive():
 def test_unknown_wire_type_raises():
     with pytest.raises(ValueError, match="wire type"):
         decode_message(bytes([0x0B]), {2: ("y", "string")})  # wiretype 3
+
+
+NESTED = {
+    "user_id": (1, "int64"),
+    "geo": (2, ("message", {"lat_e7": (1, "sint64"), "lon_e7": (2, "sint64")})),
+    "tags": (3, ("repeated", "string")),
+    "scores": (4, ("repeated", "int64")),
+    "events": (
+        5,
+        ("repeated", ("message", {"event_id": (1, "int64"), "value": (2, "double")})),
+    ),
+}
+NESTED_WANTED = {num: (name, kind) for name, (num, kind) in NESTED.items()}
+
+
+def test_packed_repeated_docs_vector():
+    """The exact packed-repeated encoding from protobuf.dev: field 4,
+    values [3, 270, 86942] -> `22 06 03 8e 02 9e a7 05`."""
+    enc = encode_message(
+        {"d": (4, ("repeated", "int64"))}, {"d": [3, 270, 86942]}
+    )
+    assert enc.hex() == "2206038e029ea705"
+
+
+def test_nested_and_repeated_roundtrip():
+    row = {
+        "user_id": 42,
+        "geo": {"lat_e7": 377749000, "lon_e7": -1224194000},
+        "tags": ["alpha", "béta", ""],
+        "scores": [0, -1, 2**40],
+        "events": [
+            {"event_id": 1, "value": 0.5},
+            {"event_id": 2, "value": 0.0},  # default double omitted inside
+        ],
+    }
+    got = decode_message(encode_message(NESTED, row), NESTED_WANTED)
+    assert got == row
+
+
+def test_empty_repeated_and_absent_message_defaults():
+    enc = encode_message(NESTED, {"user_id": 7})
+    assert decode_message(enc, NESTED_WANTED) == {
+        "user_id": 7,
+        "geo": None,
+        "tags": [],
+        "scores": [],
+        "events": [],
+    }
+
+
+def test_unpacked_numeric_accepted():
+    """Parsers must accept repeated numerics in UNPACKED form too (one
+    varint field per element) — the proto2-compat rule in the spec."""
+    out = bytearray()
+    for v in (3, 270, 86942):
+        out.extend(bytes([(4 << 3) | 0]))  # field 4, VARINT wire
+        n = v
+        while True:
+            b = n & 0x7F
+            n >>= 7
+            if n:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    got = decode_message(bytes(out), {4: ("scores", ("repeated", "int64"))})
+    assert got == {"scores": [3, 270, 86942]}
+
+
+def test_nested_projection_skips_siblings():
+    """A wanted sub-message PROJECTS recursively: only lat_e7 of geo is
+    materialized; repeated events and tags are skipped structurally."""
+    row = {
+        "user_id": 9,
+        "geo": {"lat_e7": 10, "lon_e7": -20},
+        "tags": ["x"] * 50,
+        "scores": list(range(100)),
+        "events": [{"event_id": i, "value": i * 0.5} for i in range(20)],
+    }
+    enc = encode_message(NESTED, row)
+    got = decode_message(
+        enc, {2: ("geo", ("message", {1: ("lat_e7", "sint64")}))}
+    )
+    assert got == {"geo": {"lat_e7": 10}}
