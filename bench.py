@@ -240,6 +240,7 @@ HEADLINE = [
     "q_scan_avro_python",            # Avro scan + Catalyst agg composed on top
     "q_events_protobuf_decode",      # proto3 wire encode -> projected skip-decode
     "q_events_protobuf_nested",      # per-user envelope: nested repeated sub-messages
+    "q_scan_avro_evolution",         # reader-schema resolution (drop/default/promote)
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

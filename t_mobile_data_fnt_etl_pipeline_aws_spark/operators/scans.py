@@ -1289,3 +1289,61 @@ def q_events_protobuf_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     return envelopes.mapInPandas(
         decode_batches, "user_id bigint, event_id bigint, value double"
     )
+
+
+@query(
+    "q_scan_avro_evolution",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           'LEGACY' AS o_channel
+    FROM orders
+    """,
+)
+def q_scan_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro SCHEMA EVOLUTION (spec: Schema Resolution) — the consumer
+    upgrades its schema WITHOUT rewriting landed files: v1 files are
+    written once, then read under a v2 READER schema that
+
+      * DROPS ``o_orderstatus`` (writer-only fields are decoded and
+        discarded executor-side),
+      * PROMOTES ``o_year`` int -> bigint (spec promotion table),
+      * ADDS ``o_channel`` with default 'LEGACY' (reader-only fields
+        take their declared default — the backfill-free new-column
+        pattern).
+
+    Resolution happens per-file against each file's own embedded writer
+    schema (``readerSchema`` option on the avro_py source), so a 100-TB
+    landing zone written across MONTHS of producer versions reads under
+    one consumer schema — the actual reason Avro pairs a writer schema
+    with every file. The oracle recomputes v2 straight from parquet;
+    hash-compare proves drops/defaults/promotions lossless row-by-row.
+    """
+    import uuid
+
+    from ..sources.avro_python import make_avro_source
+
+    spark.dataSource.register(make_avro_source())
+    out = _sink_dir(f"orders_avro_v1_{uuid.uuid4().hex[:8]}")
+    load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).repartition(4).write.format("avro_py").option("path", out).mode(
+        "overwrite"
+    ).save()
+    reader_v2 = (
+        '{"type":"record","name":"orders_v2","fields":['
+        '{"name":"o_orderkey","type":"long"},'
+        '{"name":"o_totalprice","type":"double"},'
+        '{"name":"o_year","type":"long"},'
+        '{"name":"o_channel","type":"string","default":"LEGACY"}]}'
+    )
+    return (
+        spark.read.format("avro_py")
+        .option("path", out)
+        .option("readerSchema", reader_v2)
+        .load()
+    )

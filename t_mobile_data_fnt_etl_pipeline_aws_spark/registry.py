@@ -154,6 +154,7 @@ _DRIVER_WINDOW = [
 _POST_WINDOW_ADDITIONS: list[str] = [
     "q_stream_avro_ingest",
     "q_events_protobuf_nested",
+    "q_scan_avro_evolution",
 ]
 
 

@@ -25,13 +25,23 @@ Files"):
   * ``null`` — zero bytes;
   * unions ``["null", T]`` — long branch index, then the branch value
     (how Avro spells nullability);
-  * logical types ``date`` (int days since epoch) and
-    ``timestamp-micros`` (long) — annotations over the primitives;
+  * logical types ``date`` (int days since epoch),
+    ``timestamp-micros`` and ``local-timestamp-micros`` (long) —
+    annotations over the primitives;
   * container file — magic ``Obj\\x01``, a map<string,bytes> of file
     metadata (``avro.schema`` JSON + ``avro.codec``), a 16-byte sync
     marker, then blocks of (row count, byte length, payload, sync).
     Codec ``null`` (uncompressed) and ``deflate`` (raw zlib, spec
-    §"Required Codecs") are both supported.
+    §"Required Codecs") are both supported;
+  * SCHEMA RESOLUTION (spec §"Schema Resolution") — a consumer READER
+    schema resolved per-file against each file's embedded writer
+    schema: writer-only fields dropped, reader-only fields take their
+    declared defaults, int->long/double, long->double, float->double
+    promotions (``read_container_resolved`` / the ``readerSchema``
+    source option);
+  * a STREAMING landing-dir source (``make_avro_stream_source``) that
+    tails immutable file drops through the Python Data Source offset
+    protocol.
 
 Scale design: the codec is deliberately split from the Spark plumbing —
 ``write_container``/``read_container`` run EXECUTOR-side inside the
@@ -464,6 +474,8 @@ def make_avro_source():
     class AvroPyReader(DataSourceReader):
         def __init__(self, options):
             self.dir = options["path"]
+            rs = options.get("readerschema")  # option keys arrive lowercased
+            self.reader_schema = json.loads(rs) if rs else None
 
         def partitions(self):
             if not os.path.exists(os.path.join(self.dir, "_SUCCESS")):
@@ -475,7 +487,15 @@ def make_avro_source():
             ]
 
         def read(self, partition):
-            yield from read_container(partition.path)
+            if self.reader_schema is not None:
+                # spec Schema Resolution: consumer-side evolution —
+                # resolve each file's WRITER schema against the reader
+                # schema executor-side (defaults, drops, promotions)
+                yield from read_container_resolved(
+                    partition.path, self.reader_schema
+                )
+            else:
+                yield from read_container(partition.path)
 
     class AvroPySource(DataSource):
         @classmethod
@@ -484,7 +504,11 @@ def make_avro_source():
 
         def schema(self) -> str:
             # self-describing: open ONE header at plan time (O(1) driver
-            # work) and derive the Spark DDL from the writer's schema.
+            # work) and derive the Spark DDL from the writer's schema —
+            # or from the READER schema when evolution is requested.
+            rs = self.options.get("readerschema")
+            if rs:
+                return spark_ddl_from_avro(json.loads(rs))
             d = self.options["path"]
             files = sorted(f for f in os.listdir(d) if f.endswith(".avro"))
             if not files:
@@ -565,3 +589,77 @@ def make_avro_stream_source():
             return AvroDirStreamReader(self.options)
 
     return AvroStreamSource
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (spec: Schema Resolution) — reader vs writer schema
+# ---------------------------------------------------------------------------
+
+#: writer-base -> allowed reader-bases (spec promotion table subset:
+#: int->long/double, long->double, float->double)
+_PROMOTIONS = {
+    "int": {"int", "long", "double"},
+    "long": {"long", "double"},
+    "float": {"float", "double"},
+}
+
+
+def _nonnull_base(typ) -> str:
+    """Base type name of the non-null branch (unions unwrap)."""
+    if isinstance(typ, list):
+        typ = next(t for t in typ if t != "null")
+    return _base_type(typ)
+
+
+def _resolve_value(reader_t, v):
+    """Promote a decoded writer value to the reader's type."""
+    if v is None:
+        return None
+    if _nonnull_base(reader_t) == "double" and isinstance(v, int):
+        return float(v)
+    return v
+
+
+def read_container_resolved(path: str, reader_schema: dict) -> Iterator[tuple]:
+    """Decode a container file under a READER schema (spec: Schema
+    Resolution): fields match by NAME; writer-only fields are decoded
+    and dropped; reader-only fields take their declared ``default``;
+    int->long/double, long->double, float->double promotions apply.
+    This is how a consumer upgrades its schema without rewriting the
+    landed files — the evolution half of the Avro contract.
+    """
+    writer_schema, _, _, _ = read_header(path)
+    writer_fields = writer_schema["fields"]
+    by_name = {f["name"]: i for i, f in enumerate(writer_fields)}
+
+    plan = []  # per reader field: ("copy", writer_idx, writer_t, reader_t) | ("default", value)
+    for rf in reader_schema["fields"]:
+        wi = by_name.get(rf["name"])
+        if wi is None:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer schema "
+                    "and has no default (spec: resolution error)"
+                )
+            plan.append(("default", rf["default"]))
+        else:
+            wt, rt = writer_fields[wi]["type"], rf["type"]
+            w_base, r_base = _nonnull_base(wt), _nonnull_base(rt)
+            if w_base != r_base and r_base not in _PROMOTIONS.get(
+                w_base, set()
+            ):
+                raise ValueError(
+                    f"cannot promote writer {w_base!r} to reader {r_base!r} "
+                    f"for field {rf['name']!r}"
+                )
+            plan.append(("copy", wi, rt))
+
+    for row in read_container(path):
+        out = []
+        for step in plan:
+            if step[0] == "default":
+                out.append(step[1])
+            else:
+                _, wi, rt = step
+                out.append(_resolve_value(rt, row[wi]))
+        yield tuple(out)

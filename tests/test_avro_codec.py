@@ -132,3 +132,117 @@ def test_empty_container(tmp_path):
     p = str(tmp_path / "e.avro")
     assert write_container(p, SCHEMA, []) == 0
     assert list(read_container(p)) == []
+
+
+def test_property_roundtrip_random_rows(tmp_path):
+    """Hypothesis battery: randomized rows through the container codec.
+    Catches varint/length-prefix edge cases (64-bit boundaries, empty
+    and astral-plane strings, negative dates) no fixture would."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    row_st = st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.one_of(st.none(), st.text(max_size=50)),
+        st.floats(allow_nan=False),
+        st.booleans(),
+        st.dates(
+            min_value=datetime.date(1, 1, 1),
+            max_value=datetime.date(9999, 12, 31),
+        ),
+        st.datetimes(
+            min_value=datetime.datetime(1, 1, 1),
+            max_value=datetime.datetime(9999, 12, 31, 23, 59, 59, 999999),
+        ),
+    )
+
+    counter = iter(range(10**9))
+
+    @settings(max_examples=60, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(rows=st.lists(row_st, max_size=40),
+           codec=st.sampled_from(["null", "deflate"]))
+    def inner(rows, codec):
+        p = str(tmp_path / f"prop_{next(counter)}.avro")
+        write_container(p, SCHEMA, rows, codec=codec, block_rows=7)
+        assert list(read_container(p)) == rows
+
+    inner()
+
+
+def test_property_nan_double_roundtrip(tmp_path):
+    """NaN doubles survive byte-exact (IEEE payload preserved)."""
+    import math
+    import struct as _struct
+
+    rows = [(1, "n", float("nan"), True, datetime.date(2000, 1, 1),
+             datetime.datetime(2000, 1, 1))]
+    p = str(tmp_path / "nan.avro")
+    write_container(p, SCHEMA, rows)
+    got = list(read_container(p))[0]
+    assert math.isnan(got[2])
+    assert _struct.pack("<d", got[2]) == _struct.pack("<d", rows[0][2])
+
+
+def test_schema_resolution_defaults_drops_promotions(tmp_path):
+    """Spec Schema Resolution: reader drops a writer field, adds one
+    with a default, and promotes long->double — against the same file."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        read_container_resolved,
+    )
+
+    writer = {
+        "type": "record",
+        "name": "v1",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "status", "type": "string"},
+            {"name": "qty", "type": "long"},
+        ],
+    }
+    p = str(tmp_path / "v1.avro")
+    write_container(p, writer, [(1, "OK", 10), (2, "NO", 20)])
+
+    reader = {
+        "type": "record",
+        "name": "v2",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "qty", "type": "double"},          # long -> double
+            {"name": "channel", "type": "string", "default": "LEGACY"},
+        ],
+    }
+    got = list(read_container_resolved(p, reader))
+    assert got == [(1, 10.0, "LEGACY"), (2, 20.0, "LEGACY")]
+    assert all(isinstance(r[1], float) for r in got)
+
+
+def test_schema_resolution_missing_default_errors(tmp_path):
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        read_container_resolved,
+    )
+
+    writer = {"type": "record", "name": "v1",
+              "fields": [{"name": "id", "type": "long"}]}
+    p = str(tmp_path / "nd.avro")
+    write_container(p, writer, [(1,)])
+    reader = {"type": "record", "name": "v2",
+              "fields": [{"name": "id", "type": "long"},
+                         {"name": "extra", "type": "string"}]}
+    with pytest.raises(ValueError, match="no default"):
+        list(read_container_resolved(p, reader))
+
+
+def test_schema_resolution_illegal_promotion_errors(tmp_path):
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        read_container_resolved,
+    )
+
+    writer = {"type": "record", "name": "v1",
+              "fields": [{"name": "x", "type": "string"}]}
+    p = str(tmp_path / "ip.avro")
+    write_container(p, writer, [("a",)])
+    reader = {"type": "record", "name": "v2",
+              "fields": [{"name": "x", "type": "long"}]}
+    with pytest.raises(ValueError, match="promote"):
+        list(read_container_resolved(p, reader))

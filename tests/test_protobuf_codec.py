@@ -194,3 +194,47 @@ def test_nested_projection_skips_siblings():
         enc, {2: ("geo", ("message", {1: ("lat_e7", "sint64")}))}
     )
     assert got == {"geo": {"lat_e7": 10}}
+
+
+def test_property_roundtrip_random_messages():
+    """Hypothesis battery over the full kind grammar: random scalars,
+    nested sub-messages, and repeated fields (packed + per-element)
+    must round-trip exactly — with the proto3 normalization that
+    default scalars decode back to defaults (the strategy only draws
+    non-default optionals to keep equality exact)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    msg_st = st.fixed_dictionaries(
+        {
+            "user_id": i64,
+            "geo": st.one_of(
+                st.none(),
+                st.fixed_dictionaries(
+                    {"lat_e7": i64.filter(bool), "lon_e7": i64.filter(bool)}
+                ),
+            ),
+            "tags": st.lists(st.text(min_size=1, max_size=20), max_size=8),
+            "scores": st.lists(i64, max_size=16),
+            "events": st.lists(
+                st.fixed_dictionaries(
+                    {
+                        "event_id": i64.filter(bool),
+                        "value": st.floats(
+                            allow_nan=False, allow_infinity=False
+                        ).filter(bool),
+                    }
+                ),
+                max_size=8,
+            ),
+        }
+    )
+
+    @settings(max_examples=80, deadline=None)
+    @given(row=msg_st)
+    def inner(row):
+        got = decode_message(encode_message(NESTED, row), NESTED_WANTED)
+        assert got == row
+
+    inner()
