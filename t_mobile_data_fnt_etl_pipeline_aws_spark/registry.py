@@ -75,16 +75,17 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ROUND-10 WINDOW (this list), in priority order:
 #:   1. ALL 37 never-driver-checked round-9 additions (VERDICT r9 item 1)
 #:      — every "— (new)" SURVEY row gets its first driver row this round.
-#:   2. The 3 NEW round-10 keys (q_sink_avro_python / q_scan_avro_python
-#:      / q_events_protobuf_decode, the spec-implemented Avro + protobuf
-#:      wire formats — never driver-checked, so they outrank stale-green
+#:   2. ALL 6 NEW round-10 keys (the spec-implemented Avro + protobuf
+#:      wire-format surface: batch sink/scan, reader-schema evolution,
+#:      streaming landing-dir ingest, flat projected decode, nested
+#:      envelope — never driver-checked, so they outrank stale-green
 #:      keys).
-#:   3. 10 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
-#:      q_join_sortmerge) first, then the SS2.4 agg core +
-#:      q_filter_pred. 37 + 3 + 10 fills the 50 slots exactly; the
-#:      remaining 39 r4-stale keys head the ROUND-11 rotation
-#:      (q_agg_approx_distinct, q_agg_boolean, q_agg_median_exact,
-#:      q_agg_mode_deterministic, q_agg_sketch_reaggregate, q_agg_stats_corr,
+#:   3. 7 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
+#:      q_join_sortmerge) first, then the SS2.4 agg core. 37 + 6 + 7
+#:      fills the 50 slots exactly; the remaining 42 r4-stale keys head
+#:      the ROUND-11 rotation (q_agg_approx_distinct, q_agg_boolean,
+#:      q_agg_cube, q_agg_grouping_sets, q_agg_conditional,
+#:      q_filter_pred, q_agg_median_exact, q_agg_mode_deterministic,
 #:      the scan/sink/window/join remainder — recompute from the
 #:      CORRECTNESS_r* union at round-11 open).
 #: Keep test_driver_window_rotation in sync.
@@ -131,7 +132,10 @@ _DRIVER_WINDOW = [
     "q_sink_avro_python",
     "q_scan_avro_python",
     "q_events_protobuf_decode",
-    # --- 3. 10 r4-stale keys (bench anchors first, then agg core) ---
+    "q_scan_avro_evolution",
+    "q_stream_avro_ingest",
+    "q_events_protobuf_nested",
+    # --- 3. 7 r4-stale keys (bench anchors first, then agg core) ---
     "q_agg_hash",
     "q_join_sortmerge",
     "q_agg_multi",
@@ -139,9 +143,6 @@ _DRIVER_WINDOW = [
     "q_agg_having",
     "q_agg_rollup",
     "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_conditional",
-    "q_filter_pred",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Empty at the
@@ -151,11 +152,7 @@ _DRIVER_WINDOW = [
 #: lands before the driver has run, it may instead displace a tail
 #: r4-stale entry in the window above. Keep
 #: test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = [
-    "q_stream_avro_ingest",
-    "q_events_protobuf_nested",
-    "q_scan_avro_evolution",
-]
+_POST_WINDOW_ADDITIONS: list[str] = []
 
 
 def _import_all() -> None:
