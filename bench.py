@@ -241,6 +241,8 @@ HEADLINE = [
     "q_events_protobuf_decode",      # proto3 wire encode -> projected skip-decode
     "q_events_protobuf_nested",      # per-user envelope: nested repeated sub-messages
     "q_scan_avro_evolution",         # reader-schema resolution (drop/default/promote)
+    "q_scan_xml_roundtrip",          # native XML file format round-trip
+    "q_scan_sqlite_partitioned",     # range-partitioned DB ingest (JDBC pattern)
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

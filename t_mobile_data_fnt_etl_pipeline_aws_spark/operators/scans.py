@@ -1347,3 +1347,173 @@ def q_scan_avro_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("readerSchema", reader_v2)
         .load()
     )
+
+
+@query(
+    "q_scan_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    """,
+)
+def q_scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML file source/sink round-trip (Spark 4 absorbed
+    spark-xml into core: ``df.write.format('xml')`` with a rowTag /
+    ``spark.read.format('xml')``): `orders` written as one <order>
+    element per row, read back under an EXPLICIT schema (inference over
+    XML costs a full extra pass at 100 TB — the same schema-contract
+    rule q_scan_schema_assert pins for parquet and q_scan_csv_roundtrip
+    for CSV). Complements the xpath_*/from_xml FUNCTION battery
+    (q_xml_funcs): that key parses XML embedded in columns, this one
+    exercises the FILE format — distributed write, partitioned
+    read-back, and XML's text->typed coercions (doubles survive the
+    text hop bit-exact because Java's shortest-repr Double.toString is
+    defined to round-trip; the hash compare below proves it on 15k
+    values).
+
+    Parity: oracle reads the same 4 columns from parquet; hash compare
+    proves the text round-trip value-exact for the integer/double/
+    enum-string shapes XML exports carry.
+    """
+    import uuid
+
+    out = _sink_dir(f"orders_xml_{uuid.uuid4().hex[:8]}")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    load(spark, sf_dir, "orders").select(*cols).repartition(4).write.format(
+        "xml"
+    ).option("rowTag", "order").mode("overwrite").save(out)
+    schema = (
+        "o_orderkey bigint, o_orderstatus string, o_totalprice double, "
+        "o_orderpriority string"
+    )
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema(schema)
+        .load(out)
+        .select(*cols)
+    )
+
+
+@query(
+    "q_scan_sqlite_partitioned",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    """,
+)
+def q_scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-bounded DATABASE ingest — the JDBC ``partitionColumn/
+    lowerBound/upperBound/numPartitions`` pattern, demonstrated against
+    a real SQL database (stdlib sqlite3; no JDBC driver jars ship in
+    this container) through the Python Data Source API.
+
+    The part that matters at scale: ``partitions()`` splits the key
+    range into N disjoint ``WHERE o_orderkey >= lo AND < hi`` slices,
+    so N executor tasks each open their OWN connection and pull their
+    OWN slice — a single-partition database read would serialize a
+    multi-TB table through one task no matter how big the cluster
+    (exactly why Spark's JDBC source demands explicit bounds). The
+    predicate rides INTO the database as SQL, so each task transfers
+    only its slice — source-side filtering, the DB analogue of parquet
+    pushdown.
+
+    Setup (not the operator under test): the fixture table is loaded
+    into a uuid-unique sqlite file once per invocation, executor tasks
+    then read it in parallel. Parity: oracle reads the same 4 columns
+    from parquet; hash compare proves the two-hop (parquet -> sqlite ->
+    Spark) transfer value-exact, doubles included (SQLite REAL is IEEE
+    754 binary64 — no text hop).
+    """
+    import sqlite3
+    import uuid
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    import pyarrow.parquet as _pq
+
+    db = _sink_dir(f"orders_sqlite_{uuid.uuid4().hex[:8]}.db")
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
+    )
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE orders (o_orderkey INTEGER, o_custkey INTEGER, "
+        "o_totalprice REAL, o_orderstatus TEXT)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?, ?)",
+        zip(
+            tbl["o_orderkey"].to_pylist(),
+            tbl["o_custkey"].to_pylist(),
+            tbl["o_totalprice"].to_pylist(),
+            tbl["o_orderstatus"].to_pylist(),
+        ),
+    )
+    con.execute("CREATE INDEX idx_orders_key ON orders(o_orderkey)")
+    con.commit()
+    lo, hi = con.execute(
+        "SELECT min(o_orderkey), max(o_orderkey) FROM orders"
+    ).fetchone()
+    con.close()
+
+    class _RangePartition(InputPartition):
+        def __init__(self, db: str, lo: int, hi: int):
+            self.db, self.lo, self.hi = db, lo, hi
+
+    class SqliteRangeReader(DataSourceReader):
+        def __init__(self, options):
+            self.db = options["path"]
+            self.lo = int(options["lowerbound"])
+            self.hi = int(options["upperbound"])
+            self.n = int(options.get("numpartitions", "8"))
+
+        def partitions(self):
+            span = self.hi - self.lo + 1
+            step = max(1, span // self.n)
+            bounds = list(range(self.lo, self.hi + 1, step)) + [self.hi + 1]
+            return [
+                _RangePartition(self.db, a, b)
+                for a, b in zip(bounds, bounds[1:])
+            ]
+
+        def read(self, part):
+            # each task opens its own connection and pulls ONLY its
+            # key slice — the predicate executes inside the database
+            import sqlite3 as _sq
+
+            c = _sq.connect(part.db)
+            try:
+                yield from c.execute(
+                    "SELECT o_orderkey, o_custkey, o_totalprice, "
+                    "o_orderstatus FROM orders "
+                    "WHERE o_orderkey >= ? AND o_orderkey < ?",
+                    (part.lo, part.hi),
+                )
+            finally:
+                c.close()
+
+    class SqliteRangeSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sqlite_range"
+
+        def schema(self) -> str:
+            return (
+                "o_orderkey bigint, o_custkey bigint, "
+                "o_totalprice double, o_orderstatus string"
+            )
+
+        def reader(self, schema) -> SqliteRangeReader:
+            return SqliteRangeReader(self.options)
+
+    spark.dataSource.register(SqliteRangeSource)
+    return (
+        spark.read.format("sqlite_range")
+        .option("path", db)
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi))
+        .option("numPartitions", "8")
+        .load()
+    )
