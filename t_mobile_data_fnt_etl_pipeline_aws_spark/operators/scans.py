@@ -1470,9 +1470,12 @@ def q_scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
             self.n = int(options.get("numpartitions", "8"))
 
         def partitions(self):
-            span = self.hi - self.lo + 1
-            step = max(1, span // self.n)
-            bounds = list(range(self.lo, self.hi + 1, step)) + [self.hi + 1]
+            # exactly n even slices regardless of span % n (a naive
+            # fixed-step range() mints an n+1th sliver partition)
+            span = self.hi + 1 - self.lo
+            n = min(self.n, max(1, span))
+            bounds = [self.lo + (span * i) // n for i in range(n)]
+            bounds.append(self.hi + 1)
             return [
                 _RangePartition(self.db, a, b)
                 for a, b in zip(bounds, bounds[1:])
