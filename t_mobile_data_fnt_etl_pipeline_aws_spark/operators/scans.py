@@ -1520,3 +1520,61 @@ def q_scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("numPartitions", "8")
         .load()
     )
+
+
+@query(
+    "q_sink_parquet_codecs",
+    oracle="""
+    SELECT c.codec,
+           agg.n_orders,
+           agg.sum_price
+    FROM (VALUES ('none'), ('snappy'), ('zstd')) AS c(codec)
+    CROSS JOIN (
+        SELECT count(*) AS n_orders, {sum_price}
+        FROM orders
+    ) agg
+    ORDER BY c.codec
+    """.format(sum_price=sql_dsum("o_totalprice", "sum_price")),
+)
+def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression-codec audit — none vs snappy vs zstd, the
+    first-order 100-TB layout decision (storage cost and scan MB/s vs
+    encode CPU): the same table written under each codec, each read
+    back and aggregate-checksummed. The hash-compared output proves
+    every codec path LOSSLESS (identical counts and decimal-exact price
+    sums per codec); the size ordering (zstd < snappy < none on this
+    data) is asserted in tests/test_plans.py::
+    test_parquet_codec_sizes_ordered, kept out of the query output
+    because absolute byte sizes vary with codec library versions.
+
+    At scale the choice compounds: column-chunk compression happens
+    per row group entirely executor-side (no extra shuffle here —
+    three map-only writes), and scan-side decompression is vectorized
+    in the columnar reader for all three codecs.
+    """
+    import uuid
+
+    from ..functions.numeric import DEC, finish
+
+    base = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    run = uuid.uuid4().hex[:8]
+    outs = {}
+    for codec in ("none", "snappy", "zstd"):
+        out = _sink_dir(f"orders_codec_{codec}_{run}")
+        base.write.mode("overwrite").option("compression", codec).parquet(out)
+        outs[codec] = out
+    parts = []
+    for codec, out in sorted(outs.items()):
+        parts.append(
+            spark.read.parquet(out).agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_orders"),
+                finish(F.sum(F.col("o_totalprice").cast(DEC)), 4).alias(
+                    "sum_price"
+                ),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionAll(p)
+    return df.select("codec", "n_orders", "sum_price")

@@ -990,3 +990,26 @@ def test_sqlite_range_reader_parallelizes(spark, sf_dir):
     total = df.count()
     distinct = df.select("o_orderkey").distinct().count()
     assert total == distinct, "range slices overlap or duplicate rows"
+
+
+def test_parquet_codec_sizes_ordered(spark, sf_dir):
+    """The codec audit's size story: on the orders projection, zstd
+    compresses tighter than snappy, and both beat uncompressed —
+    asserted here (not in the hashed query output) because absolute
+    byte counts vary with codec library versions."""
+    import glob as _glob
+    import os as _os
+    import tempfile as _tf
+
+    base = _os.path.join(_tf.gettempdir(), f"spark_graft_sinks_{_os.getpid()}")
+    QUERIES["q_sink_parquet_codecs"](spark, sf_dir).collect()
+    sizes = {}
+    for codec in ("none", "snappy", "zstd"):
+        dirs = sorted(_glob.glob(_os.path.join(base, f"orders_codec_{codec}_*")))
+        assert dirs, f"no sink dir for codec {codec}"
+        d = dirs[-1]  # newest generation from the collect above
+        sizes[codec] = sum(
+            _os.path.getsize(f)
+            for f in _glob.glob(_os.path.join(d, "*.parquet"))
+        )
+    assert sizes["zstd"] < sizes["snappy"] < sizes["none"], sizes

@@ -61,6 +61,16 @@ SCALE_SENSITIVE_EXTRA = [
     # multi-block path (block_rows boundaries) and varint edges at
     # larger keys
     "q_scan_avro_python",
+    # round-10 ingest build-out: each new wire/DB path at 10× proves
+    # the codec/connector linear and lossless past fixture scale —
+    # 1.5M orders through XML text, 1M events through proto3 bytes
+    # (flat + enveloped), 1.5M rows through sqlite range slices, and
+    # reader-schema resolution over 10× v1 files
+    "q_scan_xml_roundtrip",
+    "q_events_protobuf_decode",
+    "q_events_protobuf_nested",
+    "q_scan_sqlite_partitioned",
+    "q_scan_avro_evolution",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
