@@ -244,6 +244,7 @@ HEADLINE = [
     "q_scan_xml_roundtrip",          # native XML file format round-trip
     "q_scan_sqlite_partitioned",     # range-partitioned DB ingest (JDBC pattern)
     "q_sink_parquet_codecs",         # none/snappy/zstd codec audit (lossless + sizes)
+    "q_join_federated_sources",      # sqlite dim broadcast x parquet fact (federation)
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

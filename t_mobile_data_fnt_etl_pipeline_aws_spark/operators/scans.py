@@ -1406,13 +1406,14 @@ def q_scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partition-bounded DATABASE ingest — the JDBC ``partitionColumn/
     lowerBound/upperBound/numPartitions`` pattern, demonstrated against
     a real SQL database (stdlib sqlite3; no JDBC driver jars ship in
-    this container) through the Python Data Source API.
+    this container) through the Python Data Source API
+    (sources/sqlite_python.py — shared with the federated-join key).
 
     The part that matters at scale: ``partitions()`` splits the key
-    range into N disjoint ``WHERE o_orderkey >= lo AND < hi`` slices,
-    so N executor tasks each open their OWN connection and pull their
-    OWN slice — a single-partition database read would serialize a
-    multi-TB table through one task no matter how big the cluster
+    range into exactly N disjoint ``WHERE o_orderkey >= lo AND < hi``
+    slices, so N executor tasks each open their OWN connection and pull
+    their OWN slice — a single-partition database read would serialize
+    a multi-TB table through one task no matter how big the cluster
     (exactly why Spark's JDBC source demands explicit bounds). The
     predicate rides INTO the database as SQL, so each task transfers
     only its slice — source-side filtering, the DB analogue of parquet
@@ -1425,100 +1426,126 @@ def q_scan_sqlite_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark) transfer value-exact, doubles included (SQLite REAL is IEEE
     754 binary64 — no text hop).
     """
-    import sqlite3
     import uuid
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
     import pyarrow.parquet as _pq
+
+    from ..sources.sqlite_python import load_table_to_sqlite, make_sqlite_source
 
     db = _sink_dir(f"orders_sqlite_{uuid.uuid4().hex[:8]}.db")
     tbl = _pq.read_table(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"],
     )
-    con = sqlite3.connect(db)
-    con.execute(
+    lo, hi = load_table_to_sqlite(
+        db,
+        "orders",
         "CREATE TABLE orders (o_orderkey INTEGER, o_custkey INTEGER, "
-        "o_totalprice REAL, o_orderstatus TEXT)"
-    )
-    con.executemany(
-        "INSERT INTO orders VALUES (?, ?, ?, ?)",
+        "o_totalprice REAL, o_orderstatus TEXT)",
         zip(
             tbl["o_orderkey"].to_pylist(),
             tbl["o_custkey"].to_pylist(),
             tbl["o_totalprice"].to_pylist(),
             tbl["o_orderstatus"].to_pylist(),
         ),
+        "o_orderkey",
     )
-    con.execute("CREATE INDEX idx_orders_key ON orders(o_orderkey)")
-    con.commit()
-    lo, hi = con.execute(
-        "SELECT min(o_orderkey), max(o_orderkey) FROM orders"
-    ).fetchone()
-    con.close()
-
-    class _RangePartition(InputPartition):
-        def __init__(self, db: str, lo: int, hi: int):
-            self.db, self.lo, self.hi = db, lo, hi
-
-    class SqliteRangeReader(DataSourceReader):
-        def __init__(self, options):
-            self.db = options["path"]
-            self.lo = int(options["lowerbound"])
-            self.hi = int(options["upperbound"])
-            self.n = int(options.get("numpartitions", "8"))
-
-        def partitions(self):
-            # exactly n even slices regardless of span % n (a naive
-            # fixed-step range() mints an n+1th sliver partition)
-            span = self.hi + 1 - self.lo
-            n = min(self.n, max(1, span))
-            bounds = [self.lo + (span * i) // n for i in range(n)]
-            bounds.append(self.hi + 1)
-            return [
-                _RangePartition(self.db, a, b)
-                for a, b in zip(bounds, bounds[1:])
-            ]
-
-        def read(self, part):
-            # each task opens its own connection and pulls ONLY its
-            # key slice — the predicate executes inside the database
-            import sqlite3 as _sq
-
-            c = _sq.connect(part.db)
-            try:
-                yield from c.execute(
-                    "SELECT o_orderkey, o_custkey, o_totalprice, "
-                    "o_orderstatus FROM orders "
-                    "WHERE o_orderkey >= ? AND o_orderkey < ?",
-                    (part.lo, part.hi),
-                )
-            finally:
-                c.close()
-
-    class SqliteRangeSource(DataSource):
-        @classmethod
-        def name(cls) -> str:
-            return "sqlite_range"
-
-        def schema(self) -> str:
-            return (
-                "o_orderkey bigint, o_custkey bigint, "
-                "o_totalprice double, o_orderstatus string"
-            )
-
-        def reader(self, schema) -> SqliteRangeReader:
-            return SqliteRangeReader(self.options)
-
-    spark.dataSource.register(SqliteRangeSource)
+    spark.dataSource.register(make_sqlite_source())
     return (
         spark.read.format("sqlite_range")
         .option("path", db)
+        .option("table", "orders")
+        .option(
+            "columns", "o_orderkey, o_custkey, o_totalprice, o_orderstatus"
+        )
+        .option(
+            "ddl",
+            "o_orderkey bigint, o_custkey bigint, "
+            "o_totalprice double, o_orderstatus string",
+        )
+        .option("partitionColumn", "o_orderkey")
         .option("lowerBound", str(lo))
         .option("upperBound", str(hi))
         .option("numPartitions", "8")
         .load()
+    )
+
+
+@query(
+    "q_join_federated_sources",
+    oracle="""
+    SELECT c.c_nationkey,
+           count(*) AS n_orders,
+           {sum_price}
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_acctbal > 0
+    GROUP BY c.c_nationkey
+    """.format(sum_price=sql_dsum("o_totalprice", "sum_price")),
+)
+def q_join_federated_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEDERATED join — heterogeneous sources in ONE Catalyst plan: the
+    customer dimension served from a SQL DATABASE (sqlite behind the
+    partition-bounded Python source) broadcast-joined against the
+    parquet orders fact, then aggregated per nation.
+
+    This is the warehouse-edge shape: dimensions live in an operational
+    store, facts in the lake. The scale rules it demonstrates: (a) the
+    DB side is DIMENSION-sized, so it broadcasts — the fact table never
+    shuffles for the join; (b) the dimension's own ingest is still
+    range-partitioned (4 slices), so even the broadcast build is read
+    in parallel; (c) the dim-side filter (c_acctbal > 0) is applied
+    before the broadcast, shrinking what ships. Catalyst treats the
+    Python source like any scan, so the join/agg planning is identical
+    to an all-parquet plan — proven by the broadcast plan contract in
+    tests/test_plans.py and the hash-exact oracle over plain parquet.
+    """
+    import uuid
+
+    import pyarrow.parquet as _pq
+
+    from ..sources.sqlite_python import load_table_to_sqlite, make_sqlite_source
+
+    db = _sink_dir(f"customer_sqlite_{uuid.uuid4().hex[:8]}.db")
+    tbl = _pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey", "c_acctbal"],
+    )
+    lo, hi = load_table_to_sqlite(
+        db,
+        "customer",
+        "CREATE TABLE customer (c_custkey INTEGER, c_nationkey INTEGER, "
+        "c_acctbal REAL)",
+        zip(
+            tbl["c_custkey"].to_pylist(),
+            tbl["c_nationkey"].to_pylist(),
+            tbl["c_acctbal"].to_pylist(),
+        ),
+        "c_custkey",
+    )
+    spark.dataSource.register(make_sqlite_source())
+    dim = (
+        spark.read.format("sqlite_range")
+        .option("path", db)
+        .option("table", "customer")
+        .option("columns", "c_custkey, c_nationkey, c_acctbal")
+        .option(
+            "ddl", "c_custkey bigint, c_nationkey bigint, c_acctbal double"
+        )
+        .option("partitionColumn", "c_custkey")
+        .option("lowerBound", str(lo))
+        .option("upperBound", str(hi))
+        .option("numPartitions", "4")
+        .load()
+        .filter(F.col("c_acctbal") > 0)
+    )
+    fact = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        fact.join(F.broadcast(dim), fact.o_custkey == dim.c_custkey, "inner")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "sum_price"),
+        )
     )
 
 

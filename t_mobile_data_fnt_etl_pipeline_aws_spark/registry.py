@@ -75,21 +75,21 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: ROUND-10 WINDOW (this list), in priority order:
 #:   1. ALL 37 never-driver-checked round-9 additions (VERDICT r9 item 1)
 #:      — every "— (new)" SURVEY row gets its first driver row this round.
-#:   2. ALL 9 NEW round-10 keys (the ingest-surface build-out: Avro
+#:   2. ALL 10 NEW round-10 keys (the ingest-surface build-out: Avro
 #:      batch sink/scan + reader-schema evolution + streaming
 #:      landing-dir ingest, protobuf flat projected decode + nested
 #:      envelope, native-XML file round-trip, partition-bounded sqlite
-#:      ingest, parquet codec audit — never driver-checked, so they
-#:      outrank stale-green keys).
-#:   3. 4 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
-#:      q_join_sortmerge) first, then q_agg_multi/q_agg_distinct.
-#:      37 + 9 + 4 fills the 50 slots exactly; the remaining 45
-#:      r4-stale keys head the ROUND-11 rotation
-#:      (q_agg_approx_distinct, q_agg_boolean, q_agg_having,
-#:      q_agg_rollup, q_agg_cube, q_agg_grouping_sets,
-#:      q_agg_conditional, q_filter_pred, q_agg_median_exact,
-#:      q_agg_mode_deterministic, the scan/sink/window/join remainder —
-#:      recompute from the CORRECTNESS_r* union at round-11 open).
+#:      ingest, parquet codec audit, federated DB-dim x parquet-fact
+#:      join — never driver-checked, so they outrank stale-green keys).
+#:   3. 3 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
+#:      q_join_sortmerge) first, then q_agg_multi. 37 + 10 + 3 fills
+#:      the 50 slots exactly; the remaining 46 r4-stale keys head the
+#:      ROUND-11 rotation (q_agg_approx_distinct, q_agg_boolean,
+#:      q_agg_distinct, q_agg_having, q_agg_rollup, q_agg_cube,
+#:      q_agg_grouping_sets, q_agg_conditional, q_filter_pred,
+#:      q_agg_median_exact, q_agg_mode_deterministic, the
+#:      scan/sink/window/join remainder — recompute from the
+#:      CORRECTNESS_r* union at round-11 open).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
     # --- 1. the 37 never-driver-checked round-9 additions ---
@@ -140,11 +140,11 @@ _DRIVER_WINDOW = [
     "q_scan_xml_roundtrip",
     "q_scan_sqlite_partitioned",
     "q_sink_parquet_codecs",
-    # --- 3. 4 r4-stale keys (bench anchors first, then agg core) ---
+    "q_join_federated_sources",
+    # --- 3. 3 r4-stale keys (bench anchors first, then agg core) ---
     "q_agg_hash",
     "q_join_sortmerge",
     "q_agg_multi",
-    "q_agg_distinct",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Empty at the

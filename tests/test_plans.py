@@ -1013,3 +1013,12 @@ def test_parquet_codec_sizes_ordered(spark, sf_dir):
             for f in _glob.glob(_os.path.join(d, "*.parquet"))
         )
     assert sizes["zstd"] < sizes["snappy"] < sizes["none"], sizes
+
+
+def test_federated_join_broadcasts_db_dim(spark, sf_dir):
+    """q_join_federated_sources: the sqlite-served dimension must
+    BROADCAST into the parquet fact join — a shuffled join would move
+    the fact table to meet a dim-sized build side, wasting the plan's
+    whole point (the fact never shuffles for the join)."""
+    df = QUERIES["q_join_federated_sources"](spark, sf_dir)
+    assert "BroadcastHashJoin" in join_strategies(df), plan_string(df)
