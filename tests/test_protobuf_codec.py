@@ -238,3 +238,34 @@ def test_property_roundtrip_random_messages():
         assert got == row
 
     inner()
+
+
+def test_sqlite_loader_no_duplicate_first_row(tmp_path):
+    """Regression pin (round-10): load_table_to_sqlite must insert each
+    row exactly once — an earlier draft consumed the first row from the
+    iterator and then executemany'd the remainder, double-inserting
+    when given a list. Lives here (codec-adjacent pure-Python tests)
+    to stay Spark-free."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.sqlite_python import (
+        load_table_to_sqlite,
+    )
+    import sqlite3
+
+    db = str(tmp_path / "t.db")
+    rows = [(1, "a"), (2, "b"), (3, "c")]
+    lo, hi = load_table_to_sqlite(
+        db, "t", "CREATE TABLE t (k INTEGER, v TEXT)", rows, "k"
+    )
+    assert (lo, hi) == (1, 3)
+    con = sqlite3.connect(db)
+    got = con.execute("SELECT k, v FROM t ORDER BY k").fetchall()
+    con.close()
+    assert got == rows
+    # iterator input must behave identically
+    db2 = str(tmp_path / "t2.db")
+    load_table_to_sqlite(
+        db2, "t", "CREATE TABLE t (k INTEGER, v TEXT)", iter(rows), "k"
+    )
+    con = sqlite3.connect(db2)
+    assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 3
+    con.close()
