@@ -245,6 +245,15 @@ HEADLINE = [
     "q_scan_sqlite_partitioned",     # range-partitioned DB ingest (JDBC pattern)
     "q_sink_parquet_codecs",         # none/snappy/zstd codec audit (lossless + sizes)
     "q_join_federated_sources",      # sqlite dim broadcast x parquet fact (federation)
+    # round-11 additions
+    "q_join_spatial_knn",            # density-adaptive grid-pruned exact KNN join
+    "q_stats_ks_drift",              # binned two-sample KS drift statistic
+    "q_timeseries_ohlc",             # argmin/argmax-by-struct OHLC bars
+    "q_stream_foreachbatch_upsert",  # latest-per-key upsert state (foreachBatch twin)
+    "q_stats_ab_lift",               # two-proportion z-test single-pass readout
+    "q_etl_time_travel",             # manifest-versioned as-of snapshot read
+    "q_scan_files_pruned_by_stats",  # manifest min/max file skipping + exact filter
+    "q_etl_manifest_compact",        # small-files OPTIMIZE via replace commit
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -837,3 +837,75 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("concurrent").cast("long").alias("max_concurrent"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "q_timeseries_ohlc",
+    oracle=f"""
+    WITH r AS (
+        SELECT event_type, date_trunc('day', ts) AS day, value,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('day', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, day,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           count(*) AS n_trades,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS volume
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick bars — open/high/low/close/volume per
+    (event_type, day), the resampling aggregate every tick-to-bar
+    pipeline runs. open/close are ARGMIN/ARGMAX by event time: Spark's
+    min/max over a (ts, event_id, value) struct compares
+    lexicographically, and event_id is a unique tiebreaker, so the
+    picked row is deterministic even with equal timestamps (a bare
+    min_by/max_by is tie-nondeterministic and would flap the hash
+    oracle). The struct min/max is an ordinary partial-aggregatable
+    function — ONE hash-agg shuffle keyed on the bar grain, map-side
+    combined, no window over base rows (the oracle's row_number form is
+    the DuckDB spelling only; Spark never ranks). open/close/high/low
+    pass value doubles through untouched (bit-identical); volume crosses
+    rows → decimal accumulation finished at 6 dp (numeric.py rules).
+
+    Scale: grain cardinality = |event_type| × days, so state is tiny and
+    grows with time, not volume; the shuffle carries one struct per
+    group per map task. Reference repo publishes no code
+    (/root/reference/README.md:1-2); extends SURVEY §2.11's declared
+    time-series surface alongside q_timeseries_twap.
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    g = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    agg = g.groupBy("event_type", "day").agg(
+        F.min(F.struct("ts", "event_id", "value")).alias("o"),
+        F.max(F.struct("ts", "event_id", "value")).alias("c"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.count(F.lit(1)).alias("n_trades"),
+        finish(F.sum(F.col("value").cast(DEC)), 6).alias("volume"),
+    )
+    return agg.select(
+        "event_type",
+        "day",
+        F.col("o.value").alias("open"),
+        "high",
+        "low",
+        F.col("c.value").alias("close"),
+        "n_trades",
+        "volume",
+    )

@@ -1314,3 +1314,138 @@ def q_join_nearest_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probes.select(
         "o_orderkey", nearest("o_totalprice").alias("m")
     ).select("o_orderkey", "m.nearest_supp", "m.dist")
+
+
+@query(
+    "q_join_spatial_knn",
+    oracle="""
+    WITH c AS (SELECT c_custkey,
+                      (c_custkey * 7919) % 200000 AS x,
+                      (c_custkey * 104729) % 200000 AS y
+               FROM customer),
+         s AS (SELECT s_suppkey,
+                      (s_suppkey * 7919 + 131) % 200000 AS sx,
+                      (s_suppkey * 104729 + 257) % 200000 AS sy
+               FROM supplier),
+         r AS (
+             SELECT c_custkey, s_suppkey,
+                    (x-sx)*(x-sx) + (y-sy)*(y-sy) AS d2,
+                    row_number() OVER (
+                        PARTITION BY c_custkey
+                        ORDER BY (x-sx)*(x-sx) + (y-sy)*(y-sy), s_suppkey
+                    ) AS rnk
+             FROM c, s
+         )
+    SELECT c_custkey, cast(rnk AS bigint) AS rnk, s_suppkey, d2
+    FROM r WHERE rnk <= 3
+    """,
+)
+def q_join_spatial_knn(
+    spark: SparkSession, sf_dir: str, cell: int | None = None
+) -> DataFrame:
+    """EXACT spatial k-nearest-neighbors join (k=3): every customer point
+    matched to its 3 nearest supplier points in the same deterministic
+    integer plane as q_join_geo_grid, ties broken by s_suppkey.
+
+    Two-phase grid-pruned plan — the production shape for exact spatial
+    KNN (Sedona/PostGIS "KNN with distance browsing" family):
+
+      1. CANDIDATES: suppliers grid-bucketed at a DENSITY-ADAPTIVE cell
+         size and replicated into their 3x3 neighborhood, equi-joined
+         on cell, ranked per customer by (d2, s_suppkey). Any point
+         OUTSIDE the 3x3 neighborhood differs by > CELL in x or y
+         (integer coords: d2 >= (CELL+1)^2), so a customer whose 3rd
+         candidate has d2 <= CELL^2 provably has its true top-3 inside
+         the neighborhood — the EXACTNESS GUARANTEE, decided in integer
+         arithmetic (no float boundary to flip on a ulp).
+      2. FALLBACK: customers with < 3 candidates or 3rd-candidate
+         d2 > CELL^2 re-rank against the full (broadcast) supplier dim.
+         In a dense corpus the fallback fraction is the sparse-region
+         tail; at 100 TB with a non-broadcastable point set it becomes
+         the next ring expansion (5x5, 7x7, ...) of the same grid join
+         — the plan shape is unchanged.
+
+    CELL SIZING is where the 100-TB story lives: for a Poisson point
+    field the kth-NN distance concentrates at sqrt(k/(pi*rho)), so a
+    fixed cell is wrong at every other density — too small floods the
+    fallback, too big floods the candidate join. CELL = D*sqrt(1.5/n)
+    puts ~85% of points inside the guarantee (pi*rho*d_k^2 ~ Gamma(k):
+    the 85th percentile of Gamma(3) is ~4.7 ~= 1.5*pi) while keeping
+    EXPECTED CANDIDATES PER POINT CONSTANT (~13.5 = 9*1.5, independent
+    of n) — the property that makes the join linear at any scale. The
+    index-side count n is the one driver-side scalar (same class as a
+    broadcast dim's size; at 100 TB it comes from table stats). The
+    RESULT is cell-size-invariant — both phases are exact — which
+    tests/test_invariants.py pins by re-running with a deliberately
+    tiny cell.
+
+    The candidate join never materializes the cross product —
+    O(points x density), not O(n x m) — and both rank windows partition
+    by c_custkey (cardinality grows with data; no global window). The
+    oracle is the brute-force cross-join rank: lossless pruning must
+    return identical rows.
+    """
+    s_raw = load(spark, sf_dir, "supplier")
+    if cell is None:
+        # density-adaptive: D * sqrt(1.5/n), clamped to the domain
+        n_sup = max(1, s_raw.count())
+        cell = max(1, min(200_000, int(200_000 * (1.5 / n_sup) ** 0.5)))
+    CELL = cell
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7919) % 200000).alias("x"),
+        ((F.col("c_custkey") * 104729) % 200000).alias("y"),
+    )
+    s = s_raw.select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 7919 + 131) % 200000).alias("sx"),
+        ((F.col("s_suppkey") * 104729 + 257) % 200000).alias("sy"),
+    )
+    s_exp = (
+        s.select("*", F.explode(F.expr("sequence(-1, 1)")).alias("dx"))
+        .select("*", F.explode(F.expr("sequence(-1, 1)")).alias("dy"))
+        .select(
+            "s_suppkey",
+            "sx",
+            "sy",
+            (F.floor(F.col("sx") / CELL) + F.col("dx")).alias("cx"),
+            (F.floor(F.col("sy") / CELL) + F.col("dy")).alias("cy"),
+        )
+    )
+    cc = c.select(
+        "*",
+        F.floor(F.col("x") / CELL).alias("cx"),
+        F.floor(F.col("y") / CELL).alias("cy"),
+    )
+    d2 = (F.col("x") - F.col("sx")) * (F.col("x") - F.col("sx")) + (
+        F.col("y") - F.col("sy")
+    ) * (F.col("y") - F.col("sy"))
+    wk = Window.partitionBy("c_custkey").orderBy("d2", "s_suppkey")
+    cand = (
+        cc.join(s_exp, ["cx", "cy"])
+        .select("c_custkey", "x", "y", "s_suppkey", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 3)
+    )
+    # exactness guarantee: 3 candidates AND 3rd-best d2 <= CELL^2 —
+    # decided with whole-partition window aggregates over the SAME
+    # c_custkey partitioning as the rank (shuffle reused, no extra
+    # exchange; the guarantee set is O(customers), so it is NEVER
+    # broadcast — the fallback anti-join shuffles on the key).
+    wc = Window.partitionBy("c_custkey")
+    cand_g = cand.withColumn("n_cand", F.count(F.lit(1)).over(wc)).withColumn(
+        "kth_d2", F.max("d2").over(wc)
+    )
+    exact = cand_g.filter(
+        (F.col("n_cand") == 3) & (F.col("kth_d2") <= CELL * CELL)
+    )
+    exact_keys = exact.select("c_custkey").distinct()
+    fallback_pts = cc.join(exact_keys, "c_custkey", "left_anti")
+    fallback = (
+        fallback_pts.crossJoin(F.broadcast(s))
+        .select("c_custkey", "s_suppkey", d2.alias("d2"))
+        .withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 3)
+    )
+    cols = ["c_custkey", F.col("rnk").cast("bigint").alias("rnk"), "s_suppkey", "d2"]
+    return exact.select(*cols).unionAll(fallback.select(*cols))

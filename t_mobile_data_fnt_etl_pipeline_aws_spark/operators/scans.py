@@ -1605,3 +1605,219 @@ def q_sink_parquet_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         df = df.unionAll(p)
     return df.select("codec", "n_orders", "sum_price")
+
+
+@query(
+    "q_etl_time_travel",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over a log-structured table (sources/manifest_table.py
+    — the Iceberg/Delta snapshot pattern on plain parquet + JSON, no
+    table-format jars): three appends land orders in date slices
+    (< 1997 / 1997-98 / >= 1999), then the query reads AS OF VERSION 2 —
+    the planner uses v2's manifest file list, so the v3 files sitting in
+    the same data/ directory are invisible, exactly the reproducibility
+    contract a training-data pipeline needs ("train on the corpus as it
+    stood last Tuesday"). The oracle is the equivalent predicate over
+    the full table: as-of-v2 == everything the first two commits hold.
+
+    Snapshot isolation is structural: data files land under uuid names
+    first, the manifest rename is the atomic commit point (a concurrent
+    reader of v2 never sees half of v3). Scale: planning is
+    metadata-plane (one kilobyte-scale JSON per version); the data read
+    is an ordinary parquet scan of the selected files, so Catalyst
+    row-group pushdown still applies inside them.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, read_version
+
+    table = _sink_dir(f"orders_timetravel_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders")
+    lit_ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    commit_append(
+        o.filter(F.col("o_orderdate") < lit_ts("1997-01-01 00:00:00")),
+        table,
+        ["o_orderdate"],
+    )
+    v2 = commit_append(
+        o.filter(
+            (F.col("o_orderdate") >= lit_ts("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < lit_ts("1999-01-01 00:00:00"))
+        ),
+        table,
+        ["o_orderdate"],
+    )
+    commit_append(
+        o.filter(F.col("o_orderdate") >= lit_ts("1999-01-01 00:00:00")),
+        table,
+        ["o_orderdate"],
+    )
+    return (
+        read_version(spark, table, v2)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@query(
+    "q_scan_files_pruned_by_stats",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
+               AS n_files_read,
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
+               AS n_files_total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_files_pruned_by_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATS-BASED FILE SKIPPING: the table is committed one year-slice
+    per append (each file's footer min/max of o_orderdate spans one
+    year, harvested into the manifest at commit time), and a 1998
+    range predicate plans by intersecting the predicate with each
+    file's manifest [min, max] — only the 1998 file survives; the
+    other years are skipped WITHOUT opening a single data file. The
+    exact filter still runs on the surviving files (stats pruning is
+    conservative, correctness never depends on it).
+
+    The pruning arithmetic is part of the asserted result:
+    n_files_read / n_files_total ride along as columns, and the ORACLE
+    derives them relationally (files == distinct years by
+    construction, so files read == distinct years intersecting the
+    predicate) — no hardcoded constants to drift.
+
+    Scale: this is the metadata plane that makes a 100-TB time-range
+    query cheap — manifest pruning eliminates files (O(#files) over
+    kilobyte JSON), then parquet row-group stats (PushedFilters)
+    eliminate pages inside survivors; both layers compose. At
+    production file counts the manifest scan itself distributes (it is
+    just a JSON-lines dataset).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, prune_files
+
+    table = _sink_dir(f"orders_fileskip_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    years = [r.yr for r in o.select("yr").distinct().collect()]
+    version = 0
+    for yr in sorted(years):
+        version = commit_append(
+            o.filter(F.col("yr") == yr).drop("yr").repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    files, total = prune_files(
+        table,
+        version,
+        "o_orderdate",
+        "1998-01-01 00:00:00",
+        "1998-12-31 23:59:59.999999",
+    )
+    pruned = spark.read.parquet(*files).filter(
+        (F.col("o_orderdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("n_files_read", F.lit(len(files)).cast("bigint"))
+        .withColumn("n_files_total", F.lit(total).cast("bigint"))
+    )
+
+
+@query(
+    "q_etl_manifest_compact",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           (SELECT 2 * count(DISTINCT year(o_orderdate)) FROM orders)
+               AS n_files_before,
+           cast(2 AS bigint) AS n_files_after
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACTION (OPTIMIZE) on the log-structured table: per-year
+    appends land 2 small files each (the small-files problem every
+    streaming ingest accumulates), then one REPLACE commit rewrites the
+    live set into 2 right-sized files. The aggregate over the compacted
+    version must equal the aggregate over the raw table (compaction is
+    a physical rewrite, never a logical change — the oracle checks
+    this), and the file-count arithmetic rides along as columns the
+    oracle derives from the construction (2 files x distinct years
+    before; repartition(2) after).
+
+    The superseded small files are NOT deleted — every pre-compaction
+    version stays readable (time travel across compaction, pinned by
+    tests/test_invariants.py::test_manifest_compaction_semantics);
+    physically dropping unreferenced files is a separate destructive
+    vacuum this format deliberately does not bundle.
+
+    Scale: compaction reads + rewrites only the LIVE set (one pass),
+    planning stays metadata-plane, and the per-year distinct-slice
+    driver loop is bounded by the date domain (~7 values — the same
+    bounded-collect class as Lloyd centroids). At 100 TB the rewrite
+    would target size-tiered file groups instead of the whole set; the
+    commit protocol is identical.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_compact_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    years = sorted(r.yr for r in o.select("yr").distinct().collect())
+    for yr in years:
+        commit_append(
+            o.filter(F.col("yr") == yr).drop("yr").repartition(2),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    n_before = 2 * len(years)
+    live = read_version(spark, table)
+    v_compact = commit_replace(
+        live.repartition(2), table, ["o_orderdate"]
+    )
+    return (
+        read_version(spark, table, v_compact)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("n_files_before", F.lit(n_before).cast("bigint"))
+        .withColumn("n_files_after", F.lit(2).cast("bigint"))
+    )

@@ -804,3 +804,179 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_customers"),
         (F.col("num") / (F.col("n") * F.col("den"))).alias("gini"),
     )
+
+
+@query(
+    "q_stats_ks_drift",
+    oracle="""
+    WITH b AS (
+        SELECT cast(floor(o_totalprice / 1000) AS bigint) AS bucket,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                        THEN 1 ELSE 0 END) AS ca,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+                        THEN 0 ELSE 1 END) AS cb
+        FROM orders GROUP BY 1
+    ),
+    c AS (
+        SELECT sum(ca) OVER (ORDER BY bucket) AS cum_a,
+               sum(cb) OVER (ORDER BY bucket) AS cum_b,
+               sum(ca) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS na,
+               sum(cb) OVER (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS nb
+        FROM b
+    )
+    SELECT max(abs(cast(cum_a AS double) / cast(na AS double)
+                 - cast(cum_b AS double) / cast(nb AS double))) AS ks_d,
+           cast(max(na) AS bigint) AS n_a,
+           cast(max(nb) AS bigint) AS n_b,
+           count(*) AS n_buckets
+    FROM c
+    """,
+)
+def q_stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic between order-price
+    distributions before vs after 1998-01-01 — the distribution-shift
+    gate a training-data pipeline runs between corpus snapshots (PSI's
+    rank-based complement; q_dq_drift covers the binned-PSI form).
+
+    D = max_x |F_early(x) − F_late(x)| evaluated at $1000-bucket right
+    edges (the exact KS of the binned distributions — binning makes the
+    statistic computable without a global sort of raw rows). Pipeline:
+    one hash-agg shuffle to per-bucket conditional counts, then the
+    cumulative CDFs via an ordered window over the BUCKET table — the
+    bucket count is bounded by the fixed price domain (~$500/0.5k ≈ 500
+    rows at ANY scale factor), the same bounded-by-construction global
+    window class as q_skyline_pareto's ~100 price shards (test_plans
+    allowed entry), so the base table is never funneled through one
+    task. All CDF arithmetic is integer counts until the final
+    correctly-rounded double divisions (bit-identical both engines —
+    numeric.py rule 5: quotients of identical ints are never finished).
+
+    Reference repo publishes no code (/root/reference/README.md:1-2);
+    extends SURVEY §2's declared analytics surface.
+    """
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    o = load(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 1000).cast("bigint").alias("bucket"),
+        (F.col("o_orderdate") < split).alias("is_a"),
+    )
+    b = o.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("is_a"), 0).otherwise(1)).alias("cb"),
+    )
+    # Totals come from an UNBOUNDED frame over the SAME sorted bucket
+    # table (one sort, zero extra exchanges) — a totals sub-aggregate
+    # cross-joined back would recompute the whole lineage, i.e. a
+    # second full scan of orders at 100 TB.
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_tot = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = b.select(
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(w_tot).alias("na"),
+        F.sum("cb").over(w_tot).alias("nb"),
+    )
+    return cum.agg(
+        F.max(
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("na").cast("double")
+                - F.col("cum_b").cast("double") / F.col("nb").cast("double")
+            )
+        ).alias("ks_d"),
+        F.max("na").cast("bigint").alias("n_a"),
+        F.max("nb").cast("bigint").alias("n_b"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+@query(
+    "q_stats_ab_lift",
+    oracle="""
+    WITH s AS (
+        SELECT sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS n_a,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS conv_a,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS n_b,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS conv_b
+        FROM orders
+    )
+    SELECT cast(n_a AS bigint) AS n_a,
+           cast(conv_a AS bigint) AS conv_a,
+           cast(n_b AS bigint) AS n_b,
+           cast(conv_b AS bigint) AS conv_b,
+           cast(conv_a AS double) / cast(n_a AS double) AS p_a,
+           cast(conv_b AS double) / cast(n_b AS double) AS p_b,
+           (cast(conv_a AS double) / cast(n_a AS double))
+               / (cast(conv_b AS double) / cast(n_b AS double)) AS lift,
+           (cast(conv_a AS double) / cast(n_a AS double)
+              - cast(conv_b AS double) / cast(n_b AS double))
+           / sqrt(
+               (cast(conv_a + conv_b AS double) / cast(n_a + n_b AS double))
+               * (1.0 - cast(conv_a + conv_b AS double)
+                      / cast(n_a + n_b AS double))
+               * (1.0 / cast(n_a AS double) + 1.0 / cast(n_b AS double))
+             ) AS z_score
+    FROM s
+    """,
+)
+def q_stats_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B lift + z-statistic — the experiment-readout
+    aggregate (variant A = urgent/high-priority orders, conversion =
+    fulfilled status): lift = p_a/p_b and the pooled two-proportion
+    z = (p_a - p_b) / sqrt(p(1-p)(1/n_a + 1/n_b)).
+
+    Determinism: everything reduces to FOUR integer conditional counts
+    in one hash-agg pass (map-side combined, single 1-row result); every
+    float is then a fixed expression tree over correctly-rounded integer
+    divisions, products, and one sqrt — all IEEE-deterministic given
+    identical inputs, so no decimal finishing is needed (numeric.py
+    rule 5: derived expressions of identical doubles are never
+    re-finished). Both engines evaluate the SAME tree shape (spelled
+    out in the oracle rather than via intermediate column reuse).
+
+    Scale: a single scan with predicate-free conditional aggregation —
+    the cheapest possible shape; at 100 TB it is one map-side-combined
+    pass. Reference repo publishes no code
+    (/root/reference/README.md:1-2); extends SURVEY §2's analytics
+    surface.
+    """
+    o = load(spark, sf_dir, "orders")
+    is_a = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    is_f = F.col("o_orderstatus") == "F"
+    s = o.agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_a & is_f, 1).otherwise(0)).cast("bigint").alias("conv_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).cast("bigint").alias("n_b"),
+        F.sum(F.when(~is_a & is_f, 1).otherwise(0)).cast("bigint").alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (p_a - p_b) / F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return s.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (p_a / p_b).alias("lift"),
+        z.alias("z_score"),
+    )

@@ -65,86 +65,76 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01-r09: all 286 then-registered
-#: keys minus the 37 post-freeze additions have a passing latest row
-#: (236 hash-green, 13 rows-only by design, 0 failures ever). Staleness
-#: histogram entering round 10 (recomputed from the CORRECTNESS_r01-r09
-#: union): r4:49 / r5:50 / r6:50 / r8:50 / r9:50, plus 37 never-checked
-#: keys added after the round-9 window froze.
+#: registration order. Cumulative record r01-r10: every key registered
+#: before the round-10 freeze has a passing latest row (0 failures ever);
+#: staleness histogram entering round 11 (recomputed from the
+#: CORRECTNESS_r01-r10 union): r4:46 / r5:50 / r6:50 / r8:50 / r9:50 /
+#: r10:50, 0 never-checked.
 #:
-#: ROUND-10 WINDOW (this list), in priority order:
-#:   1. ALL 37 never-driver-checked round-9 additions (VERDICT r9 item 1)
-#:      — every "— (new)" SURVEY row gets its first driver row this round.
-#:   2. ALL 10 NEW round-10 keys (the ingest-surface build-out: Avro
-#:      batch sink/scan + reader-schema evolution + streaming
-#:      landing-dir ingest, protobuf flat projected decode + nested
-#:      envelope, native-XML file round-trip, partition-bounded sqlite
-#:      ingest, parquet codec audit, federated DB-dim x parquet-fact
-#:      join — never driver-checked, so they outrank stale-green keys).
-#:   3. 3 of the 49 r4-stale keys: the two bench anchors (q_agg_hash,
-#:      q_join_sortmerge) first, then q_agg_multi. 37 + 10 + 3 fills
-#:      the 50 slots exactly; the remaining 46 r4-stale keys head the
-#:      ROUND-11 rotation (q_agg_approx_distinct, q_agg_boolean,
-#:      q_agg_distinct, q_agg_having, q_agg_rollup, q_agg_cube,
-#:      q_agg_grouping_sets, q_agg_conditional, q_filter_pred,
-#:      q_agg_median_exact, q_agg_mode_deterministic, the
-#:      scan/sink/window/join remainder — recompute from the
-#:      CORRECTNESS_r* union at round-11 open).
+#: ROUND-11 WINDOW (this list), in priority order:
+#:   1. The NEW round-11 keys (never driver-checked, so they outrank
+#:      stale-green): spatial grid-pruned KNN join, two-sample KS drift
+#:      statistic, OHLC time-bucket bars, streaming foreachBatch
+#:      idempotent upsert.
+#:   2. ALL 46 remaining r4-stale keys (VERDICT r9 item 5) — after this
+#:      round every registry key's newest driver row is r5 or later.
+#:      4 + 46 fills the 50 slots exactly. Any further round-11 additions
+#:      go to _POST_WINDOW_ADDITIONS and head the ROUND-12 rotation,
+#:      followed by the 50 r5-stale keys (oldest-first thereafter).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. the 37 never-driver-checked round-9 additions ---
-    "q_sink_python_datasource",
-    "q_report_shared_scan",
-    "q_join_shuffled_hash",
-    "q_join_dpp_prune",
-    "q_er_resolve_entities",
-    "q_er_golden_record",
-    "q_window_gaps_islands",
-    "q_scan_file_metadata",
-    "q_udf_iterator_pandas",
-    "q_join_skew_aqe",
-    "q_sql_group_by_all",
-    "q_sql_lateral_alias",
-    "q_agg_median_mode",
-    "q_agg_bitmap_distinct",
-    "q_sql_pipe_syntax",
-    "q_sql_collation_group",
-    "q_join_null_skew",
-    "q_scan_csv_permissive",
-    "q_etl_mv_incremental",
-    "q_sql_variables",
-    "q_agg_percentile_within_group",
-    "q_udf_pandas_struct",
-    "q_string_regexp_battery",
-    "q_text_url_parse",
-    "q_sql_named_window",
-    "q_sql_pivot_unpivot",
-    "q_xml_funcs",
-    "q_agg_grouping_id",
-    "q_agg_hll_sketch_merge",
-    "q_sink_rowgroup_stats_audit",
-    "q_date_timezone",
-    "q_join_geo_grid",
-    "q_graph_hierarchy_rollup",
-    "q_join_nearest_value",
-    "q_interval_concurrency",
-    "q_graph_hierarchy_path",
-    "q_filter_inset_large",
-    # --- 2. new round-10 keys (never driver-checked) ---
-    "q_sink_avro_python",
-    "q_scan_avro_python",
-    "q_events_protobuf_decode",
-    "q_scan_avro_evolution",
-    "q_stream_avro_ingest",
-    "q_events_protobuf_nested",
-    "q_scan_xml_roundtrip",
-    "q_scan_sqlite_partitioned",
-    "q_sink_parquet_codecs",
-    "q_join_federated_sources",
-    # --- 3. 3 r4-stale keys (bench anchors first, then agg core) ---
-    "q_agg_hash",
-    "q_join_sortmerge",
-    "q_agg_multi",
+    # --- 1. new round-11 keys (never driver-checked) ---
+    "q_join_spatial_knn",
+    "q_stats_ks_drift",
+    "q_timeseries_ohlc",
+    "q_stream_foreachbatch_upsert",
+    # --- 2. the 46 remaining r4-stale keys ---
+    "q_scan_csv_roundtrip",
+    "q_scan_json_roundtrip",
+    "q_sink_parquet_partitioned",
+    "q_sink_overwrite_idempotent",
+    "q_bucketed_join_colocated",
+    "q_filter_pred",
+    "q_join_inner_hash",
+    "q_join_broadcast",
+    "q_join_left",
+    "q_join_right",
+    "q_join_full",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_theta_range",
+    "q_join_salted_skew",
+    "q_agg_distinct",
+    "q_agg_approx_distinct",
+    "q_agg_having",
+    "q_agg_rollup",
+    "q_agg_cube",
+    "q_agg_grouping_sets",
+    "q_agg_conditional",
+    "q_agg_median_exact",
+    "q_agg_stats_corr",
+    "q_agg_mode_deterministic",
+    "q_window_rank",
+    "q_window_analytic",
+    "q_window_running",
+    "q_window_range_frame",
+    "q_window_distribution",
+    "q_topk_per_group",
+    "q_sort_multi",
+    "q_topk_global",
+    "q_knn_join_bucketed",
+    "q_report_nation_share",
+    "q_scan_orc_roundtrip",
+    "q_scan_text_lines",
+    "q_scan_schema_evolution",
+    "q_catalog_table_roundtrip",
+    "q_etl_compact_smallfiles",
+    "q_join_null_safe",
+    "q_agg_boolean",
+    "q_agg_sketch_reaggregate",
+    "q_profile_histogram",
+    "q_dq_drift",
+    "q_sample_deterministic_k",
 ]
 
 #: Keys added AFTER the current round's window was frozen. Empty at the
@@ -154,7 +144,14 @@ _DRIVER_WINDOW = [
 #: lands before the driver has run, it may instead displace a tail
 #: r4-stale entry in the window above. Keep
 #: test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = []
+_POST_WINDOW_ADDITIONS: list[str] = [
+    # round-11 batch 2 (registered after the round-11 window froze;
+    # they head the ROUND-12 rotation):
+    "q_stats_ab_lift",
+    "q_etl_time_travel",
+    "q_scan_files_pruned_by_stats",
+    "q_etl_manifest_compact",
+]
 
 
 def _import_all() -> None:

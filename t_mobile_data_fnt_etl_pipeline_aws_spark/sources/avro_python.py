@@ -27,7 +27,19 @@ Files"):
     (how Avro spells nullability);
   * logical types ``date`` (int days since epoch),
     ``timestamp-micros`` and ``local-timestamp-micros`` (long) —
-    annotations over the primitives;
+    annotations over the primitives.
+
+    TIMEZONE CONTRACT: ``TimestampType`` maps to ``timestamp-micros``
+    (UTC-instant semantics per the Avro spec), but the codec encodes the
+    naive wall clock Spark hands the Python worker — which is the
+    session-local rendering (``spark.sql.session.timeZone``). The two
+    agree only when the session timezone is UTC, which ``session.py``
+    pins for every session this package creates. Under any other session
+    timezone, in-session round-trips stay self-consistent but an external
+    spec-compliant Avro reader would see instants skewed by the session
+    offset; set the session to UTC before writing files meant for
+    external consumers. ``TimestampNTZType`` → ``local-timestamp-micros``
+    is wall-clock by definition and has no such caveat;
   * container file — magic ``Obj\\x01``, a map<string,bytes> of file
     metadata (``avro.schema`` JSON + ``avro.codec``), a 16-byte sync
     marker, then blocks of (row count, byte length, payload, sync).

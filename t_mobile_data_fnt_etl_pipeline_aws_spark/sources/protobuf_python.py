@@ -141,6 +141,17 @@ def _decode_scalar(kind: str, buf: bytes, pos: int):
 _PACKABLE = {"int64", "sint64", "bool", "double", "float"}
 
 
+def _is_default(base: str, v) -> bool:
+    """Proto3 default test with bit-pattern float compare: -0.0 == 0.0
+    under ``==`` but is NOT the default and must be emitted (else it
+    decodes back as +0.0 and flips sign under hash-compare oracles)."""
+    if base == "double":
+        return struct.pack("<d", v) == struct.pack("<d", 0.0)
+    if base == "float":
+        return struct.pack("<f", v) == struct.pack("<f", 0.0)
+    return v == _DEFAULTS[base]
+
+
 def encode_message(schema: dict, values: dict) -> bytes:
     """Encode one message. ``schema`` maps field name -> (field_number,
     kind), where kind is a scalar name, ("message", sub_schema), or
@@ -154,7 +165,10 @@ def encode_message(schema: dict, values: dict) -> bytes:
         v = values.get(name)
         base = _kind_base(kind)
         if base == "message":
-            if not v:
+            # Only absence (None) omits a sub-message; a present-but-empty
+            # dict {} must hit the wire as a zero-length LEN field so it
+            # decodes back as {} rather than collapsing to None.
+            if v is None:
                 continue
             payload = encode_message(kind[1], v)
             _write_varint(out, (num << 3) | LEN)
@@ -183,7 +197,7 @@ def encode_message(schema: dict, values: dict) -> bytes:
                     _write_varint(out, (num << 3) | _WIRE[ibase])
                     _encode_scalar(ibase, elem, out)
         else:
-            if v is None or v == _DEFAULTS[base]:
+            if v is None or _is_default(base, v):
                 continue
             _write_varint(out, (num << 3) | _WIRE[base])
             _encode_scalar(base, v, out)

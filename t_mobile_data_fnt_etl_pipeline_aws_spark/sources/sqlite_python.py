@@ -23,7 +23,26 @@ surface follows SURVEY §2.1's ingest contract.
 
 from __future__ import annotations
 
+import re
 import sqlite3
+
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _check_ident(name: str) -> str:
+    """Reject anything but a plain SQL identifier — table/column names are
+    interpolated into SQL text (sqlite placeholders can't bind
+    identifiers), so caller-supplied option strings must not be able to
+    smuggle SQL (``t; DROP TABLE``)."""
+    if not _IDENT.match(name):
+        raise ValueError(f"invalid SQL identifier: {name!r}")
+    return name
+
+
+def _check_ident_list(csv: str) -> str:
+    for part in csv.split(","):
+        _check_ident(part.strip())
+    return csv
 
 
 def load_table_to_sqlite(
@@ -31,6 +50,8 @@ def load_table_to_sqlite(
 ) -> tuple[int, int]:
     """Fixture helper: load rows into a fresh sqlite table + key index;
     returns (min, max) of the index column."""
+    _check_ident(table)
+    _check_ident(index_col)
     rows = list(rows)
     con = sqlite3.connect(db_path)
     try:
@@ -68,9 +89,10 @@ def make_sqlite_source():
     class SqliteRangeReader(DataSourceReader):
         def __init__(self, options):
             self.db = options["path"]
-            self.table = options["table"]
-            self.cols = options["columns"]  # comma-separated, schema order
-            self.key = options["partitioncolumn"]
+            self.table = _check_ident(options["table"])
+            # comma-separated, schema order
+            self.cols = _check_ident_list(options["columns"])
+            self.key = _check_ident(options["partitioncolumn"])
             self.lo = int(options["lowerbound"])
             self.hi = int(options["upperbound"])
             self.n = int(options.get("numpartitions", "8"))

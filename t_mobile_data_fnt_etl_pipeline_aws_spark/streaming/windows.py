@@ -576,3 +576,63 @@ def q_stream_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
         )
     )
+
+
+@query(
+    "q_stream_foreachbatch_upsert",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           ts AS last_ts,
+           cast(n AS bigint) AS n_updates
+    FROM r WHERE rn = 1
+    """,
+)
+def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-state-per-key UPSERT materialization — the foreachBatch
+    sink pattern: a CDC-ish update stream (events keyed by user_id)
+    folds into a keyed state table holding each key's most recent row
+    plus an update counter. Declared here in the §2.9 batch-equivalent
+    form; tests/test_streaming.py::test_foreachbatch_upsert_converges
+    drives the REAL ``writeStream.foreachBatch`` over the same rows in
+    file micro-batches, merging each batch into a versioned parquet
+    state table (read state_v{i}, combine, write state_v{i+1} — fresh
+    dirs per version, never read-modify-write in place), and asserts
+    the final state equals exactly this DataFrame.
+
+    "Latest" is argmax by (ts, event_id): the max of a
+    (ts, event_id, event_type, value) struct compares
+    lexicographically and event_id is unique, so ties on ts are
+    deterministic (a bare max_by would flap the hash oracle). The
+    merge operation is associative and commutative — (max struct,
+    summed count) — which is what makes the incremental foreachBatch
+    fold equal the one-shot batch aggregate regardless of batch
+    boundaries.
+
+    Scale: ONE hash-agg shuffle keyed on user_id, map-side combined;
+    state is O(distinct keys). In the streaming twin each micro-batch
+    merges only its delta against the state table — work per batch is
+    O(batch + |state|), the compact-on-write pattern Delta/Hudi MERGE
+    runs at warehouse scale.
+    """
+    e = load(spark, sf_dir, "events")
+    g = e.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("last"),
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+    return g.select(
+        "user_id",
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+        "n_updates",
+    )

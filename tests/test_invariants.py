@@ -179,14 +179,15 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-10 driver-window
-    list — the grading driver records only the first 50. Round-10 contract
-    (VERDICT r9 item 1): the 37 never-driver-checked round-9 additions
-    first, then 13 of the 49 r4-stale keys (bench anchors q_agg_hash /
-    q_join_sortmerge leading; 37 + 13 fills the window exactly; the
-    remaining 36 r4-stale rotate round 11). Every key that has never
-    PASSED a driver check (no row, or a hard-failed row) must be inside
-    the window or declared in _POST_WINDOW_ADDITIONS."""
+    """The first 50 registry keys must be exactly the round-11 driver-window
+    list — the grading driver records only the first 50. Round-11 contract
+    (VERDICT r9 item 5 + round-10 rotation note): the new round-11 keys
+    first (never-checked > stale-green), then the r4-stale remainder —
+    round 10 ran 37 r9 + 10 r10-new + 3 r4-stale (q_agg_hash,
+    q_join_sortmerge, q_agg_multi), leaving 46 r4-stale keys for this
+    window. Every key that has never PASSED a driver check (no row, or a
+    hard-failed row) must be inside the window or declared in
+    _POST_WINDOW_ADDITIONS."""
     import json
     from pathlib import Path
 
@@ -200,7 +201,16 @@ def test_driver_window_rotation():
     # documented rows-only degradation with matching row counts.
     verified = set()
     root = Path(__file__).resolve().parent.parent
-    for p in sorted(root.glob("CORRECTNESS_r0*.json")):
+    # CORRECTNESS_r*.json, numerically sorted (r10+ must not fall out of
+    # the glob — an r0* pattern silently drops double-digit rounds).
+    correctness = sorted(
+        root.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int("".join(c for c in p.stem if c.isdigit())),
+    )
+    assert any(
+        int("".join(c for c in p.stem if c.isdigit())) >= 10 for p in correctness
+    ), "double-digit CORRECTNESS rounds missing from the glob"
+    for p in correctness:
         data = json.loads(p.read_text())
         verified |= {
             k
@@ -339,13 +349,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 217 extras = 296 registered,
-    282 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 225 extras = 304 registered,
+    290 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 296
-    assert len(oracles) == 282
+    assert len(QUERIES) == 304
+    assert len(oracles) == 290
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1945,3 +1955,117 @@ def test_null_skew_bypass_equals_plain_join(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(
         map(tuple, bypass.collect())
     )
+
+
+def test_spatial_knn_cell_size_invariant(spark, sf_dir):
+    """q_join_spatial_knn must return the SAME rows for any grid cell
+    size — both phases are exact, so the cell only moves work between
+    the grid phase and the fallback. A deliberately tiny cell forces
+    (almost) every customer through the fallback branch, so this also
+    proves the fallback path is exercised, not dead code. Every
+    customer gets exactly k=3 neighbors in both runs."""
+    from collections import Counter
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.joins import (
+        q_join_spatial_knn,
+    )
+
+    adaptive = {
+        (r.c_custkey, r.rnk, r.s_suppkey, r.d2)
+        for r in q_join_spatial_knn(spark, sf_dir).collect()
+    }
+    tiny_cell = {
+        (r.c_custkey, r.rnk, r.s_suppkey, r.d2)
+        for r in q_join_spatial_knn(spark, sf_dir, cell=1_000).collect()
+    }
+    assert adaptive == tiny_cell
+    per_cust = Counter(k for k, _, _, _ in adaptive)
+    assert set(per_cust.values()) == {3}
+
+
+def test_manifest_table_snapshot_semantics(spark, sf_dir, tmp_path):
+    """sources/manifest_table.py contract: (1) TIME TRAVEL — a version's
+    row set is frozen forever regardless of later appends; (2) SNAPSHOT
+    ISOLATION — staged-but-uncommitted data files are invisible to every
+    manifest; (3) PRUNING is conservative — the pruned file set always
+    reproduces the full filtered result."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        current_version,
+        prune_files,
+        read_manifest,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "tt")
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import functions as F
+
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    v1 = commit_append(o.filter(F.col("o_orderdate") < split), table, ["o_orderdate"])
+    n_v1 = read_version(spark, table, v1).count()
+    v2 = commit_append(o.filter(F.col("o_orderdate") >= split), table, ["o_orderdate"])
+    # (1) v1 unchanged after the v2 append
+    assert read_version(spark, table, v1).count() == n_v1
+    assert read_version(spark, table, v2).count() == o.count()
+    assert current_version(table) == v2 == 2
+    # (2) every manifest file exists; no staging dirs leak into manifests
+    for v in (v1, v2):
+        for f in read_manifest(table, v)["files"]:
+            assert "_staging" not in f["path"]
+    # (3) pruning conservative: pruned-read + filter == full filter
+    files, total = prune_files(
+        table, v2, "o_orderdate", "1998-01-01 00:00:00", "1998-06-30 23:59:59"
+    )
+    assert 0 < len(files) <= total
+    pred = (F.col("o_orderdate") >= split) & (
+        F.col("o_orderdate") < F.lit("1998-07-01 00:00:00").cast("timestamp_ntz")
+    )
+    assert (
+        spark.read.parquet(*files).filter(pred).count()
+        == o.filter(pred).count()
+    )
+
+
+def test_manifest_compaction_semantics(spark, sf_dir, tmp_path):
+    """commit_replace contract: the compacted version holds the SAME
+    rows in fewer files, every pre-compaction version stays readable
+    (no file deletion), and a fresh append on top of the compacted set
+    builds on the small live set, not the superseded files."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        read_manifest,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "compact")
+    o = load(spark, sf_dir, "orders").limit(600)
+    o.cache()
+    thirds = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    for part in thirds:
+        commit_append(part.repartition(2), table, ["o_orderkey"])
+    v_small = 3
+    n_small_files = len(read_manifest(table, v_small)["files"])
+    assert n_small_files == 6
+    total = read_version(spark, table, v_small).count()
+    v_c = commit_replace(
+        read_version(spark, table, v_small).repartition(1),
+        table,
+        ["o_orderkey"],
+    )
+    assert len(read_manifest(table, v_c)["files"]) == 1
+    assert read_version(spark, table, v_c).count() == total
+    # pre-compaction versions still readable, bit-for-bit same row sets
+    assert read_version(spark, table, v_small).count() == total
+    assert len(read_manifest(table, v_small)["files"]) == n_small_files
+    # appends after compaction build on the compacted live set
+    extra = o.limit(10).withColumn("o_orderkey", F.col("o_orderkey") + 10**9)
+    v_next = commit_append(extra.repartition(1), table, ["o_orderkey"])
+    assert len(read_manifest(table, v_next)["files"]) == 2
+    assert read_version(spark, table, v_next).count() == total + 10
+    o.unpersist()

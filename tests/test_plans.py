@@ -161,11 +161,15 @@ def test_no_unpartitioned_window_over_raw_input(spark, sf_dir):
     # over the per-price-shard MAX table (~100 rows at any SF).
     # equidepth: the same zorder-style prefix-sum over the per-price-shard
     # COUNT table (~35 rows) — the base-table rank is shard-partitioned.
+    # ks_drift: the two CDF cumsums run over the per-$1000-BUCKET count
+    # table (~500 rows bounded by the fixed price domain at any SF) —
+    # same tiny-aggregate class as skyline's price shards.
     allowed = {
         "q_stream_watermark_late": 1,
         "q_sort_zorder_layout": 1,
         "q_skyline_pareto": 1,
         "q_profile_histogram_equidepth": 1,
+        "q_stats_ks_drift": 4,
     }
     offenders = {}
     for key, fn in QUERIES.items():

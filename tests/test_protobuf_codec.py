@@ -269,3 +269,58 @@ def test_sqlite_loader_no_duplicate_first_row(tmp_path):
     con = sqlite3.connect(db2)
     assert con.execute("SELECT count(*) FROM t").fetchone()[0] == 3
     con.close()
+
+
+def test_negative_zero_double_preserved():
+    """-0.0 is NOT the proto3 default (bit-pattern compare, not ==): it
+    must hit the wire and decode back with its sign bit intact. A
+    ``v == 0.0`` default test silently drops it (+0.0 on decode)."""
+    import math
+
+    schema = {"x": (1, "double"), "y": (2, "float")}
+    enc = encode_message(schema, {"x": -0.0, "y": -0.0})
+    assert enc != b""
+    dec = decode_message(enc, schema)
+    assert math.copysign(1.0, dec["x"]) == -1.0
+    assert math.copysign(1.0, dec["y"]) == -1.0
+    # +0.0 stays a default → zero bytes
+    assert encode_message(schema, {"x": 0.0, "y": 0.0}) == b""
+
+
+def test_present_empty_submessage_roundtrips():
+    """A present-but-empty sub-message {} must encode as a zero-length
+    LEN field and decode back as a (default-filled) dict — absence
+    (None) is the only thing that omits the field."""
+    sub = {"a": (1, "int64")}
+    schema = {"m": (1, ("message", sub))}
+    enc = encode_message(schema, {"m": {}})
+    assert enc != b""
+    assert decode_message(enc, schema) == {"m": {"a": 0}}
+    # absent sub-message still omits and decodes as None
+    assert encode_message(schema, {"m": None}) == b""
+    assert decode_message(b"", schema) == {"m": None}
+
+
+def test_sqlite_identifier_validation(tmp_path):
+    """Caller-supplied table/column option strings are interpolated into
+    SQL text — anything but a plain identifier must be rejected before
+    it executes (injection surface, ADVICE round-10)."""
+    import pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.sqlite_python import (
+        _check_ident,
+        _check_ident_list,
+        load_table_to_sqlite,
+    )
+
+    for bad in ("t; DROP TABLE x", "a b", "1st", "", "x--", "k)+(1"):
+        with pytest.raises(ValueError):
+            _check_ident(bad)
+    assert _check_ident("supplier_v2") == "supplier_v2"
+    _check_ident_list("a, b ,c")
+    with pytest.raises(ValueError):
+        _check_ident_list("a, b; DROP TABLE t")
+    with pytest.raises(ValueError):
+        load_table_to_sqlite(
+            str(tmp_path / "x.db"), "t; --", "CREATE TABLE t (k INT)", [], "k"
+        )

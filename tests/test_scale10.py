@@ -71,6 +71,21 @@ SCALE_SENSITIVE_EXTRA = [
     "q_events_protobuf_nested",
     "q_scan_sqlite_partitioned",
     "q_scan_avro_evolution",
+    # round-11: argmin/argmax-by-struct keys — the replicated family
+    # makes every event timestamp appear 10×, so the (ts, event_id)
+    # struct tiebreak is ACTUALLY load-bearing at this scale (the exact
+    # tie-dense class this marker exists for)
+    "q_timeseries_ohlc",
+    "q_stream_foreachbatch_upsert",
+    # round-11: binned KS — 10× counts through the bucket CDF windows
+    # (integer cumsum magnitudes, DuckDB window-sum HUGEINT path)
+    "q_stats_ks_drift",
+    # NOTE q_join_spatial_knn is deliberately NOT here, same class as
+    # q_join_nearest_value: the operator is grid-pruned O(n·k), but its
+    # ground-truth ORACLE is the full customer × supplier cross product
+    # — 1.5e9 ranked pairs at 10×, infeasible in DuckDB. Its tie
+    # semantics stay covered by the sf0.01 driver mirror plus the
+    # cell-size-invariance pin (tests/test_invariants.py).
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA

@@ -978,3 +978,80 @@ def test_avro_stream_ingest_converges(spark, sf_dir, tmp_path):
         for r in QUERIES["q_stream_avro_ingest"](spark, sf_dir).collect()
     }
     assert {r.event_type: r["count"] for r in got} == batch
+
+
+def test_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
+    """REAL writeStream.foreachBatch upsert: events streamed in 1-file
+    micro-batches, each batch MERGED into a versioned parquet state
+    table (read state_v{i-1}, combine latest-struct + counter, write
+    state_v{i} — fresh dir per version, never read-modify-write in
+    place). The fold is associative/commutative, so the final state
+    must equal the one-shot batch aggregate q_stream_foreachbatch_upsert
+    declares, regardless of batch boundaries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    stream_dir = str(tmp_path / "stream")
+    load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    ).repartition(4).write.mode("overwrite").parquet(stream_dir)
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+
+    state_dir = str(tmp_path / "state")
+    versions: list[str] = []
+
+    def merge(batch_df, batch_id: int) -> None:
+        delta = batch_df.groupBy("user_id").agg(
+            F.max(
+                F.struct("ts", "event_id", "event_type", "value")
+            ).alias("last"),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+        if versions:
+            prev = batch_df.sparkSession.read.parquet(versions[-1])
+            delta = (
+                prev.unionByName(delta)
+                .groupBy("user_id")
+                .agg(
+                    F.max("last").alias("last"),
+                    F.sum("n_updates").alias("n_updates"),
+                )
+            )
+        out = os.path.join(state_dir, f"v{batch_id}")
+        delta.write.mode("overwrite").parquet(out)
+        versions.append(out)
+
+    q = (
+        s.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", str(tmp_path / "ckpt_feb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(versions) > 1, "expected multiple micro-batches"
+    final = (
+        spark.read.parquet(versions[-1])
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts").alias("last_ts"),
+            F.col("n_updates").cast("bigint").alias("n_updates"),
+        )
+        .toPandas()
+    )
+    batch = QUERIES["q_stream_foreachbatch_upsert"](spark, sf_dir).toPandas()
+    assert canonicalize(final) == canonicalize(batch)
