@@ -254,6 +254,7 @@ HEADLINE = [
     "q_etl_time_travel",             # manifest-versioned as-of snapshot read
     "q_scan_files_pruned_by_stats",  # manifest min/max file skipping + exact filter
     "q_etl_manifest_compact",        # small-files OPTIMIZE via replace commit
+    "q_etl_incremental_consume",     # version-diff change-feed delta read
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -1821,3 +1821,72 @@ def q_etl_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_files_before", F.lit(n_before).cast("bigint"))
         .withColumn("n_files_after", F.lit(2).cast("bigint"))
     )
+
+
+@query(
+    "q_etl_incremental_consume",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL CONSUMPTION between table versions — the
+    change-data-feed pattern: a downstream job that last processed
+    version v1 reads ONLY the files added between v1 and v2 (manifest
+    set difference, metadata-plane — sources/manifest_table.py
+    diff_files), never rescanning the base. Appends land immutable
+    files, so for append-only history the file-set diff IS the
+    row-level delta; across a REPLACE/compaction commit the diff
+    returns rewritten files and consumers must dedupe by row identity
+    (the caveat real change feeds share — q_etl_merge_tombstones
+    covers mutation feeds).
+
+    Construction: three appends (< 1997 / 1997-98 / >= 1999); the
+    consumer diffs v1 -> v2 and must see EXACTLY the 1997-98 slice —
+    the oracle is that date range over the raw table.
+
+    Scale: the diff is O(#files) over kilobyte manifests and the data
+    read touches only delta files — incremental work proportional to
+    the arrival rate, not the table size, which is what makes hourly
+    downstream jobs feasible against a 100-TB table.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, diff_files
+
+    table = _sink_dir(f"orders_cdf_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders")
+    lit_ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    v1 = commit_append(
+        o.filter(F.col("o_orderdate") < lit_ts("1997-01-01 00:00:00")),
+        table,
+        ["o_orderdate"],
+    )
+    v2 = commit_append(
+        o.filter(
+            (F.col("o_orderdate") >= lit_ts("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < lit_ts("1999-01-01 00:00:00"))
+        ),
+        table,
+        ["o_orderdate"],
+    )
+    commit_append(
+        o.filter(F.col("o_orderdate") >= lit_ts("1999-01-01 00:00:00")),
+        table,
+        ["o_orderdate"],
+    )
+    delta = diff_files(table, v1, v2)
+    return (
+        spark.read.parquet(*delta)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )

@@ -153,6 +153,23 @@ def read_version(
     return spark.read.parquet(*files)
 
 
+def diff_files(table_dir: str, v_from: int, v_to: int) -> list[str]:
+    """Incremental-consumption diff: data files live at v_to that were
+    not live at v_from (v_from=0 == everything). For append-only
+    history the file-set diff IS the row-level delta, because files are
+    immutable and never rewritten in place; across a REPLACE commit the
+    diff returns the rewritten files (consumers downstream of a
+    compaction must dedupe by row identity — the documented CDF caveat
+    real table formats share)."""
+    new = {f["path"] for f in read_manifest(table_dir, v_to)["files"]}
+    old = (
+        {f["path"] for f in read_manifest(table_dir, v_from)["files"]}
+        if v_from
+        else set()
+    )
+    return sorted(new - old)
+
+
 def prune_files(
     table_dir: str, version: int, col: str, lo: str, hi: str
 ) -> tuple[list[str], int]:

@@ -349,13 +349,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 225 extras = 304 registered,
-    290 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 226 extras = 305 registered,
+    291 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 304
-    assert len(oracles) == 290
+    assert len(QUERIES) == 305
+    assert len(oracles) == 291
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -2069,3 +2069,36 @@ def test_manifest_compaction_semantics(spark, sf_dir, tmp_path):
     assert len(read_manifest(table, v_next)["files"]) == 2
     assert read_version(spark, table, v_next).count() == total + 10
     o.unpersist()
+
+
+def test_manifest_diff_files_semantics(spark, sf_dir, tmp_path):
+    """diff_files contract: append-only diffs return exactly the delta
+    commit's files (change-data-feed), v_from=0 returns everything, and
+    a diff across a REPLACE commit returns the rewritten files (the
+    documented dedupe-by-identity caveat)."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        diff_files,
+        read_manifest,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "cdf")
+    o = load(spark, sf_dir, "orders").limit(300)
+    halves = [o.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    v1 = commit_append(halves[0].repartition(1), table, ["o_orderkey"])
+    v2 = commit_append(halves[1].repartition(1), table, ["o_orderkey"])
+    delta = diff_files(table, v1, v2)
+    assert delta and spark.read.parquet(*delta).count() == halves[1].count()
+    assert sorted(diff_files(table, 0, v2)) == sorted(
+        f["path"] for f in read_manifest(table, v2)["files"]
+    )
+    v3 = commit_replace(
+        read_version(spark, table, v2).repartition(1), table, ["o_orderkey"]
+    )
+    across = diff_files(table, v2, v3)
+    assert spark.read.parquet(*across).count() == o.count()
