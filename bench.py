@@ -255,6 +255,7 @@ HEADLINE = [
     "q_scan_files_pruned_by_stats",  # manifest min/max file skipping + exact filter
     "q_etl_manifest_compact",        # small-files OPTIMIZE via replace commit
     "q_etl_incremental_consume",     # version-diff change-feed delta read
+    "q_etl_manifest_vacuum",         # retention-gated physical file cleanup
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

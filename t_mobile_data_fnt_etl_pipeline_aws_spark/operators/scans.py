@@ -1890,3 +1890,68 @@ def q_etl_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "revenue"),
         )
     )
+
+
+@query(
+    "q_etl_manifest_vacuum",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
+               AS n_deleted,
+           cast(2 AS bigint) AS n_kept
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM — the retention-gated destructive closeout of the table
+    lifecycle: after per-year appends (1 file each) and a REPLACE
+    compaction (2 files), vacuum(retain_last=1) physically deletes the
+    superseded year files and expires their manifests. The current
+    version must read identically after the delete (the oracle re-derives
+    the aggregate from the raw table), n_deleted == distinct years and
+    n_kept == 2 ride along relationally. Time travel now ENDS at the
+    retention horizon — the reason real formats keep vacuum a separate,
+    windowed operation instead of bundling it into compaction
+    (q_etl_manifest_compact shows the non-destructive half).
+
+    Scale: the liveness set is a union over the retained manifests
+    (metadata-plane, O(#files)); deletion is embarrassingly parallel
+    over unreferenced files. The per-year driver loop is bounded by the
+    date domain (~7 values — the Lloyd-centroid bounded-collect class).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        read_version,
+        vacuum,
+    )
+
+    table = _sink_dir(f"orders_vacuum_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").withColumn("yr", F.year("o_orderdate"))
+    years = sorted(r.yr for r in o.select("yr").distinct().collect())
+    for yr in years:
+        commit_append(
+            o.filter(F.col("yr") == yr).drop("yr").repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    v_c = commit_replace(
+        read_version(spark, table).repartition(2), table, ["o_orderdate"]
+    )
+    n_deleted, n_kept = vacuum(table, retain_last=1)
+    return (
+        read_version(spark, table, v_c)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
+        .withColumn("n_kept", F.lit(n_kept).cast("bigint"))
+    )

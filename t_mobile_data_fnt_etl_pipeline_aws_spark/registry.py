@@ -152,6 +152,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_files_pruned_by_stats",
     "q_etl_manifest_compact",
     "q_etl_incremental_consume",
+    "q_etl_manifest_vacuum",
 ]
 
 

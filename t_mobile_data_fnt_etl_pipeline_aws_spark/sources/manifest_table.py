@@ -170,6 +170,32 @@ def diff_files(table_dir: str, v_from: int, v_to: int) -> list[str]:
     return sorted(new - old)
 
 
+def vacuum(table_dir: str, retain_last: int = 1) -> tuple[int, int]:
+    """Physically delete data files referenced ONLY by manifests older
+    than the last ``retain_last`` versions, and drop those expired
+    manifests. THE ONE DESTRUCTIVE OPERATION in this format — time
+    travel ends at the retention horizon, which is why real formats
+    gate it behind a retention window instead of bundling it into
+    compaction. Returns (n_deleted, n_kept)."""
+    cur = current_version(table_dir)
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    horizon = max(1, cur - retain_last + 1)
+    live: set[str] = set()
+    for v in range(horizon, cur + 1):
+        live |= {f["path"] for f in read_manifest(table_dir, v)["files"]}
+    deleted = 0
+    for f in glob.glob(os.path.join(_data_dir(table_dir), "*.parquet")):
+        if f not in live:
+            os.remove(f)
+            deleted += 1
+    for v in range(1, horizon):
+        path = os.path.join(_log_dir(table_dir), f"v{v:05d}.json")
+        if os.path.exists(path):
+            os.remove(path)
+    return deleted, len(live)
+
+
 def prune_files(
     table_dir: str, version: int, col: str, lo: str, hi: str
 ) -> tuple[list[str], int]:

@@ -349,13 +349,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 226 extras = 305 registered,
-    291 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 227 extras = 306 registered,
+    292 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 305
-    assert len(oracles) == 291
+    assert len(QUERIES) == 306
+    assert len(oracles) == 292
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -2102,3 +2102,43 @@ def test_manifest_diff_files_semantics(spark, sf_dir, tmp_path):
     )
     across = diff_files(table, v2, v3)
     assert spark.read.parquet(*across).count() == o.count()
+
+
+def test_manifest_vacuum_semantics(spark, sf_dir, tmp_path):
+    """vacuum contract: files referenced by retained manifests survive,
+    unreferenced ones are physically deleted, expired manifests are
+    dropped, the current version reads identically, and reads past the
+    retention horizon now fail (time travel ends at the horizon)."""
+    import glob as _glob
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        read_version,
+        vacuum,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "vac")
+    o = load(spark, sf_dir, "orders").limit(400)
+    halves = [o.filter(F.col("o_orderkey") % 2 == i) for i in range(2)]
+    for h in halves:
+        commit_append(h.repartition(1), table, ["o_orderkey"])
+    total = read_version(spark, table).count()
+    v_c = commit_replace(
+        read_version(spark, table).repartition(1), table, ["o_orderkey"]
+    )
+    n_deleted, n_kept = vacuum(table, retain_last=1)
+    assert (n_deleted, n_kept) == (2, 1)
+    assert read_version(spark, table, v_c).count() == total
+    # expired manifests are gone; physical file count matches liveness
+    assert len(_glob.glob(os.path.join(table, "_log", "v*.json"))) == 1
+    assert len(_glob.glob(os.path.join(table, "data", "*.parquet"))) == 1
+    with _pytest.raises(FileNotFoundError):
+        read_version(spark, table, 1)
+    with _pytest.raises(ValueError):
+        vacuum(table, retain_last=0)
