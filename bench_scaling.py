@@ -64,10 +64,18 @@ KEYS = [
     # map-only over lineitem, so the expected slope is ~1.0 (file count
     # is fixed at 8; bytes per file grow linearly)
     "q_scan_avro_python",
+    # round-11: argmin/argmax-by-decimal-composite OHLC bars — events
+    # replicated k-fold with SAME timestamps (tie-dense) and fixed
+    # (event_type, day) grain, so state stays constant and the slope is
+    # the scan+combine cost (~1.0)
+    "q_timeseries_ohlc",
+    # round-11: latest-per-key upsert — user_id universe fixed, rows
+    # grow k-fold: per-group struct-max combine, expected slope ~1.0
+    "q_stream_foreachbatch_upsert",
 ]
 
 #: tables each key loads — each scale dir carries exactly these
-TABLES = ["documents", "embeddings", "lineitem", "part"]
+TABLES = ["documents", "embeddings", "lineitem", "part", "events"]
 
 
 def _fixture_profiles():
@@ -175,18 +183,30 @@ def ensure_scale_dir(k: int) -> str:
 
     d = os.path.join(WORK_DIR, f"x{k}")
     marker = os.path.join(d, ".complete")
-    if os.path.exists(marker):
-        return d
-    os.makedirs(d, exist_ok=True)
-    rng = np.random.RandomState(SEED + k)
-    _gen_documents(os.path.join(d, "documents.parquet"), 5000 * k, rng)
-    _gen_embeddings(os.path.join(d, "embeddings.parquet"), 2000 * k, rng)
-    _gen_lineitem(os.path.join(d, "lineitem.parquet"), k)
-    shutil.copyfile(
-        f"{BASE_SF_DIR}/part.parquet", os.path.join(d, "part.parquet")
-    )
-    with open(marker, "w") as fh:
-        fh.write("ok")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.RandomState(SEED + k)
+        _gen_documents(os.path.join(d, "documents.parquet"), 5000 * k, rng)
+        _gen_embeddings(os.path.join(d, "embeddings.parquet"), 2000 * k, rng)
+        _gen_lineitem(os.path.join(d, "lineitem.parquet"), k)
+        shutil.copyfile(
+            f"{BASE_SF_DIR}/part.parquet", os.path.join(d, "part.parquet")
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    # events joined TABLES in round 11 — backfill into dirs cached by
+    # earlier rounds (event_id shifted per copy; ts/user_id kept so the
+    # family stays tie-dense with a fixed key universe)
+    ev = os.path.join(d, "events.parquet")
+    if not os.path.exists(ev):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        src = f"{BASE_SF_DIR}/events.parquet"
+        shift = int(
+            pc.max(pq.read_table(src, columns=["event_id"])["event_id"]).as_py()
+        ) + 1
+        _replicate_keyed(src, ev, k, {"event_id": shift})
     return d
 
 
@@ -349,7 +369,7 @@ def main() -> None:
 
 def _write_md(scales, results, slopes) -> None:
     lines = [
-        "# BENCH_SCALING — seconds-vs-scale exponents (round 10)",
+        "# BENCH_SCALING — seconds-vs-scale exponents (round 11)",
         "",
         f"Measured by `bench_scaling.py` on local[32]: the {len(KEYS)} most",
         "expensive registry keys run against a seeded generated data",
@@ -406,6 +426,14 @@ def _write_md(scales, results, slopes) -> None:
         "  encode+decode over lineitem, map-only with a FIXED file",
         "  count (8): bytes per file grow linearly and so does codec",
         "  CPU; the second map-stage control alongside q_bpe_apply.",
+        "- **q_timeseries_ohlc** — hash-agg OHLC bars (min_by/max_by",
+        "  over the decimal composite key): bar-grain state is FIXED",
+        "  (|event_type| x days), rows grow k-fold — pure map-side",
+        "  combine, sub-linear while the job floor dominates.",
+        "- **q_stream_foreachbatch_upsert** — latest-per-key fold with",
+        "  a FIXED user universe: per-group sort-agg combine over",
+        "  k-fold rows; the tie-dense replicated timestamps make the",
+        "  (ts, event_id) tiebreak load-bearing at every scale.",
         "",
         "No super-linear surprise = the plan-contract story (pushdown,",
         "broadcast, bucketing, no nested loops) holds empirically",

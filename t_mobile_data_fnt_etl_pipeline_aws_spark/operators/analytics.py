@@ -33,6 +33,8 @@ from ..sources.tables import load
 
 #: Interval half-width for q_interval_merge: each event claims 30 minutes.
 _SPAN_US = 30 * 60 * 1_000_000
+#: integer µs per day (bar-grain composite ordering keys)
+_DAY_US = 86_400_000_000
 
 #: Attribution lookback for q_attribution_last_touch: 7 days in µs.
 _LOOKBACK_US = 7 * 24 * 3600 * 1_000_000
@@ -865,47 +867,48 @@ def q_interval_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OHLC candlestick bars — open/high/low/close/volume per
     (event_type, day), the resampling aggregate every tick-to-bar
-    pipeline runs. open/close are ARGMIN/ARGMAX by event time: Spark's
-    min/max over a (ts, event_id, value) struct compares
-    lexicographically, and event_id is a unique tiebreaker, so the
-    picked row is deterministic even with equal timestamps (a bare
-    min_by/max_by is tie-nondeterministic and would flap the hash
-    oracle). The struct min/max is an ordinary partial-aggregatable
-    function — ONE hash-agg shuffle keyed on the bar grain, map-side
-    combined, no window over base rows (the oracle's row_number form is
-    the DuckDB spelling only; Spark never ranks). open/close/high/low
-    pass value doubles through untouched (bit-identical); volume crosses
-    rows → decimal accumulation finished at 6 dp (numeric.py rules).
+    pipeline runs. open/close are ARGMIN/ARGMAX by event time via
+    min_by/max_by over a DECIMAL COMPOSITE ordering key
+    us_of_day·10¹⁹ + event_id: within a bar the day is fixed, so
+    µs-of-day orders exactly like ts, and the unique event_id term
+    makes ties impossible (a bare min_by(value, ts) is
+    tie-nondeterministic on the tie-dense replicated family and would
+    flap the hash oracle). The composite is chosen over the natural
+    min(struct(ts, event_id, value)) form DELIBERATELY: struct min/max
+    buffers are variable-width, which demotes the whole aggregate to
+    SortAggregate (per-partition sort at 100 TB), while every buffer
+    here (double, decimal, long) is fixed-width — the plan stays
+    HashAggregate, partial-aggregated map-side, ONE shuffle on the bar
+    grain (pinned in tests/test_plans.py). Widths: µs-of-day < 8.64e10
+    (11 digits) × 10¹⁹ + event_id (≤ 20 digits) ≤ 30 digits — exact in
+    decimal(38,0) at any event volume. open/close/high/low pass value
+    doubles through untouched (bit-identical); volume crosses rows →
+    decimal accumulation finished at 6 dp (numeric.py rules).
 
-    Scale: grain cardinality = |event_type| × days, so state is tiny and
-    grows with time, not volume; the shuffle carries one struct per
-    group per map task. Reference repo publishes no code
+    Scale: grain cardinality = |event_type| × days, so state is tiny
+    and grows with time, not volume. Reference repo publishes no code
     (/root/reference/README.md:1-2); extends SURVEY §2.11's declared
     time-series surface alongside q_timeseries_twap.
     """
     e = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    us_of_day = (_epoch_us() % _DAY_US).cast("decimal(11,0)")
+    comp = us_of_day * F.lit("10000000000000000000").cast(
+        "decimal(20,0)"
+    ) + F.col("event_id").cast("decimal(20,0)")
     g = e.select(
         "event_type",
         F.date_trunc("day", F.col("ts")).alias("day"),
-        "ts",
-        "event_id",
+        comp.alias("k"),
         "value",
     )
-    agg = g.groupBy("event_type", "day").agg(
-        F.min(F.struct("ts", "event_id", "value")).alias("o"),
-        F.max(F.struct("ts", "event_id", "value")).alias("c"),
+    return g.groupBy("event_type", "day").agg(
+        F.min_by("value", F.col("k")).alias("open"),
         F.max("value").alias("high"),
         F.min("value").alias("low"),
+        F.max_by("value", F.col("k")).alias("close"),
         F.count(F.lit(1)).alias("n_trades"),
         finish(F.sum(F.col("value").cast(DEC)), 6).alias("volume"),
-    )
-    return agg.select(
-        "event_type",
-        "day",
-        F.col("o.value").alias("open"),
-        "high",
-        "low",
-        F.col("c.value").alias("close"),
-        "n_trades",
-        "volume",
+    ).select(
+        "event_type", "day", "open", "high", "low", "close",
+        "n_trades", "volume",
     )

@@ -39,6 +39,7 @@ surface follows SURVEY §2.1's ingest-format contract.
 
 from __future__ import annotations
 
+import math as _math
 import struct
 
 VARINT, I64, LEN, I32 = 0, 1, 2, 5
@@ -142,13 +143,15 @@ _PACKABLE = {"int64", "sint64", "bool", "double", "float"}
 
 
 def _is_default(base: str, v) -> bool:
-    """Proto3 default test with bit-pattern float compare: -0.0 == 0.0
+    """Proto3 default test with sign-aware zero compare: -0.0 == 0.0
     under ``==`` but is NOT the default and must be emitted (else it
-    decodes back as +0.0 and flips sign under hash-compare oracles)."""
-    if base == "double":
-        return struct.pack("<d", v) == struct.pack("<d", 0.0)
-    if base == "float":
-        return struct.pack("<f", v) == struct.pack("<f", 0.0)
+    decodes back as +0.0 and flips sign under hash-compare oracles).
+    The ``v == 0.0`` short-circuit keeps the hot encode path at one
+    equality compare per field — the copysign bit test runs only for
+    actual zeros (a per-field struct.pack bit compare measurably slowed
+    the nested-envelope bench ~1.3×)."""
+    if base in ("double", "float"):
+        return v == 0.0 and _math.copysign(1.0, v) > 0.0
     return v == _DEFAULTS[base]
 
 

@@ -618,8 +618,11 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold equal the one-shot batch aggregate regardless of batch
     boundaries.
 
-    Scale: ONE hash-agg shuffle keyed on user_id, map-side combined;
-    state is O(distinct keys). In the streaming twin each micro-batch
+    Scale: ONE partial-aggregated shuffle keyed on user_id — sort-based
+    (SortAggregate), because the struct buffer and the string payload
+    are variable-width, which Spark's hash aggregate cannot buffer;
+    q_timeseries_ohlc shows the all-numeric composite-key variant that
+    stays in HashAggregate. State is O(distinct keys). In the streaming twin each micro-batch
     merges only its delta against the state table — work per batch is
     O(batch + |state|), the compact-on-write pattern Delta/Hudi MERGE
     runs at warehouse scale.

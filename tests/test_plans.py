@@ -1026,3 +1026,16 @@ def test_federated_join_broadcasts_db_dim(spark, sf_dir):
     whole point (the fact never shuffles for the join)."""
     df = QUERIES["q_join_federated_sources"](spark, sf_dir)
     assert "BroadcastHashJoin" in join_strategies(df), plan_string(df)
+
+
+def test_ohlc_stays_hash_aggregated(spark, sf_dir):
+    """q_timeseries_ohlc's argmin/argmax must ride fixed-width buffers
+    (min_by/max_by over the decimal composite) so the aggregate stays
+    HashAggregate — a struct min/max demotes the WHOLE aggregate to
+    SortAggregate (per-partition sort at scale), which is exactly what
+    the composite-key formulation exists to avoid."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.plans.inspect import plan_string
+
+    plan = plan_string(QUERIES["q_timeseries_ohlc"](spark, sf_dir))
+    assert "SortAggregate" not in plan
+    assert "HashAggregate" in plan
