@@ -256,6 +256,7 @@ HEADLINE = [
     "q_etl_manifest_compact",        # small-files OPTIMIZE via replace commit
     "q_etl_incremental_consume",     # version-diff change-feed delta read
     "q_etl_manifest_vacuum",         # retention-gated physical file cleanup
+    "q_stream_manifest_sink",        # per-microbatch append commits (streaming table sink)
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -153,6 +153,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_manifest_compact",
     "q_etl_incremental_consume",
     "q_etl_manifest_vacuum",
+    "q_stream_manifest_sink",
 ]
 
 

@@ -639,3 +639,69 @@ def q_stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.ts").alias("last_ts"),
         "n_updates",
     )
+
+
+@query(
+    "q_stream_manifest_sink",
+    oracle=f"""
+    SELECT event_type,
+           count(*) AS n_events,
+           {sql_finish_dec(f'sum(cast(value as {DEC}))', 6)} AS sum_value
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_stream_manifest_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGESTION INTO THE TABLE FORMAT — the Delta-style
+    streaming sink: each micro-batch lands as one append COMMIT on the
+    log-structured manifest table (sources/manifest_table.py), so
+    downstream readers get snapshot isolation (never a half-written
+    batch), per-batch time travel, and a version-diff change feed for
+    free — the three properties a bare parquet landing directory cannot
+    give a streaming writer. Declared here in the §2.9 batch-equivalent
+    form: events land in four deterministic hash slices (four commits),
+    and the query aggregates the CURRENT version, which must equal the
+    one-shot aggregate over the raw table (every row exactly once —
+    the commit protocol neither drops nor duplicates).
+    tests/test_streaming.py::test_stream_manifest_sink_converges drives
+    the REAL writeStream.foreachBatch(commit_append) and additionally
+    checks version count == micro-batch count and that the version
+    CHANGE FEED replays the stream.
+
+    Scale: a commit is O(batch) data + O(#files) metadata; the manifest
+    grows one JSON per batch (compaction — q_etl_manifest_compact —
+    bounds the live file count). Exactly-once comes from the atomic
+    manifest rename + Structured Streaming's batch-id replay contract:
+    re-running a failed batch re-stages files but the manifest only
+    ever advances once per batch id (documented caveat: the idempotence
+    ledger keyed on batch id is the production hardening step).
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, read_version
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    table = os.path.join(base, f"events_manifest_{_uuid.uuid4().hex[:8]}")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    for i in range(4):
+        commit_append(
+            e.filter(F.col("event_id") % 4 == i).repartition(2),
+            table,
+            ["ts"],
+            op=f"microbatch_{i}",
+        )
+    return (
+        read_version(spark, table)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            finish(F.sum(F.col("value").cast(DEC)), 6).alias("sum_value"),
+        )
+    )

@@ -1055,3 +1055,75 @@ def test_foreachbatch_upsert_converges(spark, sf_dir, tmp_path):
     )
     batch = QUERIES["q_stream_foreachbatch_upsert"](spark, sf_dir).toPandas()
     assert canonicalize(final) == canonicalize(batch)
+
+
+def test_stream_manifest_sink_converges(spark, sf_dir, tmp_path):
+    """REAL writeStream.foreachBatch(commit_append) into the manifest
+    table: every micro-batch becomes one append commit, the final
+    version's aggregate equals the batch-declared query, version count
+    equals micro-batch count, and replaying the version-diff change
+    feed (diff_files per consecutive version pair) reconstructs the
+    full stream exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        current_version,
+        diff_files,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    stream_dir = str(tmp_path / "stream")
+    src = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    n_total = src.count()
+    src.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    table = str(tmp_path / "table")
+    s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    n_batches = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        commit_append(
+            batch_df.select("event_id", "ts", "event_type", "value"),
+            table,
+            ["ts"],
+            op=f"microbatch_{batch_id}",
+        )
+        n_batches.append(batch_id)
+
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ms"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(n_batches) == 3
+    cur = current_version(table)
+    assert cur == 3
+    assert read_version(spark, table).count() == n_total
+    # change-feed replay: consecutive diffs partition the stream
+    replayed = 0
+    seen = set()
+    for v in range(1, cur + 1):
+        delta = diff_files(table, v - 1, v)
+        assert delta
+        df = spark.read.parquet(*delta)
+        replayed += df.count()
+        ids = {r.event_id for r in df.select("event_id").collect()}
+        assert not (ids & seen), "change feed replayed a row twice"
+        seen |= ids
+    assert replayed == n_total
