@@ -137,12 +137,11 @@ _DRIVER_WINDOW = [
     "q_sample_deterministic_k",
 ]
 
-#: Keys added AFTER the current round's window was frozen. Empty at the
-#: round-10 freeze: all 37 round-9 post-window additions moved into the
-#: window above. New keys registered during round 10 are appended here
-#: and head the round-11 window (never-checked > stale); if a new key
-#: lands before the driver has run, it may instead displace a tail
-#: r4-stale entry in the window above. Keep
+#: Keys added AFTER the current round's window was frozen. These 7
+#: round-11 additions head the ROUND-12 window (never-checked >
+#: stale-green), followed by 43 of the 50 r5-stale keys (recompute the
+#: staleness histogram from the CORRECTNESS_r* union at round-12 open;
+#: the remaining 7 r5-stale keys rotate round 13). Keep
 #: test_driver_window_rotation's exemption in sync.
 _POST_WINDOW_ADDITIONS: list[str] = [
     # round-11 batch 2 (registered after the round-11 window froze;
