@@ -305,3 +305,101 @@ def test_bpe_replace_chain_equals_scan_merge_property():
                 assert n_spaces == 2 * len(vocab[w])
 
     check()
+
+
+def test_manifest_table_random_commit_sequences(spark):
+    """Model-based property test for sources/manifest_table.py: across
+    random append/replace sequences, every historical version must read
+    back EXACTLY its model row-set (time travel is total), the
+    version-diff change feed must equal the delta for appends and the
+    rewritten set for replaces, and vacuum(retain_last=1) must preserve
+    the current version while expiring everything older."""
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        current_version,
+        diff_files,
+        read_version,
+        vacuum,
+    )
+
+    # an op is ("append", row_ids) or ("replace",) — replace compacts
+    # the current live set; row ids are globally unique per sequence
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 4)),
+            st.tuples(st.just("replace")),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seq=ops)
+    def run(seq):
+        if seq[0][0] == "replace":  # replace needs a live set
+            seq = [("append", 2)] + seq
+        table = tempfile.mkdtemp(prefix="mt_prop_")
+        shutil.rmtree(table)
+        try:
+            model = {}  # version -> frozenset of row ids
+            live = set()
+            deltas = {}  # version -> (op, row-id set written this commit)
+            next_id = counter[0]
+            for op in seq:
+                if op[0] == "append":
+                    ids = set(range(next_id, next_id + op[1]))
+                    next_id += op[1]
+                    df = spark.createDataFrame(
+                        [(i, f"p{i % 3}") for i in sorted(ids)], ["k", "part"]
+                    )
+                    v = commit_append(df.repartition(1), table, ["k"])
+                    live = live | ids
+                    deltas[v] = ("append", ids)
+                else:
+                    df = read_version(spark, table).repartition(1)
+                    v = commit_replace(df, table, ["k"])
+                    deltas[v] = ("replace", set(live))
+                model[v] = frozenset(live)
+            counter[0] = next_id
+            cur = current_version(table)
+            assert cur == len(seq)
+            # (1) time travel is total and exact
+            for v, expect in model.items():
+                got = {
+                    r.k for r in read_version(spark, table, v).collect()
+                }
+                assert got == set(expect), (v, got, expect)
+            # (2) change feed per version
+            for v, (op, ids) in deltas.items():
+                delta_files = diff_files(table, v - 1, v)
+                got = (
+                    {r.k for r in spark.read.parquet(*delta_files).collect()}
+                    if delta_files
+                    else set()
+                )
+                assert got == ids, (v, op, got, ids)
+            # (3) vacuum keeps the current version, expires the rest
+            vacuum(table, retain_last=1)
+            got = {r.k for r in read_version(spark, table, cur).collect()}
+            assert got == set(model[cur])
+            logs = _glob.glob(os.path.join(table, "_log", "v*.json"))
+            assert len(logs) == 1
+        finally:
+            shutil.rmtree(table, ignore_errors=True)
+
+    run()
