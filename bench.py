@@ -284,16 +284,28 @@ _METRIC_NAMES = {
 }
 
 
+#: How many recent bench records feed each key's prior. Median-of-5
+#: (vs newest-record-wins) kills the prior-selection artifact class:
+#: a full-sweep record holding an all-time-fastest sample for a tiny
+#: (< 0.4 s) key used to become the sole prior for the next headline
+#: run and fire a phantom adj-1.5x flag (r11 token_stats adjudication).
+_PRIOR_HISTORY_N = 5
+
+
 def load_prior_timings(repo_dir: str) -> dict[str, float]:
-    """Per-query medians from the newest usable bench record, {} if none.
+    """Per-query prior = MEDIAN of that key's last ``_PRIOR_HISTORY_N``
+    recorded timings across recent bench records, {} if none.
 
     BENCH_LOCAL_r*.json (written by this script, always complete) is
     preferred over the driver's BENCH_r*.json tail capture, which clips
     at ~2 KB (r04 recorded parsed:null for exactly that reason — ADVICE
-    r4). Falls back through older files until one yields timings.
-    Handles both this script's raw output shape and the driver's wrapper
-    (which nests the parsed JSON line under "parsed")."""
+    r4). Handles both this script's raw output shape and the driver's
+    wrapper (which nests the parsed JSON line under "parsed"). Taking a
+    per-key median over history instead of the newest record keeps one
+    lucky (or marathon-JVM-slowed) sample from defining the baseline a
+    2x drift gate compares against."""
     import glob
+    import statistics
 
     paths = sorted(
         glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json"))
@@ -301,7 +313,8 @@ def load_prior_timings(repo_dir: str) -> dict[str, float]:
         key=lambda p: (os.path.basename(p).rsplit("_r", 1)[-1],
                        "BENCH_LOCAL" in os.path.basename(p)),
     )
-    for path in reversed(paths):
+    history: dict[str, list[float]] = {}
+    for path in reversed(paths):  # newest first
         try:
             with open(path) as fh:
                 prior = json.load(fh)
@@ -313,13 +326,12 @@ def load_prior_timings(repo_dir: str) -> dict[str, float]:
             prior = prior["parsed"]
         if prior.get("metric") not in _METRIC_NAMES:
             continue
-        timings = {
-            k: v for k, v in (prior.get("queries") or {}).items()
-            if isinstance(v, (int, float))
-        }
-        if timings:
-            return timings
-    return {}
+        for k, v in (prior.get("queries") or {}).items():
+            if isinstance(v, (int, float)):
+                vals = history.setdefault(k, [])
+                if len(vals) < _PRIOR_HISTORY_N:
+                    vals.append(float(v))
+    return {k: statistics.median(v) for k, v in history.items()}
 
 
 def next_round_number(repo_dir: str) -> int:

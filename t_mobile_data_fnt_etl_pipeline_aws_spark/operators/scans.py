@@ -1757,9 +1757,7 @@ def q_scan_files_pruned_by_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n_orders,
            {sql_dsum('o_totalprice', 'revenue')},
-           (SELECT 2 * count(DISTINCT year(o_orderdate)) FROM orders)
-               AS n_files_before,
-           cast(2 AS bigint) AS n_files_after
+           true AS files_reduced
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -1771,9 +1769,12 @@ def q_etl_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     live set into 2 right-sized files. The aggregate over the compacted
     version must equal the aggregate over the raw table (compaction is
     a physical rewrite, never a logical change — the oracle checks
-    this), and the file-count arithmetic rides along as columns the
-    oracle derives from the construction (2 files x distinct years
-    before; repartition(2) after).
+    this). File counts are derived from the MANIFESTS, not from write
+    layout: the graded column is the layout-independent invariant
+    n_files_after < n_files_before (ADVICE r11 — repartition(n) may
+    emit < n files for tiny slices, so exact counts live in the unit
+    pin tests/test_invariants.py::test_manifest_compaction_semantics,
+    not in the oracle).
 
     The superseded small files are NOT deleted — every pre-compaction
     version stays readable (time travel across compaction, pinned by
@@ -1793,6 +1794,7 @@ def q_etl_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.manifest_table import (
         commit_append,
         commit_replace,
+        read_manifest,
         read_version,
     )
 
@@ -1806,11 +1808,12 @@ def q_etl_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["o_orderdate"],
             op=f"append_y{yr}",
         )
-    n_before = 2 * len(years)
     live = read_version(spark, table)
     v_compact = commit_replace(
         live.repartition(2), table, ["o_orderdate"]
     )
+    n_before = len(read_manifest(table, v_compact - 1)["files"])
+    n_after = len(read_manifest(table, v_compact)["files"])
     return (
         read_version(spark, table, v_compact)
         .groupBy("o_orderpriority")
@@ -1818,8 +1821,7 @@ def q_etl_manifest_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice"), "revenue"),
         )
-        .withColumn("n_files_before", F.lit(n_before).cast("bigint"))
-        .withColumn("n_files_after", F.lit(2).cast("bigint"))
+        .withColumn("files_reduced", F.lit(n_after < n_before))
     )
 
 
@@ -1898,24 +1900,29 @@ def q_etl_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            count(*) AS n_orders,
            {sql_dsum('o_totalprice', 'revenue')},
-           (SELECT count(DISTINCT year(o_orderdate)) FROM orders)
-               AS n_deleted,
-           cast(2 AS bigint) AS n_kept
+           true AS deleted_all_superseded,
+           true AS kept_matches_manifest
     FROM orders
     GROUP BY o_orderpriority
     """,
 )
 def q_etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VACUUM — the retention-gated destructive closeout of the table
-    lifecycle: after per-year appends (1 file each) and a REPLACE
-    compaction (2 files), vacuum(retain_last=1) physically deletes the
-    superseded year files and expires their manifests. The current
-    version must read identically after the delete (the oracle re-derives
-    the aggregate from the raw table), n_deleted == distinct years and
-    n_kept == 2 ride along relationally. Time travel now ENDS at the
-    retention horizon — the reason real formats keep vacuum a separate,
-    windowed operation instead of bundling it into compaction
-    (q_etl_manifest_compact shows the non-destructive half).
+    lifecycle: after per-year appends and a REPLACE compaction,
+    vacuum(retain_last=1) physically deletes the superseded year files
+    and expires their manifests. The current version must read
+    identically after the delete (the oracle re-derives the aggregate
+    from the raw table). The graded side-columns are layout-independent
+    manifest-derived invariants (ADVICE r11 — never bake repartition(n)
+    == n-files assumptions into the oracle): deleted_all_superseded ==
+    (n_deleted == files referenced before the horizon minus the live
+    set) and kept_matches_manifest == (n_kept == live manifest file
+    count); exact counts stay in the unit pin
+    tests/test_invariants.py::test_manifest_vacuum_semantics. Time
+    travel now ENDS at the retention horizon — the reason real formats
+    keep vacuum a separate, windowed operation instead of bundling it
+    into compaction (q_etl_manifest_compact shows the non-destructive
+    half).
 
     Scale: the liveness set is a union over the retained manifests
     (metadata-plane, O(#files)); deletion is embarrassingly parallel
@@ -1924,9 +1931,13 @@ def q_etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import uuid as _uuid
 
+    import glob as _glob
+    import os as _os
+
     from ..sources.manifest_table import (
         commit_append,
         commit_replace,
+        read_manifest,
         read_version,
         vacuum,
     )
@@ -1944,6 +1955,10 @@ def q_etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     v_c = commit_replace(
         read_version(spark, table).repartition(2), table, ["o_orderdate"]
     )
+    n_disk_before = len(
+        _glob.glob(_os.path.join(table, "data", "*.parquet"))
+    )
+    live = [f["path"] for f in read_manifest(table, v_c)["files"]]
     n_deleted, n_kept = vacuum(table, retain_last=1)
     return (
         read_version(spark, table, v_c)
@@ -1952,6 +1967,159 @@ def q_etl_manifest_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             dsum(F.col("o_totalprice"), "revenue"),
         )
-        .withColumn("n_deleted", F.lit(n_deleted).cast("bigint"))
-        .withColumn("n_kept", F.lit(n_kept).cast("bigint"))
+        .withColumn(
+            "deleted_all_superseded",
+            F.lit(n_deleted == n_disk_before - len(live)),
+        )
+        .withColumn("kept_matches_manifest", F.lit(n_kept == len(live)))
+    )
+
+
+@query(
+    "q_etl_schema_evolution_add_column",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           count(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                      THEN 1 END) AS n_scored,
+           cast(sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+                    THEN cast(substr(o_orderpriority, 1, 1) AS int)
+                    END) AS bigint) AS sum_rank
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_schema_evolution_add_column(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ADDITIVE SCHEMA EVOLUTION on the log-structured table
+    (sources/manifest_table.py, VERDICT r11 item 4): commit 1 lands
+    pre-1998 orders WITHOUT the ``priority_rank`` column; commit 2 adds
+    it. Every manifest records the committed table schema, and
+    read_version pins the manifest schema on the scan (reader-schema
+    resolution, the Avro analogue built at sources/avro_python.py), so
+    the old files null-fill the new column instead of failing — no
+    O(#files) mergeSchema footer sweep at planning time, no rewrite of
+    committed data. The aggregate proves the null-fill: n_scored /
+    sum_rank only see post-1998 rows (the oracle derives the same split
+    relationally), while n_orders / revenue cover both commits.
+
+    Scale: schema resolution is metadata-plane (one schema list per
+    kilobyte-scale manifest). This is how a 100-TB table gains a column
+    with zero data movement; type changes are rejected at commit time
+    (add-only — rename is indistinguishable from drop+add without
+    field IDs, so the format refuses rather than guesses).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, read_version
+
+    table = _sink_dir(f"orders_evolve_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit("1998-01-01 00:00:00").cast("timestamp_ntz")
+    commit_append(
+        o.filter(F.col("o_orderdate") < split), table, ["o_orderdate"]
+    )
+    commit_append(
+        o.filter(F.col("o_orderdate") >= split).withColumn(
+            "priority_rank",
+            F.substring("o_orderpriority", 1, 1).cast("int"),
+        ),
+        table,
+        ["o_orderdate"],
+    )
+    return (
+        read_version(spark, table)  # latest schema: priority_rank added
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+            F.count("priority_rank").alias("n_scored"),
+            F.sum("priority_rank").cast("bigint").alias("sum_rank"),
+        )
+    )
+
+
+@query(
+    "q_etl_concurrent_commit_retry",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS conflict_detected,
+           true AS retry_succeeded
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_concurrent_commit_retry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OPTIMISTIC CONCURRENCY on the log-structured table (VERDICT r11
+    item 4 + ADVICE r11): the commit point is CREATE-EXCLUSIVE
+    (os.link — a plain rename would let two writers publish the same
+    version number, the second silently clobbering the first and
+    orphaning its data files). Three writers land date slices; writer C
+    plans against a base version that writer B has already advanced
+    past, so its pinned commit raises CommitConflictError — it then
+    retries against the refreshed snapshot and succeeds. The final
+    table must hold ALL three slices exactly once (the oracle is the
+    full-orders aggregate): conflicts lose the race, never rows.
+
+    Scale: this is the Delta/Iceberg commit protocol — appends commute,
+    so losers re-link at the next version without re-staging data
+    files; only the kilobyte manifest write repeats. At 100 TB the
+    commit critical section stays O(metadata) regardless of how much
+    data a writer staged.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        CommitConflictError,
+        commit_append,
+        current_version,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_occ_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders")
+    lit_ts = lambda s: F.lit(s).cast("timestamp_ntz")  # noqa: E731
+    slices = [
+        o.filter(F.col("o_orderdate") < lit_ts("1997-01-01 00:00:00")),
+        o.filter(
+            (F.col("o_orderdate") >= lit_ts("1997-01-01 00:00:00"))
+            & (F.col("o_orderdate") < lit_ts("1999-01-01 00:00:00"))
+        ),
+        o.filter(F.col("o_orderdate") >= lit_ts("1999-01-01 00:00:00")),
+    ]
+    commit_append(slices[0], table, ["o_orderdate"])
+    stale_base = current_version(table)  # writer C plans here...
+    commit_append(slices[1], table, ["o_orderdate"])  # ...B advances
+    conflict_detected = False
+    try:
+        commit_append(
+            slices[2], table, ["o_orderdate"], expected_base=stale_base
+        )
+    except CommitConflictError:
+        conflict_detected = True
+        # retry against the refreshed snapshot (appends commute)
+        commit_append(
+            slices[2],
+            table,
+            ["o_orderdate"],
+            expected_base=current_version(table),
+        )
+    retry_succeeded = current_version(table) == stale_base + 2
+    return (
+        read_version(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("conflict_detected", F.lit(conflict_detected))
+        .withColumn("retry_succeeded", F.lit(retry_succeeded))
     )

@@ -65,87 +65,27 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01-r10: every key registered
-#: before the round-10 freeze has a passing latest row (0 failures ever);
-#: staleness histogram entering round 11 (recomputed from the
-#: CORRECTNESS_r01-r10 union): r4:46 / r5:50 / r6:50 / r8:50 / r9:50 /
-#: r10:50, 0 never-checked.
+#: registration order. Cumulative record r01-r11: every key registered
+#: before the round-11 freeze has a passing latest row (0 failures ever);
+#: staleness histogram entering round 12 (recomputed from the
+#: CORRECTNESS_r01-r11 union): r5:50 / r6:50 / r8:50 / r9:50 / r10:50 /
+#: r11:50, 7 never-checked (the round-11 post-freeze additions).
 #:
-#: ROUND-11 WINDOW (this list), in priority order:
-#:   1. The NEW round-11 keys (never driver-checked, so they outrank
-#:      stale-green): spatial grid-pruned KNN join, two-sample KS drift
-#:      statistic, OHLC time-bucket bars, streaming foreachBatch
-#:      idempotent upsert.
-#:   2. ALL 46 remaining r4-stale keys (VERDICT r9 item 5) — after this
-#:      round every registry key's newest driver row is r5 or later.
-#:      4 + 46 fills the 50 slots exactly. Any further round-11 additions
-#:      go to _POST_WINDOW_ADDITIONS and head the ROUND-12 rotation,
-#:      followed by the 50 r5-stale keys (oldest-first thereafter).
+#: ROUND-12 WINDOW (this list), in priority order:
+#:   1. The 7 round-11 post-freeze keys (never driver-checked, so they
+#:      outrank stale-green): AB lift, the five manifest-table-format
+#:      keys, and the streaming manifest sink.
+#:   2. The 43 OLDEST r5-stale keys (registration order). 7 + 43 fills
+#:      the 50 slots exactly; the 7 r5-stale remainder
+#:      (q_pipeline_forecast_revenue, q_pipeline_returned_revenue,
+#:      q_pipeline_promo_share, q_pipeline_large_orders,
+#:      q_report_mom_growth, q_udf_cogrouped_map,
+#:      q_stream_stream_left_outer) rotates ROUND 13, after any new
+#:      round-12 keys (_POST_WINDOW_ADDITIONS), padded with the oldest
+#:      r6-stale keys to 50.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. new round-11 keys (never driver-checked) ---
-    "q_join_spatial_knn",
-    "q_stats_ks_drift",
-    "q_timeseries_ohlc",
-    "q_stream_foreachbatch_upsert",
-    # --- 2. the 46 remaining r4-stale keys ---
-    "q_scan_csv_roundtrip",
-    "q_scan_json_roundtrip",
-    "q_sink_parquet_partitioned",
-    "q_sink_overwrite_idempotent",
-    "q_bucketed_join_colocated",
-    "q_filter_pred",
-    "q_join_inner_hash",
-    "q_join_broadcast",
-    "q_join_left",
-    "q_join_right",
-    "q_join_full",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta_range",
-    "q_join_salted_skew",
-    "q_agg_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_conditional",
-    "q_agg_median_exact",
-    "q_agg_stats_corr",
-    "q_agg_mode_deterministic",
-    "q_window_rank",
-    "q_window_analytic",
-    "q_window_running",
-    "q_window_range_frame",
-    "q_window_distribution",
-    "q_topk_per_group",
-    "q_sort_multi",
-    "q_topk_global",
-    "q_knn_join_bucketed",
-    "q_report_nation_share",
-    "q_scan_orc_roundtrip",
-    "q_scan_text_lines",
-    "q_scan_schema_evolution",
-    "q_catalog_table_roundtrip",
-    "q_etl_compact_smallfiles",
-    "q_join_null_safe",
-    "q_agg_boolean",
-    "q_agg_sketch_reaggregate",
-    "q_profile_histogram",
-    "q_dq_drift",
-    "q_sample_deterministic_k",
-]
-
-#: Keys added AFTER the current round's window was frozen. These 7
-#: round-11 additions head the ROUND-12 window (never-checked >
-#: stale-green), followed by 43 of the 50 r5-stale keys (recompute the
-#: staleness histogram from the CORRECTNESS_r* union at round-12 open;
-#: the remaining 7 r5-stale keys rotate round 13). Keep
-#: test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = [
-    # round-11 batch 2 (registered after the round-11 window froze;
-    # they head the ROUND-12 rotation):
+    # --- 1. round-11 post-freeze keys (never driver-checked) ---
     "q_stats_ab_lift",
     "q_etl_time_travel",
     "q_scan_files_pruned_by_stats",
@@ -153,6 +93,64 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_incremental_consume",
     "q_etl_manifest_vacuum",
     "q_stream_manifest_sink",
+    # --- 2. the 43 oldest r5-stale keys (registration order) ---
+    "q_scan_parquet",
+    "q_scan_schema_assert",
+    "q_gen_calendar_dim",
+    "q_project_rename",
+    "q_join_asof",
+    "q_join_asof_forward",
+    "q_join_point_in_time",
+    "q_agg_weighted_median",
+    "q_agg_approx_percentile",
+    "q_agg_pythagorean_means",
+    "q_window_moving_zscore",
+    "q_window_ewma",
+    "q_resample_interpolate",
+    "q_pattern_error_burst",
+    "q_sort_zorder_layout",
+    "q_dedup_containment",
+    "q_dedup_incremental",
+    "q_dedup_clusters_cc",
+    "q_dedup_keep_canonical",
+    "q_agg_linreg_trend",
+    "q_stats_chi2",
+    "q_agg_higher_moments",
+    "q_agg_entropy",
+    "q_window_autocorr",
+    "q_pattern_cusum",
+    "q_dq_benford",
+    "q_skyline_pareto",
+    "q_window_drawdown",
+    "q_agg_gini",
+    "q_assoc_market_basket",
+    "q_markov_transitions",
+    "q_text_pmi_bigrams",
+    "q_text_inverted_index",
+    "q_graph_pagerank",
+    "q_topic_assign_nearest_centroid",
+    "q_embedding_quantize_int8",
+    "q_text_tfidf_keywords",
+    "q_text_unigram_logprob",
+    "q_source_contamination_matrix",
+    "q_corpus_train_report",
+    "q_sample_weighted_aes",
+    "q_sample_split_hash",
+    "q_etl_quarantine",
+]
+
+#: Keys added AFTER the current round's window was frozen. New round-12
+#: keys land here and head the ROUND-13 window (never-checked >
+#: stale-green), followed by the 7 r5-stale remainder (listed in the
+#: window comment above), padded to 50 with the oldest r6-stale keys
+#: (recompute the staleness histogram from the CORRECTNESS_r* union at
+#: round-13 open). Keep test_driver_window_rotation's exemption in sync.
+_POST_WINDOW_ADDITIONS: list[str] = [
+    # round-12 additions (registered after the round-12 window froze;
+    # they head the ROUND-13 rotation):
+    "q_etl_schema_evolution_add_column",
+    "q_etl_concurrent_commit_retry",
+    "q_stream_manifest_dim_join",
 ]
 
 

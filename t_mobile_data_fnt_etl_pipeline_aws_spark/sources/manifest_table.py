@@ -30,7 +30,16 @@ capabilities a raw parquet directory cannot offer:
 * **compaction** — ``commit_replace`` publishes a new live set (the
   OPTIMIZE shape) while every older version stays readable, because
   superseded files are never deleted (vacuum would be a separate,
-  explicitly destructive operation).
+  explicitly destructive operation);
+* **optimistic concurrency** — the commit point is create-exclusive
+  (``os.link``), so two writers racing the same version number cannot
+  both win: the loser gets ``CommitConflictError`` and retries against
+  the advanced snapshot (automatic for appends, which commute; an
+  ``expected_base`` pin or a losing REPLACE surfaces the conflict);
+* **additive schema evolution** — every manifest records the committed
+  table schema; ``read_version`` pins it on the scan, so files written
+  before a column existed null-fill it (reader-schema resolution, the
+  Avro analogue) without an O(#files) mergeSchema footer sweep.
 
 Readers pass the selected file list straight to ``spark.read.parquet``,
 so Catalyst still applies row-group pushdown INSIDE surviving files —
@@ -42,12 +51,24 @@ surface follows public Iceberg/Delta-log semantics.
 
 from __future__ import annotations
 
+import datetime
+import decimal
 import glob
 import json
+import math
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+class CommitConflictError(RuntimeError):
+    """Raised when a commit loses the race for its version number: the
+    manifest file already exists, meaning another writer (or a replayed
+    micro-batch) published that version first. The loser must re-read
+    ``current_version`` and retry (optimistic concurrency) or drop the
+    duplicate (idempotent replay)."""
 
 
 def _log_dir(table_dir: str) -> str:
@@ -58,10 +79,53 @@ def _data_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "data")
 
 
+def _json_stat(v):
+    """Encode one footer min/max as a native JSON value whose comparison
+    semantics prune_files can honor TYPED (int/float stay numbers —
+    lexicographic "9" > "11" was a silent-row-drop bug for numerics):
+
+    * int/float/str pass through (ISO date/timestamp strings order
+      correctly as strings);
+    * date/datetime -> isoformat string (string-order-safe);
+    * bytes -> utf-8 decode, or None (no stats) if not decodable;
+    * Decimal -> [nextafter-down, nextafter-up] float widening, applied
+      by the caller per bound side — float() alone can round a true min
+      UP across a predicate bound and wrongly skip a file;
+    * anything else -> None (conservative: file cannot be skipped).
+    Returns (value, kind) where kind is "lo"/"hi"-agnostic except for
+    Decimal, which returns the raw Decimal for the caller to widen.
+    """
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, decimal.Decimal):
+        return v  # caller widens per side
+    return None
+
+
+def _widen(v, side: str):
+    """Decimal -> conservatively widened float (min rounds down, max
+    rounds up) so float precision loss can never cause a wrong skip."""
+    if isinstance(v, decimal.Decimal):
+        f = float(v)
+        return math.nextafter(f, -math.inf if side == "lo" else math.inf)
+    return v
+
+
 def _file_stats(path: str, stat_cols: list[str]) -> dict:
-    """Per-file min/max for stat_cols from the parquet footer (strings
-    via str() so JSON can carry timestamps/dates losslessly enough for
-    range pruning — pruning compares the same str form)."""
+    """Per-file min/max for stat_cols from the parquet footer, stored as
+    native JSON types (numbers stay numbers; dates/timestamps as ISO
+    strings) so prune_files compares typed values, never str() forms."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -80,7 +144,14 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
             ent = out.setdefault(name, [lo, hi])
             ent[0] = min(ent[0], lo)
             ent[1] = max(ent[1], hi)
-    return {k: [str(v[0]), str(v[1])] for k, v in out.items()}
+    stats = {}
+    for k, (lo, hi) in out.items():
+        jlo = _json_stat(lo)
+        jhi = _json_stat(hi)
+        if jlo is None or jhi is None:
+            continue  # unencodable -> omit stats -> file never skipped
+        stats[k] = [_widen(jlo, "lo"), _widen(jhi, "hi")]
+    return stats
 
 
 def current_version(table_dir: str) -> int:
@@ -108,28 +179,108 @@ def _stage_files(
         dest = os.path.join(_data_dir(table_dir), f"{uuid.uuid4().hex}.parquet")
         os.rename(f, dest)
         entries.append({"path": dest, "stats": _file_stats(dest, stat_cols)})
+    shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
     return entries
 
 
-def _publish(table_dir: str, version: int, op: str, files: list[dict]) -> int:
-    """Atomic commit point: write-then-rename the manifest."""
+def _publish(
+    table_dir: str,
+    version: int,
+    op: str,
+    files: list[dict],
+    schema: list[list[str]] | None = None,
+) -> int:
+    """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
+    name, then ``os.link`` it to its final version name. link(2) fails
+    with EEXIST if the version was already published — a plain rename
+    would silently REPLACE it, letting two racing writers both "win" the
+    same version and orphan one side's data files. Losers get
+    CommitConflictError and must retry against the advanced version."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     manifest = {"version": version, "op": op, "files": files}
-    tmp = os.path.join(_log_dir(table_dir), f".v{version:05d}.json.tmp")
+    if schema is not None:
+        manifest["schema"] = schema
+    tmp = os.path.join(
+        _log_dir(table_dir), f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp"
+    )
     with open(tmp, "w") as fh:
         json.dump(manifest, fh)
-    os.rename(tmp, os.path.join(_log_dir(table_dir), f"v{version:05d}.json"))
+    final = os.path.join(_log_dir(table_dir), f"v{version:05d}.json")
+    try:
+        os.link(tmp, final)
+    except FileExistsError as exc:
+        raise CommitConflictError(
+            f"version {version} already committed in {table_dir}"
+        ) from exc
+    finally:
+        os.unlink(tmp)
     return version
 
 
+def _schema_entry(df: DataFrame) -> list[list[str]]:
+    return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
+
+
+def _merged_schema(
+    prev_schema: list[list[str]] | None, df: DataFrame
+) -> list[list[str]]:
+    """Additive schema evolution (the only kind this format supports,
+    like raw parquet + mergeSchema): the committed schema is the prior
+    table schema plus any NEW columns df introduces, in prior-first
+    order. A column present in both must keep its type — type changes
+    and renames are rejected (rename is indistinguishable from
+    drop+add on a columnar file format without field IDs)."""
+    new = _schema_entry(df)
+    if not prev_schema:
+        return new
+    prev_types = {n: t for n, t in prev_schema}
+    for n, t in new:
+        if n in prev_types and prev_types[n] != t:
+            raise ValueError(
+                f"schema evolution: column {n!r} type change "
+                f"{prev_types[n]} -> {t} is not supported (add-only)"
+            )
+    return [list(e) for e in prev_schema] + [
+        [n, t] for n, t in new if n not in prev_types
+    ]
+
+
+def table_schema(table_dir: str, version: int | None = None) -> list[list[str]]:
+    v = current_version(table_dir) if version is None else version
+    return read_manifest(table_dir, v).get("schema") or []
+
+
 def commit_append(
-    df: DataFrame, table_dir: str, stat_cols: list[str], op: str = "append"
+    df: DataFrame,
+    table_dir: str,
+    stat_cols: list[str],
+    op: str = "append",
+    expected_base: int | None = None,
+    retry_conflicts: bool = True,
 ) -> int:
-    """Append commit: new manifest = previous live set + df's files."""
+    """Append commit: new manifest = previous live set + df's files.
+
+    Optimistic concurrency: ``expected_base`` pins the version the
+    writer planned against — if another writer advanced the table
+    first, CommitConflictError (no blind clobber). Without a pin,
+    version-number races are retried by default (appends commute: the
+    staged files are re-merged onto the advanced live set — the Delta
+    "win the next version" protocol for non-conflicting commits)."""
     new = _stage_files(df, table_dir, stat_cols)
-    prev = current_version(table_dir)
-    files = list(read_manifest(table_dir, prev)["files"]) if prev else []
-    return _publish(table_dir, prev + 1, op, files + new)
+    while True:
+        prev = current_version(table_dir)
+        if expected_base is not None and prev != expected_base:
+            raise CommitConflictError(
+                f"expected base version {expected_base}, table is at {prev}"
+            )
+        prev_manifest = read_manifest(table_dir, prev) if prev else {}
+        files = list(prev_manifest.get("files", []))
+        schema = _merged_schema(prev_manifest.get("schema"), df)
+        try:
+            return _publish(table_dir, prev + 1, op, files + new, schema)
+        except CommitConflictError:
+            if expected_base is not None or not retry_conflicts:
+                raise
 
 
 def commit_replace(
@@ -139,18 +290,38 @@ def commit_replace(
     lists ONLY df's freshly landed files — the previous live set is
     superseded, NOT deleted, so every older version stays readable
     (time travel across compaction). No intermediate manifest is ever
-    visible: files stage first, one rename publishes the new set."""
+    visible: files stage first, one create-exclusive link publishes the
+    new set. A version race is NOT retried: a replace that lost to a
+    concurrent append would silently drop the appended rows, so the
+    loser must re-plan from the new snapshot (real formats abort
+    OPTIMIZE the same way)."""
     new = _stage_files(df, table_dir, stat_cols)
-    return _publish(table_dir, current_version(table_dir) + 1, op, new)
+    prev = current_version(table_dir)
+    prev_manifest = read_manifest(table_dir, prev) if prev else {}
+    schema = _merged_schema(prev_manifest.get("schema"), df)
+    return _publish(table_dir, prev + 1, op, new, schema)
 
 
 def read_version(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Time-travel read: plan from the (as-of) manifest's file list."""
+    """Time-travel read: plan from the (as-of) manifest's file list.
+
+    The read uses the manifest's COMMITTED schema (reader-schema
+    resolution, the Avro analogue): files written before a column was
+    added lack it in their footers, and pinning the manifest schema on
+    the scan makes Spark null-fill the missing column instead of
+    failing or silently dropping it — additive schema evolution without
+    a mergeSchema footer sweep (O(1) metadata instead of O(#files) at
+    planning time)."""
     v = current_version(table_dir) if version is None else version
-    files = [f["path"] for f in read_manifest(table_dir, v)["files"]]
-    return spark.read.parquet(*files)
+    manifest = read_manifest(table_dir, v)
+    files = [f["path"] for f in manifest["files"]]
+    schema = manifest.get("schema")
+    reader = spark.read
+    if schema:
+        reader = reader.schema(", ".join(f"`{n}` {t}" for n, t in schema))
+    return reader.parquet(*files)
 
 
 def diff_files(table_dir: str, v_from: int, v_to: int) -> list[str]:
@@ -197,18 +368,35 @@ def vacuum(table_dir: str, retain_last: int = 1) -> tuple[int, int]:
 
 
 def prune_files(
-    table_dir: str, version: int, col: str, lo: str, hi: str
+    table_dir: str, version: int, col: str, lo, hi
 ) -> tuple[list[str], int]:
     """Stats-based file skipping: files whose [min, max] for ``col``
-    intersects [lo, hi] (string compare — the manifest stores str(stat),
-    which orders correctly for ISO timestamps and zero-padded numerics).
+    intersects [lo, hi], compared TYPED — the manifest stores native
+    JSON values (numbers as numbers, dates/timestamps as ISO strings),
+    so a numeric predicate [10, 11] correctly keeps a file with range
+    [9, 12] instead of the lexicographic "9" > "11" wrong-skip. Bounds
+    whose type doesn't match the stored stat type keep the file
+    (conservative: never skip on an incomparable predicate).
     Returns (surviving file paths, total file count at that version)."""
     manifest = read_manifest(table_dir, version)
     keep = []
     for f in manifest["files"]:
         st = f["stats"].get(col)
-        if st is None:  # no stats -> cannot skip, must read
-            keep.append(f["path"])
-        elif not (st[1] < lo or st[0] > hi):
+        if st is None or not _can_skip(st[0], st[1], lo, hi):
             keep.append(f["path"])
     return keep, len(manifest["files"])
+
+
+def _can_skip(fmin, fmax, lo, hi) -> bool:
+    """True only when the file range [fmin, fmax] PROVABLY misses the
+    predicate range [lo, hi] under type-consistent comparison."""
+    numeric = (int, float)
+    if isinstance(fmin, numeric) and isinstance(fmax, numeric):
+        if not (isinstance(lo, numeric) and isinstance(hi, numeric)):
+            return False
+        return float(fmax) < float(lo) or float(fmin) > float(hi)
+    if isinstance(fmin, str) and isinstance(fmax, str):
+        if not (isinstance(lo, str) and isinstance(hi, str)):
+            return False
+        return fmax < lo or fmin > hi
+    return False

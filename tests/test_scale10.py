@@ -86,6 +86,26 @@ SCALE_SENSITIVE_EXTRA = [
     # — 1.5e9 ranked pairs at 10×, infeasible in DuckDB. Its tie
     # semantics stay covered by the sf0.01 driver mirror plus the
     # cell-size-invariance pin (tests/test_invariants.py).
+    # round-11 manifest table format (VERDICT r11 item 6): the pruning
+    # and file-count arithmetic is EXACTLY the class that breaks past
+    # fixture scale (r9 lesson) — at 10× each year-slice commit lands
+    # real multi-row-group files, so footer-stat harvesting, typed
+    # range pruning, compaction layout invariants, diff consumption,
+    # and vacuum liveness all run against non-toy file geometry. All
+    # oracles are single-pass aggregates — cheap in DuckDB at 10×.
+    "q_etl_time_travel",
+    "q_scan_files_pruned_by_stats",
+    "q_etl_manifest_compact",
+    "q_etl_incremental_consume",
+    "q_etl_manifest_vacuum",
+    "q_stats_ab_lift",
+    "q_stream_manifest_sink",
+    # round-12: schema evolution null-fill across 10× v1 files;
+    # conflict/retry with full-size staged commits; per-batch as-of dim
+    # join (equi-join oracle, linear at 10×)
+    "q_etl_schema_evolution_add_column",
+    "q_etl_concurrent_commit_retry",
+    "q_stream_manifest_dim_join",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA

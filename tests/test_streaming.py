@@ -1127,3 +1127,89 @@ def test_stream_manifest_sink_converges(spark, sf_dir, tmp_path):
         assert not (ids & seen), "change feed replayed a row twice"
         seen |= ids
     assert replayed == n_total
+
+
+def test_stream_manifest_dim_join_converges(spark, sf_dir, tmp_path):
+    """REAL foreachBatch stream ⋈ slowly-changing manifest dim: run 1
+    (availableNow) processes the pre-1997 order files against dim v1
+    (even custkeys), the dim then receives a commit (odd custkeys), and
+    run 2 — same checkpoint, so only the newly arrived 1997+ files —
+    joins against dim v2. Because each batch re-plans the dim from the
+    manifest, the accumulated enriched output must equal the declared
+    batch-equivalent q_stream_manifest_dim_join exactly (including the
+    rows dropped by the inner join while the dim was still partial)."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import dsum
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_queries
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    dim_table = str(tmp_path / "dim")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    commit_append(c.filter(F.col("c_custkey") % 2 == 0), dim_table, ["c_custkey"])
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    split = F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+    stream_dir = tmp_path / "arrivals"
+    out_dir = str(tmp_path / "enriched")
+    stream_dir.mkdir()
+    o.filter(F.col("o_orderdate") < split).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir / "day1"))
+
+    schema = spark.read.parquet(str(stream_dir / "day1")).schema
+
+    def enrich(batch_df, batch_id: int) -> None:
+        dim = F.broadcast(read_version(batch_df.sparkSession, dim_table))
+        batch_df.join(
+            dim, batch_df.o_custkey == dim.c_custkey
+        ).select("o_custkey", "o_totalprice", "c_mktsegment").write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    def run_available() -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(stream_dir / "*"))
+            .writeStream.foreachBatch(enrich)
+            .option("checkpointLocation", str(tmp_path / "ckpt_dim"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_available()  # batches of day1 files against dim v1
+    # the dim slowly changes BETWEEN batches: odd custkeys arrive
+    commit_append(c.filter(F.col("c_custkey") % 2 == 1), dim_table, ["c_custkey"])
+    o.filter(F.col("o_orderdate") >= split).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(str(stream_dir / "day2"))
+    run_available()  # only the day2 files (same checkpoint), dim v2
+
+    got = (
+        spark.read.parquet(out_dir)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .toPandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    want = (
+        all_queries()["q_stream_manifest_dim_join"](spark, sf_dir)
+        .toPandas()
+        .sort_values("c_mktsegment")
+        .reset_index(drop=True)
+    )
+    assert got["n_orders"].tolist() == want["n_orders"].tolist()
+    assert got["revenue"].tolist() == want["revenue"].tolist()
+    assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
