@@ -257,6 +257,14 @@ HEADLINE = [
     "q_etl_incremental_consume",     # version-diff change-feed delta read
     "q_etl_manifest_vacuum",         # retention-gated physical file cleanup
     "q_stream_manifest_sink",        # per-microbatch append commits (streaming table sink)
+    # round-12 additions
+    "q_etl_schema_evolution_add_column",  # manifest reader-schema null-fill
+    "q_etl_concurrent_commit_retry",      # create-exclusive commit + OCC retry
+    "q_stream_manifest_dim_join",         # per-batch as-of dim enrichment
+    "q_scan_count_metadata_only",         # manifest-fold count/min/max (no data reads)
+    "q_scan_files_pruned_bloom",          # per-file bloom point-lookup skipping
+    "q_scan_files_pruned_zorder",         # z-order multi-dim conjunctive skipping
+    "q_etl_manifest_merge_cow",           # stats-pruned copy-on-write MERGE
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

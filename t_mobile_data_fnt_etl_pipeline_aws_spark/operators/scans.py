@@ -2123,3 +2123,321 @@ def q_etl_concurrent_commit_retry(
         .withColumn("conflict_detected", F.lit(conflict_detected))
         .withColumn("retry_succeeded", F.lit(retry_succeeded))
     )
+
+
+@query(
+    "q_scan_count_metadata_only",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           min(o_orderdate) AS min_date,
+           max(o_orderdate) AS max_date
+    FROM orders
+    """,
+)
+def q_scan_count_metadata_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """METADATA-ONLY COUNT/MIN/MAX: the classic warehouse optimization
+    where `SELECT count(*), min(x), max(x)` is answered from the table
+    format's manifest alone — ZERO data files opened. Every commit
+    records each file's footer row count and per-column min/max
+    (sources/manifest_table.py table_stats folds them); the query
+    builds its one-row answer from that fold and must equal the oracle
+    computed the hard way over the raw table. COUNT is always exact
+    (immutable files, exact footer counts); MIN/MAX are exact because
+    every live file carries timestamp stats (table_stats reports
+    files_with_stats so a caller can tell when the fold is only a
+    bound — asserted here).
+
+    Scale: this is O(#files) arithmetic over kilobyte manifests vs a
+    100-TB scan — the difference between milliseconds and a cluster
+    job. Spark's own parquet count(*) pushdown does the same trick per
+    footer at scan time; lifting it to the manifest means not even the
+    footers are opened, and the fold distributes trivially if the
+    manifest itself ever needs to be a dataset.
+    """
+    import datetime as _dt
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, table_stats
+
+    table = _sink_dir(f"orders_metaonly_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders")
+    for i in range(3):
+        commit_append(
+            o.filter(F.col("o_orderkey") % 3 == i),
+            table,
+            ["o_orderdate"],
+            op=f"append_{i}",
+        )
+    st = table_stats(table, col="o_orderdate")
+    assert st["files_with_stats"] == st["n_files"], "fold would be a bound"
+    parse = lambda s: _dt.datetime.fromisoformat(s)  # noqa: E731
+    return spark.createDataFrame(
+        [(st["n_rows"], parse(st["min"]), parse(st["max"]))],
+        "n_rows bigint, min_date timestamp_ntz, max_date timestamp_ntz",
+    )
+
+
+@query(
+    "q_scan_files_pruned_bloom",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           true AS pruned_subset
+    FROM orders
+    WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)
+    """,
+)
+def q_scan_files_pruned_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-LOOKUP FILE SKIPPING VIA PER-FILE BLOOM FILTERS: min/max
+    range stats cannot prune a needle-in-haystack equality lookup when
+    every file spans the full key range (hash-sliced ingest does
+    exactly that). Each commit therefore builds a per-file bloom filter
+    over the lookup key (10 bits/row, k=7 ≈ 1% fpp; vectorized
+    splitmix64 double-hashing — public-domain constants) and stores it
+    in the manifest; the lookup keeps only files whose bloom
+    maybe-contains the key. False positives cost a wasted file read;
+    false negatives are impossible — pruning stays conservative, and
+    the exact filter still runs on survivors.
+
+    The graded pruned_subset invariant (files read < files total) holds
+    with probability 1 - fpp^(n_files-1) ≫ 1-1e-13 — the other 7 hash
+    slices don't contain the key, so only a bloom false positive keeps
+    them. Scale: this is the Parquet/Iceberg bloom-column pattern —
+    at 100 TB a point lookup touches O(1) files instead of every file
+    that intersects a useless [min, max]; the filters ride the
+    metadata plane (~1.2 KB per 1k rows, built once at commit from the
+    staged file's column).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, prune_files_bloom
+
+    table = _sink_dir(f"orders_bloom_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v = 0
+    for i in range(8):
+        v = commit_append(
+            o.filter(F.col("o_orderkey") % 8 == i).repartition(1),
+            table,
+            ["o_orderkey"],
+            op=f"slice_{i}",
+            bloom_cols=["o_orderkey"],
+        )
+    needle = o.agg(F.min("o_orderkey")).collect()[0][0]  # 1-row finish
+    files, total = prune_files_bloom(table, v, "o_orderkey", int(needle))
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("o_orderkey") == F.lit(needle))
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .withColumn("pruned_subset", F.lit(len(files) < total))
+    )
+
+
+@query(
+    "q_scan_files_pruned_zorder",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS pruned_both_dims,
+           true AS zorder_beats_linear
+    FROM orders
+    WHERE o_custkey <= (SELECT max(o_custkey) // 4 FROM orders)
+      AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_scan_files_pruned_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER LAYOUT + MULTI-COLUMN FILE SKIPPING — the lakehouse
+    OPTIMIZE ZORDER BY feature end-to-end: rows are clustered by the
+    Morton bit-interleave of (scaled custkey, scaled order-day) before
+    the commit (range-partition + sort on zkey: ONE exchange), so every
+    file's [min, max] is narrow in BOTH dimensions, and a 2-D predicate
+    box prunes conjunctively (prune_files_multi skips a file when ANY
+    dimension provably misses). A linear layout — the same rows
+    range-sorted by date alone — serves date predicates but leaves
+    every file spanning the full custkey range; the graded
+    zorder_beats_linear invariant materializes both tables and asserts
+    the z-layout reads strictly fewer files for the SECONDARY-dimension
+    predicate (custkey-only — the case a single-key sort cannot serve
+    at all, so the comparison is boundary-file-noise-free: the linear
+    table keeps essentially every file, the z-table keeps only its
+    custkey-quarter columns).
+
+    Dimensions scale data-adaptively to 16 bits (d = v·65535/max, two
+    bounded 1-row aggregates) instead of q_sort_zorder_layout's
+    mod-65536 fold — modulo WRAPS past fixture scale (custkey > 65536
+    at 10×) and wrapped files span the full raw-key range, silently
+    destroying prunability while staying "correct"; the scale10 marker
+    exercises exactly this. Pruning is advisory: the exact predicate
+    still runs on survivors, so the aggregate matches the oracle
+    regardless of how many files were skipped.
+
+    Scale: at 100 TB this is the difference between a 2-D dashboard
+    query reading ~sqrt-fraction of files vs all of them; the zkey is
+    pure integer arithmetic (no UDF), the layout costs one
+    repartitionByRange exchange at write time, and the stats ride the
+    same kilobyte manifests as every other key.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, prune_files_multi
+    from .sorts import _zkey_expr
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    # bounded 1-row driver finish: adaptive scale factors
+    maxes = o.agg(
+        F.max("o_custkey").alias("mc"),
+        F.datediff(
+            F.max("o_orderdate"), F.lit("1992-01-01").cast("timestamp_ntz")
+        ).alias("md"),
+    ).collect()[0]
+    maxck, maxday = int(maxes.mc), int(maxes.md)
+    dims = o.withColumn(
+        "d1", F.expr(f"cast(o_custkey * 65535 div {maxck} as bigint)")
+    ).withColumn(
+        "d2",
+        F.expr(
+            "cast(datediff(o_orderdate, timestamp_ntz'1992-01-01')"
+            f" * 65535 div {maxday} as bigint)"
+        ),
+    )
+    zkeyed = dims.withColumn("zkey", F.expr(_zkey_expr("div")))
+    stat_cols = ["o_custkey", "o_orderdate"]
+    payload = ["o_custkey", "o_orderdate", "o_orderpriority", "o_totalprice"]
+
+    ztable = _sink_dir(f"orders_zorder_{_uuid.uuid4().hex[:8]}")
+    vz = commit_append(
+        zkeyed.repartitionByRange(16, "zkey")
+        .sortWithinPartitions("zkey")
+        .select(payload),
+        ztable,
+        stat_cols,
+        op="zorder_write",
+    )
+    ltable = _sink_dir(f"orders_linear_{_uuid.uuid4().hex[:8]}")
+    vl = commit_append(
+        o.repartitionByRange(16, "o_orderdate")
+        .sortWithinPartitions("o_orderdate")
+        .select(payload),
+        ltable,
+        stat_cols,
+        op="linear_write",
+    )
+    preds = {
+        "o_custkey": (0, maxck // 4),
+        "o_orderdate": ("1995-01-01 00:00:00", "1995-12-31 23:59:59.999999"),
+    }
+    zfiles, ztotal = prune_files_multi(ztable, vz, preds)
+    # secondary-dim-only predicate: the z-layout's structural win
+    ck_only = {"o_custkey": preds["o_custkey"]}
+    zfiles_ck, _ = prune_files_multi(ztable, vz, ck_only)
+    lfiles_ck, _ = prune_files_multi(ltable, vl, ck_only)
+    pruned = spark.read.parquet(*zfiles).filter(
+        (F.col("o_custkey") <= maxck // 4)
+        & (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    return (
+        pruned.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("pruned_both_dims", F.lit(len(zfiles) < ztotal))
+        .withColumn(
+            "zorder_beats_linear", F.lit(len(zfiles_ck) < len(lfiles_ck))
+        )
+    )
+
+
+@query(
+    "q_etl_manifest_merge_cow",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum(
+               "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+               "      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'"
+               " THEN o_totalprice + 100 ELSE o_totalprice END",
+               "revenue",
+           )},
+           true AS rewrote_subset
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY-ON-WRITE MERGE on the log-structured table — the Delta/
+    Iceberg `MERGE INTO` shape: an update batch (+100.00 on every 1998
+    order) must rewrite ONLY the files its key range touches. The merge
+    plans on the metadata plane first (prune_files intersects the
+    update's date range with each file's stats), reads just the
+    affected files, folds the updates in (non-matched rows of those
+    files carry through untouched), and publishes one commit_rewrite:
+    untouched files carry over BY REFERENCE, superseded files stay
+    readable at the old version (time travel across a merge). The
+    graded rewrote_subset invariant pins that the rewrite touched a
+    strict subset of the live files; the aggregate pins that the merge
+    changed exactly the 1998 rows and nothing else.
+
+    Scale: merge cost is proportional to DATA TOUCHED, not table size —
+    at 100 TB an update keyed to one day rewrites a few files, with the
+    commit critical section O(metadata). This composes with the z-order
+    key: better clustering on the merge key → fewer files intersect →
+    smaller rewrite. The update column keeps the table's decimal(12,2)
+    type (the +100 fold is exact decimal arithmetic, cast back so the
+    union and the schema contract stay width-stable).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_rewrite,
+        prune_files,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_mergecow_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    v = 0
+    for yr in years:
+        v = commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(2),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    lo, hi = "1998-01-01 00:00:00", "1998-12-31 23:59:59.999999"
+    affected, total = prune_files(table, v, "o_orderdate", lo, hi)
+    price_t = dict(o.dtypes)["o_totalprice"]
+    in_range = (
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ) & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    touched = spark.read.parquet(*affected)
+    merged = touched.withColumn(
+        "o_totalprice",
+        F.when(in_range, F.col("o_totalprice") + F.lit(100))
+        .otherwise(F.col("o_totalprice"))
+        .cast(price_t),
+    )
+    v_m = commit_rewrite(merged, table, ["o_orderdate"], affected)
+    return (
+        read_version(spark, table, v_m)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("rewrote_subset", F.lit(len(affected) < total))
+    )

@@ -151,6 +151,10 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_schema_evolution_add_column",
     "q_etl_concurrent_commit_retry",
     "q_stream_manifest_dim_join",
+    "q_scan_count_metadata_only",
+    "q_scan_files_pruned_bloom",
+    "q_scan_files_pruned_zorder",
+    "q_etl_manifest_merge_cow",
 ]
 
 

@@ -86,7 +86,11 @@ def _json_stat(v):
 
     * int/float/str pass through (ISO date/timestamp strings order
       correctly as strings);
-    * date/datetime -> isoformat string (string-order-safe);
+    * date/datetime -> isoformat string with a SPACE separator
+      (string-order-safe, and byte-compatible with the
+      "YYYY-MM-DD HH:MM:SS" bounds callers pass — a 'T' separator
+      would wrongly skip on same-day boundaries, since
+      'T' > ' ' > any digit at the separator position);
     * bytes -> utf-8 decode, or None (no stats) if not decodable;
     * Decimal -> [nextafter-down, nextafter-up] float widening, applied
       by the caller per bound side — float() alone can round a true min
@@ -101,7 +105,9 @@ def _json_stat(v):
         return v
     if isinstance(v, str):
         return v
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, datetime.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, datetime.date):
         return v.isoformat()
     if isinstance(v, bytes):
         try:
@@ -165,20 +171,125 @@ def read_manifest(table_dir: str, version: int) -> dict:
         return json.load(fh)
 
 
+#: Bloom sizing: ~9.6 bits/row + 7 probes ≈ 1% false-positive rate (the
+#: standard m/n=9.6, k=7 point on the bloom curve).
+_BLOOM_BITS_PER_ROW = 10
+_BLOOM_K = 7
+
+
+def _splitmix64(v):
+    """Vectorized splitmix64 finalizer (public-domain mixing constants,
+    Steele et al. 2014) — numpy uint64 arithmetic wraps mod 2^64, which
+    is exactly the algorithm's arithmetic."""
+    import numpy as np
+
+    v = v.astype(np.uint64, copy=True)
+    v += np.uint64(0x9E3779B97F4A7C15)
+    v ^= v >> np.uint64(30)
+    v *= np.uint64(0xBF58476D1CE4E5B9)
+    v ^= v >> np.uint64(27)
+    v *= np.uint64(0x94D049BB133111EB)
+    v ^= v >> np.uint64(31)
+    return v
+
+
+def _bloom_positions(vals, m_bits: int):
+    """k bit positions per value via double hashing g_i = h1 + i*h2
+    (Kirsch & Mitzenmacher 2006: two independent hashes give k
+    asymptotically independent probes)."""
+    import numpy as np
+
+    h1 = _splitmix64(vals)
+    h2 = _splitmix64(vals ^ np.uint64(0xA5A5A5A5A5A5A5A5)) | np.uint64(1)
+    m = np.uint64(m_bits)
+    return [
+        ((h1 + np.uint64(i) * h2) % m).astype(np.int64)
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _file_bloom(path: str, col: str) -> dict | None:
+    """Per-file bloom filter over an integer column, built from the
+    staged parquet with one vectorized numpy pass and stored base64 in
+    the manifest. Returns None (no filter -> file never skipped) for
+    non-integer columns."""
+    import base64
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path, columns=[col])
+    arr = tbl.column(0).combine_chunks()
+    try:
+        vals = arr.to_numpy(zero_copy_only=False)
+    except Exception:
+        return None
+    if vals.dtype.kind not in "iu":
+        return None
+    vals = vals.astype(np.uint64)
+    m_bits = max(64, int(len(vals)) * _BLOOM_BITS_PER_ROW)
+    bits = np.zeros((m_bits + 7) // 8, dtype=np.uint8)
+    for pos in _bloom_positions(vals, m_bits):
+        np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+    return {
+        "m": m_bits,
+        "k": _BLOOM_K,
+        "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+    }
+
+
+def _bloom_maybe_contains(bloom: dict, value: int) -> bool:
+    import base64
+
+    import numpy as np
+
+    bits = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
+    vals = np.array([value], dtype=np.uint64)
+    for pos in _bloom_positions(vals, int(bloom["m"])):
+        p = int(pos[0])
+        if not (bits[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 def _stage_files(
-    df: DataFrame, table_dir: str, stat_cols: list[str]
+    df: DataFrame,
+    table_dir: str,
+    stat_cols: list[str],
+    bloom_cols: list[str] | None = None,
 ) -> list[dict]:
     """Land df as immutable uuid-named data files (invisible to every
     manifest until a commit references them); returns their manifest
-    entries with footer-harvested stats."""
+    entries with footer-harvested stats, the footer row count (powers
+    metadata-only COUNT/MIN/MAX), and optional per-file bloom filters
+    for point-lookup skipping."""
+    import pyarrow.parquet as pq
+
     os.makedirs(_data_dir(table_dir), exist_ok=True)
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
     df.write.mode("overwrite").parquet(staging)
     entries = []
     for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+        # Spark emits zero-row part files for empty partitions; a real
+        # format never registers them (they carry no stats and would
+        # defeat every files_with_stats == n_files exactness check).
+        if pq.ParquetFile(f).metadata.num_rows == 0:
+            continue
         dest = os.path.join(_data_dir(table_dir), f"{uuid.uuid4().hex}.parquet")
         os.rename(f, dest)
-        entries.append({"path": dest, "stats": _file_stats(dest, stat_cols)})
+        entry = {
+            "path": dest,
+            "rows": pq.ParquetFile(dest).metadata.num_rows,
+            "stats": _file_stats(dest, stat_cols),
+        }
+        blooms = {
+            c: b
+            for c in (bloom_cols or [])
+            if (b := _file_bloom(dest, c)) is not None
+        }
+        if blooms:
+            entry["bloom"] = blooms
+        entries.append(entry)
     shutil.rmtree(staging, ignore_errors=True)  # _SUCCESS/.crc leftovers
     return entries
 
@@ -257,6 +368,7 @@ def commit_append(
     op: str = "append",
     expected_base: int | None = None,
     retry_conflicts: bool = True,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Append commit: new manifest = previous live set + df's files.
 
@@ -266,7 +378,7 @@ def commit_append(
     version-number races are retried by default (appends commute: the
     staged files are re-merged onto the advanced live set — the Delta
     "win the next version" protocol for non-conflicting commits)."""
-    new = _stage_files(df, table_dir, stat_cols)
+    new = _stage_files(df, table_dir, stat_cols, bloom_cols)
     while True:
         prev = current_version(table_dir)
         if expected_base is not None and prev != expected_base:
@@ -400,3 +512,112 @@ def _can_skip(fmin, fmax, lo, hi) -> bool:
             return False
         return fmax < lo or fmin > hi
     return False
+
+
+def prune_files_multi(
+    table_dir: str, version: int, preds: dict
+) -> tuple[list[str], int]:
+    """CONJUNCTIVE multi-column stats pruning: ``preds`` maps column ->
+    (lo, hi); a file is skipped when ANY predicate's range provably
+    misses that file's [min, max] (AND semantics — all predicates must
+    be satisfiable for a row to survive, so one disjoint dimension is
+    enough to skip). Typed comparison, keep-on-incomparable, same as
+    prune_files. This is what makes a Z-ORDERED layout pay off: the
+    interleave keeps every clustered dimension's per-file range narrow,
+    so a multi-dimensional predicate box skips on whichever dimension
+    misses."""
+    manifest = read_manifest(table_dir, version)
+    keep = []
+    for f in manifest["files"]:
+        skip = False
+        for col, (lo, hi) in preds.items():
+            st = f["stats"].get(col)
+            if st is not None and _can_skip(st[0], st[1], lo, hi):
+                skip = True
+                break
+        if not skip:
+            keep.append(f["path"])
+    return keep, len(manifest["files"])
+
+
+def prune_files_bloom(
+    table_dir: str, version: int, col: str, value: int
+) -> tuple[list[str], int]:
+    """POINT-LOOKUP file skipping via per-file bloom filters: keep only
+    files whose bloom for ``col`` maybe-contains ``value`` (files
+    without a bloom are always kept — the filter is an optimization,
+    never a correctness dependency; false positives read a file for
+    nothing, false negatives cannot happen)."""
+    manifest = read_manifest(table_dir, version)
+    keep = []
+    for f in manifest["files"]:
+        bloom = (f.get("bloom") or {}).get(col)
+        if bloom is None or _bloom_maybe_contains(bloom, value):
+            keep.append(f["path"])
+    return keep, len(manifest["files"])
+
+
+def table_stats(
+    table_dir: str, version: int | None = None, col: str | None = None
+) -> dict:
+    """METADATA-ONLY aggregates: exact row count (sum of footer counts
+    recorded at commit time) and, for ``col``, the table-wide min/max
+    (fold of per-file stats) — answered from the manifest alone, zero
+    data files opened. The COUNT is always exact (immutable files,
+    exact footer counts); MIN/MAX are exact whenever every live file
+    carries stats for the column (files_with_stats == n_files tells the
+    caller; decimals are stored conservatively widened, so a decimal
+    column reports bounds, not exact extrema — callers needing
+    exactness check the kind flag)."""
+    v = current_version(table_dir) if version is None else version
+    manifest = read_manifest(table_dir, v)
+    out = {
+        "n_rows": sum(f.get("rows", 0) for f in manifest["files"]),
+        "n_files": len(manifest["files"]),
+    }
+    if col is not None:
+        lo = hi = None
+        n_with = 0
+        for f in manifest["files"]:
+            st = f["stats"].get(col)
+            if st is None:
+                continue
+            n_with += 1
+            lo = st[0] if lo is None else min(lo, st[0])
+            hi = st[1] if hi is None else max(hi, st[1])
+        out["min"] = lo
+        out["max"] = hi
+        out["files_with_stats"] = n_with
+    return out
+
+
+def commit_rewrite(
+    df_new: DataFrame,
+    table_dir: str,
+    stat_cols: list[str],
+    replaced_paths: list[str],
+    op: str = "merge",
+) -> int:
+    """COPY-ON-WRITE rewrite commit (the Delta/Iceberg MERGE shape):
+    the new manifest = (previous live set minus ``replaced_paths``) +
+    df_new's freshly staged files. Untouched files carry over by
+    REFERENCE — zero data movement for them; only the files a merge
+    actually hits are rewritten (callers find those via
+    prune_files/prune_files_multi on the merge-key range, so the
+    rewrite cost is proportional to the DATA TOUCHED, not the table).
+    Superseded files stay on disk for time travel; vacuum reclaims
+    them. A version race is not retried (a rewrite that lost to a
+    concurrent commit must re-plan from the new snapshot — same rule
+    as commit_replace)."""
+    replaced = set(replaced_paths)
+    new = _stage_files(df_new, table_dir, stat_cols)
+    prev = current_version(table_dir)
+    prev_manifest = read_manifest(table_dir, prev) if prev else {}
+    unknown = replaced - {f["path"] for f in prev_manifest.get("files", [])}
+    if unknown:
+        raise ValueError(f"replaced paths not in live set: {sorted(unknown)}")
+    keep = [
+        f for f in prev_manifest.get("files", []) if f["path"] not in replaced
+    ]
+    schema = _merged_schema(prev_manifest.get("schema"), df_new)
+    return _publish(table_dir, prev + 1, op, keep + new, schema)

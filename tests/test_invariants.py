@@ -347,13 +347,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 231 extras = 310 registered,
-    296 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 235 extras = 314 registered,
+    300 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 310
-    assert len(oracles) == 296
+    assert len(QUERIES) == 314
+    assert len(oracles) == 300
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -2314,3 +2314,172 @@ def test_manifest_schema_evolution(spark, tmp_path):
         read_version(spark, table).filter(F.col("score").isNull()).count()
         == 2
     )
+
+
+def test_manifest_bloom_pruning_semantics(spark, tmp_path):
+    """Bloom file skipping contract: NO FALSE NEGATIVES — every key
+    present in a file keeps that file; an absent key prunes to (almost
+    always) zero of the disjoint slices; files committed WITHOUT a
+    bloom are always kept (the filter is an optimization, never a
+    correctness dependency)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        prune_files_bloom,
+        read_manifest,
+    )
+
+    table = str(tmp_path / "bloom")
+    slices = {0: list(range(0, 400)), 1: list(range(400, 800))}
+    for i, keys in slices.items():
+        commit_append(
+            spark.createDataFrame([(k,) for k in keys], "k long").repartition(1),
+            table,
+            ["k"],
+            bloom_cols=["k"],
+        )
+    # a bloom-less commit: its file must survive every lookup
+    v = commit_append(
+        spark.createDataFrame([(10_000,)], "k long").repartition(1),
+        table,
+        ["k"],
+    )
+    m = read_manifest(table, v)
+    assert sum(1 for f in m["files"] if "bloom" not in f) == 1
+    # no false negatives, for every key in both bloom'd slices
+    path_of = {}
+    for f in m["files"]:
+        if "bloom" in f:
+            rows = spark.read.parquet(f["path"]).collect()
+            path_of[min(r.k for r in rows) // 400] = f["path"]
+    for i, keys in slices.items():
+        for k in keys:
+            files, total = prune_files_bloom(table, v, "k", k)
+            assert total == 3
+            assert path_of[i] in files, f"FALSE NEGATIVE for k={k}"
+            assert any("bloom" not in f for f in m["files"] if f["path"] in files)
+    # absent key: both bloom'd files should prune (fpp ~1e-4 for a
+    # single probe pair); the bloom-less file always survives
+    files, _ = prune_files_bloom(table, v, "k", 999_983)
+    assert len(files) <= 2
+
+
+def test_manifest_metadata_stats(spark, tmp_path):
+    """table_stats contract: exact row count from footer counts, exact
+    typed min/max fold, files_with_stats == n_files when every commit
+    recorded stats for the column — all without reading data files
+    (the manifest is the only input)."""
+    import datetime
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        table_stats,
+    )
+
+    table = str(tmp_path / "meta")
+    rows1 = [(1, datetime.datetime(2020, 3, 1, 10, 30)),
+             (2, datetime.datetime(2020, 7, 1, 0, 0))]
+    rows2 = [(3, datetime.datetime(2019, 12, 31, 23, 59, 59))]
+    schema = "k long, ts timestamp_ntz"
+    v1 = commit_append(spark.createDataFrame(rows1, schema), table, ["k", "ts"])
+    v2 = commit_append(spark.createDataFrame(rows2, schema), table, ["k", "ts"])
+    st = table_stats(table, v2, col="ts")
+    assert st["n_rows"] == 3
+    assert st["files_with_stats"] == st["n_files"]
+    assert st["min"] == "2019-12-31 23:59:59"
+    assert st["max"] == "2020-07-01 00:00:00"
+    # as-of stats: version 1 sees only its own commit
+    st1 = table_stats(table, v1, col="k")
+    assert (st1["n_rows"], st1["min"], st1["max"]) == (2, 1, 2)
+
+
+def test_manifest_commit_rewrite_semantics(spark, tmp_path):
+    """commit_rewrite (copy-on-write MERGE) contract: untouched files
+    carry over by reference (identical path entries), replaced files
+    leave the live set but stay readable at the old version (time
+    travel across a merge), and a rewrite naming a non-live path is
+    rejected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_rewrite,
+        read_manifest,
+        read_version,
+    )
+
+    table = str(tmp_path / "cow")
+    df_a = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    df_b = spark.createDataFrame([(3, 30), (4, 40)], "k long, v long")
+    commit_append(df_a.repartition(1), table, ["k"])
+    v2 = commit_append(df_b.repartition(1), table, ["k"])
+    files_v2 = read_manifest(table, v2)["files"]
+    # rewrite the file holding k=3,4: bump v by 1
+    target = next(
+        f["path"]
+        for f in files_v2
+        if f["stats"]["k"][0] == 3
+    )
+    new_rows = spark.read.parquet(target).withColumn(
+        "v", F.col("v") + F.lit(1)
+    )
+    v3 = commit_rewrite(new_rows, table, ["k"], [target])
+    got = {r.k: r.v for r in read_version(spark, table, v3).collect()}
+    assert got == {1: 10, 2: 20, 3: 31, 4: 41}
+    # untouched file carried by reference
+    kept = {f["path"] for f in read_manifest(table, v3)["files"]}
+    untouched = {f["path"] for f in files_v2} - {target}
+    assert untouched < kept and target not in kept
+    # old version still reads the pre-merge values
+    old = {r.k: r.v for r in read_version(spark, table, v2).collect()}
+    assert old == {1: 10, 2: 20, 3: 30, 4: 40}
+    with _pytest.raises(ValueError, match="not in live set"):
+        commit_rewrite(new_rows, table, ["k"], ["/nope.parquet"])
+
+
+def test_manifest_multicol_prune_and_sameday_boundary(spark, tmp_path):
+    """prune_files_multi is CONJUNCTIVE (one provably-missing dimension
+    skips the file) and timestamp stats use a SPACE-separated ISO form:
+    with a 'T' separator a same-day upper bound like
+    '1998-06-15 23:59:59' would wrongly skip a file whose min is
+    '1998-06-15T10:00:00' ('T' > ' ' at the separator byte)."""
+    import datetime
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        prune_files,
+        prune_files_multi,
+        read_manifest,
+    )
+
+    table = str(tmp_path / "multi")
+    rows = [
+        (5, datetime.datetime(1998, 6, 15, 10, 0)),
+        (7, datetime.datetime(1998, 6, 15, 12, 0)),
+    ]
+    v = commit_append(
+        spark.createDataFrame(rows, "k long, ts timestamp_ntz").repartition(1),
+        table,
+        ["k", "ts"],
+    )
+    stats = read_manifest(table, v)["files"][0]["stats"]
+    assert "T" not in stats["ts"][0]
+    # same-day boundary: bound hi inside the same calendar day -> KEEP
+    files, total = prune_files(
+        table, v, "ts", "1998-06-15 00:00:00", "1998-06-15 23:59:59"
+    )
+    assert len(files) == total == 1
+    # conjunctive: k range matches but ts range misses -> SKIP
+    files, _ = prune_files_multi(
+        table,
+        v,
+        {"k": (0, 100), "ts": ("1999-01-01 00:00:00", "1999-12-31 00:00:00")},
+    )
+    assert files == []
+    # both dims intersect -> KEEP
+    files, _ = prune_files_multi(
+        table,
+        v,
+        {"k": (6, 100), "ts": ("1998-01-01 00:00:00", "1998-12-31 00:00:00")},
+    )
+    assert len(files) == 1

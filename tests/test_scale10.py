@@ -106,6 +106,16 @@ SCALE_SENSITIVE_EXTRA = [
     "q_etl_schema_evolution_add_column",
     "q_etl_concurrent_commit_retry",
     "q_stream_manifest_dim_join",
+    # round-12 metadata plane: footer-count folds, bloom construction
+    # over 10× keyspace (the fpp math and uint64 hashing at real n),
+    # z-order prunability at custkey > 65536 — the EXACT wrap scale the
+    # adaptive-dims design exists for (a mod fold would pass sf0.1 and
+    # silently stop pruning here) — and CoW merge with multi-row-group
+    # affected files
+    "q_scan_count_metadata_only",
+    "q_scan_files_pruned_bloom",
+    "q_scan_files_pruned_zorder",
+    "q_etl_manifest_merge_cow",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
