@@ -265,6 +265,7 @@ HEADLINE = [
     "q_scan_files_pruned_bloom",          # per-file bloom point-lookup skipping
     "q_scan_files_pruned_zorder",         # z-order multi-dim conjunctive skipping
     "q_etl_manifest_merge_cow",           # stats-pruned copy-on-write MERGE
+    "q_stream_manifest_cdc_apply",        # change-feed incremental view maintenance
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -155,6 +155,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_files_pruned_bloom",
     "q_scan_files_pruned_zorder",
     "q_etl_manifest_merge_cow",
+    "q_stream_manifest_cdc_apply",
 ]
 
 

@@ -2483,3 +2483,67 @@ def test_manifest_multicol_prune_and_sameday_boundary(spark, tmp_path):
         {"k": (6, 100), "ts": ("1998-01-01 00:00:00", "1998-12-31 00:00:00")},
     )
     assert len(files) == 1
+
+
+def test_manifest_cdc_apply_every_version(spark, sf_dir, tmp_path):
+    """Incremental view maintenance contract: at EVERY table version v,
+    the delta-folded state equals the one-shot aggregate over
+    read_version(v) — not just at the final version (associativity of
+    the (sum-count, sum-decimal) fold across arbitrary batch
+    boundaries). Also pins that each refresh read ONLY the delta files
+    (diff cardinality == the slice's file count)."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.functions.numeric import DEC
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        diff_files,
+        read_manifest,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "cdc")
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+
+    def agg(df):
+        return (
+            df.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast(DEC)).alias("sum_dec"),
+            )
+        )
+
+    state = None
+    prev_nfiles = 0
+    for i in range(3):
+        v = commit_append(
+            e.filter(F.col("event_id") % 3 == i).repartition(2),
+            table,
+            ["ts"],
+        )
+        delta = diff_files(table, v - 1, v)
+        nfiles = len(read_manifest(table, v)["files"])
+        assert len(delta) == nfiles - prev_nfiles  # only the new files
+        prev_nfiles = nfiles
+        d = agg(spark.read.parquet(*delta))
+        state = (
+            d
+            if state is None
+            else state.unionByName(d)
+            .groupBy("event_type")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("sum_dec").alias("sum_dec"),
+            )
+        )
+        got = {
+            r.event_type: (r.n_events, r.sum_dec)
+            for r in state.collect()
+        }
+        want = {
+            r.event_type: (r.n_events, r.sum_dec)
+            for r in agg(read_version(spark, table, v)).collect()
+        }
+        assert got == want, f"state diverged at version {v}"

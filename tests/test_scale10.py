@@ -116,6 +116,9 @@ SCALE_SENSITIVE_EXTRA = [
     "q_scan_files_pruned_bloom",
     "q_scan_files_pruned_zorder",
     "q_etl_manifest_merge_cow",
+    # incremental view maintenance: 10× deltas through the unfinished-
+    # decimal state fold (the finish-is-terminal rule under real mass)
+    "q_stream_manifest_cdc_apply",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
