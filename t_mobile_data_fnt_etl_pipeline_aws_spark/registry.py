@@ -65,89 +65,28 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 
 #: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01-r11: every key registered
-#: before the round-11 freeze has a passing latest row (0 failures ever);
-#: staleness histogram entering round 12 (recomputed from the
-#: CORRECTNESS_r01-r11 union): r5:50 / r6:50 / r8:50 / r9:50 / r10:50 /
-#: r11:50, 7 never-checked (the round-11 post-freeze additions).
+#: registration order. Cumulative record r01-r12: every key registered
+#: before the round-12 freeze has a passing latest row (0 failures ever);
+#: staleness histogram entering round 13 (recomputed from the
+#: CORRECTNESS_r01-r12 union): r5:7 / r6:50 / r8:50 / r9:50 / r10:50 /
+#: r11:50 / r12:50, 8 never-checked (the round-12 post-freeze additions).
 #:
-#: ROUND-12 WINDOW (this list), in priority order:
-#:   1. The 7 round-11 post-freeze keys (never driver-checked, so they
-#:      outrank stale-green): AB lift, the five manifest-table-format
-#:      keys, and the streaming manifest sink.
-#:   2. The 43 OLDEST r5-stale keys (registration order). 7 + 43 fills
-#:      the 50 slots exactly; the 7 r5-stale remainder
-#:      (q_pipeline_forecast_revenue, q_pipeline_returned_revenue,
-#:      q_pipeline_promo_share, q_pipeline_large_orders,
-#:      q_report_mom_growth, q_udf_cogrouped_map,
-#:      q_stream_stream_left_outer) rotates ROUND 13, after any new
-#:      round-12 keys (_POST_WINDOW_ADDITIONS), padded with the oldest
-#:      r6-stale keys to 50.
+#: ROUND-13 WINDOW (this list), in priority order — executes the plan
+#: written at round-12 close:
+#:   1. The 8 round-12 post-freeze keys (never driver-checked, so they
+#:      outrank stale-green): the metadata-plane keys (schema evolution,
+#:      concurrent commit, metadata-only count, bloom/z-order pruning,
+#:      CoW merge) plus the two manifest streaming keys.
+#:   2. The 7 r5-stale remainder.
+#:   3. The 35 OLDEST r6-stale keys (registration order). 8 + 7 + 35
+#:      fills the 50 slots exactly; the 15 r6-stale remainder
+#:      (q_pipeline_disjunctive_revenue onward in registration order)
+#:      rotates ROUND 14, after any new round-13 keys
+#:      (_POST_WINDOW_ADDITIONS), padded with the oldest r8-stale keys
+#:      to 50.
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. round-11 post-freeze keys (never driver-checked) ---
-    "q_stats_ab_lift",
-    "q_etl_time_travel",
-    "q_scan_files_pruned_by_stats",
-    "q_etl_manifest_compact",
-    "q_etl_incremental_consume",
-    "q_etl_manifest_vacuum",
-    "q_stream_manifest_sink",
-    # --- 2. the 43 oldest r5-stale keys (registration order) ---
-    "q_scan_parquet",
-    "q_scan_schema_assert",
-    "q_gen_calendar_dim",
-    "q_project_rename",
-    "q_join_asof",
-    "q_join_asof_forward",
-    "q_join_point_in_time",
-    "q_agg_weighted_median",
-    "q_agg_approx_percentile",
-    "q_agg_pythagorean_means",
-    "q_window_moving_zscore",
-    "q_window_ewma",
-    "q_resample_interpolate",
-    "q_pattern_error_burst",
-    "q_sort_zorder_layout",
-    "q_dedup_containment",
-    "q_dedup_incremental",
-    "q_dedup_clusters_cc",
-    "q_dedup_keep_canonical",
-    "q_agg_linreg_trend",
-    "q_stats_chi2",
-    "q_agg_higher_moments",
-    "q_agg_entropy",
-    "q_window_autocorr",
-    "q_pattern_cusum",
-    "q_dq_benford",
-    "q_skyline_pareto",
-    "q_window_drawdown",
-    "q_agg_gini",
-    "q_assoc_market_basket",
-    "q_markov_transitions",
-    "q_text_pmi_bigrams",
-    "q_text_inverted_index",
-    "q_graph_pagerank",
-    "q_topic_assign_nearest_centroid",
-    "q_embedding_quantize_int8",
-    "q_text_tfidf_keywords",
-    "q_text_unigram_logprob",
-    "q_source_contamination_matrix",
-    "q_corpus_train_report",
-    "q_sample_weighted_aes",
-    "q_sample_split_hash",
-    "q_etl_quarantine",
-]
-
-#: Keys added AFTER the current round's window was frozen. New round-12
-#: keys land here and head the ROUND-13 window (never-checked >
-#: stale-green), followed by the 7 r5-stale remainder (listed in the
-#: window comment above), padded to 50 with the oldest r6-stale keys
-#: (recompute the staleness histogram from the CORRECTNESS_r* union at
-#: round-13 open). Keep test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = [
-    # round-12 additions (registered after the round-12 window froze;
-    # they head the ROUND-13 rotation):
+    # --- 1. round-12 post-freeze keys (never driver-checked) ---
     "q_etl_schema_evolution_add_column",
     "q_etl_concurrent_commit_retry",
     "q_stream_manifest_dim_join",
@@ -156,7 +95,59 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_files_pruned_zorder",
     "q_etl_manifest_merge_cow",
     "q_stream_manifest_cdc_apply",
+    # --- 2. the 7 r5-stale remainder ---
+    "q_pipeline_forecast_revenue",
+    "q_pipeline_returned_revenue",
+    "q_pipeline_promo_share",
+    "q_pipeline_large_orders",
+    "q_report_mom_growth",
+    "q_udf_cogrouped_map",
+    "q_stream_stream_left_outer",
+    # --- 3. the 35 oldest r6-stale keys (registration order) ---
+    "q_window_rolling_median",
+    "q_dedup_exact",
+    "q_dedup_fuzzy_minhash",
+    "q_dedup_simhash",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_embedding",
+    "q_dedup_substring",
+    "q_chunk_cdc",
+    "q_dedup_cdc_chunks",
+    "q_cluster_kmeans",
+    "q_cluster_kmeans_lloyd",
+    "q_graph_pagerank_converged",
+    "q_graph_triangles",
+    "q_sim_cosine_pair",
+    "q_sim_search_topk",
+    "q_knn_join_multiprobe",
+    "q_sim_search_ivf",
+    "q_label_centroids",
+    "q_sim_search_topk_vectorized",
+    "q_text_token_stats",
+    "q_text_ngrams",
+    "q_text_doc_stats",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_text_dedup_normalized",
+    "q_multimodal_enrich",
+    "q_multimodal_decode_stub",
+    "q_report_top_supplier",
+    "q_report_supplier_parts",
+    "q_pipeline_region_volume",
+    "q_etl_upsert",
+    "q_pipeline_nation_profit",
+    "q_pipeline_fulfillment_priority",
+    "q_pipeline_small_qty_revenue",
 ]
+
+#: Keys added AFTER the current round's window was frozen. New round-13
+#: keys land here and head the ROUND-14 window (never-checked >
+#: stale-green), followed by the 15 r6-stale remainder (listed in the
+#: window comment above), padded to 50 with the oldest r8-stale keys
+#: (recompute the staleness histogram from the CORRECTNESS_r* union at
+#: round-14 open). Keep test_driver_window_rotation's exemption in sync.
+_POST_WINDOW_ADDITIONS: list[str] = []
 
 
 def _import_all() -> None:

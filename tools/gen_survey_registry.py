@@ -45,11 +45,26 @@ def rows() -> list[tuple[str, str, str, str]]:
     return out
 
 
+def table() -> str:
+    lines = ["| key | defined at | oracle | newest driver row |", "|---|---|---|---|"]
+    lines += [f"| `{key}` | `{loc}` | {kind} | {seen} |" for key, loc, kind, seen in rows()]
+    return "\n".join(lines)
+
+
 def main() -> None:
-    print("| key | defined at | oracle | newest driver row |")
-    print("|---|---|---|---|")
-    for key, loc, kind, seen in rows():
-        print(f"| `{key}` | `{loc}` | {kind} | {seen} |")
+    if "--write" in sys.argv:
+        # Replace the block between the SURVEY markers in place — the
+        # round-12 failure mode was "regenerated but never pasted".
+        path = os.path.join(REPO, "SURVEY.md")
+        text = open(path).read()
+        begin, end = "<!-- registry-table:begin -->", "<!-- registry-table:end -->"
+        head, rest = text.split(begin, 1)
+        _, tail = rest.split(end, 1)
+        open(path, "w").write(head + begin + "\n" + table() + "\n" + end + tail)
+        n = len(rows())
+        print(f"SURVEY.md registry table rewritten: {n} keys")
+    else:
+        print(table())
 
 
 if __name__ == "__main__":
