@@ -57,6 +57,7 @@ import glob
 import json
 import math
 import os
+import re
 import shutil
 import uuid
 
@@ -244,7 +245,11 @@ def _bloom_maybe_contains(bloom: dict, value: int) -> bool:
     import numpy as np
 
     bits = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
-    vals = np.array([value], dtype=np.uint64)
+    # Mask to 64 bits BEFORE the uint64 construction: the build path
+    # wraps signed ints two's-complement via astype(uint64), but
+    # np.array([negative], dtype=np.uint64) raises OverflowError on
+    # NumPy >= 2 — probe and build must hash identically (ADVICE r12).
+    vals = np.array([value & 0xFFFFFFFFFFFFFFFF], dtype=np.uint64)
     for pos in _bloom_positions(vals, int(bloom["m"])):
         p = int(pos[0])
         if not (bits[p >> 3] >> (p & 7)) & 1:
@@ -377,22 +382,43 @@ def commit_append(
     first, CommitConflictError (no blind clobber). Without a pin,
     version-number races are retried by default (appends commute: the
     staged files are re-merged onto the advanced live set — the Delta
-    "win the next version" protocol for non-conflicting commits)."""
+    "win the next version" protocol for non-conflicting commits).
+
+    Staging discipline (ADVICE r12): the base pin and the schema merge
+    are validated BEFORE any parquet lands in data/, and a raise out of
+    the commit deletes whatever was staged — a rejected commit must not
+    orphan unreferenced data files (an external retry would otherwise
+    stage a second copy and only a vacuum would reclaim the first)."""
+    prev0 = current_version(table_dir)
+    if expected_base is not None and prev0 != expected_base:
+        raise CommitConflictError(
+            f"expected base version {expected_base}, table is at {prev0}"
+        )
+    prev_manifest0 = read_manifest(table_dir, prev0) if prev0 else {}
+    _merged_schema(prev_manifest0.get("schema"), df)  # reject before staging
     new = _stage_files(df, table_dir, stat_cols, bloom_cols)
-    while True:
-        prev = current_version(table_dir)
-        if expected_base is not None and prev != expected_base:
-            raise CommitConflictError(
-                f"expected base version {expected_base}, table is at {prev}"
-            )
-        prev_manifest = read_manifest(table_dir, prev) if prev else {}
-        files = list(prev_manifest.get("files", []))
-        schema = _merged_schema(prev_manifest.get("schema"), df)
-        try:
-            return _publish(table_dir, prev + 1, op, files + new, schema)
-        except CommitConflictError:
-            if expected_base is not None or not retry_conflicts:
-                raise
+    try:
+        while True:
+            prev = current_version(table_dir)
+            if expected_base is not None and prev != expected_base:
+                raise CommitConflictError(
+                    f"expected base version {expected_base}, table is at {prev}"
+                )
+            prev_manifest = read_manifest(table_dir, prev) if prev else {}
+            files = list(prev_manifest.get("files", []))
+            schema = _merged_schema(prev_manifest.get("schema"), df)
+            try:
+                return _publish(table_dir, prev + 1, op, files + new, schema)
+            except CommitConflictError:
+                if expected_base is not None or not retry_conflicts:
+                    raise
+    except BaseException:
+        for f in new:  # staged but never referenced by any manifest
+            try:
+                os.unlink(f["path"])
+            except OSError:
+                pass
+        raise
 
 
 def commit_replace(
@@ -499,9 +525,38 @@ def prune_files(
     return keep, len(manifest["files"])
 
 
+#: ISO day-only form ('2020-01-05') vs any ISO temporal form (day-only,
+#: or with a space/'T'-separated time part).
+_ISO_DAY = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_ISO_TEMPORAL = re.compile(r"^\d{4}-\d{2}-\d{2}([ T].*)?$")
+
+
+def _pad_temporal(s: str, side: str) -> str:
+    """Widen a day-only ISO string to the full-day interval bound for
+    ``side``: a DATE stat/predicate '2020-01-05' stands for the whole
+    day, so as a LOWER bound it reads 00:00:00 and as an UPPER bound
+    23:59:59.999999 — otherwise a timestamp-style predicate bound
+    ('2020-01-05 00:00:00') compares lexicographically ABOVE the bare
+    day string and a file whose max date equals the predicate's lower
+    bound is wrongly skipped (ADVICE r12: same silent-row-loss class as
+    the 'T'-separator bug)."""
+    if _ISO_DAY.match(s):
+        return s + (" 00:00:00" if side == "lo" else " 23:59:59.999999")
+    return s
+
+
 def _can_skip(fmin, fmax, lo, hi) -> bool:
     """True only when the file range [fmin, fmax] PROVABLY misses the
-    predicate range [lo, hi] under type-consistent comparison."""
+    predicate range [lo, hi] under type-consistent comparison.
+
+    Strings get one extra normalization layer for temporal shapes:
+    manifest DATE stats are day-only ISO strings while callers may pass
+    timestamp-style bounds (and vice versa), and the two shapes do NOT
+    order correctly against each other lexicographically. If every
+    operand looks ISO-temporal, day-only operands are padded to their
+    full-day interval bound and 'T' separators normalized to the
+    manifest's space form; a mix of temporal and free-text strings is
+    incomparable — keep the file."""
     numeric = (int, float)
     if isinstance(fmin, numeric) and isinstance(fmax, numeric):
         if not (isinstance(lo, numeric) and isinstance(hi, numeric)):
@@ -510,6 +565,15 @@ def _can_skip(fmin, fmax, lo, hi) -> bool:
     if isinstance(fmin, str) and isinstance(fmax, str):
         if not (isinstance(lo, str) and isinstance(hi, str)):
             return False
+        temporal = [bool(_ISO_TEMPORAL.match(s)) for s in (fmin, fmax, lo, hi)]
+        if any(temporal):
+            if not all(temporal):
+                return False  # temporal vs free-text: incomparable
+            fmin, fmax, lo, hi = (
+                s.replace("T", " ", 1) for s in (fmin, fmax, lo, hi)
+            )
+            fmin, lo = _pad_temporal(fmin, "lo"), _pad_temporal(lo, "lo")
+            fmax, hi = _pad_temporal(fmax, "hi"), _pad_temporal(hi, "hi")
         return fmax < lo or fmin > hi
     return False
 
@@ -564,16 +628,20 @@ def table_stats(
     recorded at commit time) and, for ``col``, the table-wide min/max
     (fold of per-file stats) — answered from the manifest alone, zero
     data files opened. The COUNT is always exact (immutable files,
-    exact footer counts); MIN/MAX are exact whenever every live file
-    carries stats for the column (files_with_stats == n_files tells the
-    caller; decimals are stored conservatively widened, so a decimal
-    column reports bounds, not exact extrema — callers needing
-    exactness check the kind flag)."""
+    exact footer counts) PROVIDED every live entry carries a 'rows'
+    field — files_with_rows == n_files tells the caller; a manifest
+    written by an older layout (or a hand-edited entry) without 'rows'
+    would otherwise silently undercount (ADVICE r12). MIN/MAX are exact
+    whenever every live file carries stats for the column
+    (files_with_stats == n_files tells the caller; decimals are stored
+    conservatively widened, so a decimal column reports bounds, not
+    exact extrema — callers needing exactness check the kind flag)."""
     v = current_version(table_dir) if version is None else version
     manifest = read_manifest(table_dir, v)
     out = {
         "n_rows": sum(f.get("rows", 0) for f in manifest["files"]),
         "n_files": len(manifest["files"]),
+        "files_with_rows": sum(1 for f in manifest["files"] if "rows" in f),
     }
     if col is not None:
         lo = hi = None

@@ -2527,6 +2527,149 @@ def test_manifest_multicol_prune_and_sameday_boundary(spark, tmp_path):
     assert len(files) == 1
 
 
+def test_manifest_date_vs_timestamp_bound_shapes(spark, tmp_path):
+    """DATE stats are day-only ISO strings; callers may pass
+    timestamp-style bounds (and vice versa). Lexicographically
+    '2020-01-05' < '2020-01-05 00:00:00', so without day-interval
+    padding a file whose max DATE equals the predicate's lower bound is
+    wrongly skipped — the ADVICE r12 silent-row-loss class. Mixed
+    temporal/free-text operands must be treated as incomparable
+    (keep), while plain free-text string pruning keeps working."""
+    import datetime
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        _can_skip,
+        commit_append,
+        prune_files,
+        read_manifest,
+    )
+
+    table = str(tmp_path / "dates")
+    rows = [(1, datetime.date(2020, 1, 3)), (2, datetime.date(2020, 1, 5))]
+    v = commit_append(
+        spark.createDataFrame(rows, "k long, d date").repartition(1),
+        table,
+        ["d"],
+    )
+    stats = read_manifest(table, v)["files"][0]["stats"]["d"]
+    assert stats == ["2020-01-03", "2020-01-05"]  # day-only shape on disk
+    # timestamp-shaped bound whose day EQUALS the file max -> KEEP
+    files, total = prune_files(
+        table, v, "d", "2020-01-05 00:00:00", "2020-01-06 00:00:00"
+    )
+    assert len(files) == total == 1
+    # genuinely disjoint timestamp-shaped bounds -> SKIP
+    files, _ = prune_files(
+        table, v, "d", "2020-02-01 00:00:00", "2020-02-10 00:00:00"
+    )
+    assert files == []
+    # reverse mix: timestamp stats, day-only predicate for the min's day
+    # -> day bound must read as the WHOLE day and keep the file
+    assert not _can_skip(
+        "2020-01-05 10:00:00", "2020-01-07 12:00:00", "2020-01-05", "2020-01-05"
+    )
+    # 'T'-separated caller bounds normalize against space-form stats
+    assert not _can_skip(
+        "2020-01-05 10:00:00", "2020-01-05 12:00:00",
+        "2020-01-05T11:00:00", "2020-01-05T13:00:00",
+    )
+    # temporal vs free-text: incomparable -> never skip
+    assert not _can_skip("2020-01-03", "2020-01-05", "apple", "banana")
+    # plain free-text strings still prune lexicographically
+    assert _can_skip("apple", "banana", "cherry", "date")
+
+
+def test_manifest_bloom_negative_key_probe(spark, tmp_path):
+    """Bloom probe and build must hash signed values identically: the
+    build wraps negatives via astype(uint64), and the probe must mask
+    rather than overflow (np.array([-5], dtype=np.uint64) raises on
+    NumPy >= 2 — ADVICE r12). Every committed negative key must
+    maybe-contain (no false negatives)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        prune_files_bloom,
+    )
+
+    table = str(tmp_path / "negbloom")
+    rows = [(-5,), (-1000,), (7,), (-(2**40),)]
+    v = commit_append(
+        spark.createDataFrame(rows, "k long").repartition(1),
+        table,
+        ["k"],
+        bloom_cols=["k"],
+    )
+    for val, _ in [(r[0], None) for r in rows]:
+        files, total = prune_files_bloom(table, v, "k", val)
+        assert len(files) == total == 1, val
+
+
+def test_manifest_table_stats_files_with_rows(spark, tmp_path):
+    """table_stats' COUNT is exact only when every live entry carries a
+    'rows' field; a legacy manifest entry without it must be detectable
+    via files_with_rows < n_files instead of silently undercounting
+    (ADVICE r12)."""
+    import json as _json
+    import os as _os
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        table_stats,
+    )
+
+    table = str(tmp_path / "legacyrows")
+    df = spark.range(10).selectExpr("id as k")
+    v = commit_append(df.repartition(2), table, ["k"])
+    st = table_stats(table, v)
+    assert st["files_with_rows"] == st["n_files"]
+    assert st["n_rows"] == 10
+    # simulate a legacy entry lacking 'rows'
+    mpath = _os.path.join(table, "_log", f"v{v:05d}.json")
+    manifest = _json.load(open(mpath))
+    del manifest["files"][0]["rows"]
+    _json.dump(manifest, open(mpath, "w"))
+    st = table_stats(table, v)
+    assert st["files_with_rows"] == st["n_files"] - 1  # inexactness visible
+
+
+def test_manifest_rejected_commit_stages_nothing(spark, tmp_path):
+    """A commit rejected for a stale base pin or an illegal schema
+    change must leave data/ byte-identical — staging before validation
+    orphaned parquet files that only a vacuum could reclaim, and an
+    external retry staged a second copy (ADVICE r12)."""
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        CommitConflictError,
+        commit_append,
+    )
+
+    table = str(tmp_path / "noorphans")
+    commit_append(
+        spark.createDataFrame([(1, "a")], "k long, s string"), table, ["k"]
+    )
+    data_files = set(_glob.glob(_os.path.join(table, "data", "*")))
+
+    with _pytest.raises(CommitConflictError):
+        commit_append(
+            spark.createDataFrame([(2, "b")], "k long, s string"),
+            table,
+            ["k"],
+            expected_base=99,
+        )
+    assert set(_glob.glob(_os.path.join(table, "data", "*"))) == data_files
+
+    with _pytest.raises(ValueError, match="type change"):
+        commit_append(
+            spark.createDataFrame([("oops", "b")], "k string, s string"),
+            table,
+            ["k"],
+        )
+    assert set(_glob.glob(_os.path.join(table, "data", "*"))) == data_files
+
+
 def test_manifest_cdc_apply_every_version(spark, sf_dir, tmp_path):
     """Incremental view maintenance contract: at EVERY table version v,
     the delta-folded state equals the one-shot aggregate over
