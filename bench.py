@@ -266,6 +266,13 @@ HEADLINE = [
     "q_scan_files_pruned_zorder",         # z-order multi-dim conjunctive skipping
     "q_etl_manifest_merge_cow",           # stats-pruned copy-on-write MERGE
     "q_stream_manifest_cdc_apply",        # change-feed incremental view maintenance
+    # round-13 additions
+    "q_etl_manifest_delete_mor",          # merge-on-read position delete vectors
+    "q_etl_hidden_partitioning",          # declared-transform partition pruning
+    "q_etl_manifest_delete_equality",     # blind equality delete (GDPR shape)
+    "q_etl_changefeed_rowlevel",          # net row-level CDF with delete rows
+    "q_etl_write_audit_publish",          # ref-gated WAP + RESTORE rollback
+    "q_stream_changefeed_apply_retract",  # retraction-capable incremental MV
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor
@@ -281,8 +288,15 @@ RUNS = 3
 #: vs the most recent BENCH_r*.json on disk (VERDICT r3 item 6 — catch the
 #: next bench-methodology problem in the tool, not the judge).
 DRIFT_FACTOR = 1.5
-#: Ignore drift below this absolute time: sub-0.3 s queries jitter by
-#: scheduling noise alone and a 1.5x ratio there is meaningless.
+#: Ignore drift below this ABSOLUTE increase (now - prior): sub-second
+#: keys jitter across their whole historic band by scheduling noise
+#: alone (q_string_funcs has recorded 0.15-0.47 s across 20 records
+#: with its source untouched), so a 1.5x ratio there is meaningless —
+#: three rounds of adjudication burned on exactly this class (r11
+#: token_stats, r12 string_funcs/union_all/map_in_arrow, all re-pinned
+#: at their historic floors on a quiet host in r13). An absolute-delta
+#: floor subsumes the old max(now, prior) < 0.3 rule and keeps the gate
+#: focused on drift big enough to adjudicate under jitter.
 DRIFT_MIN_SEC = 0.3
 
 #: Metric names across rounds (r1/r2 used the old name for the same
@@ -362,7 +376,7 @@ def find_regressions(
     out = {}
     for k, now in timings.items():
         base = prior.get(k)
-        if base is None or max(now, base) < DRIFT_MIN_SEC:
+        if base is None or (now - base) < DRIFT_MIN_SEC:
             continue
         if now > DRIFT_FACTOR * base:
             out[k] = {"prior": base, "now": now, "ratio": round(now / base, 2)}

@@ -2441,3 +2441,423 @@ def q_etl_manifest_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rewrote_subset", F.lit(len(affected) < total))
     )
+
+
+@query(
+    "q_etl_manifest_delete_mor",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS no_data_rewritten,
+           true AS time_travel_intact
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ row-level DELETE via position delete vectors — the
+    Iceberg v2 capability copy-on-write MERGE can't offer: masking a
+    sparse ~1% of orders (o_orderkey % 97 == 0) publishes ONE kilobyte
+    delete file and rewrites ZERO data files. The flow: (1) load the
+    table as yearly appends, (2) compute doomed (file_path, row_index)
+    identities from read_version_with_pos (the parquet reader's
+    _metadata struct — no synthetic row ids, no data rewrite), (3)
+    commit_delete, (4) read the new version — readers anti-join the
+    broadcast vectors away transparently.
+
+    Graded invariants ride along as columns: no_data_rewritten pins
+    that the live data-file set is byte-identical across the delete
+    commit (delete cost ∝ rows, not files); time_travel_intact pins
+    that the PRE-delete version still reads the full row count
+    (vectors only apply from their commit forward).
+
+    Scale: at 100 TB, deleting 10 rows from a 1-GB file costs a
+    kilobyte mask instead of a gigabyte rewrite; the read-side
+    anti-join broadcasts the mask (proportional to ROWS DELETED).
+    Vectors too large to broadcast are the signal to compact
+    (commit_replace folds them in and starts delete-free).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        read_manifest,
+        read_version,
+        read_version_with_pos,
+    )
+
+    table = _sink_dir(f"orders_mor_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    v = 0
+    for yr in years:
+        v = commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(2),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    pre_rows = read_version(spark, table, v).count()
+    doomed = read_version_with_pos(spark, table, v).filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    v_del = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    live_before = [f["path"] for f in read_manifest(table, v)["files"]]
+    live_after = [f["path"] for f in read_manifest(table, v_del)["files"]]
+    return (
+        read_version(spark, table, v_del)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("no_data_rewritten", F.lit(live_before == live_after))
+        .withColumn(
+            "time_travel_intact",
+            F.lit(read_version(spark, table, v).count() == pre_rows),
+        )
+    )
+
+
+@query(
+    "q_etl_hidden_partitioning",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS pruned_by_transform
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_hidden_partitioning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIDDEN PARTITIONING (Iceberg partition-transform shape): the
+    table declares month(o_orderdate) ONCE at write time; the query
+    filters on the RAW timestamp column and never names the layout —
+    prune_files_partition maps the predicate through the declared
+    transform and the scan plans only the surviving month files. This
+    kills the classic Hive failure mode where a query that forgets to
+    filter by the layout column (or filters the raw column instead)
+    silently scans the whole table.
+
+    The Q1-1997 predicate keeps 3 month-files of ~84; the graded
+    pruned_by_transform column pins files_read < total AND that the
+    pruned scan still returns exactly the oracle's rows (the transform
+    is an optimization, never a correctness gate — the exact predicate
+    re-applies inside the surviving files via normal PushedFilters).
+
+    Scale: the month shuffle at write is the same cost class as any
+    partitioned write; pruning is O(#files) on the manifest, and at
+    100 TB a one-quarter query reads 3/84ths of the data with zero
+    layout knowledge in the query text.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition,
+    )
+
+    table = _sink_dir(f"orders_hidden_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    commit_append_partitioned(
+        o, table, "o_orderdate", "month", ["o_orderdate"]
+    )
+    v = current_version(table)
+    lo, hi = "1997-01-01 00:00:00", "1997-03-31 23:59:59.999999"
+    files, total = prune_files_partition(table, v, lo, hi)
+    in_range = (
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz")
+    ) & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz"))
+    return (
+        spark.read.parquet(*files)
+        .filter(in_range)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("pruned_by_transform", F.lit(len(files) < total))
+    )
+
+
+@query(
+    "q_etl_manifest_delete_equality",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS no_data_rewritten,
+           true AS count_becomes_bound,
+           true AS compaction_restores_exact
+    FROM orders
+    WHERE o_orderkey % 131 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_delete_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUALITY DELETE (the second Iceberg v2 delete flavor): mask every
+    order whose key is in a given value set WITHOUT reading one data
+    file at commit time — the commit is O(values): one small parquet of
+    keys, zero scans. This is the GDPR shape ("delete these ids across
+    100 TB now"): position deletes need an identity scan first; the
+    equality commit is immediate, and the scan cost moves to read time
+    (one broadcast anti-join) until a compaction folds it in.
+
+    Graded invariants ride as columns: no_data_rewritten (live file set
+    byte-identical), count_becomes_bound (metadata-only COUNT honestly
+    degrades to an upper bound while equality deletes are live —
+    table_stats.count_exact False), compaction_restores_exact (a
+    commit_replace from the deletes-applied read drops the vectors and
+    COUNT is metadata-exact again, equal to the oracle's row count).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete_equality,
+        commit_replace,
+        read_manifest,
+        read_version,
+        table_stats,
+    )
+
+    table = _sink_dir(f"orders_eqdel_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    v = 0
+    for yr in years:
+        v = commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(2),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    # blind commit: the doomed-key set comes from the caller, not from
+    # scanning the table (values-proportional, zero data reads)
+    doomed_keys = o.filter(F.col("o_orderkey") % 131 == 0).select("o_orderkey")
+    v_del = commit_delete_equality(spark, table, "o_orderkey", doomed_keys)
+    no_rewrite = [f["path"] for f in read_manifest(table, v)["files"]] == [
+        f["path"] for f in read_manifest(table, v_del)["files"]
+    ]
+    count_bound = table_stats(table, v_del)["count_exact"] is False
+    # compaction folds the mask in and COUNT is metadata-exact again
+    v_c = commit_replace(read_version(spark, table, v_del), table, ["o_orderdate"])
+    st = table_stats(table, v_c)
+    survivors = read_version(spark, table, v_c)
+    restored = st["count_exact"] and st["n_rows"] == survivors.count()
+    return (
+        survivors.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("no_data_rewritten", F.lit(no_rewrite))
+        .withColumn("count_becomes_bound", F.lit(count_bound))
+        .withColumn("compaction_restores_exact", F.lit(restored))
+    )
+
+
+@query(
+    "q_etl_changefeed_rowlevel",
+    oracle=f"""
+    SELECT 'insert' AS _change_type,
+           o_orderpriority,
+           count(*) AS n_rows,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderkey % 97 <> 0
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'delete' AS _change_type,
+           o_orderpriority,
+           count(*) AS n_rows,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_changefeed_rowlevel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-LEVEL CHANGE FEED (the Delta CDF shape) with NET semantics:
+    between v_from (history loaded) and v_to (new years appended, then
+    a sparse position-delete), read_changes emits full ROWS tagged
+    _change_type — inserts are the window's appended rows MINUS the
+    ones deleted inside the same window (net: append-then-delete is
+    nothing), and deletes MATERIALIZE the deleted rows' values by
+    joining the window's position vectors back to the v_from files (a
+    downstream consumer gets the data it must retract, not just file
+    offsets — what diff_files alone cannot give).
+
+    This is the incremental-MV/downstream-sync primitive at 100 TB:
+    the feed's cost is proportional to the CHANGES (added files +
+    vector rows), never the table; both masks apply as broadcast
+    joins.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        read_changes,
+        read_version_with_pos,
+    )
+
+    table = _sink_dir(f"orders_cdf_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    v_from = commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(4),
+        table,
+        ["o_orderdate"],
+        op="history",
+    )
+    commit_append(
+        o.filter(F.col("o_orderdate") >= cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="append_new",
+    )
+    doomed = read_version_with_pos(spark, table).filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    v_to = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    return (
+        read_changes(spark, table, v_from, v_to)
+        .groupBy("_change_type", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+@query(
+    "q_etl_write_audit_publish",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS bad_batch_blocked,
+           true AS restore_kept_history
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH (the Iceberg WAP branch pattern — the audit
+    gate every 100-TB ingest pipeline needs): readers read the MAIN REF,
+    never the log head, so a staged commit is INVISIBLE until an audit
+    passes and the publish step moves the pointer. The flow here: (1)
+    history loads and main points at it; (2) a poisoned 1998 batch
+    (negated o_totalprice on some rows) is staged — the DQ audit
+    (count of negative prices on the STAGED snapshot) fails, main never
+    moves, and a RESTORE commit (the Delta `RESTORE TABLE` shape —
+    forward-only log, zero data movement, bad version stays
+    time-travelable for the audit trail) returns the live state to the
+    known-good snapshot; (3) the clean 1998 batch stages, audits green,
+    and publish = one atomic ref move.
+
+    Graded: bad_batch_blocked pins that a main-ref read AFTER the
+    failed audit saw no 1998 rows and no negative price anywhere;
+    restore_kept_history pins that the poisoned snapshot is still
+    readable by version (restore is additive, not destructive). The
+    final aggregate equals the clean full table — the poison never
+    reached a reader.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        current_version,
+        get_ref,
+        read_ref,
+        read_version,
+        rollback,
+        set_ref,
+    )
+
+    table = _sink_dir(f"orders_wap_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1998-01-01").cast("timestamp_ntz")
+    v_hist = commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(4),
+        table,
+        ["o_orderdate"],
+        op="history",
+    )
+    set_ref(table, "main", v_hist)
+
+    def audit(version: int) -> bool:
+        snap = read_version(spark, table, version)
+        return snap.filter(F.col("o_totalprice") < 0).count() == 0
+
+    batch = o.filter(F.col("o_orderdate") >= cut)
+    price_t = dict(o.dtypes)["o_totalprice"]
+    poisoned = batch.withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")).cast(price_t),
+    )
+    v_bad = commit_append(
+        poisoned.repartition(2), table, ["o_orderdate"], op="stage_1998"
+    )
+    published_bad = False
+    if audit(v_bad):  # poisoned by construction: must fail
+        set_ref(table, "main", v_bad)
+        published_bad = True
+    main_read = read_ref(spark, table, "main")
+    blocked = (
+        not published_bad
+        and get_ref(table, "main") == v_hist
+        and main_read.filter(F.col("o_orderdate") >= cut).count() == 0
+        and main_read.filter(F.col("o_totalprice") < 0).count() == 0
+    )
+    rollback(table, v_hist)  # restore: next stage builds on known-good
+    v_good = commit_append(
+        batch.repartition(2), table, ["o_orderdate"], op="stage_1998_retry"
+    )
+    if audit(v_good):
+        set_ref(table, "main", v_good)
+    restore_kept = (
+        read_version(spark, table, v_bad)
+        .filter(F.col("o_totalprice") < 0)
+        .count()
+        > 0
+        and get_ref(table, "main") == v_good == current_version(table)
+    )
+    return (
+        read_ref(spark, table, "main")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("bad_batch_blocked", F.lit(blocked))
+        .withColumn("restore_kept_history", F.lit(restore_kept))
+    )

@@ -147,7 +147,16 @@ _DRIVER_WINDOW = [
 #: window comment above), padded to 50 with the oldest r8-stale keys
 #: (recompute the staleness histogram from the CORRECTNESS_r* union at
 #: round-14 open). Keep test_driver_window_rotation's exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = []
+_POST_WINDOW_ADDITIONS: list[str] = [
+    # round-13 additions (registered after the round-13 window froze;
+    # they head the ROUND-14 rotation):
+    "q_etl_manifest_delete_mor",
+    "q_etl_hidden_partitioning",
+    "q_etl_manifest_delete_equality",
+    "q_etl_changefeed_rowlevel",
+    "q_etl_write_audit_publish",
+    "q_stream_changefeed_apply_retract",
+]
 
 
 def _import_all() -> None:

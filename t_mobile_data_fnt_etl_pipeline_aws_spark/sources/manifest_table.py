@@ -80,6 +80,10 @@ def _data_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "data")
 
 
+def _deletes_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_deletes")
+
+
 def _json_stat(v):
     """Encode one footer min/max as a native JSON value whose comparison
     semantics prune_files can honor TYPED (int/float stay numbers —
@@ -305,6 +309,9 @@ def _publish(
     op: str,
     files: list[dict],
     schema: list[list[str]] | None = None,
+    deletes: list[dict] | None = None,
+    partition_spec: dict | None = None,
+    eq_deletes: list[dict] | None = None,
 ) -> int:
     """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
     name, then ``os.link`` it to its final version name. link(2) fails
@@ -316,6 +323,12 @@ def _publish(
     manifest = {"version": version, "op": op, "files": files}
     if schema is not None:
         manifest["schema"] = schema
+    if deletes:
+        manifest["deletes"] = deletes
+    if partition_spec is not None:
+        manifest["partition_spec"] = partition_spec
+    if eq_deletes:
+        manifest["eq_deletes"] = eq_deletes
     tmp = os.path.join(
         _log_dir(table_dir), f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp"
     )
@@ -408,7 +421,16 @@ def commit_append(
             files = list(prev_manifest.get("files", []))
             schema = _merged_schema(prev_manifest.get("schema"), df)
             try:
-                return _publish(table_dir, prev + 1, op, files + new, schema)
+                # delete vectors and a declared partition spec carry
+                # forward: appended files are unaffected by existing
+                # position deletes, and files without a recorded
+                # partition value are simply never partition-skipped
+                return _publish(
+                    table_dir, prev + 1, op, files + new, schema,
+                    deletes=prev_manifest.get("deletes"),
+                    partition_spec=prev_manifest.get("partition_spec"),
+                    eq_deletes=prev_manifest.get("eq_deletes"),
+                )
             except CommitConflictError:
                 if expected_base is not None or not retry_conflicts:
                     raise
@@ -432,12 +454,77 @@ def commit_replace(
     new set. A version race is NOT retried: a replace that lost to a
     concurrent append would silently drop the appended rows, so the
     loser must re-plan from the new snapshot (real formats abort
-    OPTIMIZE the same way)."""
+    OPTIMIZE the same way).
+
+    Delete vectors do NOT carry across a replace: the superseded files
+    are the only thing the position deletes reference, so the new
+    manifest starts delete-free — which is only correct if the caller
+    compacted from a deletes-APPLIED read (``read_version``, the
+    default). Compacting from raw file reads would resurrect deleted
+    rows; ``read_version`` is the documented source for compaction
+    input exactly for this reason. A declared partition spec is also
+    dropped (the compacted files are not partition-aligned; stats
+    pruning still applies)."""
     new = _stage_files(df, table_dir, stat_cols)
     prev = current_version(table_dir)
     prev_manifest = read_manifest(table_dir, prev) if prev else {}
     schema = _merged_schema(prev_manifest.get("schema"), df)
     return _publish(table_dir, prev + 1, op, new, schema)
+
+
+def _base_reader(spark: SparkSession, manifest: dict):
+    files = [f["path"] for f in manifest["files"]]
+    schema = manifest.get("schema")
+    reader = spark.read
+    if schema:
+        reader = reader.schema(", ".join(f"`{n}` {t}" for n, t in schema))
+    return reader.parquet(*files)
+
+
+def _apply_delete_vectors(
+    spark: SparkSession, df: DataFrame, deletes: list[dict]
+) -> DataFrame:
+    """Mask position-deleted rows: broadcast anti-join the (small,
+    sparse-by-design) delete vectors against the scan's (file_path,
+    row_index) identity from the parquet reader's ``_metadata`` struct.
+    At 100 TB the delete side is proportional to ROWS DELETED, not
+    table size, so the broadcast holds exactly when merge-on-read is
+    the right trade (sparse deletes); a delete too big to broadcast is
+    the signal to compact (commit_replace folds the mask in and starts
+    delete-free)."""
+    from pyspark.sql import functions as F
+
+    cols = df.columns
+    pos = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__dv_fp"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+    dv = spark.read.parquet(*[d["path"] for d in deletes]).select(
+        F.col("file_path").alias("__del_fp"),
+        F.col("row_index").alias("__del_ri"),
+    )
+    return pos.join(
+        F.broadcast(dv),
+        (pos["__dv_fp"] == dv["__del_fp"])
+        & (pos["__dv_ri"] == dv["__del_ri"]),
+        "left_anti",
+    ).select(*cols)
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, df: DataFrame, eq_deletes: list[dict]
+) -> DataFrame:
+    """Mask rows matching any live equality delete: one broadcast
+    anti-join per (column, file) pair. Values-proportional, like the
+    position path — an equality set too big to broadcast is the signal
+    to compact."""
+    from pyspark.sql import functions as F
+
+    for e in eq_deletes:
+        vals = spark.read.parquet(e["path"])
+        df = df.join(F.broadcast(vals), on=e["col"], how="left_anti")
+    return df
 
 
 def read_version(
@@ -451,15 +538,136 @@ def read_version(
     the scan makes Spark null-fill the missing column instead of
     failing or silently dropping it — additive schema evolution without
     a mergeSchema footer sweep (O(1) metadata instead of O(#files) at
-    planning time)."""
+    planning time).
+
+    If the manifest carries delete vectors (merge-on-read DELETEs, the
+    Iceberg v2 position-delete shape), they are applied here — readers
+    always see the post-delete table; the raw files are a private
+    storage detail."""
     v = current_version(table_dir) if version is None else version
     manifest = read_manifest(table_dir, v)
-    files = [f["path"] for f in manifest["files"]]
-    schema = manifest.get("schema")
-    reader = spark.read
-    if schema:
-        reader = reader.schema(", ".join(f"`{n}` {t}" for n, t in schema))
-    return reader.parquet(*files)
+    df = _base_reader(spark, manifest)
+    deletes = manifest.get("deletes") or []
+    if deletes:
+        df = _apply_delete_vectors(spark, df, deletes)
+    df = _apply_equality_deletes(spark, df, manifest.get("eq_deletes") or [])
+    return df
+
+
+def read_version_with_pos(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """``read_version`` plus the row-identity columns ``file_path`` /
+    ``row_index`` (from the parquet reader's ``_metadata`` struct) — the
+    handle callers use to COMPUTE position deletes: filter this frame to
+    the doomed rows, select the two identity columns, and pass them to
+    ``commit_delete``. Because the identity is taken from the same
+    reader that later applies the vectors, the recorded file_path
+    matches byte-for-byte. Rows already masked by existing delete
+    vectors are excluded, so re-deleting an already-deleted row is
+    impossible by construction (the exactness invariant metadata-only
+    COUNT depends on)."""
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir) if version is None else version
+    manifest = read_manifest(table_dir, v)
+    base = _base_reader(spark, manifest)
+    cols = base.columns
+    pos = base.select(
+        "*",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    deletes = manifest.get("deletes") or []
+    if deletes:
+        dv = spark.read.parquet(*[d["path"] for d in deletes]).select(
+            F.col("file_path").alias("__del_fp"),
+            F.col("row_index").alias("__del_ri"),
+        )
+        pos = pos.join(
+            F.broadcast(dv),
+            (pos["file_path"] == dv["__del_fp"])
+            & (pos["row_index"] == dv["__del_ri"]),
+            "left_anti",
+        ).select(*cols, "file_path", "row_index")
+    pos = _apply_equality_deletes(
+        spark, pos, manifest.get("eq_deletes") or []
+    )
+    return pos
+
+
+def commit_delete(
+    spark: SparkSession,
+    table_dir: str,
+    positions: DataFrame,
+    op: str = "delete",
+) -> int:
+    """MERGE-ON-READ row-level DELETE (the Iceberg v2 position-delete
+    shape): publish a manifest whose live DATA set is byte-identical to
+    the previous version — ZERO data files rewritten — plus one new
+    position-delete parquet under ``_deletes/`` that readers anti-join
+    away. ``positions`` must carry exactly the (file_path, row_index)
+    identity columns produced by ``read_version_with_pos``.
+
+    This is the capability copy-on-write MERGE cannot offer: deleting
+    10 rows from a 1-GB file costs a kilobyte delete file, not a 1-GB
+    rewrite — delete cost is proportional to ROWS DELETED. Superseded
+    versions still read pre-delete (time travel ignores later delete
+    commits); compaction (commit_replace from a read_version feed)
+    folds the mask into fresh files and starts delete-free.
+
+    Commit discipline keeps the delete set exact (live paths, unique
+    positions): positions come from a deletes-applied identity read, so
+    a row can never be deleted twice, and ``commit_rewrite`` refuses to
+    run while vectors exist (a rewrite sourced from raw files would
+    resurrect masked rows). That exactness is what lets ``table_stats``
+    keep answering COUNT from metadata alone: live rows = footer sum −
+    delete-vector sum."""
+    import pyarrow.parquet as pq
+
+    prev = current_version(table_dir)
+    if not prev:
+        raise ValueError("cannot delete from an empty table")
+    prev_manifest = read_manifest(table_dir, prev)
+    os.makedirs(_deletes_dir(table_dir), exist_ok=True)
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    (
+        positions.select("file_path", "row_index")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    entries = []
+    try:
+        for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                continue
+            dest = os.path.join(
+                _deletes_dir(table_dir), f"{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(f, dest)
+            entries.append({"path": dest, "rows": n})
+        deletes = list(prev_manifest.get("deletes", [])) + entries
+        return _publish(
+            table_dir,
+            prev + 1,
+            op,
+            prev_manifest["files"],
+            prev_manifest.get("schema"),
+            deletes=deletes,
+            partition_spec=prev_manifest.get("partition_spec"),
+            eq_deletes=prev_manifest.get("eq_deletes"),
+        )
+    except BaseException:
+        for e in entries:
+            try:
+                os.unlink(e["path"])
+            except OSError:
+                pass
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def diff_files(table_dir: str, v_from: int, v_to: int) -> list[str]:
@@ -490,15 +698,36 @@ def vacuum(table_dir: str, retain_last: int = 1) -> tuple[int, int]:
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     horizon = max(1, cur - retain_last + 1)
+    # REF-pinned versions stay fully alive regardless of the retention
+    # horizon: a branch pointer (e.g. an unpublished "main" behind
+    # staged WAP commits) must never have its files reclaimed under it.
+    ref_versions = set()
+    for rf in glob.glob(os.path.join(_log_dir(table_dir), "ref_*.json")):
+        with open(rf) as fh:
+            ref_versions.add(json.load(fh)["version"])
+    keep_versions = set(range(horizon, cur + 1)) | ref_versions
     live: set[str] = set()
-    for v in range(horizon, cur + 1):
-        live |= {f["path"] for f in read_manifest(table_dir, v)["files"]}
+    live_dv: set[str] = set()
+    for v in sorted(keep_versions):
+        m = read_manifest(table_dir, v)
+        live |= {f["path"] for f in m["files"]}
+        live_dv |= {d["path"] for d in m.get("deletes", [])}
+        live_dv |= {d["path"] for d in m.get("eq_deletes", [])}
     deleted = 0
     for f in glob.glob(os.path.join(_data_dir(table_dir), "*.parquet")):
         if f not in live:
             os.remove(f)
             deleted += 1
+    # delete-vector files referenced only by expired manifests expire
+    # with them (a compaction drops the vectors from the live manifest,
+    # so post-compaction vacuums reclaim the mask files too)
+    for f in glob.glob(os.path.join(_deletes_dir(table_dir), "*.parquet")):
+        if f not in live_dv:
+            os.remove(f)
+            deleted += 1
     for v in range(1, horizon):
+        if v in ref_versions:
+            continue  # pinned manifest survives with its files
         path = os.path.join(_log_dir(table_dir), f"v{v:05d}.json")
         if os.path.exists(path):
             os.remove(path)
@@ -638,10 +867,22 @@ def table_stats(
     exact extrema — callers needing exactness check the kind flag)."""
     v = current_version(table_dir) if version is None else version
     manifest = read_manifest(table_dir, v)
+    # Live rows = footer sum − delete-vector row sum. Exact because the
+    # commit discipline keeps vectors live-and-unique: positions come
+    # from a deletes-applied identity read (no double-delete possible)
+    # and commit_rewrite refuses to strand vectors on replaced paths.
+    n_delete_rows = sum(d.get("rows", 0) for d in manifest.get("deletes", []))
     out = {
-        "n_rows": sum(f.get("rows", 0) for f in manifest["files"]),
+        "n_rows": sum(f.get("rows", 0) for f in manifest["files"])
+        - n_delete_rows,
         "n_files": len(manifest["files"]),
         "files_with_rows": sum(1 for f in manifest["files"] if "rows" in f),
+        "n_delete_rows": n_delete_rows,
+        "n_delete_files": len(manifest.get("deletes", [])),
+        # equality deletes commit blind (no identity read), so the rows
+        # they mask are unknowable from metadata: n_rows degrades to an
+        # UPPER BOUND until a compaction folds them in
+        "count_exact": not manifest.get("eq_deletes"),
     }
     if col is not None:
         lo = hi = None
@@ -676,8 +917,22 @@ def commit_rewrite(
     Superseded files stay on disk for time travel; vacuum reclaims
     them. A version race is not retried (a rewrite that lost to a
     concurrent commit must re-plan from the new snapshot — same rule
-    as commit_replace)."""
+    as commit_replace).
+
+    REFUSES to run while delete vectors exist: rewrite input is read
+    from raw files (the caller pruned + read the affected paths), so a
+    rewrite over live vectors would resurrect masked rows in the new
+    files AND leave vectors pointing at superseded paths — compact the
+    deletes away first (commit_replace from a read_version feed)."""
     replaced = set(replaced_paths)
+    prev0 = current_version(table_dir)
+    m0 = read_manifest(table_dir, prev0) if prev0 else {}
+    if m0.get("deletes") or m0.get("eq_deletes"):
+        raise ValueError(
+            "copy-on-write rewrite over live delete vectors would "
+            "resurrect deleted rows: compact deletes first "
+            "(commit_replace from a read_version feed)"
+        )
     new = _stage_files(df_new, table_dir, stat_cols)
     prev = current_version(table_dir)
     prev_manifest = read_manifest(table_dir, prev) if prev else {}
@@ -688,4 +943,395 @@ def commit_rewrite(
         f for f in prev_manifest.get("files", []) if f["path"] not in replaced
     ]
     schema = _merged_schema(prev_manifest.get("schema"), df_new)
-    return _publish(table_dir, prev + 1, op, keep + new, schema)
+    return _publish(
+        table_dir, prev + 1, op, keep + new, schema,
+        partition_spec=prev_manifest.get("partition_spec"),
+    )
+
+
+#: Declared partition transforms (the Iceberg hidden-partitioning set
+#: this format supports): ISO-prefix truncations of a date/timestamp
+#: column. Prefix transforms are MONOTONE over the ISO string order,
+#: which is what makes a raw-column predicate range map to a partition
+#: value range without the query knowing the layout.
+_PARTITION_TRANSFORMS = {"year": 4, "month": 7, "day": 10}
+
+
+def commit_append_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    part_col: str,
+    transform: str,
+    stat_cols: list[str],
+    op: str = "append",
+) -> int:
+    """HIDDEN-PARTITIONING append (the Iceberg partition-transform
+    shape): the table DECLARES ``transform(part_col)`` (year/month/day)
+    in its manifest; the writer derives the partition value, lands one
+    file set per value (``partitionBy`` on a helper column that never
+    enters the data files — the raw column stays, the derived value is
+    pure layout), and records each file's partition value in its
+    manifest entry. Queries filter on the RAW column; pruning maps the
+    predicate through the declared transform (``prune_files_partition``)
+    — users never reference, or even know, the layout. This is what
+    fixes the classic Hive failure mode where queries silently scan
+    everything unless they filter by the layout column by name.
+
+    Scale: one shuffle by partition value per append (same cost class
+    as any partitioned write); pruning stays O(#files) on the manifest.
+    The transform column is derived INSIDE the write plan — no UDF, no
+    extra pass."""
+    from pyspark.sql import functions as F
+
+    if transform not in _PARTITION_TRANSFORMS:
+        raise ValueError(
+            f"unsupported transform {transform!r}; "
+            f"pick one of {sorted(_PARTITION_TRANSFORMS)}"
+        )
+    prev = current_version(table_dir)
+    prev_manifest = read_manifest(table_dir, prev) if prev else {}
+    prev_spec = prev_manifest.get("partition_spec")
+    spec = {"col": part_col, "transform": transform}
+    if prev_spec is not None and prev_spec != spec:
+        raise ValueError(
+            f"partition spec mismatch: table declares {prev_spec}, "
+            f"writer passed {spec}"
+        )
+    fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[transform]
+    schema = _merged_schema(prev_manifest.get("schema"), df)
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(_data_dir(table_dir), exist_ok=True)
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    (
+        df.withColumn("__pval", F.date_format(F.col(part_col), fmt))
+        .repartition("__pval")
+        .write.partitionBy("__pval")
+        .mode("overwrite")
+        .parquet(staging)
+    )
+    entries = []
+    try:
+        for pdir in sorted(glob.glob(os.path.join(staging, "__pval=*"))):
+            pval = os.path.basename(pdir).split("=", 1)[1]
+            for f in sorted(glob.glob(os.path.join(pdir, "*.parquet"))):
+                if pq.ParquetFile(f).metadata.num_rows == 0:
+                    continue
+                dest = os.path.join(
+                    _data_dir(table_dir), f"{uuid.uuid4().hex}.parquet"
+                )
+                os.rename(f, dest)
+                entries.append(
+                    {
+                        "path": dest,
+                        "rows": pq.ParquetFile(dest).metadata.num_rows,
+                        "stats": _file_stats(dest, stat_cols),
+                        "partition": pval,
+                    }
+                )
+        files = list(prev_manifest.get("files", [])) + entries
+        return _publish(
+            table_dir,
+            (current_version(table_dir)) + 1,
+            op,
+            files,
+            schema,
+            deletes=prev_manifest.get("deletes"),
+            partition_spec=spec,
+        )
+    except BaseException:
+        for e in entries:
+            try:
+                os.unlink(e["path"])
+            except OSError:
+                pass
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+
+
+def prune_files_partition(
+    table_dir: str, version: int, lo, hi
+) -> tuple[list[str], int]:
+    """Transform-aware partition pruning from RAW-column bounds: read
+    the declared spec off the manifest, map [lo, hi] through the
+    transform (ISO prefix — monotone, so the range maps to a range),
+    and keep files whose recorded partition value intersects. The
+    caller passes plain date/timestamp bounds and NEVER names the
+    layout — that's the "hidden" in hidden partitioning. Files without
+    a recorded value (pre-spec appends, compacted files) are always
+    kept: the transform is an optimization, never a correctness
+    dependency. No spec declared -> no pruning, keep everything."""
+    manifest = read_manifest(table_dir, version)
+    spec = manifest.get("partition_spec")
+    files = manifest["files"]
+    if spec is None or spec.get("transform") not in _PARTITION_TRANSFORMS:
+        return [f["path"] for f in files], len(files)
+    n = _PARTITION_TRANSFORMS[spec["transform"]]
+    tlo, thi = str(lo)[:n], str(hi)[:n]
+    keep = [
+        f["path"]
+        for f in files
+        if "partition" not in f or tlo <= f["partition"] <= thi
+    ]
+    return keep, len(files)
+
+
+def commit_delete_equality(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    values: DataFrame,
+    op: str = "delete_eq",
+) -> int:
+    """EQUALITY DELETE (the second Iceberg v2 delete flavor): mask every
+    row whose ``col`` matches any value in ``values`` (a 1-column
+    DataFrame named ``col``) — WITHOUT reading a single data file at
+    commit time. That's the advantage over position deletes: a position
+    delete needs an identity read to find the doomed rows first; an
+    equality delete commits blind (O(values) write, zero scans), which
+    is the right shape for "delete these 50 customer ids across 100 TB
+    for a GDPR request" — the scan cost moves to read time, and one
+    compaction later it's gone entirely.
+
+    Readers apply equality deletes as a broadcast anti-join on the
+    column, AFTER position vectors. Metadata-only COUNT becomes a bound
+    while equality deletes are live (matches can't be counted without
+    reading) — ``table_stats`` reports ``count_exact: False`` until a
+    compaction folds them in. Same commit discipline as position
+    vectors: commit_rewrite refuses, commit_replace (from a
+    read_version feed) drops them."""
+    import pyarrow.parquet as pq
+
+    prev = current_version(table_dir)
+    if not prev:
+        raise ValueError("cannot delete from an empty table")
+    prev_manifest = read_manifest(table_dir, prev)
+    os.makedirs(_deletes_dir(table_dir), exist_ok=True)
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    values.select(col).distinct().coalesce(1).write.mode("overwrite").parquet(
+        staging
+    )
+    entries = []
+    try:
+        for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                continue
+            dest = os.path.join(
+                _deletes_dir(table_dir), f"{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(f, dest)
+            entries.append({"path": dest, "rows": n, "col": col})
+        eq = list(prev_manifest.get("eq_deletes", [])) + entries
+        return _publish(
+            table_dir,
+            prev + 1,
+            op,
+            prev_manifest["files"],
+            prev_manifest.get("schema"),
+            deletes=prev_manifest.get("deletes"),
+            partition_spec=prev_manifest.get("partition_spec"),
+            eq_deletes=eq,
+        )
+    except BaseException:
+        for e in entries:
+            try:
+                os.unlink(e["path"])
+            except OSError:
+                pass
+        raise
+
+
+def read_changes(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """ROW-LEVEL CHANGE FEED between two versions (the Delta CDF
+    shape): data columns + ``_change_type`` ('insert' | 'delete'),
+    NET semantics — a row appended and then deleted inside the window
+    appears in neither side.
+
+    * inserts: rows of data files added in the window, minus any rows
+      already masked by delete vectors added in the same window;
+    * deletes: rows identified by window-added position vectors that
+      live in files ALREADY PRESENT at v_from (the reader materializes
+      the full deleted row by joining the vector back to its file —
+      consumers get values, not just positions), plus rows of v_from
+      files matched by window-added equality deletes.
+
+    Same caveat as ``diff_files``: across a REPLACE commit the file
+    diff is not a row diff (compaction rewrites everything); consumers
+    downstream of a compaction dedupe by row identity — the documented
+    CDF limitation real formats share."""
+    from pyspark.sql import functions as F
+
+    mf = read_manifest(table_dir, v_from) if v_from else {"files": []}
+    mt = read_manifest(table_dir, v_to)
+    from_paths = {f["path"] for f in mf["files"]}
+    added = [f["path"] for f in mt["files"] if f["path"] not in from_paths]
+    old_pos = {d["path"] for d in mf.get("deletes", [])}
+    new_pos = [
+        d["path"] for d in mt.get("deletes", []) if d["path"] not in old_pos
+    ]
+    old_eq = {d["path"] for d in mf.get("eq_deletes", [])}
+    new_eq = [
+        d for d in mt.get("eq_deletes", []) if d["path"] not in old_eq
+    ]
+    schema = mt.get("schema")
+
+    def _reader():
+        r = spark.read
+        if schema:
+            r = r.schema(", ".join(f"`{n}` {t}" for n, t in schema))
+        return r
+
+    def _with_pos(paths):
+        return _reader().parquet(*paths).select(
+            "*",
+            F.col("_metadata.file_path").alias("__cf_fp"),
+            F.col("_metadata.row_index").alias("__cf_ri"),
+        )
+
+    cols = [n for n, _ in schema] if schema else None
+    pieces = []
+    dv = None
+    if new_pos:
+        dv = spark.read.parquet(*new_pos).select(
+            F.col("file_path").alias("__del_fp"),
+            F.col("row_index").alias("__del_ri"),
+        )
+    if added:
+        ins = _with_pos(added)
+        if cols is None:
+            cols = [c for c in ins.columns if not c.startswith("__cf_")]
+        if dv is not None:
+            ins = ins.join(
+                F.broadcast(dv),
+                (ins["__cf_fp"] == dv["__del_fp"])
+                & (ins["__cf_ri"] == dv["__del_ri"]),
+                "left_anti",
+            )
+        # ALL of v_to's equality vectors mask the new files (standing
+        # eq deletes apply to later appends too), not just window-added
+        for e in mt.get("eq_deletes", []):
+            vals = spark.read.parquet(e["path"])
+            ins = ins.join(F.broadcast(vals), on=e["col"], how="left_anti")
+        pieces.append(
+            ins.select(*cols).withColumn("_change_type", F.lit("insert"))
+        )
+    if from_paths and (dv is not None or new_eq):
+        old = _with_pos(sorted(from_paths))
+        if cols is None:
+            cols = [c for c in old.columns if not c.startswith("__cf_")]
+        # restrict to rows VISIBLE at v_from: a row already masked
+        # before the window must not re-emit as a delete (a downstream
+        # retraction fold would subtract it twice)
+        if mf.get("deletes"):
+            odv = spark.read.parquet(
+                *[d["path"] for d in mf["deletes"]]
+            ).select(
+                F.col("file_path").alias("__odel_fp"),
+                F.col("row_index").alias("__odel_ri"),
+            )
+            old = old.join(
+                F.broadcast(odv),
+                (old["__cf_fp"] == odv["__odel_fp"])
+                & (old["__cf_ri"] == odv["__odel_ri"]),
+                "left_anti",
+            )
+        for e in mf.get("eq_deletes", []):
+            vals = spark.read.parquet(e["path"])
+            old = old.join(F.broadcast(vals), on=e["col"], how="left_anti")
+        dels = []
+        if dv is not None:
+            dels.append(
+                old.join(
+                    F.broadcast(dv),
+                    (old["__cf_fp"] == dv["__del_fp"])
+                    & (old["__cf_ri"] == dv["__del_ri"]),
+                    "left_semi",
+                ).select(*cols)
+            )
+        for e in new_eq:
+            vals = spark.read.parquet(e["path"])
+            dels.append(
+                old.join(F.broadcast(vals), on=e["col"], how="left_semi")
+                .select(*cols)
+            )
+        deleted = dels[0]
+        for d in dels[1:]:
+            deleted = deleted.unionByName(d)
+        pieces.append(
+            deleted.distinct().withColumn("_change_type", F.lit("delete"))
+        )
+    if not pieces:
+        base = _reader().parquet(
+            *[f["path"] for f in mt["files"]]
+        ).limit(0)
+        return base.withColumn("_change_type", F.lit(""))
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def set_ref(table_dir: str, name: str, version: int) -> None:
+    """Move a named REF (branch pointer) to ``version`` — atomic
+    os.replace, so readers of the ref never see a torn pointer. Refs
+    decouple "committed" from "published": the log can hold versions a
+    ref does not point at yet (staged snapshots), which is what makes
+    write-audit-publish possible on a linear log."""
+    if not os.path.exists(
+        os.path.join(_log_dir(table_dir), f"v{version:05d}.json")
+    ):
+        raise ValueError(f"cannot point ref {name!r} at missing v{version}")
+    tmp = os.path.join(
+        _log_dir(table_dir), f".ref_{name}.{uuid.uuid4().hex[:8]}.tmp"
+    )
+    with open(tmp, "w") as fh:
+        json.dump({"version": version}, fh)
+    os.replace(tmp, os.path.join(_log_dir(table_dir), f"ref_{name}.json"))
+
+
+def get_ref(table_dir: str, name: str) -> int | None:
+    """Version a named ref points at, or None if the ref doesn't exist."""
+    path = os.path.join(_log_dir(table_dir), f"ref_{name}.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)["version"]
+
+
+def read_ref(
+    spark: SparkSession, table_dir: str, name: str = "main"
+) -> DataFrame:
+    """Read the snapshot a ref points at (readers of a WAP-gated table
+    read THE REF, never current_version — staged-but-unaudited commits
+    are invisible until the publish step moves the pointer)."""
+    v = get_ref(table_dir, name)
+    if v is None:
+        raise ValueError(f"ref {name!r} does not exist in {table_dir}")
+    return read_version(spark, table_dir, v)
+
+
+def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
+    """RESTORE (the Delta `RESTORE TABLE ... TO VERSION` shape): publish
+    a NEW version whose content is a byte-level copy of ``to_version``'s
+    manifest — the log only ever moves forward (an audit trail survives
+    the rollback; time travel still reaches the bad version), but the
+    table's live state returns to the known-good snapshot. Zero data
+    movement: the restored manifest references the same immutable
+    files."""
+    src = read_manifest(table_dir, to_version)
+    prev = current_version(table_dir)
+    return _publish(
+        table_dir,
+        prev + 1,
+        op,
+        src["files"],
+        src.get("schema"),
+        deletes=src.get("deletes"),
+        partition_spec=src.get("partition_spec"),
+        eq_deletes=src.get("eq_deletes"),
+    )

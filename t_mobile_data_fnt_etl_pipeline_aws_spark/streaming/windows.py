@@ -884,3 +884,120 @@ def q_stream_manifest_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         finish(F.col("sum_dec"), 6).alias("sum_value"),
     )
+
+
+@query(
+    "q_stream_changefeed_apply_retract",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_orderkey % 97 <> 0
+      AND o_orderkey % 101 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_stream_changefeed_apply_retract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RETRACTION-CAPABLE incremental MV maintenance — the semantics
+    `q_stream_manifest_cdc_apply` cannot express: that key folds
+    append-only deltas; this one consumes the ROW-LEVEL change feed
+    (read_changes) so the downstream aggregate stays correct through
+    DELETES too — inserts add (+count, +decimal sum), deletes subtract
+    (−count, −sum), the Flink/Materialize retraction-stream shape built
+    on the table format's own CDF.
+
+    Version history driven as micro-batches: history append → new-year
+    append → a sparse position-delete (%97) → a blind equality delete
+    (%101). Each window's changes fold into versioned parquet state
+    (never read-modify-write); the decimal accumulator stays UNFINISHED
+    across refreshes with the finish applied once at read-out (the
+    numeric.py terminal-finish rule). The oracle checks the final state
+    the hard way: a one-shot aggregate over exactly the surviving rows.
+    tests/test_invariants.py::test_changefeed_retract_every_version
+    pins state_w == aggregate(visible rows at w) after EVERY window.
+
+    Scale: each refresh costs O(changes) + O(|state|); deletes arrive
+    as materialized rows (values, not positions), so the MV fold needs
+    no access to the base table at all — the feed is the interface, any
+    engine downstream can maintain the view.
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        read_changes,
+        read_version_with_pos,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    run = _uuid.uuid4().hex[:8]
+    table = os.path.join(base, f"orders_retract_{run}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    v1 = commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(4),
+        table,
+        ["o_orderdate"],
+        op="history",
+    )
+    v2 = commit_append(
+        o.filter(F.col("o_orderdate") >= cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="append_new",
+    )
+    doomed = read_version_with_pos(spark, table).filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    v3 = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    v4 = commit_delete_equality(
+        spark,
+        table,
+        "o_orderkey",
+        o.filter(F.col("o_orderkey") % 101 == 0).select("o_orderkey"),
+    )
+    state = None
+    windows = [(0, v1), (v1, v2), (v2, v3), (v3, v4)]
+    for w_from, w_to in windows:
+        sign = F.when(F.col("_change_type") == F.lit("delete"), -1).otherwise(1)
+        d = (
+            read_changes(spark, table, w_from, w_to)
+            .withColumn("__sign", sign)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("__sign").alias("n_orders"),
+                F.sum(
+                    F.col("__sign") * F.col("o_totalprice").cast(DEC)
+                ).alias("sum_dec"),
+            )
+        )
+        merged = (
+            d
+            if state is None
+            else state.unionByName(d)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.sum("n_orders").alias("n_orders"),
+                F.sum("sum_dec").alias("sum_dec"),
+            )
+        )
+        path = os.path.join(base, f"orders_retractstate_{run}_v{w_to}")
+        merged.write.mode("overwrite").parquet(path)
+        state = spark.read.parquet(path)
+    return state.filter(F.col("n_orders") > 0).select(
+        "o_orderpriority",
+        "n_orders",
+        finish(F.col("sum_dec"), 2).alias("revenue"),
+    )

@@ -348,13 +348,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 236 extras = 315 registered,
-    301 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 242 extras = 321 registered,
+    307 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 315
-    assert len(oracles) == 301
+    assert len(QUERIES) == 321
+    assert len(oracles) == 307
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -1557,10 +1557,13 @@ def test_bench_drift_gate_is_contention_immune():
     # Case 8: REPLAY OF THE ACTUAL r12 RECORD (VERDICT r12 item 3's
     # done-criterion). Marathon readings: the primary anchor
     # self-inflated to 2.1x (2.97 s vs a 1.41 s prior) while a2 read
-    # 1.1x; three latency-floor keys read 1.5-2.1x. Fresh-JVM reruns
-    # come back at their true near-prior speeds (the judge re-measured
-    # q_agg_hash at 1.48 s). The new gate must confirm NOTHING and
-    # record all four raw flags with their adjudication evidence.
+    # 1.1x; three latency-floor keys read 1.5-2.1x. The absolute-delta
+    # floor (r13) already absorbs the two smallest (string_funcs +0.25 s
+    # and union_all +0.13 s never leave the raw gate — both re-pinned at
+    # their historic floors on a quiet host); the remaining raw flags
+    # rerun fresh-JVM at near-prior speeds (the judge re-measured
+    # q_agg_hash at 1.48 s) and the gate must confirm NOTHING while
+    # recording the cleared flags with their adjudication evidence.
     r12_prior = {a1: 1.41, a2: 0.50, "q_string_funcs": 0.22,
                  "q_udf_map_in_arrow": 0.60, "q_union_all": 0.23}
     r12_marathon = {a1: 2.97, a2: 0.55, "q_string_funcs": 0.47,
@@ -1568,8 +1571,7 @@ def test_bench_drift_gate_is_contention_immune():
     r12_fresh = {a1: 1.48, a2: 0.55, "q_string_funcs": 0.25,
                  "q_udf_map_in_arrow": 0.65, "q_union_all": 0.25}
     raw = find_regressions(r12_marathon, r12_prior)
-    assert set(raw) == {a1, "q_string_funcs", "q_udf_map_in_arrow",
-                        "q_union_all"}
+    assert set(raw) == {a1, "q_udf_map_in_arrow"}
     confirmed, cleared = confirm_regressions(
         raw, r12_prior, rerun=lambda k: r12_fresh[k]
     )
@@ -2668,6 +2670,398 @@ def test_manifest_rejected_commit_stages_nothing(spark, tmp_path):
             ["k"],
         )
     assert set(_glob.glob(_os.path.join(table, "data", "*"))) == data_files
+
+
+def test_manifest_delete_vectors_semantics(spark, tmp_path):
+    """Merge-on-read position deletes, the full contract: (1) a delete
+    commit leaves the live DATA set byte-identical (cost ∝ rows, not
+    files); (2) readers see exactly the surviving rows; (3) time travel
+    to the pre-delete version reads the full table; (4) metadata-only
+    COUNT stays exact (footer sum − vector sum); (5) a second delete
+    cannot double-mask (identity read excludes already-deleted rows);
+    (6) appends carry vectors forward untouched; (7) copy-on-write
+    rewrite REFUSES over live vectors (raw-file input would resurrect
+    masked rows); (8) compaction from a read_version feed folds the
+    mask in, and a post-compaction vacuum reclaims the vector file."""
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_replace,
+        commit_rewrite,
+        read_manifest,
+        read_version,
+        read_version_with_pos,
+        table_stats,
+        vacuum,
+    )
+
+    table = str(tmp_path / "mor")
+    df1 = spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long")
+    df2 = spark.createDataFrame([(i, i * 10) for i in range(10, 20)], "k long, v long")
+    commit_append(df1.repartition(1), table, ["k"])
+    v2 = commit_append(df2.repartition(1), table, ["k"])
+
+    doomed = read_version_with_pos(spark, table, v2).filter("k % 5 = 0")
+    v3 = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+
+    # (1) zero data files rewritten
+    assert [f["path"] for f in read_manifest(table, v2)["files"]] == [
+        f["path"] for f in read_manifest(table, v3)["files"]
+    ]
+    # (2) exactly the survivors
+    got = sorted(r.k for r in read_version(spark, table, v3).collect())
+    assert got == [i for i in range(20) if i % 5 != 0]
+    # (3) time travel pre-delete
+    assert read_version(spark, table, v2).count() == 20
+    # (4) metadata-only count exact
+    st = table_stats(table, v3)
+    assert st["n_rows"] == 16 and st["n_delete_files"] == 1
+    assert st["n_delete_rows"] == 4
+    # (5) no double-mask: identity read at v3 excludes masked rows
+    assert read_version_with_pos(spark, table, v3).filter("k % 5 = 0").count() == 0
+    # (6) append carries vectors
+    df3 = spark.createDataFrame([(100, 0)], "k long, v long")
+    v4 = commit_append(df3.repartition(1), table, ["k"])
+    assert read_version(spark, table, v4).count() == 17
+    assert table_stats(table, v4)["n_rows"] == 17
+    # (7) rewrite refuses over live vectors
+    live = [f["path"] for f in read_manifest(table, v4)["files"]]
+    with _pytest.raises(ValueError, match="delete vectors"):
+        commit_rewrite(df3, table, ["k"], live[:1])
+    # (8) compaction folds the mask; vacuum reclaims the vector file
+    v5 = commit_replace(read_version(spark, table, v4), table, ["k"])
+    assert "deletes" not in read_manifest(table, v5)
+    assert read_version(spark, table, v5).count() == 17
+    assert _glob.glob(_os.path.join(table, "_deletes", "*.parquet"))
+    vacuum(table, retain_last=1)
+    assert not _glob.glob(_os.path.join(table, "_deletes", "*.parquet"))
+    assert read_version(spark, table, v5).count() == 17
+
+
+def test_manifest_hidden_partitioning_semantics(spark, tmp_path):
+    """Hidden-partitioning contract: per-file partition values are
+    recorded under the declared transform; pruning maps RAW-column
+    bounds through the transform (monotone ISO prefix) and the pruned
+    read returns exactly the predicate's rows; a conflicting spec on a
+    later append is rejected; files committed WITHOUT a partition value
+    (plain appends after the spec) are never skipped."""
+    import datetime
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition,
+        read_manifest,
+    )
+
+    table = str(tmp_path / "hidden")
+    rows = [
+        (i, datetime.datetime(2021, m, 5 + i)) for m in (1, 2, 3) for i in range(3)
+    ]
+    commit_append_partitioned(
+        spark.createDataFrame(rows, "k long, ts timestamp_ntz"),
+        table,
+        "ts",
+        "month",
+        ["ts"],
+    )
+    v = current_version(table)
+    manifest = read_manifest(table, v)
+    assert manifest["partition_spec"] == {"col": "ts", "transform": "month"}
+    pvals = sorted(f["partition"] for f in manifest["files"])
+    assert pvals == ["2021-01", "2021-02", "2021-03"]
+
+    # raw-column bounds -> only February survives
+    files, total = prune_files_partition(
+        table, v, "2021-02-01 00:00:00", "2021-02-28 23:59:59"
+    )
+    assert total == 3 and len(files) == 1
+    got = sorted(r.k for r in spark.read.parquet(*files).collect())
+    assert got == [0, 1, 2]
+
+    # conflicting spec rejected
+    with _pytest.raises(ValueError, match="partition spec mismatch"):
+        commit_append_partitioned(
+            spark.createDataFrame(rows, "k long, ts timestamp_ntz"),
+            table,
+            "ts",
+            "day",
+            ["ts"],
+        )
+
+    # a plain (non-partitioned) append's files are never skipped
+    extra = [(99, datetime.datetime(2021, 6, 1))]
+    v2 = commit_append(
+        spark.createDataFrame(extra, "k long, ts timestamp_ntz").repartition(1),
+        table,
+        ["ts"],
+    )
+    files, total = prune_files_partition(
+        table, v2, "2021-02-01 00:00:00", "2021-02-28 23:59:59"
+    )
+    assert total == 4 and len(files) == 2  # Feb file + the unvalued file
+
+
+def test_manifest_equality_delete_semantics(spark, tmp_path):
+    """Equality deletes, the full contract: (1) blind commit — zero data
+    files read or rewritten; (2) readers mask matching rows (absent
+    values are harmless); (3) metadata COUNT honestly degrades to an
+    upper bound (count_exact False) while eq-vectors live; (4) time
+    travel pre-delete reads full; (5) position deletes COMPOSE on top
+    (the identity read excludes eq-masked rows first); (6) appends
+    carry the vectors; (7) rewrite refuses; (8) compaction folds both
+    mask kinds in, restores count_exact, and a vacuum then reclaims
+    every vector file."""
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        commit_replace,
+        commit_rewrite,
+        read_manifest,
+        read_version,
+        read_version_with_pos,
+        table_stats,
+        vacuum,
+    )
+
+    table = str(tmp_path / "eqdel")
+    df1 = spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long")
+    df2 = spark.createDataFrame([(i, i * 10) for i in range(10, 20)], "k long, v long")
+    commit_append(df1.repartition(1), table, ["k"])
+    v2 = commit_append(df2.repartition(1), table, ["k"])
+
+    vals = spark.createDataFrame([(1,), (5,), (100,)], "k long")  # 100 absent
+    v3 = commit_delete_equality(spark, table, "k", vals)
+    # (1) blind: live data set byte-identical
+    assert [f["path"] for f in read_manifest(table, v2)["files"]] == [
+        f["path"] for f in read_manifest(table, v3)["files"]
+    ]
+    # (2) masked rows gone, absent value harmless
+    got = sorted(r.k for r in read_version(spark, table, v3).collect())
+    assert got == [i for i in range(20) if i not in (1, 5)]
+    # (3) COUNT is an upper bound now
+    st = table_stats(table, v3)
+    assert st["count_exact"] is False and st["n_rows"] == 20
+    # (4) time travel
+    assert read_version(spark, table, v2).count() == 20
+    # (5) position delete composes AFTER the eq mask
+    doomed = read_version_with_pos(spark, table, v3).filter("k in (1, 2)")
+    assert doomed.count() == 1  # k=1 already eq-masked
+    v4 = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    got = sorted(r.k for r in read_version(spark, table, v4).collect())
+    assert got == [i for i in range(20) if i not in (1, 2, 5)]
+    # (6) append carries both mask kinds
+    v5 = commit_append(
+        spark.createDataFrame([(100, 0)], "k long, v long").repartition(1),
+        table,
+        ["k"],
+    )
+    # the appended k=100 row IS masked by the standing eq-vector (100 in
+    # the value set) — vectors apply to the whole live set, same as
+    # Iceberg sequence-number-free equality deletes
+    got = sorted(r.k for r in read_version(spark, table, v5).collect())
+    assert got == [i for i in range(20) if i not in (1, 2, 5)]
+    # (7) rewrite refuses over live vectors
+    live = [f["path"] for f in read_manifest(table, v5)["files"]]
+    with _pytest.raises(ValueError, match="delete vectors"):
+        commit_rewrite(df1, table, ["k"], live[:1])
+    # (8) compaction folds both; count exact again; vacuum reclaims
+    v6 = commit_replace(read_version(spark, table, v5), table, ["k"])
+    m6 = read_manifest(table, v6)
+    assert "deletes" not in m6 and "eq_deletes" not in m6
+    st = table_stats(table, v6)
+    assert st["count_exact"] is True and st["n_rows"] == 17
+    vacuum(table, retain_last=1)
+    assert not _glob.glob(_os.path.join(table, "_deletes", "*.parquet"))
+    assert read_version(spark, table, v6).count() == 17
+
+
+def test_manifest_read_changes_semantics(spark, tmp_path):
+    """Row-level change feed, net semantics: appended-then-deleted rows
+    appear in NEITHER side; deletes materialize full rows from v_from
+    files; the window is genuinely versioned (a narrower window sees
+    more deletes and no inserts); equality deletes feed the delete side
+    too; v_from=0 emits everything as insert."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        read_changes,
+        read_version_with_pos,
+    )
+
+    table = str(tmp_path / "cdf")
+    df1 = spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long")
+    df2 = spark.createDataFrame([(i, i * 10) for i in range(10, 20)], "k long, v long")
+    v1 = commit_append(df1.repartition(1), table, ["k"])
+    v2 = commit_append(df2.repartition(1), table, ["k"])
+    doomed = read_version_with_pos(spark, table).filter("k % 5 = 0")
+    v3 = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+
+    ch = read_changes(spark, table, v1, v3).collect()
+    ins = sorted(r.k for r in ch if r._change_type == "insert")
+    dels = sorted(r.k for r in ch if r._change_type == "delete")
+    assert ins == [11, 12, 13, 14, 16, 17, 18, 19]  # 10, 15 net-cancel
+    assert dels == [0, 5]  # deletes from v_from files only, full rows
+    assert all(
+        r.v == r.k * 10 for r in ch if r._change_type == "delete"
+    )  # materialized values, not offsets
+
+    # narrower window: v2 -> v3 sees NO inserts, all 4 deleted rows
+    ch2 = read_changes(spark, table, v2, v3).collect()
+    assert not [r for r in ch2 if r._change_type == "insert"]
+    assert sorted(r.k for r in ch2 if r._change_type == "delete") == [0, 5, 10, 15]
+
+    # equality delete flows into the delete side; k=5 was already
+    # position-masked BEFORE this window, so it must NOT re-emit (a
+    # retraction fold downstream would subtract it twice)
+    v4 = commit_delete_equality(
+        spark, table, "k", spark.createDataFrame([(3,), (5,)], "k long")
+    )
+    ch3 = read_changes(spark, table, v3, v4).collect()
+    assert [(r._change_type, r.k) for r in ch3] == [("delete", 3)]
+
+    # v_from=0: everything inserts (post-mask)
+    ch0 = read_changes(spark, table, 0, v4).collect()
+    assert all(r._change_type == "insert" for r in ch0)
+    assert sorted(r.k for r in ch0) == [
+        i for i in range(20) if i % 5 != 0 and i != 3
+    ]
+
+
+def test_manifest_refs_rollback_and_vacuum_pin(spark, tmp_path):
+    """Ref/WAP plumbing: refs move atomically and reject missing
+    versions; rollback is a forward-only content copy (the bad version
+    stays time-travelable); and vacuum NEVER reclaims files or the
+    manifest of a ref-pinned version outside the retention window —
+    an unpublished main behind staged commits must stay readable."""
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        current_version,
+        get_ref,
+        read_manifest,
+        read_ref,
+        read_version,
+        rollback,
+        set_ref,
+        vacuum,
+    )
+
+    table = str(tmp_path / "refs")
+    v1 = commit_append(
+        spark.createDataFrame([(1,)], "k long").repartition(1), table, ["k"]
+    )
+    with _pytest.raises(ValueError, match="missing"):
+        set_ref(table, "main", 99)
+    with _pytest.raises(ValueError, match="does not exist"):
+        read_ref(spark, table, "main")
+    set_ref(table, "main", v1)
+
+    # stage 3 commits main does not publish
+    for i in range(2, 5):
+        commit_append(
+            spark.createDataFrame([(i,)], "k long").repartition(1),
+            table,
+            ["k"],
+        )
+    assert get_ref(table, "main") == v1
+    assert read_ref(spark, table, "main").count() == 1  # staged invisible
+
+    # vacuum with retain_last=1 would normally reclaim v1's files —
+    # the ref pin must protect them AND v1's manifest
+    vacuum(table, retain_last=1)
+    assert read_ref(spark, table, "main").count() == 1
+    assert read_manifest(table, v1)["files"]
+
+    # rollback: forward-only restore of v1's content
+    v_r = rollback(table, v1)
+    assert v_r == current_version(table)
+    assert sorted(r.k for r in read_version(spark, table, v_r).collect()) == [1]
+    # the staged (bad) versions remain in the log behind the restore
+    assert read_version(spark, table, v_r - 1).count() == 4
+
+
+def test_changefeed_retract_every_version(spark, tmp_path):
+    """The retraction fold's per-window invariant (promised in
+    q_stream_changefeed_apply_retract's docstring): after folding each
+    window's changes, the running state equals the one-shot aggregate
+    over the rows VISIBLE at that window's end — through an append, a
+    position-delete, and an equality-delete."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        read_changes,
+        read_version,
+        read_version_with_pos,
+    )
+
+    table = str(tmp_path / "retract")
+    df1 = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), i * 10) for i in range(10)], "k long, g string, v long"
+    )
+    df2 = spark.createDataFrame(
+        [(i, "g%d" % (i % 2), i * 10) for i in range(10, 20)],
+        "k long, g string, v long",
+    )
+    v1 = commit_append(df1.repartition(1), table, ["k"])
+    v2 = commit_append(df2.repartition(1), table, ["k"])
+    doomed = read_version_with_pos(spark, table).filter("k % 5 = 0")
+    v3 = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    v4 = commit_delete_equality(
+        spark, table, "k", spark.createDataFrame([(3,), (7,)], "k long")
+    )
+
+    state = None
+    for w_from, w_to in [(0, v1), (v1, v2), (v2, v3), (v3, v4)]:
+        sign = F.when(F.col("_change_type") == "delete", -1).otherwise(1)
+        d = (
+            read_changes(spark, table, w_from, w_to)
+            .withColumn("__s", sign)
+            .groupBy("g")
+            .agg(
+                F.sum("__s").alias("n"),
+                F.sum(F.col("__s") * F.col("v")).alias("sv"),
+            )
+        )
+        state = (
+            d
+            if state is None
+            else state.unionByName(d)
+            .groupBy("g")
+            .agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+        )
+        got = {
+            r.g: (r.n, r.sv)
+            for r in state.collect()
+            if r.n > 0
+        }
+        want = {
+            r.g: (r.n, r.sv)
+            for r in read_version(spark, table, w_to)
+            .groupBy("g")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+            .collect()
+        }
+        assert got == want, (w_to, got, want)
 
 
 def test_manifest_cdc_apply_every_version(spark, sf_dir, tmp_path):

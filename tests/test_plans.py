@@ -1039,3 +1039,25 @@ def test_ohlc_stays_hash_aggregated(spark, sf_dir):
     plan = plan_string(QUERIES["q_timeseries_ohlc"](spark, sf_dir))
     assert "SortAggregate" not in plan
     assert "HashAggregate" in plan
+
+
+def test_mor_delete_read_broadcasts_antijoin(spark, sf_dir):
+    """The merge-on-read reader must apply delete vectors as a
+    BROADCAST anti-join (the vector side is proportional to rows
+    deleted, by design sparse) — a shuffled anti-join would re-shuffle
+    the full 100-TB data side to mask a kilobyte of deletes."""
+    df = QUERIES["q_etl_manifest_delete_mor"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_hidden_partitioning_scans_fewer_files(spark, sf_dir):
+    """The hidden-partitioning key's result column pins pruning
+    (pruned_by_transform = files_read < total); the plan must show a
+    parquet scan with the exact raw-column predicate still pushed into
+    the surviving files (transform pruning COMPOSES with, never
+    replaces, PushedFilters)."""
+    df = QUERIES["q_etl_hidden_partitioning"](spark, sf_dir)
+    assert any("o_orderdate" in p for p in pushed_filters(df)), plan_string(df)
+    assert all(r.pruned_by_transform for r in df.collect())

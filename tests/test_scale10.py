@@ -119,6 +119,28 @@ SCALE_SENSITIVE_EXTRA = [
     # incremental view maintenance: 10× deltas through the unfinished-
     # decimal state fold (the finish-is-terminal rule under real mass)
     "q_stream_manifest_cdc_apply",
+    # round-13: merge-on-read delete vectors — at 10× the doomed-row
+    # identity set (~1% of 15M orders) is a real broadcast and the
+    # (file_path, row_index) anti-join runs against multi-row-group
+    # files (row_index semantics past one row group is the exact thing
+    # fixture scale can't prove); hidden partitioning — ~84 month files
+    # at real size, transform-bound mapping over the full year range
+    "q_etl_manifest_delete_mor",
+    "q_etl_hidden_partitioning",
+    # equality deletes at 10×: the blind value-set commit masks ~115k
+    # of 15M keys through the broadcast anti-join, and the compaction
+    # that restores count-exactness rewrites real multi-row-group
+    # files; the change feed materializes ~1% deleted rows by joining
+    # vectors back to multi-row-group v_from files (row_index past one
+    # row group again)
+    "q_etl_manifest_delete_equality",
+    "q_etl_changefeed_rowlevel",
+    # WAP at 10×: the audit scans a real staged snapshot and the
+    # restore/publish ref dance runs over full-size manifests; the
+    # retraction MV folds ~1% deletes + a blind eq-mask through the
+    # unfinished-decimal state at real mass
+    "q_etl_write_audit_publish",
+    "q_stream_changefeed_apply_retract",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA

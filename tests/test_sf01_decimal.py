@@ -56,6 +56,13 @@ DECIMAL_HEAVY = [
     "q_join_dpp_prune",        # r9: dsum revenue over pruned partitions
     "q_er_resolve_entities",   # r9: dsum retail per resolved entity
     "q_etl_mv_incremental",    # r9: unfinished-decimal partial-state merge
+    # r13 (VERDICT r12 item 8): the two newest numeric/behavioral paths
+    # most likely to diverge at 10× — the change-feed state fold keeps
+    # the decimal accumulator UNFINISHED across refreshes (finish must
+    # stay terminal under real mass), and the schema-evolution null-fill
+    # must not perturb decimal aggregates over pre-evolution files
+    "q_stream_manifest_cdc_apply",
+    "q_etl_schema_evolution_add_column",
 ]
 
 
