@@ -273,6 +273,8 @@ HEADLINE = [
     "q_etl_changefeed_rowlevel",          # net row-level CDF with delete rows
     "q_etl_write_audit_publish",          # ref-gated WAP + RESTORE rollback
     "q_stream_changefeed_apply_retract",  # retraction-capable incremental MV
+    "q_scan_manifest_files_table",        # table$files metadata inspection
+    "q_scan_manifest_history_table",      # table$history audit trail
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor
@@ -283,6 +285,9 @@ HEADLINE = [
 ]
 
 RUNS = 3
+
+#: marathon JVM lifetime (keys per JVM) — see the rotation note in main()
+JVM_ROTATE_KEYS = 50
 
 #: Regression gate: flag any query whose median drifts beyond this factor
 #: vs the most recent BENCH_r*.json on disk (VERDICT r3 item 6 — catch the
@@ -537,8 +542,19 @@ def main() -> None:
     def time_query(key: str) -> float:
         return time_query_with(spark, key)
 
+    # Rotate the JVM every JVM_ROTATE_KEYS keys: a long single-JVM
+    # sweep drifts (JIT tier churn, listener/GC accumulation), and the
+    # drift is POSITION-dependent — keys late in a growing headline
+    # list read slower round over round with their code untouched
+    # (r10 bfs_hops 2.14x, r12 q_agg_hash 2.1x, r13 q_bpe_apply 1.7x —
+    # all re-pinned at prior in a fresh JVM). Bounded-lifetime JVMs cap
+    # how much drift any key's position can see, making cross-round
+    # medians compare like-for-like at ~1 restart per 50 keys of cost.
     timings: dict[str, float] = {}
-    for key in keys:
+    for i, key in enumerate(keys):
+        if i and i % JVM_ROTATE_KEYS == 0:
+            spark.stop()
+            spark = get_spark(f"spark-graft-bench-{i // JVM_ROTATE_KEYS}")
         timings[key] = round(time_query(key), 4)
 
     # Anchor double-read (VERDICT r12 item 5): q_agg_hash sits at

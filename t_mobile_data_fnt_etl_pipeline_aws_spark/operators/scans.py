@@ -2861,3 +2861,108 @@ def q_etl_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("bad_batch_blocked", F.lit(blocked))
         .withColumn("restore_kept_history", F.lit(restore_kept))
     )
+
+
+@query(
+    "q_scan_manifest_files_table",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS BIGINT) AS file_year,
+           count(*) AS n_rows,
+           strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS min_date,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+    FROM orders
+    GROUP BY file_year
+    """,
+)
+def q_scan_manifest_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `table$files` METADATA TABLE (Iceberg ops surface): inspect
+    every live data file — row count, per-column stats, partition value
+    — with ZERO data files opened. Loaded one file per order-year, the
+    files table's footer counts and date-range stats must reproduce the
+    per-year relational truth exactly: the oracle recomputes each
+    year's count/min/max from the raw rows, proving the metadata plane
+    agrees with the data plane (the property every stats-based
+    optimization in this format leans on).
+
+    Scale: O(#files) over kilobyte manifests; at production file counts
+    the manifest itself distributes (documented module-wide). This is
+    the diagnosis surface for small-file problems and pruning forensics
+    ("which files would this predicate touch, and why").
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, files_table
+
+    table = _sink_dir(f"orders_filestbl_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    v = 0
+    for yr in years:
+        v = commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    # stats is a JSON string; extraction stays JVM-side (get_json_object,
+    # no Python UDF) — metadata rows are few, but the hot-path discipline
+    # is uniform
+    lo = F.get_json_object("stats", "$.o_orderdate[0]")
+    hi = F.get_json_object("stats", "$.o_orderdate[1]")
+    ft = files_table(spark, table, v)
+    return ft.select(
+        F.substring(lo, 1, 4).cast("long").alias("file_year"),
+        F.col("n_rows"),
+        lo.alias("min_date"),
+        hi.alias("max_date"),
+    )
+
+
+@query(
+    "q_scan_manifest_history_table",
+    oracle="""
+    WITH yearly AS (
+        SELECT year(o_orderdate) AS yr, count(*) AS n
+        FROM orders GROUP BY yr
+    )
+    SELECT CAST(row_number() OVER (ORDER BY yr) AS BIGINT) AS version,
+           'append_y' || CAST(yr AS VARCHAR) AS op,
+           CAST(row_number() OVER (ORDER BY yr) AS BIGINT) AS n_files,
+           CAST(sum(n) OVER (ORDER BY yr) AS BIGINT) AS n_rows,
+           false AS has_row_masks
+    FROM yearly
+    """,
+)
+def q_scan_manifest_history_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `table$history` METADATA TABLE: one row per reachable
+    version — op label, live file count, visible row count, row-mask
+    flag — a pure manifest fold (no data reads). Loaded one file per
+    order-year, version i's history row must show exactly i files and
+    the cumulative row count through year i; the oracle rebuilds that
+    audit trail relationally (running sum over per-year counts). This
+    is what makes the forward-only log an AUDIT TRAIL: every append,
+    compaction, delete, and restore stays inspectable after the fact.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import commit_append, history_table
+
+    table = _sink_dir(f"orders_histtbl_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    for yr in years:
+        commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    return history_table(spark, table)

@@ -156,6 +156,8 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_changefeed_rowlevel",
     "q_etl_write_audit_publish",
     "q_stream_changefeed_apply_retract",
+    "q_scan_manifest_files_table",
+    "q_scan_manifest_history_table",
 ]
 
 

@@ -1335,3 +1335,61 @@ def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
         partition_spec=src.get("partition_spec"),
         eq_deletes=src.get("eq_deletes"),
     )
+
+
+def files_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The Iceberg ``table$files`` metadata table: one row per LIVE data
+    file at a version — path, footer row count, per-column min/max
+    stats (JSON-encoded), and the partition value if the table declares
+    a transform. Answered from the manifest alone (zero data files
+    opened): the ops surface for "which files does a query touch",
+    small-file diagnosis, and pruning forensics. O(#files) driver-side
+    over kilobyte manifests, same documented scale path as the rest of
+    the metadata plane (distribute the manifest at production file
+    counts)."""
+    v = current_version(table_dir) if version is None else version
+    manifest = read_manifest(table_dir, v)
+    rows = [
+        (
+            f["path"],
+            int(f.get("rows", 0)),
+            json.dumps(f.get("stats", {}), sort_keys=True),
+            f.get("partition"),
+        )
+        for f in manifest["files"]
+    ]
+    return spark.createDataFrame(
+        rows, "file_path string, n_rows long, stats string, partition string"
+    )
+
+
+def history_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Iceberg ``table$history``/``$snapshots`` metadata table: one
+    row per REACHABLE version — version, commit op, live file count,
+    live (visible) row count, and whether row-level masks were live at
+    that version. A pure manifest fold (no data reads): the audit
+    surface for "what happened to this table" — appends, compactions,
+    deletes, restores — which is what makes the forward-only log an
+    audit trail rather than just a recovery mechanism."""
+    rows = []
+    for v in range(1, current_version(table_dir) + 1):
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # vacuumed beyond retention
+        n_del = sum(d.get("rows", 0) for d in m.get("deletes", []))
+        rows.append(
+            (
+                v,
+                m.get("op", ""),
+                len(m["files"]),
+                sum(f.get("rows", 0) for f in m["files"]) - n_del,
+                bool(m.get("deletes") or m.get("eq_deletes")),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, n_files long, n_rows long, has_row_masks boolean",
+    )

@@ -403,3 +403,120 @@ def test_manifest_table_random_commit_sequences(spark):
             shutil.rmtree(table, ignore_errors=True)
 
     run()
+
+
+def test_manifest_table_random_delete_sequences(spark):
+    """Model-based property test for the ROW-LEVEL plane: across random
+    append / position-delete / equality-delete / replace / rollback
+    sequences, every historical version must read back exactly its
+    model VISIBLE row-set (masks included in time travel), standing
+    equality vectors must mask LATER appends too, delete commits must
+    add zero data files, compaction must fold all masks in, and
+    rollback must restore the full visible state (masks and all)."""
+    import shutil
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        commit_replace,
+        current_version,
+        diff_files,
+        read_version,
+        read_version_with_pos,
+        rollback,
+        table_stats,
+    )
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(st.just("append"), st.integers(1, 4)),
+            st.tuples(st.just("pos_delete"), st.integers(0, 2)),
+            st.tuples(st.just("eq_delete"), st.integers(0, 3)),
+            st.tuples(st.just("replace")),
+            st.tuples(st.just("rollback"), st.integers(0, 5)),
+        ),
+        min_size=2,
+        max_size=5,
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(seq=ops)
+    def run(seq):
+        seq = [("append", 3)] + seq  # deletes/replace need a live set
+        table = tempfile.mkdtemp(prefix="mt_prop_del_")
+        shutil.rmtree(table)
+        try:
+            visible = set()  # model of the VISIBLE row-set
+            eq_standing = set()  # standing equality-masked k values
+            model = {}  # version -> (frozenset visible, frozenset eq)
+            no_datafile_versions = []
+            next_id = counter[0]
+            for op in seq:
+                if op[0] == "append":
+                    ids = set(range(next_id, next_id + op[1]))
+                    next_id += op[1]
+                    df = spark.createDataFrame(
+                        [(i, i * 10) for i in sorted(ids)], ["k", "v"]
+                    )
+                    ver = commit_append(df.repartition(1), table, ["k"])
+                    # standing equality vectors mask later appends too
+                    visible |= {i for i in ids if i not in eq_standing}
+                elif op[0] == "pos_delete":
+                    doomed = read_version_with_pos(spark, table).filter(
+                        f"k % 3 = {op[1]}"
+                    )
+                    ver = commit_delete(
+                        spark, table, doomed.select("file_path", "row_index")
+                    )
+                    visible -= {i for i in visible if i % 3 == op[1]}
+                    no_datafile_versions.append(ver)
+                elif op[0] == "eq_delete":
+                    vals = sorted(
+                        i for i in range(next_id + 8) if i % 4 == op[1]
+                    )
+                    vdf = spark.createDataFrame([(i,) for i in vals], ["k"])
+                    ver = commit_delete_equality(spark, table, "k", vdf)
+                    eq_standing |= set(vals)
+                    visible -= set(vals)
+                    no_datafile_versions.append(ver)
+                elif op[0] == "replace":
+                    df = read_version(spark, table).repartition(1)
+                    ver = commit_replace(df, table, ["k"])
+                    eq_standing = set()  # compaction folds all masks in
+                else:  # rollback
+                    cur = current_version(table)
+                    target = (op[1] % cur) + 1
+                    ver = rollback(table, target)
+                    visible, eq_standing = (
+                        set(model[target][0]),
+                        set(model[target][1]),
+                    )
+                model[ver] = (frozenset(visible), frozenset(eq_standing))
+            counter[0] = next_id
+            # (1) time travel reads every version's VISIBLE set exactly
+            for v, (expect, _) in model.items():
+                got = {r.k for r in read_version(spark, table, v).collect()}
+                assert got == set(expect), (v, got, expect)
+            # (2) delete commits add no data files and keep COUNT honest
+            for v in no_datafile_versions:
+                assert diff_files(table, v - 1, v) == []
+                st_ = table_stats(table, v)
+                if st_["count_exact"]:
+                    assert st_["n_rows"] == len(model[v][0])
+                else:
+                    assert st_["n_rows"] >= len(model[v][0])
+        finally:
+            shutil.rmtree(table, ignore_errors=True)
+
+    run()

@@ -141,6 +141,12 @@ SCALE_SENSITIVE_EXTRA = [
     # unfinished-decimal state at real mass
     "q_etl_write_audit_publish",
     "q_stream_changefeed_apply_retract",
+    # metadata tables at 10×: footer-stat min/max folds across REAL
+    # multi-row-group files (the per-row-group fold is the
+    # scale-coupled arithmetic), cumulative history over full-size
+    # commits
+    "q_scan_manifest_files_table",
+    "q_scan_manifest_history_table",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
