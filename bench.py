@@ -275,6 +275,7 @@ HEADLINE = [
     "q_stream_changefeed_apply_retract",  # retraction-capable incremental MV
     "q_scan_manifest_files_table",        # table$files metadata inspection
     "q_scan_manifest_history_table",      # table$history audit trail
+    "q_stream_manifest_cdf_source",       # version-as-offset CDF readStream source
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

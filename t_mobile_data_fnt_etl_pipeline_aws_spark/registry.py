@@ -158,6 +158,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_stream_changefeed_apply_retract",
     "q_scan_manifest_files_table",
     "q_scan_manifest_history_table",
+    "q_stream_manifest_cdf_source",
 ]
 
 

@@ -1001,3 +1001,103 @@ def q_stream_changefeed_apply_retract(
         "n_orders",
         finish(F.col("sum_dec"), 2).alias("revenue"),
     )
+
+
+@query(
+    "q_stream_manifest_cdf_source",
+    oracle=f"""
+    SELECT 'insert' AS _change_type,
+           o_orderpriority,
+           count(*) AS n_rows,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'delete' AS _change_type,
+           o_orderpriority,
+           count(*) AS n_rows,
+           {sql_dsum("o_totalprice", "revenue")}
+    FROM orders
+    WHERE o_orderkey % 97 = 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_stream_manifest_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The table format AS A STREAMING SOURCE (the Delta
+    streaming-source shape): ``readStream.format("manifest_cdf")``
+    treats the MANIFEST VERSION as the offset — each micro-batch emits
+    one committed version's row-level changes (_change_type insert |
+    delete, _commit_version), with exactly-once replay guaranteed by
+    the format itself (immutable manifests + files make
+    readBetweenOffsets a pure function of the offset pair — the same
+    property that powers time travel).
+
+    Declared batch-equivalent (this function, oracle-checked): the
+    union of every version window's changes consumed one version per
+    batch — history append (inserts), new-year append (inserts), then
+    a sparse position-delete (%97, full deleted rows materialized) —
+    aggregated per (_change_type, priority). Every order appears once
+    as an insert; the %97 rows appear again as deletes. The REAL
+    readStream convergence (availableNow, 3 micro-batches, restart
+    replay) is pinned in tests/test_streaming.py::
+    test_manifest_cdf_source_real_readstream.
+
+    Scale: a batch costs O(that version's changes) — delta files plus
+    kilobyte manifests — never a table scan; this is the 100-TB
+    downstream-sync path (feed an incremental MV, a search index, a
+    feature store) without the base table ever being re-read.
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.manifest_cdf_stream import cdf_rows
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        current_version,
+        read_manifest,
+        read_version_with_pos,
+    )
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    table = os.path.join(base, f"orders_cdfsrc_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(4),
+        table,
+        ["o_orderdate"],
+        op="history",
+    )
+    commit_append(
+        o.filter(F.col("o_orderdate") >= cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="append_new",
+    )
+    doomed = read_version_with_pos(spark, table).filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    commit_delete(spark, table, doomed.select("file_path", "row_index"))
+
+    # one version per micro-batch, through the SAME pure-Python row
+    # computation the streaming reader runs (cdf_rows) — the real
+    # readStream over format("manifest_cdf") is pinned in tests
+    cur = current_version(table)
+    schema = read_manifest(table, cur)["schema"]
+    ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+    ddl += ", `_change_type` string, `_commit_version` long"
+    batches = None
+    for v in range(1, cur + 1):
+        b = spark.createDataFrame(list(cdf_rows(table, v - 1, v)), ddl)
+        batches = b if batches is None else batches.unionByName(b)
+    return batches.groupBy("_change_type", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("o_totalprice"), "revenue"),
+    )

@@ -1213,3 +1213,94 @@ def test_stream_manifest_dim_join_converges(spark, sf_dir, tmp_path):
     assert got["n_orders"].tolist() == want["n_orders"].tolist()
     assert got["revenue"].tolist() == want["revenue"].tolist()
     assert got["c_mktsegment"].tolist() == want["c_mktsegment"].tolist()
+
+
+def test_manifest_cdf_source_real_readstream(spark, sf_dir, tmp_path):
+    """The manifest change-feed streaming source (manifest_cdf) driven
+    by a REAL readStream: 3 committed versions (history append, new
+    append, position-delete) consumed one version per micro-batch must
+    emit exactly the per-version change rows — every order once as an
+    insert with its commit version, the %97 rows again as deletes —
+    and a RESTARTED stream from the same checkpoint must emit nothing
+    new (offsets are versions; replay is exact)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_cdf_stream import (
+        make_cdf_stream_source,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        read_version_with_pos,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    spark.dataSource.register(make_cdf_stream_source())
+    table = str(tmp_path / "cdfsrc")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="history",
+    )
+    commit_append(
+        o.filter(F.col("o_orderdate") >= cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="append_new",
+    )
+    doomed = read_version_with_pos(spark, table).filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    commit_delete(spark, table, doomed.select("file_path", "row_index"))
+
+    n_orders = o.count()
+    n_deleted = o.filter(F.col("o_orderkey") % 97 == 0).count()
+    n_expected = n_orders + n_deleted  # every insert + the delete rows
+
+    def start(rows_out):
+        stream = (
+            spark.readStream.format("manifest_cdf")
+            .option("path", table)
+            .option("maxVersionsPerBatch", "1")
+            .load()
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                lambda df, epoch: rows_out.extend(df.collect())
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt_cdf"))
+            .start()
+        )
+
+    rows: list = []
+    q = start(rows)
+    try:
+        deadline = time.time() + 180
+        while time.time() < deadline and len(rows) < n_expected:
+            time.sleep(0.5)
+        assert len(rows) == n_expected
+        by_type: dict = {}
+        for r in rows:
+            by_type[r._change_type] = by_type.get(r._change_type, 0) + 1
+        assert by_type == {"insert": n_orders, "delete": n_deleted}
+        # inserts split across commit versions 1 and 2; deletes all at 3
+        vers = {(r._change_type, r._commit_version) for r in rows}
+        assert vers == {("insert", 1), ("insert", 2), ("delete", 3)}
+    finally:
+        q.stop()
+    # restart from the same checkpoint: offsets already consumed ->
+    # nothing re-emitted (exactly-once over immutable versions)
+    rows2: list = []
+    q2 = start(rows2)
+    try:
+        time.sleep(6)
+        assert rows2 == []
+    finally:
+        q2.stop()
