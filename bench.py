@@ -276,6 +276,8 @@ HEADLINE = [
     "q_scan_manifest_files_table",        # table$files metadata inspection
     "q_scan_manifest_history_table",      # table$history audit trail
     "q_stream_manifest_cdf_source",       # version-as-offset CDF readStream source
+    "q_etl_manifest_clone",               # zero-copy shallow clone + isolation
+    "q_etl_manifest_update_mor",          # atomic row-level merge-on-read UPDATE
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

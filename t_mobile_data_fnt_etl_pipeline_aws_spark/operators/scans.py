@@ -2966,3 +2966,179 @@ def q_scan_manifest_history_table(spark: SparkSession, sf_dir: str) -> DataFrame
             op=f"append_y{yr}",
         )
     return history_table(spark, table)
+
+
+@query(
+    "q_etl_manifest_clone",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS zero_data_copied,
+           true AS clone_isolated
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE (the Delta CLONE shape): a new table springs into
+    existence referencing the source's live files BY PATH — zero bytes
+    copied (the graded zero_data_copied pins that the clone's own data/
+    directory holds no files). The clone then evolves INDEPENDENTLY:
+    this query position-deletes ~1% of rows in the CLONE and proves the
+    SOURCE still reads byte-identically (clone_isolated) — immutable
+    shared files + separate logs make isolation structural, not
+    defensive.
+
+    At 100 TB this is the instant dev/test sandbox: experiments (here, a
+    destructive delete) run against production-scale data with
+    kilobytes of metadata cost, and the documented vacuum rule (a
+    clone's vacuum only touches ITS data dir) keeps the source safe.
+    """
+    import glob as _glob
+    import os as _os
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        clone_table,
+        commit_append,
+        commit_delete,
+        read_version,
+        read_version_with_pos,
+    )
+
+    run = _uuid.uuid4().hex[:8]
+    src = _sink_dir(f"orders_clonesrc_{run}")
+    dst = _sink_dir(f"orders_clonedst_{run}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    for i in range(4):
+        commit_append(
+            o.filter(F.col("o_orderkey") % 4 == i).repartition(2),
+            src,
+            ["o_orderdate"],
+            op=f"slice_{i}",
+        )
+    src_total = read_version(spark, src).count()
+    clone_table(src, dst)
+    zero_copied = not _glob.glob(_os.path.join(dst, "data", "*.parquet"))
+    # destructive experiment in the CLONE only
+    doomed = read_version_with_pos(spark, dst).filter(
+        F.col("o_orderkey") % 113 == 0
+    )
+    n_doomed = doomed.count()
+    commit_delete(spark, dst, doomed.select("file_path", "row_index"))
+    isolated = (
+        read_version(spark, src).count() == src_total
+        and read_version(spark, dst).count() == src_total - n_doomed
+    )
+    return (
+        read_version(spark, src)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("zero_data_copied", F.lit(zero_copied))
+        .withColumn("clone_isolated", F.lit(isolated))
+    )
+
+
+@query(
+    "q_etl_manifest_update_mor",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum(
+               "CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'"
+               "      AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'"
+               " THEN o_totalprice + 100 ELSE o_totalprice END",
+               "revenue",
+           )},
+           true AS atomic_single_commit,
+           true AS no_files_rewritten
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATOMIC MERGE-ON-READ UPDATE — the third write-amplification tier,
+    completing the ladder next to copy-on-write MERGE
+    (q_etl_manifest_merge_cow rewrites whole touched FILES): the same
+    +100-on-1998 update here rewrites only the touched ROWS — one
+    position vector masks the old versions and one small file carries
+    the replacements, published in ONE commit (commit_update_mor), so a
+    reader sees the whole update or none of it (the graded
+    atomic_single_commit pins exactly +1 version; a separate
+    delete-then-append pair would expose the deleted-not-yet-reinserted
+    state between its two versions). no_files_rewritten pins that every
+    pre-update live file carries into the new version untouched.
+
+    At 100 TB: updating 10 rows in a 1-GB file costs kilobytes instead
+    of the CoW gigabyte; reads pay the broadcast anti-join until a
+    compaction folds the masks — the documented merge-on-read trade,
+    chosen per-table by update sparsity.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_update_mor,
+        current_version,
+        read_manifest,
+        read_version,
+        read_version_with_pos,
+    )
+
+    table = _sink_dir(f"orders_updmor_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    v = 0
+    for yr in years:
+        v = commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(2),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    live_before = [f["path"] for f in read_manifest(table, v)["files"]]
+    price_t = dict(o.dtypes)["o_totalprice"]
+    in_range = (
+        F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp_ntz")
+    ) & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp_ntz"))
+    doomed = read_version_with_pos(spark, table).filter(in_range)
+    replacements = doomed.select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(100)).cast(price_t).alias("o_totalprice"),
+    )
+    v_u = commit_update_mor(
+        spark,
+        table,
+        doomed.select("file_path", "row_index"),
+        replacements.repartition(1),
+        ["o_orderdate"],
+    )
+    live_after = {f["path"] for f in read_manifest(table, v_u)["files"]}
+    return (
+        read_version(spark, table, v_u)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn(
+            "atomic_single_commit", F.lit(v_u == v + 1 == current_version(table))
+        )
+        .withColumn(
+            "no_files_rewritten",
+            F.lit(set(live_before).issubset(live_after)),
+        )
+    )

@@ -159,6 +159,8 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_manifest_files_table",
     "q_scan_manifest_history_table",
     "q_stream_manifest_cdf_source",
+    "q_etl_manifest_clone",
+    "q_etl_manifest_update_mor",
 ]
 
 

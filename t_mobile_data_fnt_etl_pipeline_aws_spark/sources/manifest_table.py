@@ -1393,3 +1393,108 @@ def history_table(spark: SparkSession, table_dir: str) -> DataFrame:
         rows,
         "version long, op string, n_files long, n_rows long, has_row_masks boolean",
     )
+
+
+def clone_table(src_dir: str, dst_dir: str) -> int:
+    """SHALLOW CLONE (the Delta `CLONE` shape): create a NEW table whose
+    v1 manifest references the source's current live files, delete
+    vectors, schema, and partition spec BY PATH — zero data copied. At
+    100 TB this is how you get a dev/test sandbox or a reorg staging
+    table instantly; the clone then evolves independently (its commits
+    append/replace under its own log) while the shared files stay
+    immutable by format contract.
+
+    Caveat (same as Delta shallow clones): the clone borrows the
+    source's files, so a SOURCE-side vacuum that expires them breaks
+    the clone — production flows either deep-copy on first compaction
+    (the clone's own commit_replace materializes it) or pin source
+    retention. The clone's own vacuum only ever deletes files under
+    ITS data/ dir (absolute paths elsewhere are never globbed), so a
+    clone vacuum cannot damage the source."""
+    src_v = current_version(src_dir)
+    if not src_v:
+        raise ValueError(f"cannot clone empty table {src_dir}")
+    if current_version(dst_dir):
+        raise ValueError(f"clone destination {dst_dir} already exists")
+    m = read_manifest(src_dir, src_v)
+    return _publish(
+        dst_dir,
+        1,
+        f"clone:{src_dir}@v{src_v}",
+        m["files"],
+        m.get("schema"),
+        deletes=m.get("deletes"),
+        partition_spec=m.get("partition_spec"),
+        eq_deletes=m.get("eq_deletes"),
+    )
+
+
+def commit_update_mor(
+    spark: SparkSession,
+    table_dir: str,
+    positions: DataFrame,
+    df_new: DataFrame,
+    stat_cols: list[str],
+    op: str = "update",
+) -> int:
+    """ATOMIC merge-on-read UPDATE: mask the old row versions (position
+    vector) and land their replacements (new data files) in ONE commit
+    — a reader sees either the whole update or none of it, never the
+    deleted-but-not-reinserted intermediate that a separate
+    commit_delete + commit_append pair would expose.
+
+    This is the third write-amplification tier, completing the ladder:
+    copy-on-write MERGE rewrites whole touched FILES; this rewrites
+    only the touched ROWS (new small file + kilobyte vector) — at
+    100 TB an update of 10 rows in a 1-GB file costs kilobytes, and
+    the trade is the same broadcast anti-join at read that all
+    merge-on-read masks pay until compaction. ``positions`` identifies
+    the doomed old versions (from ``read_version_with_pos``); ``df_new``
+    carries the replacement rows."""
+    import pyarrow.parquet as pq
+
+    prev = current_version(table_dir)
+    if not prev:
+        raise ValueError("cannot update an empty table")
+    prev_manifest = read_manifest(table_dir, prev)
+    _merged_schema(prev_manifest.get("schema"), df_new)  # reject early
+    new_files = _stage_files(df_new, table_dir, stat_cols)
+    os.makedirs(_deletes_dir(table_dir), exist_ok=True)
+    staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    (
+        positions.select("file_path", "row_index")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(staging)
+    )
+    dv_entries = []
+    try:
+        for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+            n = pq.ParquetFile(f).metadata.num_rows
+            if n == 0:
+                continue
+            dest = os.path.join(
+                _deletes_dir(table_dir), f"{uuid.uuid4().hex}.parquet"
+            )
+            os.rename(f, dest)
+            dv_entries.append({"path": dest, "rows": n})
+        schema = _merged_schema(prev_manifest.get("schema"), df_new)
+        return _publish(
+            table_dir,
+            prev + 1,
+            op,
+            list(prev_manifest["files"]) + new_files,
+            schema,
+            deletes=list(prev_manifest.get("deletes", [])) + dv_entries,
+            partition_spec=prev_manifest.get("partition_spec"),
+            eq_deletes=prev_manifest.get("eq_deletes"),
+        )
+    except BaseException:
+        for e in new_files + dv_entries:
+            try:
+                os.unlink(e["path"])
+            except OSError:
+                pass
+        raise
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

@@ -348,13 +348,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 245 extras = 324 registered,
-    310 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 247 extras = 326 registered,
+    312 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 324
-    assert len(oracles) == 310
+    assert len(QUERIES) == 326
+    assert len(oracles) == 312
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -3062,6 +3062,121 @@ def test_changefeed_retract_every_version(spark, tmp_path):
             .collect()
         }
         assert got == want, (w_to, got, want)
+
+
+def test_manifest_clone_semantics(spark, tmp_path):
+    """Shallow clone contract: zero data copied (dst data/ empty); the
+    clone inherits masks (a position-deleted source row stays invisible
+    through the clone); clone commits never advance the source log;
+    a clone vacuum deletes nothing from the source's data dir; cloning
+    onto an existing table (or from an empty one) is rejected."""
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        clone_table,
+        commit_append,
+        commit_delete,
+        current_version,
+        read_version,
+        read_version_with_pos,
+        vacuum,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    commit_append(
+        spark.createDataFrame([(i, i) for i in range(10)], "k long, v long")
+        .repartition(1),
+        src,
+        ["k"],
+    )
+    doomed = read_version_with_pos(spark, src).filter("k = 7")
+    commit_delete(spark, src, doomed.select("file_path", "row_index"))
+
+    clone_table(src, dst)
+    assert not _glob.glob(_os.path.join(dst, "data", "*.parquet"))
+    # masks inherited
+    assert sorted(r.k for r in read_version(spark, dst).collect()) == [
+        i for i in range(10) if i != 7
+    ]
+    # clone evolves independently
+    src_v = current_version(src)
+    commit_append(
+        spark.createDataFrame([(100, 0)], "k long, v long").repartition(1),
+        dst,
+        ["k"],
+    )
+    assert current_version(src) == src_v
+    assert read_version(spark, src).count() == 9
+    assert read_version(spark, dst).count() == 10
+    # clone vacuum cannot touch source data files
+    n_src_files = len(_glob.glob(_os.path.join(src, "data", "*.parquet")))
+    vacuum(dst, retain_last=1)
+    assert len(_glob.glob(_os.path.join(src, "data", "*.parquet"))) == n_src_files
+    assert read_version(spark, src).count() == 9
+    with _pytest.raises(ValueError, match="already exists"):
+        clone_table(src, dst)
+    with _pytest.raises(ValueError, match="empty"):
+        clone_table(str(tmp_path / "nosuch"), str(tmp_path / "dst2"))
+
+
+def test_manifest_update_mor_semantics(spark, tmp_path):
+    """Atomic MoR update contract: exactly +1 version (no
+    deleted-not-yet-reinserted intermediate exists to read); old
+    version reads pre-update values; updated rows carry the new values
+    while untouched rows and files are byte-identical; a second update
+    over the first composes; compaction folds everything in."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        commit_update_mor,
+        current_version,
+        read_manifest,
+        read_version,
+        read_version_with_pos,
+    )
+
+    table = str(tmp_path / "updmor")
+    v1 = commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(10)], "k long, v long")
+        .repartition(1),
+        table,
+        ["k"],
+    )
+    files_v1 = [f["path"] for f in read_manifest(table, v1)["files"]]
+
+    doomed = read_version_with_pos(spark, table).filter("k < 3")
+    repl = doomed.selectExpr("k", "v + 1000 as v")
+    v2 = commit_update_mor(
+        spark, table, doomed.select("file_path", "row_index"), repl, ["k"]
+    )
+    assert v2 == v1 + 1 == current_version(table)  # atomic: one version
+    got = {r.k: r.v for r in read_version(spark, table, v2).collect()}
+    assert got == {i: (i * 10 + 1000 if i < 3 else i * 10) for i in range(10)}
+    # time travel reads pre-update
+    old = {r.k: r.v for r in read_version(spark, table, v1).collect()}
+    assert old == {i: i * 10 for i in range(10)}
+    # untouched files carried by reference
+    assert set(files_v1).issubset(
+        {f["path"] for f in read_manifest(table, v2)["files"]}
+    )
+    # second update composes (updates an already-updated row)
+    doomed2 = read_version_with_pos(spark, table).filter("k = 0")
+    assert doomed2.count() == 1  # the REPLACEMENT row, not the masked one
+    repl2 = doomed2.selectExpr("k", "v + 1 as v")
+    v3 = commit_update_mor(
+        spark, table, doomed2.select("file_path", "row_index"), repl2, ["k"]
+    )
+    got = {r.k: r.v for r in read_version(spark, table, v3).collect()}
+    assert got[0] == 1001 and got[1] == 1010 and got[9] == 90
+    # compaction folds masks; row count conserved
+    v4 = commit_replace(read_version(spark, table), table, ["k"])
+    m4 = read_manifest(table, v4)
+    assert "deletes" not in m4
+    assert read_version(spark, table, v4).count() == 10
 
 
 def test_manifest_cdc_apply_every_version(spark, sf_dir, tmp_path):

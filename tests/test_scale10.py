@@ -147,6 +147,11 @@ SCALE_SENSITIVE_EXTRA = [
     # commits
     "q_scan_manifest_files_table",
     "q_scan_manifest_history_table",
+    # clone isolation + atomic MoR update over full-size multi-row-group
+    # files (vector row_index past one row group; CoW-vs-MoR file
+    # arithmetic at real geometry)
+    "q_etl_manifest_clone",
+    "q_etl_manifest_update_mor",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
