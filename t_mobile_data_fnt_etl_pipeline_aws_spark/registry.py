@@ -141,12 +141,14 @@ _DRIVER_WINDOW = [
     "q_pipeline_small_qty_revenue",
 ]
 
-#: Keys added AFTER the current round's window was frozen. New round-13
-#: keys land here and head the ROUND-14 window (never-checked >
-#: stale-green), followed by the 15 r6-stale remainder (listed in the
-#: window comment above), padded to 50 with the oldest r8-stale keys
-#: (recompute the staleness histogram from the CORRECTNESS_r* union at
-#: round-14 open). Keep test_driver_window_rotation's exemption in sync.
+#: Keys added AFTER the current round's window was frozen. These 11
+#: round-13 keys head the ROUND-14 window (never-checked >
+#: stale-green), followed by the 15 r6-stale remainder
+#: (q_pipeline_disjunctive_revenue onward in registration order),
+#: padded to 50 with the 24 oldest r8-stale keys (recompute the
+#: staleness histogram from the CORRECTNESS_r* union at round-14
+#: open: 11 + 15 + 24 = 50). Keep test_driver_window_rotation's
+#: exemption in sync.
 _POST_WINDOW_ADDITIONS: list[str] = [
     # round-13 additions (registered after the round-13 window froze;
     # they head the ROUND-14 rotation):
