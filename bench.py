@@ -278,6 +278,7 @@ HEADLINE = [
     "q_stream_manifest_cdf_source",       # version-as-offset CDF readStream source
     "q_etl_manifest_clone",               # zero-copy shallow clone + isolation
     "q_etl_manifest_update_mor",          # atomic row-level merge-on-read UPDATE
+    "q_etl_partition_evolution",          # per-file-transform spec evolution
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -3142,3 +3142,95 @@ def q_etl_manifest_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(set(live_before).issubset(live_after)),
         )
     )
+
+
+@query(
+    "q_etl_partition_evolution",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS pruned_both_generations
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION EVOLUTION (the Iceberg spec-evolution story): the table
+    starts YEAR-partitioned (coarse — right when data was small), then
+    evolves to MONTH partitioning for recent years WITHOUT rewriting a
+    single old file — each file's manifest entry carries the transform
+    it was written with, and pruning maps the predicate through EACH
+    generation's own transform. The Q1-1997 query (raw timestamp
+    bounds, zero layout knowledge) skips every pre-1997 YEAR file via
+    the year prefix AND every non-Q1 MONTH file via the month prefix —
+    the graded pruned_both_generations pins that files from BOTH
+    generations were skipped and only Q1-1997 months survived.
+
+    This is the failure Hive-style layouts can't escape: changing the
+    directory scheme strands old data behind the old paths. Here the
+    layout lives in metadata, so evolution is one writer flag
+    (allow_evolution=True) and zero data movement — at 100 TB, the
+    difference between an afternoon and a quarter-long migration.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition,
+        read_manifest,
+    )
+
+    table = _sink_dir(f"orders_pevol_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    # generation 1: coarse YEAR partitioning for the historical years
+    commit_append_partitioned(
+        o.filter(F.col("o_orderdate") < cut),
+        table,
+        "o_orderdate",
+        "year",
+        ["o_orderdate"],
+        op="history_by_year",
+    )
+    # generation 2: evolve to MONTH for the recent data — no rewrite
+    commit_append_partitioned(
+        o.filter(F.col("o_orderdate") >= cut),
+        table,
+        "o_orderdate",
+        "month",
+        ["o_orderdate"],
+        op="recent_by_month",
+        allow_evolution=True,
+    )
+    v = current_version(table)
+    lo, hi = "1997-01-01 00:00:00", "1997-03-31 23:59:59.999999"
+    files, total = prune_files_partition(table, v, lo, hi)
+    by_t = {}
+    for f in read_manifest(table, v)["files"]:
+        by_t.setdefault(f["ptransform"], []).append(f["path"])
+    kept = set(files)
+    pruned_both = (
+        len(files) < total
+        and any(p not in kept for p in by_t.get("year", []))   # old gen pruned
+        and any(p not in kept for p in by_t.get("month", []))  # new gen pruned
+        and all(p not in kept for p in by_t.get("year", []))   # no 1997 in years
+    )
+    in_range = (F.col("o_orderdate") >= cut) & (
+        F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz")
+    )
+    return (
+        spark.read.parquet(*files)
+        .filter(in_range)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("pruned_both_generations", F.lit(pruned_both))
+    )

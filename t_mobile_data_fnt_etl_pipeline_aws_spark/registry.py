@@ -163,6 +163,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_stream_manifest_cdf_source",
     "q_etl_manifest_clone",
     "q_etl_manifest_update_mor",
+    "q_etl_partition_evolution",
 ]
 
 

@@ -964,6 +964,7 @@ def commit_append_partitioned(
     transform: str,
     stat_cols: list[str],
     op: str = "append",
+    allow_evolution: bool = False,
 ) -> int:
     """HIDDEN-PARTITIONING append (the Iceberg partition-transform
     shape): the table DECLARES ``transform(part_col)`` (year/month/day)
@@ -992,10 +993,12 @@ def commit_append_partitioned(
     prev_manifest = read_manifest(table_dir, prev) if prev else {}
     prev_spec = prev_manifest.get("partition_spec")
     spec = {"col": part_col, "transform": transform}
-    if prev_spec is not None and prev_spec != spec:
+    if prev_spec is not None and prev_spec != spec and not allow_evolution:
         raise ValueError(
             f"partition spec mismatch: table declares {prev_spec}, "
-            f"writer passed {spec}"
+            f"writer passed {spec} (pass allow_evolution=True to evolve "
+            f"the spec; existing files keep pruning under the transform "
+            f"they were written with)"
         )
     fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[transform]
     schema = _merged_schema(prev_manifest.get("schema"), df)
@@ -1028,6 +1031,10 @@ def commit_append_partitioned(
                         "rows": pq.ParquetFile(dest).metadata.num_rows,
                         "stats": _file_stats(dest, stat_cols),
                         "partition": pval,
+                        # evolution support: the file's OWN transform
+                        # rides with it — a later spec change must not
+                        # reinterpret old partition values
+                        "ptransform": transform,
                     }
                 )
         files = list(prev_manifest.get("files", [])) + entries
@@ -1039,6 +1046,7 @@ def commit_append_partitioned(
             schema,
             deletes=prev_manifest.get("deletes"),
             partition_spec=spec,
+            eq_deletes=prev_manifest.get("eq_deletes"),
         )
     except BaseException:
         for e in entries:
@@ -1062,19 +1070,32 @@ def prune_files_partition(
     layout — that's the "hidden" in hidden partitioning. Files without
     a recorded value (pre-spec appends, compacted files) are always
     kept: the transform is an optimization, never a correctness
-    dependency. No spec declared -> no pruning, keep everything."""
+    dependency. No spec declared -> no pruning, keep everything.
+    Under PARTITION EVOLUTION each file prunes by its own recorded
+    transform (see the loop comment)."""
     manifest = read_manifest(table_dir, version)
     spec = manifest.get("partition_spec")
     files = manifest["files"]
-    if spec is None or spec.get("transform") not in _PARTITION_TRANSFORMS:
+    if spec is None:
         return [f["path"] for f in files], len(files)
-    n = _PARTITION_TRANSFORMS[spec["transform"]]
-    tlo, thi = str(lo)[:n], str(hi)[:n]
-    keep = [
-        f["path"]
-        for f in files
-        if "partition" not in f or tlo <= f["partition"] <= thi
-    ]
+    default_t = spec.get("transform")
+    keep = []
+    for f in files:
+        if "partition" not in f:
+            keep.append(f["path"])  # unvalued file: never skipped
+            continue
+        # PARTITION EVOLUTION: prune under the transform the file was
+        # WRITTEN with (per-file ptransform; pre-evolution files fall
+        # back to the manifest spec) — a spec change must never
+        # reinterpret old partition values, only map the predicate
+        # through each generation's own prefix length
+        ft = f.get("ptransform", default_t)
+        n = _PARTITION_TRANSFORMS.get(ft)
+        if n is None:
+            keep.append(f["path"])
+            continue
+        if str(lo)[:n] <= f["partition"] <= str(hi)[:n]:
+            keep.append(f["path"])
     return keep, len(files)
 
 

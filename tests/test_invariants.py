@@ -348,13 +348,13 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 247 extras = 326 registered,
-    312 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 248 extras = 327 registered,
+    313 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 326
-    assert len(oracles) == 312
+    assert len(QUERIES) == 327
+    assert len(oracles) == 313
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -3177,6 +3177,94 @@ def test_manifest_update_mor_semantics(spark, tmp_path):
     m4 = read_manifest(table, v4)
     assert "deletes" not in m4
     assert read_version(spark, table, v4).count() == 10
+
+
+def test_manifest_partition_evolution_semantics(spark, tmp_path):
+    """Partition evolution: a spec change requires the explicit flag;
+    old files keep their OWN transform in the manifest and prune under
+    it (a predicate inside the old generation's range skips all
+    new-generation files and vice versa); a mixed-generation range
+    keeps exactly the right files from each; compaction drops the spec
+    (documented) and the compacted file is never partition-skipped."""
+    import datetime
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append_partitioned,
+        commit_replace,
+        current_version,
+        prune_files_partition,
+        read_manifest,
+        read_version,
+    )
+
+    table = str(tmp_path / "pevol")
+    rows_y = [
+        (i, datetime.datetime(2019 + i % 2, 3, 10)) for i in range(4)
+    ]  # 2019, 2020 — year generation
+    commit_append_partitioned(
+        spark.createDataFrame(rows_y, "k long, ts timestamp_ntz"),
+        table,
+        "ts",
+        "year",
+        ["ts"],
+    )
+    rows_m = [
+        (10 + m, datetime.datetime(2021, m, 5)) for m in (1, 2, 3)
+    ]  # 2021 — month generation
+    with _pytest.raises(ValueError, match="partition spec mismatch"):
+        commit_append_partitioned(
+            spark.createDataFrame(rows_m, "k long, ts timestamp_ntz"),
+            table,
+            "ts",
+            "month",
+            ["ts"],
+        )
+    commit_append_partitioned(
+        spark.createDataFrame(rows_m, "k long, ts timestamp_ntz"),
+        table,
+        "ts",
+        "month",
+        ["ts"],
+        allow_evolution=True,
+    )
+    v = current_version(table)
+    m = read_manifest(table, v)
+    assert m["partition_spec"] == {"col": "ts", "transform": "month"}
+    gens = {f["ptransform"] for f in m["files"]}
+    assert gens == {"year", "month"}
+
+    # old-generation predicate: keeps ONLY the 2019 year file
+    files, total = prune_files_partition(
+        table, v, "2019-01-01 00:00:00", "2019-12-31 23:59:59"
+    )
+    assert total == 5  # 2 year files + 3 month files
+    assert len(files) == 1
+    assert sorted(r.k for r in spark.read.parquet(*files).collect()) == [0, 2]
+
+    # new-generation predicate: keeps ONLY February 2021
+    files, _ = prune_files_partition(
+        table, v, "2021-02-01 00:00:00", "2021-02-28 23:59:59"
+    )
+    assert len(files) == 1
+    assert [r.k for r in spark.read.parquet(*files).collect()] == [12]
+
+    # mixed range: 2020 H2 .. 2021 January — the 2020 year file AND the
+    # January month file, nothing else
+    files, _ = prune_files_partition(
+        table, v, "2020-07-01 00:00:00", "2021-01-31 23:59:59"
+    )
+    got = sorted(r.k for r in spark.read.parquet(*files).collect())
+    assert got == [1, 3, 11]
+
+    # compaction folds everything into unvalued files -> never skipped
+    v2 = commit_replace(read_version(spark, table), table, ["ts"])
+    files, total = prune_files_partition(
+        table, v2, "1900-01-01 00:00:00", "1900-12-31 23:59:59"
+    )
+    assert len(files) == total  # conservative: no values, no skipping
+    assert read_version(spark, table, v2).count() == 7
 
 
 def test_manifest_cdc_apply_every_version(spark, sf_dir, tmp_path):

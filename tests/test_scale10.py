@@ -152,6 +152,9 @@ SCALE_SENSITIVE_EXTRA = [
     # arithmetic at real geometry)
     "q_etl_manifest_clone",
     "q_etl_manifest_update_mor",
+    # partition evolution at 10×: both generations at real file sizes,
+    # 24 month files + year files pruned under their own transforms
+    "q_etl_partition_evolution",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
