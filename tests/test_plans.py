@@ -1061,3 +1061,25 @@ def test_hidden_partitioning_scans_fewer_files(spark, sf_dir):
     df = QUERIES["q_etl_hidden_partitioning"](spark, sf_dir)
     assert any("o_orderdate" in p for p in pushed_filters(df)), plan_string(df)
     assert all(r.pruned_by_transform for r in df.collect())
+
+
+def test_mor_update_read_broadcasts_antijoin(spark, sf_dir):
+    """The atomic MoR update's read path is the same broadcast anti-join
+    contract as MoR deletes: the vector side is rows-updated-sized, so
+    a shuffled anti-join (re-shuffling the 100-TB data side to apply a
+    kilobyte mask) is the plan this pins against."""
+    df = QUERIES["q_etl_manifest_update_mor"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert all(r.atomic_single_commit and r.no_files_rewritten for r in df.collect())
+
+
+def test_partition_evolution_scan_is_file_pruned(spark, sf_dir):
+    """The evolution key's scan must read only the surviving files'
+    rows with the exact raw-column predicate still pushed (transform
+    pruning composes with PushedFilters, same contract as hidden
+    partitioning), and both generations must actually have pruned."""
+    df = QUERIES["q_etl_partition_evolution"](spark, sf_dir)
+    assert any("o_orderdate" in p for p in pushed_filters(df)), plan_string(df)
+    assert all(r.pruned_both_generations for r in df.collect())
