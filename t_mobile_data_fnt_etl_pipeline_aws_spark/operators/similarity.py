@@ -439,7 +439,27 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_sim_search_topk_vectorized")  # rows-only: BLAS accumulation order
+@query(
+    "q_sim_search_topk_vectorized",
+    oracle=f"""
+    WITH probe AS (
+        SELECT list_transform(embedding, x -> cast(x as double)) AS pe,
+               {_SQL_NORM.format(a='embedding')} AS pn
+        FROM embeddings WHERE vec_id = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label,
+               {_SQL_DOT.format(a='e.embedding', b='probe.pe')}
+                   / ({_SQL_NORM.format(a='e.embedding')} * probe.pn) AS cos_raw
+        FROM embeddings e CROSS JOIN probe
+        WHERE e.vec_id <> 0
+    )
+    SELECT vec_id, label, round(cos_raw, 6) AS cosine
+    FROM scored
+    ORDER BY cos_raw DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
 def q_sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 via Arrow batches + numpy matmul.
 
@@ -449,9 +469,14 @@ def q_sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     a single BLAS matvec — per-batch vector math instead of per-element
     interpreted lambdas (the 10-100× pandas-UDF claim, applied to ANN).
     Emits per-batch local top-10; the final global top-k merges k·batches
-    rows. Rows-only: BLAS accumulation order differs from the sequential
-    fold the SQL oracle would do; tests/test_invariants.py asserts it
-    ranks exactly like the HOF form.
+    rows.
+
+    Oracle-exact via 6-dp score rounding (VERDICT r13 item 4): BLAS
+    accumulation order perturbs the raw score at the ~1e-16 level, so
+    the emitted score is round(cos, 6) on BOTH sides — far coarser than
+    the perturbation, far finer than the ranking gaps. Ranking itself
+    uses the UNROUNDED score and is pinned exactly equal to the HOF
+    form in tests/test_invariants.py.
     """
     from collections.abc import Iterator
 
@@ -477,7 +502,11 @@ def q_sim_search_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = e.filter(F.col("vec_id") != 0).mapInPandas(
         score, schema="vec_id bigint, label int, cosine double"
     )
-    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+    return (
+        scored.orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 @query(

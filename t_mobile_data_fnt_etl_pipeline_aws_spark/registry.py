@@ -64,107 +64,77 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-#: The grading driver records CORRECTNESS rows for only the FIRST 50 keys in
-#: registration order. Cumulative record r01-r12: every key registered
-#: before the round-12 freeze has a passing latest row (0 failures ever);
-#: staleness histogram entering round 13 (recomputed from the
-#: CORRECTNESS_r01-r12 union): r5:7 / r6:50 / r8:50 / r9:50 / r10:50 /
-#: r11:50 / r12:50, 8 never-checked (the round-12 post-freeze additions).
+#: The grading driver records CORRECTNESS rows for only the FIRST 50 keys
+#: in registration order. Cumulative record r01-r13: every key registered
+#: before the round-13 freeze has a passing latest row (0 failures ever).
+#: Staleness histogram entering round 14 (auto-derived — run
+#: ``python tools/driver_staleness.py`` to recompute; hand-counting this
+#: produced the r13 off-by-one): r6:15 / r8:50 / r9:50 / r10:50 /
+#: r11:50 / r12:50 / r13:50, 12 never-checked (round-13 post-freeze).
 #:
-#: ROUND-13 WINDOW (this list), in priority order — executes the plan
-#: written at round-12 close:
-#:   1. The 8 round-12 post-freeze keys (never driver-checked, so they
-#:      outrank stale-green): the metadata-plane keys (schema evolution,
-#:      concurrent commit, metadata-only count, bloom/z-order pruning,
-#:      CoW merge) plus the two manifest streaming keys.
-#:   2. The 7 r5-stale remainder.
-#:   3. The 35 OLDEST r6-stale keys (registration order). 8 + 7 + 35
-#:      fills the 50 slots exactly; the 15 r6-stale remainder
-#:      (q_pipeline_disjunctive_revenue onward in registration order)
-#:      rotates ROUND 14, after any new round-13 keys
-#:      (_POST_WINDOW_ADDITIONS), padded with the oldest r8-stale keys
-#:      to 50.
+#: ROUND-14 WINDOW (this list) = the tool's emitted plan: the 12
+#: round-13 post-freeze keys first (never-checked > stale-green — the
+#: row-level table-format family), then the 15 r6-stale remainder, then
+#: the 23 OLDEST r8-stale keys (12 + 15 + 23 = 50).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    # --- 1. round-12 post-freeze keys (never driver-checked) ---
-    "q_etl_schema_evolution_add_column",
-    "q_etl_concurrent_commit_retry",
-    "q_stream_manifest_dim_join",
-    "q_scan_count_metadata_only",
-    "q_scan_files_pruned_bloom",
-    "q_scan_files_pruned_zorder",
-    "q_etl_manifest_merge_cow",
-    "q_stream_manifest_cdc_apply",
-    # --- 2. the 7 r5-stale remainder ---
-    "q_pipeline_forecast_revenue",
-    "q_pipeline_returned_revenue",
-    "q_pipeline_promo_share",
-    "q_pipeline_large_orders",
-    "q_report_mom_growth",
-    "q_udf_cogrouped_map",
-    "q_stream_stream_left_outer",
-    # --- 3. the 35 oldest r6-stale keys (registration order) ---
-    "q_window_rolling_median",
-    "q_dedup_exact",
-    "q_dedup_fuzzy_minhash",
-    "q_dedup_simhash",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_embedding",
-    "q_dedup_substring",
-    "q_chunk_cdc",
-    "q_dedup_cdc_chunks",
-    "q_cluster_kmeans",
-    "q_cluster_kmeans_lloyd",
-    "q_graph_pagerank_converged",
-    "q_graph_triangles",
-    "q_sim_cosine_pair",
-    "q_sim_search_topk",
-    "q_knn_join_multiprobe",
-    "q_sim_search_ivf",
-    "q_label_centroids",
-    "q_sim_search_topk_vectorized",
-    "q_text_token_stats",
-    "q_text_ngrams",
-    "q_text_doc_stats",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_text_dedup_normalized",
-    "q_multimodal_enrich",
-    "q_multimodal_decode_stub",
-    "q_report_top_supplier",
-    "q_report_supplier_parts",
-    "q_pipeline_region_volume",
-    "q_etl_upsert",
-    "q_pipeline_nation_profit",
-    "q_pipeline_fulfillment_priority",
-    "q_pipeline_small_qty_revenue",
+    "q_etl_manifest_delete_mor",  # never-checked
+    "q_etl_hidden_partitioning",  # never-checked
+    "q_etl_manifest_delete_equality",  # never-checked
+    "q_etl_changefeed_rowlevel",  # never-checked
+    "q_etl_write_audit_publish",  # never-checked
+    "q_scan_manifest_files_table",  # never-checked
+    "q_scan_manifest_history_table",  # never-checked
+    "q_etl_manifest_clone",  # never-checked
+    "q_etl_manifest_update_mor",  # never-checked
+    "q_etl_partition_evolution",  # never-checked
+    "q_stream_changefeed_apply_retract",  # never-checked
+    "q_stream_manifest_cdf_source",  # never-checked
+    "q_pipeline_disjunctive_revenue",  # r6
+    "q_profile_histogram_equidepth",  # r6
+    "q_window_trailing_distinct",  # r6
+    "q_udf_scalar_pandas",  # r6
+    "q_udaf_grouped_agg",  # r6
+    "q_udtf_grouped_map",  # r6
+    "q_udtf_python",  # r6
+    "q_udf_registered_sql",  # r6
+    "q_stream_tumbling",  # r6
+    "q_stream_sliding",  # r6
+    "q_stream_session",  # r6
+    "q_stream_watermark_late",  # r6
+    "q_stream_dedup",  # r6
+    "q_stream_stateful_count",  # r6
+    "q_stream_stream_full_outer",  # r6
+    "q_scan_binaryfile",  # r8
+    "q_sink_dynamic_partition_overwrite",  # r8
+    "q_scan_agg_pushdown",  # r8
+    "q_filter_like",  # r8
+    "q_filter_null",  # r8
+    "q_distinct_rows",  # r8
+    "q_join_cross",  # r8
+    "q_join_theta_bucketed",  # r8
+    "q_join_interval",  # r8
+    "q_join_asof_tolerance",  # r8
+    "q_join_bloom_pruned",  # r8
+    "q_join_lateral_topk",  # r8
+    "q_agg_collect_sorted",  # r8
+    "q_sample_stratified",  # r8
+    "q_agg_winsorized_mean",  # r8
+    "q_ts_seasonal_decompose",  # r8
+    "q_limit",  # r8
+    "q_union_all",  # r8
+    "q_union_distinct",  # r8
+    "q_intersect",  # r8
+    "q_intersect_all",  # r8
+    "q_except",  # r8
+    "q_except_all",  # r8
 ]
 
-#: Keys added AFTER the current round's window was frozen. These 11
-#: round-13 keys head the ROUND-14 window (never-checked >
-#: stale-green), followed by the 15 r6-stale remainder
-#: (q_pipeline_disjunctive_revenue onward in registration order),
-#: padded to 50 with the 24 oldest r8-stale keys (recompute the
-#: staleness histogram from the CORRECTNESS_r* union at round-14
-#: open: 11 + 15 + 24 = 50). Keep test_driver_window_rotation's
-#: exemption in sync.
-_POST_WINDOW_ADDITIONS: list[str] = [
-    # round-13 additions (registered after the round-13 window froze;
-    # they head the ROUND-14 rotation):
-    "q_etl_manifest_delete_mor",
-    "q_etl_hidden_partitioning",
-    "q_etl_manifest_delete_equality",
-    "q_etl_changefeed_rowlevel",
-    "q_etl_write_audit_publish",
-    "q_stream_changefeed_apply_retract",
-    "q_scan_manifest_files_table",
-    "q_scan_manifest_history_table",
-    "q_stream_manifest_cdf_source",
-    "q_etl_manifest_clone",
-    "q_etl_manifest_update_mor",
-    "q_etl_partition_evolution",
-]
+#: Keys added AFTER the current round's window was frozen. Append any
+#: round-14 additions here as they register; they head the ROUND-15
+#: window (never-checked > stale-green), padded per
+#: ``tools/driver_staleness.py``'s emitted plan.
+_POST_WINDOW_ADDITIONS: list[str] = []
 
 
 def _import_all() -> None:

@@ -16,16 +16,22 @@ each commit's row-level changes (data columns + ``_change_type``
 * change semantics match ``manifest_table.read_changes`` (NET,
   visible-set): appended rows masked within the same window never
   emit, deletes materialize full rows visible at the window start,
-  standing equality vectors mask later appends.
+  equality vectors are scoped by data sequence number (Iceberg v2:
+  a vector masks only files committed before it).
 
-The reader is a ``SimpleDataSourceStreamReader`` (driver-side decode,
-the prototype tier of the Python Data Source API — same tier as the
-repo's avro landing-dir source): row computation is pure
-pyarrow/JSON over kilobyte manifests plus the window's delta files,
-which at 100 TB is proportional to the CHANGES, never the table. The
-scale path is the partition-planning ``DataSourceStreamReader`` (one
-input partition per added file), a mechanical upgrade the module
-layout leaves open.
+The reader is a partition-planning ``DataSourceStreamReader``
+(VERDICT r13 item 2 — promoted from the driver-side
+``SimpleDataSourceStreamReader`` prototype): the DRIVER only reads
+kilobyte manifest JSON to plan one ``InputPartition`` per
+(version window × data file × change side); EXECUTORS do every row
+materialization (pyarrow decode + mask application) in parallel. At
+100 TB a batch costs O(that window's changed files) of executor work
+and O(#files) of driver metadata — no change row ever flows through
+the driver. A batch spanning several versions plans each version as
+its own window, so rows always carry their exact ``_commit_version``
+and per-version NET semantics (identical to consuming one version
+per batch). ``cdf_rows`` remains as the pure-Python single-process
+reference implementation the tests cross-check against.
 
 Reference repo publishes no code (/root/reference/README.md:1-2);
 the surface follows public Delta/Iceberg CDF-streaming semantics.
@@ -66,13 +72,17 @@ def _pos_mask(paths: list[str]) -> set[tuple[str, int]]:
     return mask
 
 
-def _eq_masks(entries: list[dict]) -> list[tuple[str, set]]:
+def _eq_masks(entries: list[dict]) -> list[tuple[str, set, int | None]]:
+    """(column, value-set, seq) per equality vector. seq None = legacy
+    unscoped (standing mask); otherwise the vector applies only to
+    files with a strictly lower data sequence number (Iceberg v2)."""
     import pyarrow.parquet as pq
 
     out = []
     for e in entries:
         vals = set(pq.read_table(e["path"]).column(e["col"]).to_pylist())
-        out.append((e["col"], vals))
+        seq = e.get("seq")
+        out.append((e["col"], vals, None if seq is None else int(seq)))
     return out
 
 
@@ -106,7 +116,12 @@ def cdf_rows(
     schema = mt.get("schema") or []
     cols = [n for n, _ in schema]
     from_paths = {f["path"] for f in mf["files"]}
-    added = [f["path"] for f in mt["files"] if f["path"] not in from_paths]
+    from_seq = {f["path"]: int(f.get("seq", 0)) for f in mf["files"]}
+    added = [
+        (f["path"], int(f.get("seq", 0)))
+        for f in mt["files"]
+        if f["path"] not in from_paths
+    ]
     old_pos_paths = {d["path"] for d in mf.get("deletes", [])}
     new_pos = _pos_mask(
         [d["path"] for d in mt.get("deletes", []) if d["path"] not in old_pos_paths]
@@ -118,16 +133,22 @@ def cdf_rows(
     all_eq_to = _eq_masks(mt.get("eq_deletes", []))
     col_idx = {c: i for i, c in enumerate(cols)}
 
-    def eq_masked(row, masks) -> bool:
-        return any(row[col_idx[c]] in vals for c, vals in masks if c in col_idx)
+    def eq_masked(row, masks, fseq) -> bool:
+        # seq-scoped (Iceberg v2): a vector at seq s masks only rows
+        # from files with seq < s; seq None = legacy standing mask
+        return any(
+            (s is None or fseq < s) and row[col_idx[c]] in vals
+            for c, vals, s in masks
+            if c in col_idx
+        )
 
     # inserts: rows of window-added files, minus window pos vectors and
-    # ALL of v_to's equality vectors (standing masks apply to appends)
-    for path in added:
+    # v_to's equality vectors scoped by the file's sequence number
+    for path, fseq in added:
         for ri, row in _file_rows(path, cols):
             if (path, ri) in new_pos:
                 continue
-            if eq_masked(row, all_eq_to):
+            if eq_masked(row, all_eq_to, fseq):
                 continue
             yield row + ("insert", v_to)
 
@@ -137,45 +158,156 @@ def cdf_rows(
         old_pos = _pos_mask([d["path"] for d in mf.get("deletes", [])])
         old_eq = _eq_masks(mf.get("eq_deletes", []))
         for path in sorted(from_paths):
+            fseq = from_seq[path]
             for ri, row in _file_rows(path, cols):
-                if (path, ri) in old_pos or eq_masked(row, old_eq):
+                if (path, ri) in old_pos or eq_masked(row, old_eq, fseq):
                     continue  # not visible at v_from
-                if (path, ri) in new_pos or eq_masked(row, new_eq):
+                if (path, ri) in new_pos or eq_masked(row, new_eq, fseq):
                     yield row + ("delete", v_to)
+
+
+def plan_change_partitions(table_dir: str, lo: int, hi: int) -> list[dict]:
+    """Driver-side PLANNING for the window (lo, hi]: one work-unit dict
+    per (version × data file × change side), computed from manifest
+    JSON only — no data or delete file is opened here. Each unit is
+    self-describing (the executor loads exactly the vector files named
+    in it), so ``read_change_partition`` is a pure function of the
+    unit: exactly-once replay falls out of manifest/file immutability.
+
+    A multi-version window plans each version as its own (v-1, v]
+    sub-window — rows keep their precise _commit_version and the
+    emission is identical to consuming the versions one batch each."""
+    units: list[dict] = []
+    for v in range(lo + 1, hi + 1):
+        mt = read_manifest(table_dir, v)
+        mf = read_manifest(table_dir, v - 1) if v > 1 else {"files": []}
+        cols = [n for n, _ in (mt.get("schema") or [])]
+        from_paths = {f["path"] for f in mf["files"]}
+        old_pos = {d["path"] for d in mf.get("deletes", [])}
+        new_pos = [
+            d["path"]
+            for d in mt.get("deletes", [])
+            if d["path"] not in old_pos
+        ]
+        old_eq_paths = {d["path"] for d in mf.get("eq_deletes", [])}
+        new_eq = [
+            d for d in mt.get("eq_deletes", []) if d["path"] not in old_eq_paths
+        ]
+        for f in mt["files"]:
+            if f["path"] in from_paths:
+                continue
+            units.append(
+                {
+                    "kind": "insert",
+                    "version": v,
+                    "path": f["path"],
+                    "seq": int(f.get("seq", 0)),
+                    "cols": cols,
+                    "pos": new_pos,
+                    "eq": mt.get("eq_deletes", []),
+                }
+            )
+        if from_paths and (new_pos or new_eq):
+            old_pos_all = [d["path"] for d in mf.get("deletes", [])]
+            for f in mf["files"]:
+                units.append(
+                    {
+                        "kind": "delete",
+                        "version": v,
+                        "path": f["path"],
+                        "seq": int(f.get("seq", 0)),
+                        "cols": cols,
+                        "old_pos": old_pos_all,
+                        "old_eq": mf.get("eq_deletes", []),
+                        "pos": new_pos,
+                        "eq": new_eq,
+                    }
+                )
+    return units
+
+
+def read_change_partition(unit: dict) -> Iterator[tuple]:
+    """EXECUTOR-side row materialization for one planned unit: decode
+    the unit's single data file with pyarrow, apply the named masks
+    (position vectors path-filtered to this file; equality vectors
+    seq-scoped), and yield change tuples. Mask files are
+    kilobyte-scale by the merge-on-read design contract (a vector too
+    big to re-read per task is the signal to compact)."""
+    path, v, cols, fseq = unit["path"], unit["version"], unit["cols"], unit["seq"]
+    if unit["kind"] == "insert":
+        new_pos = _pos_mask(unit["pos"])
+        eq = _eq_masks(unit["eq"])
+        col_idx = {c: i for i, c in enumerate(cols)}
+        for ri, row in _file_rows(path, cols):
+            if (path, ri) in new_pos:
+                continue
+            if any(
+                (s is None or fseq < s) and row[col_idx[c]] in vals
+                for c, vals, s in eq
+                if c in col_idx
+            ):
+                continue
+            yield row + ("insert", v)
+        return
+    old_pos = _pos_mask(unit["old_pos"])
+    old_eq = _eq_masks(unit["old_eq"])
+    new_pos = _pos_mask(unit["pos"])
+    new_eq = _eq_masks(unit["eq"])
+    col_idx = {c: i for i, c in enumerate(cols)}
+
+    def masked(row, masks):
+        return any(
+            (s is None or fseq < s) and row[col_idx[c]] in vals
+            for c, vals, s in masks
+            if c in col_idx
+        )
+
+    for ri, row in _file_rows(path, cols):
+        if (path, ri) in old_pos or masked(row, old_eq):
+            continue  # not visible at the window start
+        if (path, ri) in new_pos or masked(row, new_eq):
+            yield row + ("delete", v)
 
 
 def make_cdf_stream_source():
     """Build (lazily, so the pyspark.datasource import stays optional)
     the ``manifest_cdf`` streaming DataSource class. Register with
-    ``spark.dataSource.register(make_cdf_stream_source())``."""
-    from pyspark.sql.datasource import (
-        DataSource,
-        SimpleDataSourceStreamReader,
-    )
+    ``spark.dataSource.register(make_cdf_stream_source())``.
 
-    class ManifestCdfStreamReader(SimpleDataSourceStreamReader):
+    Offsets are manifest versions; ``latestOffset`` is simply
+    ``current_version`` — monotone because the version log is
+    append-only (even RESTORE publishes forward), so a restarted
+    stream can never be handed a backward offset. Partition planning
+    emits per-version windows, so ``maxVersionsPerBatch`` (the simple
+    tier's pacing knob) is accepted but no longer needed for
+    correctness: a batch spanning n versions yields byte-identical
+    rows to n single-version batches."""
+    from pyspark.sql.datasource import DataSource, DataSourceStreamReader
+
+    class ManifestCdfStreamReader(DataSourceStreamReader):
         def __init__(self, options):
             self.table = options["path"]
-            self.max_versions = int(options.get("maxVersionsPerBatch", "1"))
             self.start = int(options.get("startingVersion", "0"))
 
         def initialOffset(self) -> dict:
             return {"v": self.start}
 
-        def read(self, start: dict):
-            lo = int(start["v"])
-            hi = min(lo + self.max_versions, current_version(self.table))
-            if hi <= lo:
-                return iter(()), {"v": lo}
-            # list-backed iterator: the simple-reader prefetch cache
-            # copy.copy()s the iterator for replay, which a generator
-            # cannot survive
-            return iter(list(cdf_rows(self.table, lo, hi))), {"v": hi}
+        def latestOffset(self) -> dict:
+            return {"v": max(current_version(self.table), self.start)}
 
-        def readBetweenOffsets(self, start: dict, end: dict):
+        def partitions(self, start: dict, end: dict):
+            from pyspark.sql.datasource import InputPartition
+
             lo, hi = int(start["v"]), int(end["v"])
-            if hi > lo:
-                yield from cdf_rows(self.table, lo, hi)
+            if hi <= lo:
+                return []
+            return [
+                InputPartition(u)
+                for u in plan_change_partitions(self.table, lo, hi)
+            ]
+
+        def read(self, partition) -> Iterator[tuple]:
+            return read_change_partition(partition.value)
 
     class ManifestCdfSource(DataSource):
         @classmethod
@@ -192,7 +324,7 @@ def make_cdf_stream_source():
             parts += ["`_change_type` string", "`_commit_version` long"]
             return ", ".join(parts)
 
-        def simpleStreamReader(self, schema) -> ManifestCdfStreamReader:
+        def streamReader(self, schema) -> ManifestCdfStreamReader:
             return ManifestCdfStreamReader(self.options)
 
     return ManifestCdfSource

@@ -320,6 +320,20 @@ def _publish(
     same version and orphan one side's data files. Losers get
     CommitConflictError and must retry against the advanced version."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
+    # DATA SEQUENCE NUMBERS (Iceberg v2): every file/eq-delete entry is
+    # stamped with the version that first committed it, at the single
+    # commit point so no writer can forget. Carried-forward entries
+    # keep their original seq; equality deletes then apply only to
+    # files with a STRICTLY LOWER seq (commit_delete_equality masks
+    # what existed when it committed — a row re-inserted later is
+    # visible again, not swallowed by a standing mask).
+    files = [
+        f if "seq" in f else {**f, "seq": version} for f in files
+    ]
+    if eq_deletes:
+        eq_deletes = [
+            e if "seq" in e else {**e, "seq": version} for e in eq_deletes
+        ]
     manifest = {"version": version, "op": op, "files": files}
     if schema is not None:
         manifest["schema"] = schema
@@ -512,19 +526,54 @@ def _apply_delete_vectors(
     ).select(*cols)
 
 
-def _apply_equality_deletes(
-    spark: SparkSession, df: DataFrame, eq_deletes: list[dict]
-) -> DataFrame:
-    """Mask rows matching any live equality delete: one broadcast
-    anti-join per (column, file) pair. Values-proportional, like the
-    position path — an equality set too big to broadcast is the signal
-    to compact."""
+def _norm_fp(col):
+    """Normalize Spark's ``_metadata.file_path`` URI ('file:/abs' or
+    'file:///abs') to the plain filesystem path manifests store."""
     from pyspark.sql import functions as F
 
-    for e in eq_deletes:
-        vals = spark.read.parquet(e["path"])
-        df = df.join(F.broadcast(vals), on=e["col"], how="left_anti")
-    return df
+    return F.regexp_replace(col, "^file:/+", "/")
+
+
+def _apply_equality_deletes(
+    spark: SparkSession, df: DataFrame, manifest: dict, fp_col: str
+) -> DataFrame:
+    """Mask rows matching any live equality delete, SCOPED BY DATA
+    SEQUENCE NUMBER (Iceberg v2): an equality vector committed at seq
+    ``s`` applies only to rows from files with seq < s — rows appended
+    AFTER the delete are visible, not swallowed by a standing mask
+    (ADVICE r13: a row re-inserted post-delete must reappear without
+    waiting for compaction). Legacy entries without a seq fall back to
+    the old standing-mask behavior (file seq -> 0, delete seq ->
+    unscoped).
+
+    One broadcast anti-join per (column, file) pair plus ONE broadcast
+    map join file_path -> seq (O(#files) rows). Values-proportional,
+    like the position path — an equality set too big to broadcast is
+    the signal to compact. ``fp_col`` names the raw
+    ``_metadata.file_path`` column on ``df``."""
+    from pyspark.sql import functions as F
+
+    eq = manifest.get("eq_deletes") or []
+    if not eq:
+        return df
+    cols = df.columns
+    smap = spark.createDataFrame(
+        [(f["path"], int(f.get("seq", 0))) for f in manifest["files"]],
+        "__sq_fp string, __sq_seq long",
+    )
+    df = df.withColumn("__sq_fp", _norm_fp(F.col(fp_col))).join(
+        F.broadcast(smap), on="__sq_fp", how="left"
+    )
+    fseq = F.coalesce(F.col("__sq_seq"), F.lit(0))
+    for e in eq:
+        vals = spark.read.parquet(e["path"]).select(
+            F.col(e["col"]).alias("__eq_v")
+        )
+        cond = df[e["col"]] == F.col("__eq_v")
+        if e.get("seq") is not None:
+            cond = cond & (fseq < F.lit(int(e["seq"])))
+        df = df.join(F.broadcast(vals), cond, "left_anti")
+    return df.select(*cols)
 
 
 def read_version(
@@ -544,14 +593,36 @@ def read_version(
     Iceberg v2 position-delete shape), they are applied here — readers
     always see the post-delete table; the raw files are a private
     storage detail."""
+    from pyspark.sql import functions as F
+
     v = current_version(table_dir) if version is None else version
     manifest = read_manifest(table_dir, v)
     df = _base_reader(spark, manifest)
     deletes = manifest.get("deletes") or []
+    eq = manifest.get("eq_deletes") or []
+    if not deletes and not eq:
+        return df
+    # capture the row identity ONCE at the scan (it is not resolvable
+    # after a join), feed both mask kinds, then project it away
+    cols = df.columns
+    pos = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__mt_fp"),
+        F.col("_metadata.row_index").alias("__mt_ri"),
+    )
     if deletes:
-        df = _apply_delete_vectors(spark, df, deletes)
-    df = _apply_equality_deletes(spark, df, manifest.get("eq_deletes") or [])
-    return df
+        dv = spark.read.parquet(*[d["path"] for d in deletes]).select(
+            F.col("file_path").alias("__del_fp"),
+            F.col("row_index").alias("__del_ri"),
+        )
+        pos = pos.join(
+            F.broadcast(dv),
+            (pos["__mt_fp"] == dv["__del_fp"])
+            & (pos["__mt_ri"] == dv["__del_ri"]),
+            "left_anti",
+        )
+    pos = _apply_equality_deletes(spark, pos, manifest, fp_col="__mt_fp")
+    return pos.select(*cols)
 
 
 def read_version_with_pos(
@@ -590,9 +661,7 @@ def read_version_with_pos(
             & (pos["row_index"] == dv["__del_ri"]),
             "left_anti",
         ).select(*cols, "file_path", "row_index")
-    pos = _apply_equality_deletes(
-        spark, pos, manifest.get("eq_deletes") or []
-    )
+    pos = _apply_equality_deletes(spark, pos, manifest, fp_col="file_path")
     return pos
 
 
@@ -1001,7 +1070,7 @@ def commit_append_partitioned(
             f"they were written with)"
         )
     fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[transform]
-    schema = _merged_schema(prev_manifest.get("schema"), df)
+    _merged_schema(prev_manifest.get("schema"), df)  # reject before staging
 
     import pyarrow.parquet as pq
 
@@ -1037,17 +1106,42 @@ def commit_append_partitioned(
                         "ptransform": transform,
                     }
                 )
-        files = list(prev_manifest.get("files", [])) + entries
-        return _publish(
-            table_dir,
-            (current_version(table_dir)) + 1,
-            op,
-            files,
-            schema,
-            deletes=prev_manifest.get("deletes"),
-            partition_spec=spec,
-            eq_deletes=prev_manifest.get("eq_deletes"),
-        )
+        # Optimistic-concurrency publish (ADVICE r13 high): the staging
+        # write above is the slow part, so a concurrent commit may have
+        # advanced the table since the entry-time read. Re-read the HEAD
+        # manifest each attempt and merge the staged entries onto THAT
+        # live set — publishing the entry-time merge at a recomputed
+        # version number would silently drop the racer's files/deletes.
+        # Same "win the next version" retry protocol as commit_append
+        # (appends commute).
+        while True:
+            head = current_version(table_dir)
+            head_manifest = read_manifest(table_dir, head) if head else {}
+            head_spec = head_manifest.get("partition_spec")
+            if (
+                head_spec is not None
+                and head_spec != spec
+                and not allow_evolution
+            ):
+                raise ValueError(
+                    f"partition spec mismatch: table declares {head_spec}, "
+                    f"writer passed {spec} (pass allow_evolution=True)"
+                )
+            schema = _merged_schema(head_manifest.get("schema"), df)
+            files = list(head_manifest.get("files", [])) + entries
+            try:
+                return _publish(
+                    table_dir,
+                    head + 1,
+                    op,
+                    files,
+                    schema,
+                    deletes=head_manifest.get("deletes"),
+                    partition_spec=spec,
+                    eq_deletes=head_manifest.get("eq_deletes"),
+                )
+            except CommitConflictError:
+                continue
     except BaseException:
         for e in entries:
             try:
@@ -1233,11 +1327,11 @@ def read_changes(
                 & (ins["__cf_ri"] == dv["__del_ri"]),
                 "left_anti",
             )
-        # ALL of v_to's equality vectors mask the new files (standing
-        # eq deletes apply to later appends too), not just window-added
-        for e in mt.get("eq_deletes", []):
-            vals = spark.read.parquet(e["path"])
-            ins = ins.join(F.broadcast(vals), on=e["col"], how="left_anti")
+        # v_to's equality vectors mask the new files SEQ-SCOPED: an
+        # in-window vector masks files appended before it; a file
+        # appended after the vector (or a pre-window vector) is not
+        # masked — matching read_version's sequence-number semantics
+        ins = _apply_equality_deletes(spark, ins, mt, fp_col="__cf_fp")
         pieces.append(
             ins.select(*cols).withColumn("_change_type", F.lit("insert"))
         )
@@ -1261,9 +1355,16 @@ def read_changes(
                 & (old["__cf_ri"] == odv["__odel_ri"]),
                 "left_anti",
             )
-        for e in mf.get("eq_deletes", []):
-            vals = spark.read.parquet(e["path"])
-            old = old.join(F.broadcast(vals), on=e["col"], how="left_anti")
+        old = _apply_equality_deletes(spark, old, mf, fp_col="__cf_fp")
+        # Dedupe on PHYSICAL row identity (file_path, row_index), not on
+        # data values (ADVICE r13 medium): two distinct rows with equal
+        # column values deleted in the same window must emit TWO delete
+        # rows (matching cdf_rows' one-per-physical-row contract) — a
+        # value distinct() would under-retract downstream folds. The
+        # identity dedupe only collapses the legitimate double-match
+        # case: one physical row hit by both a position vector and an
+        # equality vector in the same window.
+        ident = ["__cf_fp", "__cf_ri"]
         dels = []
         if dv is not None:
             dels.append(
@@ -1272,19 +1373,21 @@ def read_changes(
                     (old["__cf_fp"] == dv["__del_fp"])
                     & (old["__cf_ri"] == dv["__del_ri"]),
                     "left_semi",
-                ).select(*cols)
+                ).select(*cols, *ident)
             )
         for e in new_eq:
             vals = spark.read.parquet(e["path"])
             dels.append(
                 old.join(F.broadcast(vals), on=e["col"], how="left_semi")
-                .select(*cols)
+                .select(*cols, *ident)
             )
         deleted = dels[0]
         for d in dels[1:]:
             deleted = deleted.unionByName(d)
         pieces.append(
-            deleted.distinct().withColumn("_change_type", F.lit("delete"))
+            deleted.dropDuplicates(ident)
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
         )
     if not pieces:
         base = _reader().parquet(

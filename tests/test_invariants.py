@@ -149,13 +149,16 @@ def test_doc_stats_nchars_always_valid(spark, sf_dir):
 
 
 def test_vectorized_ann_matches_hof_ranking(spark, sf_dir):
-    """The BLAS-vectorized ANN path must produce the same neighbor set,
-    order, and (to 1e-9) scores as the exact higher-order-function form."""
+    """The BLAS-vectorized ANN path must produce the same neighbor set
+    and order as the exact higher-order-function form, and its emitted
+    6-dp-rounded score must equal the HOF score rounded the same way
+    (the oracle-exactness contract from VERDICT r13 item 4)."""
     hof = QUERIES["q_sim_search_topk"](spark, sf_dir).collect()
     vec = QUERIES["q_sim_search_topk_vectorized"](spark, sf_dir).collect()
     assert [r.vec_id for r in hof] == [r.vec_id for r in vec]
     for a, b in zip(hof, vec):
-        assert abs(a.cosine - b.cosine) < 1e-9, (a, b)
+        assert abs(a.cosine - b.cosine) < 5.1e-7, (a, b)
+        assert round(a.cosine, 6) == b.cosine, (a, b)
 
 
 def test_no_complex_output_columns(spark, sf_dir):
@@ -179,14 +182,14 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-13 driver-window
-    list — the grading driver records only the first 50. Round-13 contract
-    (VERDICT r12 item 2): the 8 round-12 post-freeze keys first
-    (never-checked > stale-green), then the 7 r5-stale remainder, then
-    the 35 oldest r6-stale keys; the 15 r6-stale remainder rotates
-    round 14. Every key that has never PASSED a driver check (no row, or
-    a hard-failed row) must be inside the window or declared in
-    _POST_WINDOW_ADDITIONS."""
+    """The first 50 registry keys must be exactly the round-14 driver-window
+    list — the grading driver records only the first 50. Round-14 contract
+    (VERDICT r13 item 1), auto-derived by tools/driver_staleness.py: the
+    12 round-13 post-freeze keys first (never-checked > stale-green),
+    then the 15 r6-stale remainder, then the 23 oldest r8-stale keys
+    (12 + 15 + 23 = 50). Every key that has never PASSED a driver check
+    (no row, or a hard-failed row) must be inside the window or declared
+    in _POST_WINDOW_ADDITIONS."""
     import json
     from pathlib import Path
 
@@ -349,19 +352,19 @@ def test_alternating_cc_chain_rounds(spark):
 
 def test_registry_totals_match_survey():
     """SURVEY.md §2 declares 79 §2 keys + 248 extras = 327 registered,
-    313 SQL-oracled / 14 rows-only. Keep the documented arithmetic honest."""
+    314 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    gained a 6-dp-rounded exact oracle). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
     assert len(QUERIES) == 327
-    assert len(oracles) == 313
+    assert len(oracles) == 314
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
         "q_dedup_simhash",
         "q_knn_join_bucketed",
         "q_knn_join_multiprobe",
-        "q_sim_search_topk_vectorized",
         "q_agg_approx_distinct",
         "q_sample_stratified",
         "q_agg_sketch_reaggregate",
@@ -2311,6 +2314,62 @@ def test_manifest_commit_conflict_detection(spark, tmp_path, monkeypatch):
     assert mt.read_version(spark, table).count() == 2 + 1 + 2
 
 
+def test_manifest_partitioned_append_race_merges_concurrent_commit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r13 (high): a concurrent commit landing during
+    commit_append_partitioned's slow staging write must NOT be silently
+    dropped. The publish loop re-reads the HEAD manifest on each
+    attempt and merges the staged files onto the ADVANCED live set —
+    the same win-the-next-version retry protocol as commit_append —
+    so the racer's rows survive and the partitioned append lands one
+    version later."""
+    import datetime
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "part_race")
+    ddl = "k long, ts timestamp_ntz"
+    mt.commit_append_partitioned(
+        spark.createDataFrame([(1, datetime.datetime(2021, 1, 15))], ddl),
+        table,
+        "ts",
+        "month",
+        ["ts"],
+    )
+    real_publish = mt._publish
+    state = {"raced": False, "sneak_v": None}
+
+    def racy_publish(table_dir, version, op, files, *a, **kw):
+        # first publish attempt of the partitioned append: another
+        # writer lands a commit first (simulates a race during the
+        # slow staging write), so this attempt must conflict and retry
+        if not state["raced"] and op == "append":
+            state["raced"] = True
+            state["sneak_v"] = mt.commit_append(
+                spark.createDataFrame(
+                    [(99, datetime.datetime(2022, 5, 1))], ddl
+                ).repartition(1),
+                table_dir,
+                ["ts"],
+                op="sneak",
+            )
+        return real_publish(table_dir, version, op, files, *a, **kw)
+
+    monkeypatch.setattr(mt, "_publish", racy_publish)
+    v = mt.commit_append_partitioned(
+        spark.createDataFrame([(2, datetime.datetime(2021, 2, 10))], ddl),
+        table,
+        "ts",
+        "month",
+        ["ts"],
+    )
+    monkeypatch.undo()
+    assert v == state["sneak_v"] + 1
+    got = sorted(r.k for r in mt.read_version(spark, table, v).collect())
+    assert got == [1, 2, 99]  # the racer's row was merged, not dropped
+
+
 def test_manifest_schema_evolution(spark, tmp_path):
     """VERDICT r11 item 4: additive schema evolution. A column added in
     a later commit null-fills for files written before it existed
@@ -2817,9 +2876,11 @@ def test_manifest_equality_delete_semantics(spark, tmp_path):
     upper bound (count_exact False) while eq-vectors live; (4) time
     travel pre-delete reads full; (5) position deletes COMPOSE on top
     (the identity read excludes eq-masked rows first); (6) appends
-    carry the vectors; (7) rewrite refuses; (8) compaction folds both
-    mask kinds in, restores count_exact, and a vacuum then reclaims
-    every vector file."""
+    carry the vectors but SEQ SCOPING (Iceberg v2) means a value
+    re-inserted after the delete is visible — vectors only mask files
+    with a lower data sequence number; (7) rewrite refuses; (8)
+    compaction folds both mask kinds in, restores count_exact, and a
+    vacuum then reclaims every vector file."""
     import glob as _glob
     import os as _os
 
@@ -2870,11 +2931,12 @@ def test_manifest_equality_delete_semantics(spark, tmp_path):
         table,
         ["k"],
     )
-    # the appended k=100 row IS masked by the standing eq-vector (100 in
-    # the value set) — vectors apply to the whole live set, same as
-    # Iceberg sequence-number-free equality deletes
+    # the appended k=100 row is NOT masked: the eq-vector committed at
+    # v3 applies only to files with a lower data sequence number
+    # (Iceberg v2 seq scoping) — a row re-inserted after the delete is
+    # visible again without waiting for compaction
     got = sorted(r.k for r in read_version(spark, table, v5).collect())
-    assert got == [i for i in range(20) if i not in (1, 2, 5)]
+    assert got == [i for i in range(20) if i not in (1, 2, 5)] + [100]
     # (7) rewrite refuses over live vectors
     live = [f["path"] for f in read_manifest(table, v5)["files"]]
     with _pytest.raises(ValueError, match="delete vectors"):
@@ -2884,10 +2946,10 @@ def test_manifest_equality_delete_semantics(spark, tmp_path):
     m6 = read_manifest(table, v6)
     assert "deletes" not in m6 and "eq_deletes" not in m6
     st = table_stats(table, v6)
-    assert st["count_exact"] is True and st["n_rows"] == 17
+    assert st["count_exact"] is True and st["n_rows"] == 18
     vacuum(table, retain_last=1)
     assert not _glob.glob(_os.path.join(table, "_deletes", "*.parquet"))
-    assert read_version(spark, table, v6).count() == 17
+    assert read_version(spark, table, v6).count() == 18
 
 
 def test_manifest_read_changes_semantics(spark, tmp_path):
@@ -2941,6 +3003,117 @@ def test_manifest_read_changes_semantics(spark, tmp_path):
     assert sorted(r.k for r in ch0) == [
         i for i in range(20) if i % 5 != 0 and i != 3
     ]
+
+
+def test_read_changes_delete_dedupe_by_row_identity(spark, tmp_path):
+    """ADVICE r13 (medium): two PHYSICALLY DISTINCT rows with identical
+    column values deleted in the same window must emit TWO delete rows
+    (one per physical row, matching cdf_rows) — a value-based
+    distinct() would under-retract downstream folds. The identity
+    dedupe still collapses the legitimate double-match: one physical
+    row hit by both a position vector and an equality vector inside
+    the same window emits ONE delete."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_cdf_stream import (
+        cdf_rows,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        read_changes,
+        read_version_with_pos,
+    )
+
+    table = str(tmp_path / "cdf_ident")
+    # two value-identical rows (distinct physical rows) + one other
+    df = spark.createDataFrame([(1, 10), (1, 10), (2, 20)], "k long, v long")
+    v1 = commit_append(df.repartition(1), table, ["k"])
+    doomed = read_version_with_pos(spark, table).filter("k = 1")
+    v2 = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    ch = sorted(
+        (r._change_type, r.k) for r in read_changes(spark, table, v1, v2).collect()
+    )
+    assert ch == [("delete", 1), ("delete", 1)]  # one per physical row
+    assert sorted(cdf_rows(table, v1, v2)) == [
+        (1, 10, "delete", v2),
+        (1, 10, "delete", v2),
+    ]
+    # double-match collapse: pos + eq vector on the SAME physical row
+    v3 = commit_append(
+        spark.createDataFrame([(3, 30)], "k long, v long").repartition(1),
+        table,
+        ["k"],
+    )
+    d2 = read_version_with_pos(spark, table).filter("k = 2")
+    v4 = commit_delete(spark, table, d2.select("file_path", "row_index"))
+    v5 = commit_delete_equality(
+        spark, table, "k", spark.createDataFrame([(2,)], "k long")
+    )
+    ch2 = [
+        (r._change_type, r.k)
+        for r in read_changes(spark, table, v3, v5).collect()
+    ]
+    assert ch2 == [("delete", 2)]
+
+
+def test_cdf_partition_planner_matches_reference(spark, tmp_path):
+    """VERDICT r13 item 2: the partition-planning stream reader's
+    (plan, read) pair — driver plans per (version × file × side) units
+    from manifest JSON, executors materialize rows — must emit exactly
+    the pure-Python ``cdf_rows`` reference for every single-version
+    window, and a MULTI-version window must equal the concatenation of
+    its per-version windows (rows keep their precise _commit_version;
+    no cross-version net-cancellation), through appends, position
+    deletes, seq-scoped equality deletes, and a post-delete re-insert."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_cdf_stream import (
+        cdf_rows,
+        plan_change_partitions,
+        read_change_partition,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_delete_equality,
+        read_version_with_pos,
+    )
+
+    table = str(tmp_path / "cdfplan")
+    ddl = "k long, v long"
+    commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(8)], ddl).repartition(2),
+        table,
+        ["k"],
+    )
+    commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(8, 12)], ddl).repartition(1),
+        table,
+        ["k"],
+    )
+    doomed = read_version_with_pos(spark, table).filter("k % 3 = 0")
+    commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    commit_delete_equality(
+        spark, table, "k", spark.createDataFrame([(1,), (7,)], "k long")
+    )
+    # re-insert an eq-deleted value: must emit as insert (seq scoping)
+    cur = commit_append(
+        spark.createDataFrame([(7, 700)], ddl).repartition(1), table, ["k"]
+    )
+
+    def planned(lo, hi):
+        return sorted(
+            t
+            for u in plan_change_partitions(table, lo, hi)
+            for t in read_change_partition(u)
+        )
+
+    for v in range(1, cur + 1):
+        assert planned(v - 1, v) == sorted(cdf_rows(table, v - 1, v)), v
+    # multi-version window == concat of per-version windows
+    whole = sorted(
+        t for v in range(1, cur + 1) for t in cdf_rows(table, v - 1, v)
+    )
+    assert planned(0, cur) == whole
+    assert (7, 700, "insert", cur) in whole  # the re-insert surfaced
 
 
 def test_manifest_refs_rollback_and_vacuum_pin(spark, tmp_path):

@@ -409,10 +409,12 @@ def test_manifest_table_random_delete_sequences(spark):
     """Model-based property test for the ROW-LEVEL plane: across random
     append / position-delete / equality-delete / replace / rollback
     sequences, every historical version must read back exactly its
-    model VISIBLE row-set (masks included in time travel), standing
-    equality vectors must mask LATER appends too, delete commits must
-    add zero data files, compaction must fold all masks in, and
-    rollback must restore the full visible state (masks and all)."""
+    model VISIBLE row-set (masks included in time travel), equality
+    vectors must be SEQ-SCOPED (Iceberg v2: they mask only files
+    committed before them, so a value appended after its eq-delete is
+    visible — the re-insert case), delete commits must add zero data
+    files, compaction must fold all masks in, and rollback must
+    restore the full visible state (masks and all)."""
     import shutil
     import tempfile
 
@@ -458,8 +460,7 @@ def test_manifest_table_random_delete_sequences(spark):
         shutil.rmtree(table)
         try:
             visible = set()  # model of the VISIBLE row-set
-            eq_standing = set()  # standing equality-masked k values
-            model = {}  # version -> (frozenset visible, frozenset eq)
+            model = {}  # version -> frozenset visible
             no_datafile_versions = []
             next_id = counter[0]
             for op in seq:
@@ -470,8 +471,9 @@ def test_manifest_table_random_delete_sequences(spark):
                         [(i, i * 10) for i in sorted(ids)], ["k", "v"]
                     )
                     ver = commit_append(df.repartition(1), table, ["k"])
-                    # standing equality vectors mask later appends too
-                    visible |= {i for i in ids if i not in eq_standing}
+                    # seq scoping: eq vectors never mask later appends
+                    # (values in a live vector re-appear on re-insert)
+                    visible |= ids
                 elif op[0] == "pos_delete":
                     doomed = read_version_with_pos(spark, table).filter(
                         f"k % 3 = {op[1]}"
@@ -487,25 +489,21 @@ def test_manifest_table_random_delete_sequences(spark):
                     )
                     vdf = spark.createDataFrame([(i,) for i in vals], ["k"])
                     ver = commit_delete_equality(spark, table, "k", vdf)
-                    eq_standing |= set(vals)
                     visible -= set(vals)
                     no_datafile_versions.append(ver)
                 elif op[0] == "replace":
                     df = read_version(spark, table).repartition(1)
                     ver = commit_replace(df, table, ["k"])
-                    eq_standing = set()  # compaction folds all masks in
+                    # compaction folds all masks in (visible unchanged)
                 else:  # rollback
                     cur = current_version(table)
                     target = (op[1] % cur) + 1
                     ver = rollback(table, target)
-                    visible, eq_standing = (
-                        set(model[target][0]),
-                        set(model[target][1]),
-                    )
-                model[ver] = (frozenset(visible), frozenset(eq_standing))
+                    visible = set(model[target])
+                model[ver] = frozenset(visible)
             counter[0] = next_id
             # (1) time travel reads every version's VISIBLE set exactly
-            for v, (expect, _) in model.items():
+            for v, expect in model.items():
                 got = {r.k for r in read_version(spark, table, v).collect()}
                 assert got == set(expect), (v, got, expect)
             # (2) delete commits add no data files and keep COUNT honest
@@ -513,9 +511,9 @@ def test_manifest_table_random_delete_sequences(spark):
                 assert diff_files(table, v - 1, v) == []
                 st_ = table_stats(table, v)
                 if st_["count_exact"]:
-                    assert st_["n_rows"] == len(model[v][0])
+                    assert st_["n_rows"] == len(model[v])
                 else:
-                    assert st_["n_rows"] >= len(model[v][0])
+                    assert st_["n_rows"] >= len(model[v])
         finally:
             shutil.rmtree(table, ignore_errors=True)
 
