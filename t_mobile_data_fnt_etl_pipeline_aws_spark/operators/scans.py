@@ -2969,6 +2969,77 @@ def q_scan_manifest_history_table(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "q_scan_manifest_partitions_table",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y') AS "partition",
+           'year' AS ptransform,
+           CAST(1 AS BIGINT) AS n_files,
+           count(*) AS n_rows
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    UNION ALL
+    SELECT strftime(o_orderdate, '%Y-%m') AS "partition",
+           'month' AS ptransform,
+           CAST(1 AS BIGINT) AS n_files,
+           count(*) AS n_rows
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_scan_manifest_partitions_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The `table$partitions` METADATA TABLE — the third of the
+    metadata-table trio next to `$files`/`$history` (VERDICT r13 item
+    8): per-partition file and row counts answered from the manifest
+    alone, zero data files opened. The table is built ACROSS a
+    partition evolution (history YEAR-partitioned, recent MONTH-
+    partitioned), and every emitted row carries the transform its
+    files were written with — so the oracle can rebuild the exact
+    per-generation truth relationally: one file per year value before
+    1997, one per month value after, with footer row counts equal to
+    the raw per-value counts.
+
+    Scale: O(#partitions) over kilobyte manifests — the dashboard
+    query behind small-partition diagnosis, skew forensics ("which
+    partition holds half the rows"), and retention planning, at any
+    table size.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        partitions_table,
+    )
+
+    table = _sink_dir(f"orders_partstbl_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    commit_append_partitioned(
+        o.filter(F.col("o_orderdate") < cut),
+        table,
+        "o_orderdate",
+        "year",
+        ["o_orderdate"],
+        op="history_by_year",
+    )
+    commit_append_partitioned(
+        o.filter(F.col("o_orderdate") >= cut),
+        table,
+        "o_orderdate",
+        "month",
+        ["o_orderdate"],
+        op="recent_by_month",
+        allow_evolution=True,
+    )
+    return partitions_table(spark, table)
+
+
+@query(
     "q_etl_manifest_clone",
     oracle=f"""
     SELECT o_orderpriority,

@@ -134,7 +134,9 @@ _DRIVER_WINDOW = [
 #: round-14 additions here as they register; they head the ROUND-15
 #: window (never-checked > stale-green), padded per
 #: ``tools/driver_staleness.py``'s emitted plan.
-_POST_WINDOW_ADDITIONS: list[str] = []
+_POST_WINDOW_ADDITIONS: list[str] = [
+    "q_scan_manifest_partitions_table",
+]
 
 
 def _import_all() -> None:

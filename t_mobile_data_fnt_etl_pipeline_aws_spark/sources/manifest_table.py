@@ -1153,6 +1153,47 @@ def commit_append_partitioned(
         shutil.rmtree(staging, ignore_errors=True)
 
 
+def evolve_partition_spec(
+    table_dir: str, spec: dict | None, op: str = "evolve_spec"
+) -> int:
+    """METADATA-ONLY partition-spec change — the second half of
+    partition evolution (VERDICT r13 item 6): publish a new version
+    whose declared spec is ``spec`` (or REMOVED when None) with the
+    live file set byte-identical. Zero data movement in either
+    direction: existing files keep the (partition value, ptransform)
+    recorded in their entries, so they keep pruning under the layout
+    they were WRITTEN with; files appended after a removal simply
+    carry no value and degrade to stats-only pruning. ``spec`` must be
+    ``{"col": ..., "transform": year|month|day}`` or None."""
+    if spec is not None:
+        t = spec.get("transform")
+        if t not in _PARTITION_TRANSFORMS:
+            raise ValueError(
+                f"unsupported transform {t!r}; "
+                f"pick one of {sorted(_PARTITION_TRANSFORMS)}"
+            )
+        if "col" not in spec:
+            raise ValueError("partition spec needs a 'col'")
+    while True:
+        prev = current_version(table_dir)
+        if not prev:
+            raise ValueError("cannot evolve the spec of an empty table")
+        m = read_manifest(table_dir, prev)
+        try:
+            return _publish(
+                table_dir,
+                prev + 1,
+                op,
+                m["files"],
+                m.get("schema"),
+                deletes=m.get("deletes"),
+                partition_spec=spec,
+                eq_deletes=m.get("eq_deletes"),
+            )
+        except CommitConflictError:
+            continue
+
+
 def prune_files_partition(
     table_dir: str, version: int, lo, hi
 ) -> tuple[list[str], int]:
@@ -1164,15 +1205,20 @@ def prune_files_partition(
     layout — that's the "hidden" in hidden partitioning. Files without
     a recorded value (pre-spec appends, compacted files) are always
     kept: the transform is an optimization, never a correctness
-    dependency. No spec declared -> no pruning, keep everything.
-    Under PARTITION EVOLUTION each file prunes by its own recorded
-    transform (see the loop comment)."""
+    dependency. Under PARTITION EVOLUTION each file prunes by its own
+    recorded transform (see the loop comment) — including after the
+    spec is REMOVED (evolve_partition_spec(None)): old generations
+    keep pruning; only unvalued files are always kept."""
     manifest = read_manifest(table_dir, version)
     spec = manifest.get("partition_spec")
     files = manifest["files"]
-    if spec is None:
-        return [f["path"] for f in files], len(files)
-    default_t = spec.get("transform")
+    # Spec REMOVAL (evolve-to-unpartitioned) does NOT disable pruning
+    # for older generations: each file still prunes under the transform
+    # recorded in ITS OWN manifest entry (the current spec only governs
+    # new writes). Only files with no recorded value — including
+    # everything appended after the removal — are always kept; those
+    # degrade gracefully to stats-only pruning.
+    default_t = spec.get("transform") if spec is not None else None
     keep = []
     for f in files:
         if "partition" not in f:
@@ -1516,6 +1562,46 @@ def history_table(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows,
         "version long, op string, n_files long, n_rows long, has_row_masks boolean",
+    )
+
+
+def partitions_table(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The Iceberg ``table$partitions`` metadata table — completing the
+    metadata-table trio beside ``$files``/``$history`` (VERDICT r13
+    item 8): one row per recorded (partition value, transform) pair
+    with its live file count and footer row count, plus one NULL-valued
+    row aggregating unvalued files (plain appends, compacted files,
+    post-spec-removal writes). A pure manifest fold — zero data files
+    opened. Under PARTITION EVOLUTION generations stay distinguishable
+    because each row carries the transform its files were written with.
+
+    Row counts are FOOTER counts (pre-mask, the Iceberg
+    ``record_count`` semantic): live position/equality vectors are
+    row-level overlays, reported by ``$history``'s has_row_masks, not
+    subtracted here. O(#partitions) driver-side over kilobyte
+    manifests; same documented scale path as the rest of the metadata
+    plane."""
+    v = current_version(table_dir) if version is None else version
+    manifest = read_manifest(table_dir, v)
+    default_t = (manifest.get("partition_spec") or {}).get("transform")
+    agg: dict[tuple, list[int]] = {}
+    for f in manifest["files"]:
+        pval = f.get("partition")
+        key = (pval, f.get("ptransform", default_t) if pval else None)
+        e = agg.setdefault(key, [0, 0])
+        e[0] += 1
+        e[1] += int(f.get("rows", 0))
+    rows = [
+        (p, t, n, r)
+        for (p, t), (n, r) in sorted(
+            agg.items(), key=lambda kv: (kv[0][0] or "", kv[0][1] or "")
+        )
+    ]
+    return spark.createDataFrame(
+        rows,
+        "partition string, ptransform string, n_files long, n_rows long",
     )
 
 

@@ -351,14 +351,15 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 248 extras = 327 registered,
-    314 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
-    gained a 6-dp-rounded exact oracle). Keep the arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 249 extras = 328 registered,
+    315 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    gained a 6-dp-rounded exact oracle; q_scan_manifest_partitions_table
+    joined the metadata-table trio). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 327
-    assert len(oracles) == 314
+    assert len(QUERIES) == 328
+    assert len(oracles) == 315
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -2867,6 +2868,98 @@ def test_manifest_hidden_partitioning_semantics(spark, tmp_path):
         table, v2, "2021-02-01 00:00:00", "2021-02-28 23:59:59"
     )
     assert total == 4 and len(files) == 2  # Feb file + the unvalued file
+
+
+def test_partition_spec_removal_degrades_gracefully(spark, tmp_path):
+    """VERDICT r13 item 6 — the transform-REMOVAL direction of partition
+    evolution: evolve_partition_spec(None) publishes a metadata-only
+    commit (live file set byte-identical), after which (1) OLD
+    generations still partition-prune under the transform recorded in
+    their own entries, (2) files appended post-removal carry no value
+    and are NEVER partition-skipped (they degrade to stats-only
+    pruning, which still works), (3) pruned-read == full-filter read,
+    and (4) a later re-declare (commit_append_partitioned) resumes
+    valued writes without touching the unvalued generation."""
+    import datetime
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "spec_removal")
+    ddl = "k long, ts timestamp_ntz"
+    rows = [
+        (1, datetime.datetime(2020, 3, 1)),
+        (2, datetime.datetime(2021, 6, 1)),
+        (3, datetime.datetime(2022, 9, 1)),
+    ]
+    mt.commit_append_partitioned(
+        spark.createDataFrame(rows, ddl), table, "ts", "year", ["ts"]
+    )
+    # remove the spec: metadata-only, zero data movement
+    v_before = mt.current_version(table)
+    v_rm = mt.evolve_partition_spec(table, None)
+    assert [f["path"] for f in mt.read_manifest(table, v_before)["files"]] == [
+        f["path"] for f in mt.read_manifest(table, v_rm)["files"]
+    ]
+    assert "partition_spec" not in mt.read_manifest(table, v_rm)
+    # post-removal append: plain, unvalued
+    v2 = mt.commit_append(
+        spark.createDataFrame([(4, datetime.datetime(2020, 7, 7))], ddl)
+        .repartition(1),
+        table,
+        ["ts"],
+    )
+    files, total = mt.prune_files_partition(
+        table, v2, "2021-01-01 00:00:00", "2021-12-31 23:59:59"
+    )
+    assert total == 4
+    # (1) old generation still prunes: 2020/2022 year-files skipped;
+    # (2) the unvalued post-removal file is always kept
+    assert len(files) == 2
+    got = sorted(
+        r.k
+        for r in spark.read.parquet(*files)
+        .filter("ts >= '2021-01-01' and ts <= '2021-12-31'")
+        .collect()
+    )
+    assert got == [2]  # (3) pruned-read == full-filter read
+    # stats pruning still covers the unvalued file
+    m = mt.read_manifest(table, v2)
+    unvalued = [f for f in m["files"] if "partition" not in f]
+    assert len(unvalued) == 1 and "ts" in unvalued[0]["stats"]
+    # (4) re-declare month partitioning; the unvalued file is untouched
+    v3 = mt.commit_append_partitioned(
+        spark.createDataFrame([(5, datetime.datetime(2021, 2, 2))], ddl),
+        table,
+        "ts",
+        "month",
+        ["ts"],
+        allow_evolution=True,
+    )
+    files3, total3 = mt.prune_files_partition(
+        table, v3, "2021-02-01 00:00:00", "2021-02-28 23:59:59"
+    )
+    assert total3 == 5
+    # kept: the 2021 year-file, the unvalued file, the 2021-02 month-file
+    assert len(files3) == 3
+    got3 = sorted(
+        r.k
+        for r in spark.read.parquet(*files3)
+        .filter("ts >= '2021-02-01' and ts <= '2021-02-28'")
+        .collect()
+    )
+    assert got3 == [5]
+    # $partitions metadata table: one row per (value, transform), plus
+    # the NULL row aggregating the unvalued post-removal generation
+    pt = {
+        (r.partition, r.ptransform): (r.n_files, r.n_rows)
+        for r in mt.partitions_table(spark, table).collect()
+    }
+    assert pt[(None, None)] == (1, 1)  # the unvalued file
+    assert pt[("2020", "year")] == (1, 1)
+    assert pt[("2021", "year")] == (1, 1)
+    assert pt[("2022", "year")] == (1, 1)
+    assert pt[("2021-02", "month")] == (1, 1)
+    assert len(pt) == 5
 
 
 def test_manifest_equality_delete_semantics(spark, tmp_path):
