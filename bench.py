@@ -279,6 +279,8 @@ HEADLINE = [
     "q_etl_manifest_clone",               # zero-copy shallow clone + isolation
     "q_etl_manifest_update_mor",          # atomic row-level merge-on-read UPDATE
     "q_etl_partition_evolution",          # per-file-transform spec evolution
+    # round-14 additions
+    "q_scan_manifest_partitions_table",   # table$partitions per-value counts
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -2044,6 +2044,86 @@ def q_etl_schema_evolution_add_column(
 
 
 @query(
+    "q_etl_schema_default_values",
+    oracle=f"""
+    SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                THEN 'legacy'
+                WHEN o_orderkey % 97 = 0 THEN NULL
+                WHEN o_orderkey % 2 = 0 THEN 'web'
+                ELSE 'store' END AS o_channel,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS zero_files_rewritten
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_etl_schema_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLUMN DEFAULT VALUES (the Iceberg v3 ``initial-default`` shape):
+    ``commit_add_column(..., default='legacy')`` adds ``o_channel`` to
+    a table of pre-1997 orders as a METADATA-ONLY commit — zero files
+    rewritten (graded) — and every pre-existing row reads 'legacy'
+    without any backfill. Rows appended AFTER the add carry their
+    stored values, and their real NULLs (the %97 orders here) STAY
+    null — the default applies only to files committed before the
+    column existed (per-file data sequence numbers, the same machinery
+    that scopes equality deletes).
+
+    At 100 TB this is the backfill killer: ``ADD COLUMN ... DEFAULT``
+    costs one kilobyte manifest write where a materialized backfill
+    would rewrite the table; the default resolves at scan as a
+    projection over the broadcast file-seq map — no shuffle, no UDF.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_add_column,
+        commit_append,
+        read_manifest,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_defaults_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    v1 = commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="history",
+    )
+    v2 = commit_add_column(table, "o_channel", "string", default="legacy")
+    zero_rewrites = [f["path"] for f in read_manifest(table, v1)["files"]] == [
+        f["path"] for f in read_manifest(table, v2)["files"]
+    ]
+    k = F.col("o_orderkey")
+    commit_append(
+        o.filter(F.col("o_orderdate") >= cut)
+        .withColumn(
+            "o_channel",
+            F.when(k % 97 == 0, F.lit(None).cast("string"))
+            .when(k % 2 == 0, F.lit("web"))
+            .otherwise(F.lit("store")),
+        )
+        .repartition(2),
+        table,
+        ["o_orderdate"],
+        op="append_with_channel",
+    )
+    return (
+        read_version(spark, table)
+        .groupBy("o_channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("zero_files_rewritten", F.lit(zero_rewrites))
+    )
+
+
+@query(
     "q_etl_concurrent_commit_retry",
     oracle=f"""
     SELECT o_orderpriority,
@@ -3211,6 +3291,123 @@ def q_etl_manifest_update_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "no_files_rewritten",
             F.lit(set(live_before).issubset(live_after)),
+        )
+    )
+
+
+@query(
+    "q_etl_manifest_merge_mor",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("price", "revenue")},
+           true AS atomic_single_commit,
+           true AS no_files_rewritten
+    FROM (
+        SELECT o_orderpriority,
+               CASE WHEN o_orderkey % 151 = 0 AND o_orderkey % 173 <> 0
+                    THEN CAST(o_totalprice + 50 AS DECIMAL(12,2))
+                    ELSE o_totalprice END AS price
+        FROM orders
+        WHERE o_orderkey % 173 <> 0
+        UNION ALL
+        SELECT o_orderpriority,
+               CAST(o_totalprice + 1000 AS DECIMAL(12,2)) AS price
+        FROM orders
+        WHERE o_orderkey % 191 = 0
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_manifest_merge_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-ON-READ ``MERGE INTO`` — all three clauses in ONE atomic
+    commit (commit_merge_mor): a change batch updates the %151 orders
+    (+50.00), deletes the %173 orders, and inserts a synthetic +1000.00
+    twin of every %191 order under a fresh key — and the table's live
+    data files are untouched (graded no_files_rewritten): the whole
+    merge costs one kilobyte position vector plus one small file of
+    replacement/new rows, versus the copy-on-write twin
+    (q_etl_manifest_merge_cow) that rewrites every touched file.
+
+    Clause scoping is the strict deterministic subset Delta/Iceberg
+    implement: unmatched updates/deletes are no-ops, matched inserts
+    are dropped. Readers see the whole merge or none of it
+    (atomic_single_commit pins the version advanced exactly once).
+
+    Scale: the change batch broadcasts into every scoping join (the
+    table side is never broadcast — present-key discovery semi-joins
+    the SMALL side as build); write cost is O(rows changed). This is
+    the CDC-apply shape at 100 TB: a trickle of upstream changes lands
+    in kilobytes per commit, and compaction amortizes the read-side
+    mask when it accumulates.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_merge_mor,
+        current_version,
+        read_manifest,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_mergemor_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    v = 0
+    for half, flt in [
+        ("old", F.col("o_orderdate") < cut),
+        ("new", F.col("o_orderdate") >= cut),
+    ]:
+        v = commit_append(
+            o.filter(flt).repartition(2), table, ["o_orderdate"], op=f"append_{half}"
+        )
+    price_t = dict(o.dtypes)["o_totalprice"]
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 151 == 0) & (k % 173 != 0)).select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(50)).cast(price_t).alias("o_totalprice"),
+        F.lit("u").alias("__op"),
+    )
+    dels = o.filter(k % 173 == 0).select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_orderpriority",
+        "o_totalprice",
+        F.lit("d").alias("__op"),
+    )
+    ins = o.filter(k % 191 == 0).select(
+        (k + F.lit(100000000)).alias("o_orderkey"),
+        "o_orderdate",
+        "o_orderpriority",
+        (F.col("o_totalprice") + F.lit(1000)).cast(price_t).alias("o_totalprice"),
+        F.lit("i").alias("__op"),
+    )
+    live_before = [f["path"] for f in read_manifest(table, v)["files"]]
+    v_m = commit_merge_mor(
+        spark,
+        table,
+        upd.unionByName(dels).unionByName(ins),
+        "o_orderkey",
+        ["o_orderdate"],
+    )
+    live_after = {f["path"] for f in read_manifest(table, v_m)["files"]}
+    return (
+        read_version(spark, table, v_m)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn(
+            "atomic_single_commit", F.lit(v_m == v + 1 == current_version(table))
+        )
+        .withColumn(
+            "no_files_rewritten", F.lit(set(live_before).issubset(live_after))
         )
     )
 

@@ -136,6 +136,8 @@ _DRIVER_WINDOW = [
 #: ``tools/driver_staleness.py``'s emitted plan.
 _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_manifest_partitions_table",
+    "q_etl_manifest_merge_mor",
+    "q_etl_schema_default_values",
 ]
 
 

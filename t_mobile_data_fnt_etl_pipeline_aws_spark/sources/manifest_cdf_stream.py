@@ -86,6 +86,20 @@ def _eq_masks(entries: list[dict]) -> list[tuple[str, set, int | None]]:
     return out
 
 
+def _apply_defaults(row: tuple, cols: list[str], defaults: dict, fseq: int):
+    """Column defaults (Iceberg v3 initial-default): replace the
+    null-fill of files committed before the column existed
+    (fseq < default seq) with the recorded default value."""
+    if not defaults:
+        return row
+    out = list(row)
+    for i, c in enumerate(cols):
+        d = defaults.get(c)
+        if d is not None and out[i] is None and fseq < int(d["seq"]):
+            out[i] = d["v"]
+    return tuple(out)
+
+
 def _file_rows(path: str, cols: list[str]) -> Iterator[tuple[int, tuple]]:
     """(row_index, row values) for one immutable data file. pyarrow's
     read order is file order, so the enumeration index equals Spark's
@@ -131,6 +145,8 @@ def cdf_rows(
         [d for d in mt.get("eq_deletes", []) if d["path"] not in old_eq_paths]
     )
     all_eq_to = _eq_masks(mt.get("eq_deletes", []))
+    defaults_to = mt.get("defaults") or {}
+    defaults_from = mf.get("defaults") or {}
     col_idx = {c: i for i, c in enumerate(cols)}
 
     def eq_masked(row, masks, fseq) -> bool:
@@ -150,7 +166,10 @@ def cdf_rows(
                 continue
             if eq_masked(row, all_eq_to, fseq):
                 continue
-            yield row + ("insert", v_to)
+            yield _apply_defaults(row, cols, defaults_to, fseq) + (
+                "insert",
+                v_to,
+            )
 
     # deletes: rows VISIBLE at v_from (v_from's own masks applied)
     # matched by window-added vectors — materialized values
@@ -163,7 +182,12 @@ def cdf_rows(
                 if (path, ri) in old_pos or eq_masked(row, old_eq, fseq):
                     continue  # not visible at v_from
                 if (path, ri) in new_pos or eq_masked(row, new_eq, fseq):
-                    yield row + ("delete", v_to)
+                    # values as consumers SAW them at v_from (v_from's
+                    # defaults applied)
+                    yield _apply_defaults(row, cols, defaults_from, fseq) + (
+                        "delete",
+                        v_to,
+                    )
 
 
 def plan_change_partitions(table_dir: str, lo: int, hi: int) -> list[dict]:
@@ -205,6 +229,7 @@ def plan_change_partitions(table_dir: str, lo: int, hi: int) -> list[dict]:
                     "cols": cols,
                     "pos": new_pos,
                     "eq": mt.get("eq_deletes", []),
+                    "defaults": mt.get("defaults") or {},
                 }
             )
         if from_paths and (new_pos or new_eq):
@@ -221,6 +246,7 @@ def plan_change_partitions(table_dir: str, lo: int, hi: int) -> list[dict]:
                         "old_eq": mf.get("eq_deletes", []),
                         "pos": new_pos,
                         "eq": new_eq,
+                        "defaults": mf.get("defaults") or {},
                     }
                 )
     return units
@@ -247,7 +273,10 @@ def read_change_partition(unit: dict) -> Iterator[tuple]:
                 if c in col_idx
             ):
                 continue
-            yield row + ("insert", v)
+            yield _apply_defaults(row, cols, unit["defaults"], fseq) + (
+                "insert",
+                v,
+            )
         return
     old_pos = _pos_mask(unit["old_pos"])
     old_eq = _eq_masks(unit["old_eq"])
@@ -266,7 +295,10 @@ def read_change_partition(unit: dict) -> Iterator[tuple]:
         if (path, ri) in old_pos or masked(row, old_eq):
             continue  # not visible at the window start
         if (path, ri) in new_pos or masked(row, new_eq):
-            yield row + ("delete", v)
+            yield _apply_defaults(row, cols, unit["defaults"], fseq) + (
+                "delete",
+                v,
+            )
 
 
 def make_cdf_stream_source():

@@ -312,6 +312,7 @@ def _publish(
     deletes: list[dict] | None = None,
     partition_spec: dict | None = None,
     eq_deletes: list[dict] | None = None,
+    defaults: dict | None = None,
 ) -> int:
     """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
     name, then ``os.link`` it to its final version name. link(2) fails
@@ -343,6 +344,8 @@ def _publish(
         manifest["partition_spec"] = partition_spec
     if eq_deletes:
         manifest["eq_deletes"] = eq_deletes
+    if defaults:
+        manifest["defaults"] = defaults
     tmp = os.path.join(
         _log_dir(table_dir), f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp"
     )
@@ -444,6 +447,7 @@ def commit_append(
                     deletes=prev_manifest.get("deletes"),
                     partition_spec=prev_manifest.get("partition_spec"),
                     eq_deletes=prev_manifest.get("eq_deletes"),
+                    defaults=prev_manifest.get("defaults"),
                 )
             except CommitConflictError:
                 if expected_base is not None or not retry_conflicts:
@@ -557,13 +561,7 @@ def _apply_equality_deletes(
     if not eq:
         return df
     cols = df.columns
-    smap = spark.createDataFrame(
-        [(f["path"], int(f.get("seq", 0))) for f in manifest["files"]],
-        "__sq_fp string, __sq_seq long",
-    )
-    df = df.withColumn("__sq_fp", _norm_fp(F.col(fp_col))).join(
-        F.broadcast(smap), on="__sq_fp", how="left"
-    )
+    df = _with_file_seq(spark, df, manifest, fp_col)
     fseq = F.coalesce(F.col("__sq_seq"), F.lit(0))
     for e in eq:
         vals = spark.read.parquet(e["path"]).select(
@@ -573,6 +571,54 @@ def _apply_equality_deletes(
         if e.get("seq") is not None:
             cond = cond & (fseq < F.lit(int(e["seq"])))
         df = df.join(F.broadcast(vals), cond, "left_anti")
+    return df.select(*cols)
+
+
+def _with_file_seq(spark: SparkSession, df: DataFrame, manifest: dict, fp_col: str):
+    """Attach each row's file DATA SEQUENCE NUMBER as ``__sq_seq`` via
+    one broadcast map join (O(#files) rows) keyed on the normalized
+    ``fp_col`` path. Shared by equality-delete scoping and column
+    defaults — both are 'does this row predate commit N' questions."""
+    from pyspark.sql import functions as F
+
+    smap = spark.createDataFrame(
+        [(f["path"], int(f.get("seq", 0))) for f in manifest["files"]],
+        "__sq_fp string, __sq_seq long",
+    )
+    return (
+        df.withColumn("__sq_fp", _norm_fp(F.col(fp_col)))
+        .join(F.broadcast(smap), on="__sq_fp", how="left")
+        .drop("__sq_fp")
+    )
+
+
+def _apply_column_defaults(
+    spark: SparkSession, df: DataFrame, manifest: dict, fp_col: str
+) -> DataFrame:
+    """COLUMN DEFAULT VALUES (the Iceberg v3 ``initial-default`` shape):
+    a column added with a default reads that default from every file
+    committed BEFORE the column existed (file seq < default seq —
+    those files null-fill at scan, the default replaces the null),
+    while files written after honor their STORED values including
+    legitimate NULLs. Pure projection over the shared file-seq map —
+    no data rewritten, O(#files) metadata."""
+    from pyspark.sql import functions as F
+
+    defaults = manifest.get("defaults") or {}
+    cols = df.columns
+    todo = {n: d for n, d in defaults.items() if n in cols}
+    if not todo:
+        return df
+    df = _with_file_seq(spark, df, manifest, fp_col)
+    fseq = F.coalesce(F.col("__sq_seq"), F.lit(0))
+    for name, d in todo.items():
+        df = df.withColumn(
+            name,
+            F.when(
+                (fseq < F.lit(int(d["seq"]))) & F.col(name).isNull(),
+                F.lit(d["v"]).cast(d["t"]),
+            ).otherwise(F.col(name)),
+        )
     return df.select(*cols)
 
 
@@ -600,10 +646,12 @@ def read_version(
     df = _base_reader(spark, manifest)
     deletes = manifest.get("deletes") or []
     eq = manifest.get("eq_deletes") or []
-    if not deletes and not eq:
+    defaults = manifest.get("defaults") or {}
+    if not deletes and not eq and not defaults:
         return df
     # capture the row identity ONCE at the scan (it is not resolvable
-    # after a join), feed both mask kinds, then project it away
+    # after a join), feed both mask kinds + column defaults, then
+    # project it away
     cols = df.columns
     pos = df.select(
         "*",
@@ -622,6 +670,7 @@ def read_version(
             "left_anti",
         )
     pos = _apply_equality_deletes(spark, pos, manifest, fp_col="__mt_fp")
+    pos = _apply_column_defaults(spark, pos, manifest, fp_col="__mt_fp")
     return pos.select(*cols)
 
 
@@ -662,6 +711,7 @@ def read_version_with_pos(
             "left_anti",
         ).select(*cols, "file_path", "row_index")
     pos = _apply_equality_deletes(spark, pos, manifest, fp_col="file_path")
+    pos = _apply_column_defaults(spark, pos, manifest, fp_col="file_path")
     return pos
 
 
@@ -727,6 +777,7 @@ def commit_delete(
             deletes=deletes,
             partition_spec=prev_manifest.get("partition_spec"),
             eq_deletes=prev_manifest.get("eq_deletes"),
+            defaults=prev_manifest.get("defaults"),
         )
     except BaseException:
         for e in entries:
@@ -1015,6 +1066,7 @@ def commit_rewrite(
     return _publish(
         table_dir, prev + 1, op, keep + new, schema,
         partition_spec=prev_manifest.get("partition_spec"),
+        defaults=prev_manifest.get("defaults"),
     )
 
 
@@ -1139,6 +1191,7 @@ def commit_append_partitioned(
                     deletes=head_manifest.get("deletes"),
                     partition_spec=spec,
                     eq_deletes=head_manifest.get("eq_deletes"),
+                    defaults=head_manifest.get("defaults"),
                 )
             except CommitConflictError:
                 continue
@@ -1189,6 +1242,52 @@ def evolve_partition_spec(
                 deletes=m.get("deletes"),
                 partition_spec=spec,
                 eq_deletes=m.get("eq_deletes"),
+                defaults=m.get("defaults"),
+            )
+        except CommitConflictError:
+            continue
+
+
+def commit_add_column(
+    table_dir: str,
+    name: str,
+    dtype: str,
+    default=None,
+    op: str = "add_column",
+) -> int:
+    """ADD COLUMN as a METADATA-ONLY commit — with an optional DEFAULT
+    (the Iceberg v3 ``initial-default`` shape): zero files rewritten;
+    rows committed BEFORE this version read ``default`` (their files
+    lack the column physically, and the read path replaces the scan's
+    null-fill per the recorded seq), while rows written after carry
+    their stored values, including real NULLs. This is the 100-TB
+    backfill killer: ``ALTER TABLE ADD COLUMN region DEFAULT 'emea'``
+    costs one manifest write, not a table rewrite. Without a default
+    the column simply null-fills (the pre-existing additive-evolution
+    behavior, now available without riding on an append)."""
+    while True:
+        prev = current_version(table_dir)
+        if not prev:
+            raise ValueError("cannot add a column to an empty table")
+        m = read_manifest(table_dir, prev)
+        schema = [list(e) for e in (m.get("schema") or [])]
+        if any(n == name for n, _ in schema):
+            raise ValueError(f"column {name!r} already exists")
+        schema.append([name, dtype])
+        defaults = dict(m.get("defaults") or {})
+        if default is not None:
+            defaults[name] = {"v": default, "t": dtype, "seq": prev + 1}
+        try:
+            return _publish(
+                table_dir,
+                prev + 1,
+                op,
+                m["files"],
+                schema,
+                deletes=m.get("deletes"),
+                partition_spec=m.get("partition_spec"),
+                eq_deletes=m.get("eq_deletes"),
+                defaults=defaults or None,
             )
         except CommitConflictError:
             continue
@@ -1295,6 +1394,7 @@ def commit_delete_equality(
             deletes=prev_manifest.get("deletes"),
             partition_spec=prev_manifest.get("partition_spec"),
             eq_deletes=eq,
+            defaults=prev_manifest.get("defaults"),
         )
     except BaseException:
         for e in entries:
@@ -1378,6 +1478,7 @@ def read_changes(
         # appended after the vector (or a pre-window vector) is not
         # masked — matching read_version's sequence-number semantics
         ins = _apply_equality_deletes(spark, ins, mt, fp_col="__cf_fp")
+        ins = _apply_column_defaults(spark, ins, mt, fp_col="__cf_fp")
         pieces.append(
             ins.select(*cols).withColumn("_change_type", F.lit("insert"))
         )
@@ -1402,6 +1503,9 @@ def read_changes(
                 "left_anti",
             )
         old = _apply_equality_deletes(spark, old, mf, fp_col="__cf_fp")
+        # delete rows materialize the values consumers SAW at v_from,
+        # including v_from's column defaults
+        old = _apply_column_defaults(spark, old, mf, fp_col="__cf_fp")
         # Dedupe on PHYSICAL row identity (file_path, row_index), not on
         # data values (ADVICE r13 medium): two distinct rows with equal
         # column values deleted in the same window must emit TWO delete
@@ -1504,6 +1608,7 @@ def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
         deletes=src.get("deletes"),
         partition_spec=src.get("partition_spec"),
         eq_deletes=src.get("eq_deletes"),
+        defaults=src.get("defaults"),
     )
 
 
@@ -1636,6 +1741,7 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         deletes=m.get("deletes"),
         partition_spec=m.get("partition_spec"),
         eq_deletes=m.get("eq_deletes"),
+        defaults=m.get("defaults"),
     )
 
 
@@ -1698,6 +1804,7 @@ def commit_update_mor(
             deletes=list(prev_manifest.get("deletes", [])) + dv_entries,
             partition_spec=prev_manifest.get("partition_spec"),
             eq_deletes=prev_manifest.get("eq_deletes"),
+            defaults=prev_manifest.get("defaults"),
         )
     except BaseException:
         for e in new_files + dv_entries:
@@ -1708,3 +1815,76 @@ def commit_update_mor(
         raise
     finally:
         shutil.rmtree(staging, ignore_errors=True)
+
+
+def commit_merge_mor(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    stat_cols: list[str],
+    op: str = "merge_mor",
+) -> int:
+    """MERGE-ON-READ ``MERGE INTO`` — the full three-clause statement as
+    ONE atomic commit, completing the write-amplification ladder's MoR
+    rung next to copy-on-write MERGE (``commit_rewrite`` of whole
+    touched files) and MoR UPDATE/DELETE (single-clause):
+
+    * WHEN MATCHED AND __op='u'  THEN UPDATE — old row versions masked
+      by a position vector, replacement rows landed;
+    * WHEN MATCHED AND __op='d'  THEN DELETE — masked, no replacement;
+    * WHEN NOT MATCHED AND __op='i' THEN INSERT — appended.
+
+    ``source`` carries the table's data columns plus a ``__op`` column
+    ('u' | 'd' | 'i'). Clause scoping is strict: an 'u'/'d' row whose
+    key matches nothing is a no-op (not an upsert), and an 'i' row
+    whose key already exists is dropped (no duplicate) — the
+    deterministic subset of ANSI MERGE the Delta/Iceberg statement
+    implements.
+
+    Scale: the source (a change batch) broadcasts; finding doomed
+    positions is one broadcast semi-join over the identity read, and
+    the write is O(rows changed) — a 10-row merge into a 1-GB file
+    costs kilobytes (vector + small replacement file), never a file
+    rewrite. Atomicity comes from ``commit_update_mor``: vector and
+    replacement rows publish in the same manifest."""
+    from pyspark.sql import functions as F
+
+    schema = table_schema(table_dir)
+    if not schema:
+        raise ValueError("cannot merge into an empty table")
+    cols = [n for n, _ in schema]
+    if "__op" not in source.columns:
+        raise ValueError("merge source needs an __op column ('u'|'d'|'i')")
+    cur = read_version_with_pos(spark, table_dir)
+    touched_keys = source.filter(F.col("__op").isin("u", "d")).select(key)
+    doomed = cur.join(F.broadcast(touched_keys), on=key, how="left_semi").select(
+        "file_path", "row_index"
+    )
+    # Which source keys exist in the table? ONE scan with the SMALL
+    # side as the broadcast build (never broadcast the table): the
+    # semi-join's output is <= |source| distinct keys, which then
+    # broadcasts into the clause-scoping joins below.
+    present = (
+        cur.join(
+            F.broadcast(source.select(key).distinct()),
+            on=key,
+            how="left_semi",
+        )
+        .select(key)
+        .distinct()
+    )
+    # updates replace only MATCHED keys; inserts land only UNMATCHED
+    upd = (
+        source.filter(F.col("__op") == "u")
+        .join(F.broadcast(present), on=key, how="left_semi")
+        .select(*cols)
+    )
+    ins = (
+        source.filter(F.col("__op") == "i")
+        .join(F.broadcast(present), on=key, how="left_anti")
+        .select(*cols)
+    )
+    return commit_update_mor(
+        spark, table_dir, doomed, upd.unionByName(ins), stat_cols, op=op
+    )

@@ -3098,6 +3098,115 @@ def test_manifest_read_changes_semantics(spark, tmp_path):
     ]
 
 
+def test_column_defaults_semantics(spark, tmp_path):
+    """Column defaults (Iceberg v3 initial-default), the full contract:
+    (1) commit_add_column(default=...) is metadata-only; (2) rows from
+    files older than the column read the default, (3) post-add rows
+    keep stored values INCLUDING real NULLs; (4) time travel before
+    the add has no such column; (5) the change feed materializes
+    defaults (Spark read_changes, pure-Python cdf_rows, and the
+    partition planner all agree); (6) compaction materializes the
+    default into data files and drops the defaults section; (7)
+    rollback restores it."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_cdf_stream import (
+        cdf_rows,
+        plan_change_partitions,
+        read_change_partition,
+    )
+
+    table = str(tmp_path / "defaults")
+    v1 = mt.commit_append(
+        spark.createDataFrame([(1, 10), (2, 20)], "k long, v long").repartition(1),
+        table,
+        ["k"],
+    )
+    v2 = mt.commit_add_column(table, "tag", "string", default="old")
+    assert [f["path"] for f in mt.read_manifest(table, v1)["files"]] == [
+        f["path"] for f in mt.read_manifest(table, v2)["files"]
+    ]  # (1) metadata-only
+    v3 = mt.commit_append(
+        spark.createDataFrame(
+            [(3, 30, "fresh"), (4, 40, None)], "k long, v long, tag string"
+        ).repartition(1),
+        table,
+        ["k"],
+    )
+    got = {(r.k, r.tag) for r in mt.read_version(spark, table, v3).collect()}
+    assert got == {(1, "old"), (2, "old"), (3, "fresh"), (4, None)}  # (2)(3)
+    assert "tag" not in mt.read_version(spark, table, v1).columns  # (4)
+    # (5) change feed materializes the default in delete rows
+    doomed = mt.read_version_with_pos(spark, table).filter("k = 1")
+    assert doomed.collect()[0].tag == "old"
+    v4 = mt.commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    ch = mt.read_changes(spark, table, v3, v4).collect()
+    assert [(r._change_type, r.k, r.tag) for r in ch] == [("delete", 1, "old")]
+    ref = sorted(cdf_rows(table, v3, v4))
+    assert ref == [(1, 10, "old", "delete", v4)]
+    planned = sorted(
+        t
+        for u in plan_change_partitions(table, v3, v4)
+        for t in read_change_partition(u)
+    )
+    assert planned == ref
+    # insert side of the feed: the pre-default file's rows emit WITH
+    # the default when replayed from v0
+    ins = sorted(t for t in cdf_rows(table, 0, v3) if t[0] in (1, 2))
+    assert ins == [(1, 10, "old", "insert", 3), (2, 20, "old", "insert", 3)]
+    # (6) compaction materializes and drops the defaults section
+    v5 = mt.commit_replace(mt.read_version(spark, table, v4), table, ["k"])
+    m5 = mt.read_manifest(table, v5)
+    assert "defaults" not in m5
+    got5 = {(r.k, r.tag) for r in mt.read_version(spark, table, v5).collect()}
+    assert got5 == {(2, "old"), (3, "fresh"), (4, None)}
+    # (7) rollback restores the defaults-bearing snapshot
+    v6 = mt.rollback(table, v4)
+    got6 = {(r.k, r.tag) for r in mt.read_version(spark, table, v6).collect()}
+    assert got6 == {(2, "old"), (3, "fresh"), (4, None)}
+    assert mt.read_manifest(table, v6).get("defaults")
+
+
+def test_merge_mor_clause_scoping(spark, tmp_path):
+    """commit_merge_mor's strict ANSI-subset clause scoping: matched
+    'u' rows replace, matched 'd' rows vanish, unmatched 'i' rows
+    land — while an UNMATCHED 'u'/'d' is a no-op (not an upsert) and a
+    MATCHED 'i' is dropped (no duplicate). The whole merge is ONE
+    commit (version advances exactly once), zero data files rewritten,
+    and time travel still reads the pre-merge state."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "mergemor")
+    ddl = "k long, v long"
+    v1 = mt.commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(6)], ddl).repartition(1),
+        table,
+        ["k"],
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 111, "u"),   # matched update
+            (99, 990, "u"),  # UNMATCHED update -> no-op
+            (2, 0, "d"),     # matched delete
+            (98, 0, "d"),    # UNMATCHED delete -> no-op
+            (7, 70, "i"),    # unmatched insert
+            (3, 999, "i"),   # MATCHED insert -> dropped
+        ],
+        "k long, v long, __op string",
+    )
+    before = [f["path"] for f in mt.read_manifest(table, v1)["files"]]
+    v2 = mt.commit_merge_mor(spark, table, src, "k", ["k"])
+    assert v2 == v1 + 1 == mt.current_version(table)
+    after = {f["path"] for f in mt.read_manifest(table, v2)["files"]}
+    assert set(before).issubset(after)  # no file rewritten
+    got = {(r.k, r.v) for r in mt.read_version(spark, table, v2).collect()}
+    assert got == {
+        (0, 0), (1, 111), (3, 30), (4, 40), (5, 50), (7, 70)
+    }
+    # time travel: pre-merge snapshot intact
+    pre = {(r.k, r.v) for r in mt.read_version(spark, table, v1).collect()}
+    assert pre == {(i, i * 10) for i in range(6)}
+
+
 def test_read_changes_delete_dedupe_by_row_identity(spark, tmp_path):
     """ADVICE r13 (medium): two PHYSICALLY DISTINCT rows with identical
     column values deleted in the same window must emit TWO delete rows
