@@ -281,6 +281,11 @@ HEADLINE = [
     "q_etl_partition_evolution",          # per-file-transform spec evolution
     # round-14 additions
     "q_scan_manifest_partitions_table",   # table$partitions per-value counts
+    "q_etl_manifest_merge_mor",           # three-clause merge-on-read MERGE INTO
+    "q_etl_schema_default_values",        # metadata-only ADD COLUMN DEFAULT
+    "q_etl_type_widening",                # int->bigint/float->double/decimal widening
+    "q_etl_time_travel_timestamp",        # AS OF TIMESTAMP snapshot resolution
+    "q_etl_branch_fastforward",           # branch commits + ancestor fast-forward
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -2124,6 +2124,356 @@ def q_etl_schema_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_scan_manifest_refs_table",
+    oracle="""
+    WITH y AS (SELECT count(DISTINCT year(o_orderdate)) AS n FROM orders)
+    SELECT 'audit' AS ref, CAST(2 AS BIGINT) AS version, false AS at_head
+    FROM y
+    UNION ALL
+    SELECT 'dev', CAST(1 AS BIGINT), false FROM y
+    UNION ALL
+    SELECT 'main', CAST(n AS BIGINT), true FROM y
+    """,
+)
+def q_scan_manifest_refs_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `table$refs` METADATA TABLE — the branch-hygiene surface
+    completing the metadata quartet ($files/$history/$partitions/$refs):
+    one row per named ref with its pinned version and whether it sits
+    at the log head. Built deterministically: one commit per order
+    year, `main` published at the final version, `dev` branched at v1,
+    `audit` pinned at v2 — the oracle derives the expected pin set
+    from the year count alone (versions are commit ordinals).
+
+    Scale: a directory listing of kilobyte pointer files — the 'git
+    branch -v' of a 100-TB table.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        create_branch,
+        refs_table,
+        set_ref,
+    )
+
+    table = _sink_dir(f"orders_refstbl_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    v = 0
+    for yr in years:
+        v = commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"append_y{yr}",
+        )
+    set_ref(table, "main", v)
+    create_branch(table, "dev", at_version=1)
+    set_ref(table, "audit", 2)
+    return refs_table(spark, table)
+
+
+@query(
+    "q_etl_branch_fastforward",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS main_isolated_until_ff,
+           true AS backward_ff_rejected
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRANCHES + FAST-FORWARD (the Iceberg branching shape, one step
+    past single-commit WAP): ``create_branch('dev')`` buds zero-copy
+    from main; TWO commits land on dev via ``commit_append_to_ref``
+    (each records its branch PARENT — the version log is an id
+    allocator, the parent pointers are the history DAG) while main
+    still reads the original snapshot (graded main_isolated_until_ff).
+    ``fast_forward('main', 'dev')`` then publishes the whole dev line
+    with one atomic pointer move — but only because main's position is
+    an ANCESTOR of dev's head; the reverse fast-forward (dev back to
+    the old main) is REJECTED (graded backward_ff_rejected) because it
+    would silently discard dev's commits.
+
+    At 100 TB this is multi-commit staging: a backfill lands as N
+    audited branch commits sharing production's files, and promotion
+    is O(1) metadata — the same reason git made cheap branches the
+    default workflow.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_append_to_ref,
+        create_branch,
+        fast_forward,
+        get_ref,
+        read_ref,
+        set_ref,
+    )
+
+    table = _sink_dir(f"orders_branch_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    v1 = commit_append(
+        o.filter(F.col("o_orderdate") < cut).repartition(2),
+        table,
+        ["o_orderdate"],
+        op="main_history",
+    )
+    set_ref(table, "main", v1)
+    create_branch(table, "dev")
+    base_count = read_ref(spark, table, "main").count()
+    years = sorted(
+        r.yr
+        for r in o.filter(F.col("o_orderdate") >= cut)
+        .select(F.year("o_orderdate").alias("yr"))
+        .distinct()
+        .collect()
+    )
+    for yr in years:
+        commit_append_to_ref(
+            o.filter(F.year("o_orderdate") == yr).repartition(2),
+            table,
+            "dev",
+            ["o_orderdate"],
+            op=f"dev_y{yr}",
+        )
+    # main is untouched by dev's commits
+    isolated = (
+        get_ref(table, "main") == v1
+        and read_ref(spark, table, "main").count() == base_count
+    )
+    try:
+        fast_forward(table, "dev", v1)  # backward: discards dev commits
+        backward_rejected = False
+    except ValueError:
+        backward_rejected = True
+    fast_forward(table, "main", "dev")
+    return (
+        read_ref(spark, table, "main")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("main_isolated_until_ff", F.lit(isolated))
+        .withColumn("backward_ff_rejected", F.lit(backward_rejected))
+    )
+
+
+@query(
+    "q_etl_time_travel_timestamp",
+    oracle=f"""
+    SELECT CAST(1 AS BIGINT) AS snapshot, count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS pre_epoch_rejected
+    FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), count(*), {sql_dsum('o_totalprice', 'revenue')},
+           true
+    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), count(*), {sql_dsum('o_totalprice', 'revenue')},
+           true
+    FROM orders
+    """,
+)
+def q_etl_time_travel_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS OF TIMESTAMP time travel (the Delta ``TIMESTAMP AS OF``
+    shape): every commit stamps its wall-clock into the manifest, and
+    ``read_version_as_of(ts)`` resolves the newest snapshot committed
+    at or before ``ts`` — here three appends land the pre-1996, 1996,
+    and 1997+ orders, a timestamp is captured after each, and the
+    three as-of reads must reproduce exactly the three cumulative
+    states (the oracle rebuilds them relationally). A timestamp BEFORE
+    the first commit must error, not silently read empty (graded
+    pre_epoch_rejected) — the Delta contract.
+
+    Scale: resolution folds kilobyte manifests (never data); the
+    timestamp is an index over the forward-only version log, so
+    timestamp travel inherits version travel's exactness — including
+    across RESTORE, whose forward-published copy gets its own fresh
+    wall-clock.
+    """
+    import time as _time
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        read_version_as_of,
+        version_at_timestamp,
+    )
+
+    table = _sink_dir(f"orders_tstravel_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    t_before = _time.time()
+    cuts = [
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"),
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz")),
+        F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"),
+    ]
+    stamps = []
+    for i, flt in enumerate(cuts):
+        commit_append(
+            o.filter(flt).repartition(2), table, ["o_orderdate"], op=f"slice_{i}"
+        )
+        stamps.append(_time.time())
+    try:
+        version_at_timestamp(table, t_before)
+        pre_epoch_rejected = False
+    except ValueError:
+        pre_epoch_rejected = True
+    out = None
+    for i, ts in enumerate(stamps):
+        snap = (
+            read_version_as_of(spark, table, ts)
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum(F.col("o_totalprice"), "revenue"),
+            )
+            .select(
+                F.lit(i + 1).cast("bigint").alias("snapshot"),
+                "n_orders",
+                "revenue",
+            )
+        )
+        out = snap if out is None else out.unionByName(snap)
+    return out.withColumn("pre_epoch_rejected", F.lit(pre_epoch_rejected))
+
+
+@query(
+    "q_etl_type_widening",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                         THEN o_orderkey
+                         ELSE o_orderkey + 3000000000 END) AS BIGINT) AS key_sum,
+           {sql_dsum(
+               "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"
+               " THEN CAST(o_totalprice AS DECIMAL(8,2))"
+               " WHEN o_orderkey % 1000 = 0"
+               " THEN CAST(o_totalprice + 50000000.00 AS DECIMAL(12,2))"
+               " ELSE CAST(o_totalprice AS DECIMAL(12,2)) END",
+               "amount_sum",
+           )},
+           min(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                    ELSE CAST(o_totalprice AS DOUBLE) END) AS score_min,
+           max(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+                    THEN CAST(CAST(o_totalprice AS REAL) AS DOUBLE)
+                    ELSE CAST(o_totalprice AS DOUBLE) END) AS score_max,
+           true AS zero_files_rewritten
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_type_widening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TYPE WIDENING (Iceberg v3): the table outgrows its narrow types
+    — int32 keys, float scores, decimal(8,2) amounts — and THREE
+    ``commit_widen_column`` promotions (int→bigint, float→double,
+    decimal(8,2)→decimal(12,2)) fix the declared schema as
+    METADATA-ONLY commits (graded zero_files_rewritten). The post-1997
+    append then writes values only the wide types can hold (keys past
+    int32's 2^31, amounts past precision 8), landing WIDE files next
+    to the untouched NARROW files; one scan reads both generations —
+    the parquet reader upcasts narrow files natively under the widened
+    reader schema — and the oracle rebuilds the mixed-width truth
+    relationally (float's rounding included, bit-exact via the
+    REAL→DOUBLE cast on the oracle side).
+
+    At 100 TB this is the "our ids overflowed int32" migration: one
+    kilobyte manifest write instead of a table rewrite, with old files
+    read in place forever (or until ordinary compaction).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_widen_column,
+        read_manifest,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_widen_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    v1 = commit_append(
+        o.filter(F.col("o_orderdate") < cut)
+        .select(
+            F.col("o_orderkey").cast("int").alias("o_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("float").alias("score"),
+            F.col("o_totalprice").cast("decimal(8,2)").alias("amount"),
+        )
+        .repartition(2),
+        table,
+        ["o_orderdate"],
+        op="narrow_history",
+    )
+    for col, wide in [
+        ("o_orderkey", "bigint"),
+        ("score", "double"),
+        ("amount", "decimal(12,2)"),
+    ]:
+        v_w = commit_widen_column(table, col, wide)
+    zero_rewrites = [f["path"] for f in read_manifest(table, v1)["files"]] == [
+        f["path"] for f in read_manifest(table, v_w)["files"]
+    ]
+    commit_append(
+        o.filter(F.col("o_orderdate") >= cut)
+        .select(
+            (F.col("o_orderkey") + F.lit(3000000000)).alias("o_orderkey"),
+            "o_orderdate",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("double").alias("score"),
+            # precision-9+ values on ~0.1% of rows: enough to PROVE the
+            # narrow type could not hold them, small enough that the
+            # decimal finish bound (|sum|*10^4 < 2^53, numeric.py) holds
+            # through the 10x battery
+            F.when(
+                F.col("o_orderkey") % 1000 == 0,
+                F.col("o_totalprice") + F.lit(50000000.00),
+            )
+            .otherwise(F.col("o_totalprice"))
+            .cast("decimal(12,2)")
+            .alias("amount"),
+        )
+        .repartition(2),
+        table,
+        ["o_orderdate"],
+        op="wide_append",
+    )
+    return (
+        read_version(spark, table)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+            dsum(F.col("amount"), "amount_sum"),
+            F.min("score").alias("score_min"),
+            F.max("score").alias("score_max"),
+        )
+        .withColumn("zero_files_rewritten", F.lit(zero_rewrites))
+    )
+
+
+@query(
     "q_etl_concurrent_commit_retry",
     oracle=f"""
     SELECT o_orderpriority,

@@ -138,6 +138,10 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_manifest_partitions_table",
     "q_etl_manifest_merge_mor",
     "q_etl_schema_default_values",
+    "q_etl_type_widening",
+    "q_etl_time_travel_timestamp",
+    "q_etl_branch_fastforward",
+    "q_scan_manifest_refs_table",
 ]
 
 

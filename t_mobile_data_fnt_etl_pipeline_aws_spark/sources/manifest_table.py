@@ -59,6 +59,7 @@ import math
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -313,6 +314,7 @@ def _publish(
     partition_spec: dict | None = None,
     eq_deletes: list[dict] | None = None,
     defaults: dict | None = None,
+    parent: int | None = None,
 ) -> int:
     """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
     name, then ``os.link`` it to its final version name. link(2) fails
@@ -335,7 +337,10 @@ def _publish(
         eq_deletes = [
             e if "seq" in e else {**e, "seq": version} for e in eq_deletes
         ]
-    manifest = {"version": version, "op": op, "files": files}
+    # wall-clock commit timestamp: powers AS OF TIMESTAMP resolution
+    # (version_at_timestamp); versions are still the canonical offset —
+    # the timestamp is a convenience index over the forward-only log
+    manifest = {"version": version, "op": op, "ts": time.time(), "files": files}
     if schema is not None:
         manifest["schema"] = schema
     if deletes:
@@ -346,6 +351,12 @@ def _publish(
         manifest["eq_deletes"] = eq_deletes
     if defaults:
         manifest["defaults"] = defaults
+    if parent is not None:
+        # branch commits chain from a REF head, not the newest id —
+        # the version sequence is an ID ALLOCATOR, the parent pointers
+        # are the history DAG (legacy manifests without a parent are
+        # linear: parent == version - 1)
+        manifest["parent"] = parent
     tmp = os.path.join(
         _log_dir(table_dir), f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp"
     )
@@ -367,24 +378,56 @@ def _schema_entry(df: DataFrame) -> list[list[str]]:
     return [[f.name, f.dataType.simpleString()] for f in df.schema.fields]
 
 
+#: integer promotion lattice for TYPE WIDENING (Iceberg v3): a reader
+#: schema may be any type RIGHT of a file's written type in its chain.
+_INT_WIDTH_ORDER = ["tinyint", "smallint", "int", "bigint"]
+
+
+def _is_widening(narrow: str, wide: str) -> bool:
+    """True iff ``narrow -> wide`` is a SAFE reader-side promotion
+    (every narrow value is exactly representable as wide, and the
+    parquet scan upcasts natively): integer chain widening,
+    float -> double, and decimal precision growth at the same scale."""
+    if narrow == wide:
+        return False
+    if narrow in _INT_WIDTH_ORDER and wide in _INT_WIDTH_ORDER:
+        return _INT_WIDTH_ORDER.index(wide) > _INT_WIDTH_ORDER.index(narrow)
+    if narrow == "float" and wide == "double":
+        return True
+    if narrow.startswith("decimal(") and wide.startswith("decimal("):
+        try:
+            pn, sn = (int(x) for x in narrow[8:-1].split(","))
+            pw, sw = (int(x) for x in wide[8:-1].split(","))
+        except ValueError:
+            return False
+        return sn == sw and pw > pn
+    return False
+
+
 def _merged_schema(
     prev_schema: list[list[str]] | None, df: DataFrame
 ) -> list[list[str]]:
-    """Additive schema evolution (the only kind this format supports,
-    like raw parquet + mergeSchema): the committed schema is the prior
+    """Additive schema evolution: the committed schema is the prior
     table schema plus any NEW columns df introduces, in prior-first
-    order. A column present in both must keep its type — type changes
-    and renames are rejected (rename is indistinguishable from
-    drop+add on a columnar file format without field IDs)."""
+    order. A column present in both must keep its type — except that a
+    writer may supply a NARROWER type than the declared one after a
+    ``commit_widen_column`` (the scan upcasts the narrow file natively,
+    so accepting it loses nothing); any other type change, and renames,
+    are rejected (rename is indistinguishable from drop+add on a
+    columnar file format without field IDs). Widening the DECLARED
+    type is never implicit — that is ``commit_widen_column``'s job."""
     new = _schema_entry(df)
     if not prev_schema:
         return new
     prev_types = {n: t for n, t in prev_schema}
     for n, t in new:
         if n in prev_types and prev_types[n] != t:
+            if _is_widening(t, prev_types[n]):
+                continue  # narrower write into a widened column: safe
             raise ValueError(
                 f"schema evolution: column {n!r} type change "
-                f"{prev_types[n]} -> {t} is not supported (add-only)"
+                f"{prev_types[n]} -> {t} is not supported (add-only; "
+                f"explicit widening via commit_widen_column)"
             )
     return [list(e) for e in prev_schema] + [
         [n, t] for n, t in new if n not in prev_types
@@ -1293,6 +1336,51 @@ def commit_add_column(
             continue
 
 
+def commit_widen_column(
+    table_dir: str, name: str, new_type: str, op: str = "widen_column"
+) -> int:
+    """TYPE WIDENING (the Iceberg v3 evolution direction additive-only
+    formats lack): promote a column's declared type along a SAFE chain
+    — tinyint→smallint→int→bigint, float→double, decimal(p,s)→
+    decimal(p+,s) — as a METADATA-ONLY commit. Zero files rewritten:
+    the parquet scan upcasts each narrow file natively under the
+    widened reader schema (verified capability of the Spark 4 parquet
+    reader), so a 100-TB table outgrowing int32 keys costs one
+    manifest write, not a rewrite. Narrowing or any unsafe change is
+    rejected; later writers may keep writing the narrow type (accepted
+    by ``_merged_schema``) or the wide one."""
+    while True:
+        prev = current_version(table_dir)
+        if not prev:
+            raise ValueError("cannot widen a column of an empty table")
+        m = read_manifest(table_dir, prev)
+        schema = [list(e) for e in (m.get("schema") or [])]
+        by_name = {n: i for i, (n, _) in enumerate(schema)}
+        if name not in by_name:
+            raise ValueError(f"no such column {name!r}")
+        old_type = schema[by_name[name]][1]
+        if not _is_widening(old_type, new_type):
+            raise ValueError(
+                f"unsafe type change {old_type} -> {new_type}; only "
+                f"widening promotions are supported"
+            )
+        schema[by_name[name]][1] = new_type
+        try:
+            return _publish(
+                table_dir,
+                prev + 1,
+                op,
+                m["files"],
+                schema,
+                deletes=m.get("deletes"),
+                partition_spec=m.get("partition_spec"),
+                eq_deletes=m.get("eq_deletes"),
+                defaults=m.get("defaults"),
+            )
+        except CommitConflictError:
+            continue
+
+
 def prune_files_partition(
     table_dir: str, version: int, lo, hi
 ) -> tuple[list[str], int]:
@@ -1577,6 +1665,114 @@ def get_ref(table_dir: str, name: str) -> int | None:
         return json.load(fh)["version"]
 
 
+def parent_of(table_dir: str, version: int) -> int:
+    """Parent version in the history DAG: the recorded branch parent,
+    or version - 1 for legacy/linear commits (0 = root)."""
+    m = read_manifest(table_dir, version)
+    p = m.get("parent")
+    return int(p) if p is not None else version - 1
+
+
+def is_ancestor(table_dir: str, ancestor: int, descendant: int) -> bool:
+    """Walk the parent chain from ``descendant``: is ``ancestor`` on
+    it? (0 is everyone's root.) O(chain length) kilobyte manifest
+    reads."""
+    v = descendant
+    while v > 0:
+        if v == ancestor:
+            return True
+        v = parent_of(table_dir, v)
+    return ancestor == 0
+
+
+def create_branch(
+    table_dir: str, name: str, at_version: int | None = None
+) -> int:
+    """Create a BRANCH: a named ref pointing at a snapshot (current by
+    default). Zero-copy — branches share every data file with the
+    versions they budded from; commits land on a branch via
+    ``commit_append_to_ref`` and only move THAT ref."""
+    v = current_version(table_dir) if at_version is None else at_version
+    set_ref(table_dir, name, v)
+    return v
+
+
+def commit_append_to_ref(
+    df: DataFrame,
+    table_dir: str,
+    ref: str,
+    stat_cols: list[str],
+    op: str = "append",
+) -> int:
+    """Append ON A BRANCH (the Iceberg branch-commit shape): the new
+    manifest merges onto the REF's head (not the table's newest id),
+    records that head as its PARENT in the history DAG, and moves only
+    the ref. The linear version sequence is just an id allocator —
+    concurrent writers on other branches race only for ids (retried),
+    never for content. Readers of other refs never see these commits:
+    isolation is structural, like WAP, but with full multi-commit
+    lineage (fast_forward validates ancestry over the parent chain)."""
+    base = get_ref(table_dir, ref)
+    if base is None:
+        raise ValueError(f"ref {ref!r} does not exist in {table_dir}")
+    base_m = read_manifest(table_dir, base)
+    _merged_schema(base_m.get("schema"), df)  # reject before staging
+    new = _stage_files(df, table_dir, stat_cols)
+    try:
+        while True:
+            base = get_ref(table_dir, ref)
+            base_m = read_manifest(table_dir, base)
+            schema = _merged_schema(base_m.get("schema"), df)
+            next_id = current_version(table_dir) + 1
+            try:
+                v = _publish(
+                    table_dir,
+                    next_id,
+                    op,
+                    list(base_m.get("files", [])) + new,
+                    schema,
+                    deletes=base_m.get("deletes"),
+                    partition_spec=base_m.get("partition_spec"),
+                    eq_deletes=base_m.get("eq_deletes"),
+                    defaults=base_m.get("defaults"),
+                    parent=base,
+                )
+            except CommitConflictError:
+                continue  # lost the id race; re-read ref and retry
+            set_ref(table_dir, ref, v)
+            return v
+    except BaseException:
+        for f in new:
+            try:
+                os.unlink(f["path"])
+            except OSError:
+                pass
+        raise
+
+
+def fast_forward(table_dir: str, ref: str, to: int | str) -> int:
+    """FAST-FORWARD a ref to a descendant snapshot (the git semantics
+    Iceberg's ``fast_forward`` procedure mirrors): allowed only when
+    the ref's current position is an ANCESTOR of the target on the
+    parent chain — anything else would silently discard the ref's own
+    commits (that is a MERGE, which this format does not fabricate).
+    ``to`` is a version or another ref's name. Zero data movement:
+    one atomic pointer move."""
+    target = get_ref(table_dir, to) if isinstance(to, str) else int(to)
+    if target is None:
+        raise ValueError(f"ref {to!r} does not exist in {table_dir}")
+    cur = get_ref(table_dir, ref)
+    if cur is None:
+        raise ValueError(f"ref {ref!r} does not exist in {table_dir}")
+    if not is_ancestor(table_dir, cur, target):
+        raise ValueError(
+            f"cannot fast-forward {ref!r} v{cur} -> v{target}: not an "
+            f"ancestor (diverged histories need a merge)"
+        )
+    set_ref(table_dir, ref, target)
+    return target
+
+
 def read_ref(
     spark: SparkSession, table_dir: str, name: str = "main"
 ) -> DataFrame:
@@ -1610,6 +1806,37 @@ def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
         eq_deletes=src.get("eq_deletes"),
         defaults=src.get("defaults"),
     )
+
+
+def version_at_timestamp(table_dir: str, ts: float) -> int:
+    """AS OF TIMESTAMP resolution (the Delta/Iceberg timestamp-travel
+    shape): the NEWEST version whose commit wall-clock is <= ``ts``.
+    Raises if ``ts`` predates the oldest readable commit (nothing was
+    visible then) — same contract as Delta's TIMESTAMP AS OF. O(log
+    versions) worth of kilobyte manifest reads per call in principle;
+    linear here over the same tiny files the history table folds."""
+    best = None
+    for v in range(1, current_version(table_dir) + 1):
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # vacuumed beyond retention
+        if m.get("ts") is not None and float(m["ts"]) <= ts:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no committed version at or before timestamp {ts} in {table_dir}"
+        )
+    return best
+
+
+def read_version_as_of(
+    spark: SparkSession, table_dir: str, ts: float
+) -> DataFrame:
+    """Time-travel read by WALL-CLOCK timestamp: resolve the snapshot
+    with ``version_at_timestamp`` and plan the ordinary versioned
+    read."""
+    return read_version(spark, table_dir, version_at_timestamp(table_dir, ts))
 
 
 def files_table(
@@ -1707,6 +1934,24 @@ def partitions_table(
     return spark.createDataFrame(
         rows,
         "partition string, ptransform string, n_files long, n_rows long",
+    )
+
+
+def refs_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Iceberg ``table$refs`` metadata table: one row per named ref
+    — name, pinned version, and whether it sits at the log head. The
+    ops surface for branch hygiene ("what is dev pinned to, did main
+    publish") next to ``$files``/``$history``/``$partitions``. Pure
+    directory listing of kilobyte pointer files."""
+    rows = []
+    head = current_version(table_dir)
+    for p in sorted(glob.glob(os.path.join(_log_dir(table_dir), "ref_*.json"))):
+        name = os.path.basename(p)[len("ref_"):-len(".json")]
+        with open(p) as fh:
+            v = int(json.load(fh)["version"])
+        rows.append((name, v, v == head))
+    return spark.createDataFrame(
+        rows, "ref string, version long, at_head boolean"
     )
 
 

@@ -1083,3 +1083,42 @@ def test_partition_evolution_scan_is_file_pruned(spark, sf_dir):
     df = QUERIES["q_etl_partition_evolution"](spark, sf_dir)
     assert any("o_orderdate" in p for p in pushed_filters(df)), plan_string(df)
     assert all(r.pruned_both_generations for r in df.collect())
+
+
+def test_merge_mor_read_plan_all_broadcast(spark, sf_dir):
+    """The MoR MERGE key's read path composes THREE mask/metadata joins
+    — position anti-join, file-seq map join, (and for tables with eq
+    vectors, the value anti-join) — and every one must be a BROADCAST
+    hash join: each right side is O(rows changed) or O(#files), so a
+    SortMergeJoin anywhere means the 100-TB data side re-shuffled to
+    apply kilobytes of masks."""
+    df = QUERIES["q_etl_manifest_merge_mor"](spark, sf_dir)
+    plan = plan_string(df)
+    strategies = set(join_strategies(df))
+    assert strategies and strategies <= {"BroadcastHashJoin"}, plan
+    assert all(
+        r.atomic_single_commit and r.no_files_rewritten for r in df.collect()
+    )
+
+
+def test_defaults_read_is_projection_plus_broadcast_map(spark, sf_dir):
+    """Column defaults resolve as a projection over ONE broadcast
+    file-seq map join — no shuffle, no UDF: the plan for the defaults
+    key must contain only broadcast joins and zero Python evals."""
+    df = QUERIES["q_etl_schema_default_values"](spark, sf_dir)
+    plan = plan_string(df)
+    strategies = set(join_strategies(df))
+    assert strategies and strategies <= {"BroadcastHashJoin"}, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_type_widening_single_scan_both_generations(spark, sf_dir):
+    """Type widening must NOT fork the read into per-generation scans +
+    union: the widened reader schema upcasts narrow files natively, so
+    the final read is ONE parquet scan (no Union operator) and no join
+    at all (the table carries no masks in this key)."""
+    df = QUERIES["q_etl_type_widening"](spark, sf_dir)
+    plan = plan_string(df)
+    assert not join_strategies(df), plan
+    assert "Union" not in plan, plan
+    assert all(r.zero_files_rewritten for r in df.collect())

@@ -155,6 +155,20 @@ SCALE_SENSITIVE_EXTRA = [
     # partition evolution at 10×: both generations at real file sizes,
     # 24 month files + year files pruned under their own transforms
     "q_etl_partition_evolution",
+    # round-14: the three-clause MoR MERGE at 10× — ~1% masked + ~0.5%
+    # synthetic insert keys over multi-row-group files (the +1e8 offset
+    # is the class-(a) collision construction this battery exists for);
+    # $partitions folds real per-value file sets across two transform
+    # generations; defaults + widening read mixed-generation scans at
+    # real file geometry (narrow files upcast natively next to wide);
+    # timestamp travel resolves over full-size manifests; branch
+    # fast-forward publishes a multi-commit dev line of real files
+    "q_etl_manifest_merge_mor",
+    "q_scan_manifest_partitions_table",
+    "q_etl_schema_default_values",
+    "q_etl_type_widening",
+    "q_etl_time_travel_timestamp",
+    "q_etl_branch_fastforward",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
