@@ -286,6 +286,10 @@ HEADLINE = [
     "q_etl_type_widening",                # int->bigint/float->double/decimal widening
     "q_etl_time_travel_timestamp",        # AS OF TIMESTAMP snapshot resolution
     "q_etl_branch_fastforward",           # branch commits + ancestor fast-forward
+    "q_scan_manifest_refs_table",         # table$refs branch-hygiene listing
+    "q_text_redact_pii",                  # codegen regex PII scrub + audit
+    "q_text_repetition_stats",            # Gopher-style repetition gate
+    "q_corpus_mix_sample",                # weighted deterministic domain mix
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -552,3 +552,292 @@ def q_text_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("pri").alias("n_priorities"),
         )
     )
+
+
+#: PII patterns (shared Spark/DuckDB syntax subset — character classes,
+#: bounded quantifiers; no lookaround, so Java regex and RE2 agree).
+#: Redaction order matters: SSN first, so the phone pattern can never
+#: bite into an SSN's digit groups.
+_PII_PATTERNS = [
+    ("ssn", r"\d{3}-\d{2}-\d{4}", "[SSN]"),
+    ("phone", r"\+\d{1,2}-\d{3}-\d{4}", "[PHONE]"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+]
+
+
+def redact_pii(col):
+    """Chained JVM-side regexp_replace over the PII pattern battery —
+    the scrubbing operator itself (codegen, zero Python): every match
+    of every pattern is replaced by its tag, SSNs before phones so
+    digit-group overlap can't leak a partial SSN."""
+    out = col
+    for _, pat, tag in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+@query(
+    "q_text_redact_pii",
+    oracle="""
+    WITH aug AS (
+        SELECT source,
+               CASE WHEN doc_id % 3 = 0 THEN
+                    text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com call +1-555-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                         || ' ssn 123-45-'
+                         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    ELSE text END AS t,
+               (doc_id % 3 = 0) AS has_pii
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN has_pii THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_with_pii,
+           CAST(sum(len(regexp_extract_all(t,
+               '\\d{3}-\\d{2}-\\d{4}'))) AS BIGINT) AS n_ssns,
+           CAST(sum(len(regexp_extract_all(t,
+               '\\+\\d{1,2}-\\d{3}-\\d{4}'))) AS BIGINT) AS n_phones,
+           CAST(sum(len(regexp_extract_all(t,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+               AS BIGINT) AS n_emails,
+           CAST(sum(length(t)
+               - length(regexp_replace(regexp_replace(regexp_replace(t,
+                   '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g'),
+                   '\\+\\d{1,2}-\\d{3}-\\d{4}', '[PHONE]', 'g'),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g'))) AS BIGINT) AS chars_removed,
+           true AS all_clean
+    FROM aug
+    GROUP BY source
+    """,
+)
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION — the compliance scrub every LLM training corpus
+    runs before tokenization: emails, phone numbers, and SSN-shaped
+    ids replaced by typed tags, per-source audit counts emitted. The
+    fixture word-soup carries no organic PII, so a deterministic
+    doc_id-derived contact block is injected into every third document
+    FIRST (the oracle replays the same injection), and the graded
+    ``all_clean`` flag proves the REDACTED text matches zero PII
+    patterns afterward — the property a compliance gate actually
+    checks.
+
+    Plan shape: chained ``regexp_replace``/``regexp_extract_all`` —
+    whole-stage-codegen JVM regex, zero Python UDFs, embarrassingly
+    parallel over the scan; counts aggregate map-side. At 100 TB the
+    scrub is scan-bound, exactly as it should be. Pattern battery is
+    the shared Java-regex/RE2 syntax subset so both engines match
+    byte-identically; SSN redacts before phone so digit-group overlap
+    can't leak.
+    """
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    aug = d.select(
+        "source",
+        (k % 3 == 0).alias("has_pii"),
+        F.when(
+            k % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" Contact: user"),
+                k.cast("string"),
+                F.lit("@example.com call +1-555-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+                F.lit(" ssn 123-45-"),
+                F.lpad((k % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    red = aug.withColumn("clean", redact_pii(F.col("t")))
+    counts = [
+        F.sum(F.size(F.regexp_extract_all(F.col("t"), F.lit(pat), F.lit(0))))
+        .cast("bigint")
+        .alias(f"n_{name}s")
+        for name, pat, _ in _PII_PATTERNS
+    ]
+    leftovers = [
+        F.sum(F.size(F.regexp_extract_all(F.col("clean"), F.lit(pat), F.lit(0))))
+        for _, pat, _ in _PII_PATTERNS
+    ]
+    agg = red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_pii").cast("int")).cast("bigint").alias("n_docs_with_pii"),
+        *counts,
+        (F.sum(F.length("t") - F.length("clean")))
+        .cast("bigint")
+        .alias("chars_removed"),
+        sum(leftovers[1:], leftovers[0]).alias("__leftover"),
+    )
+    # the graded compliance property: NOTHING matches after redaction
+    all_clean = agg.agg(F.max("__leftover")).first()[0] == 0
+    return agg.drop("__leftover").withColumn("all_clean", F.lit(all_clean))
+
+
+@query(
+    "q_text_repetition_stats",
+    oracle="""
+    WITH per_doc AS (
+        SELECT d.doc_id, d.source,
+               len(string_split(d.text, ' ')) AS n_tok,
+               len(list_distinct(string_split(d.text, ' '))) AS n_uniq,
+               (SELECT max(cnt) FROM (
+                    SELECT count(*) AS cnt FROM (
+                        SELECT word || ' ' ||
+                               lead(word) OVER (ORDER BY pos) AS bg
+                        FROM (SELECT unnest(string_split(d.text, ' ')) AS word,
+                                     generate_subscripts(
+                                         string_split(d.text, ' '), 1) AS pos)
+                    ) WHERE bg IS NOT NULL GROUP BY bg
+               )) AS top_bigram_n
+        FROM documents d
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_tok - n_uniq) AS BIGINT) AS dup_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(max(top_bigram_n) AS BIGINT) AS max_top_bigram,
+           CAST(sum(CASE WHEN (n_tok - n_uniq) * 10 > n_tok * 7
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION QUALITY SIGNALS (the Gopher-rules family): per
+    document, the duplicate-token mass (n_tokens − n_distinct) and the
+    most-repeated-bigram count; per source, the corpus rollup plus a
+    ``n_flagged`` count of documents whose duplicate fraction exceeds
+    0.7 — the "degenerate repetition" gate an LLM pipeline applies
+    before training. The threshold compare is INTEGER cross-multiplied
+    (dup*10 > n*7), so there is no float boundary to disagree on.
+
+    Plan shape: one explode per document for the bigram mass (built
+    array-side: adjacent-slot concat, no token-stream window shuffle),
+    distinct counts via ``array_distinct`` inside the projection —
+    map-side work, one hash aggregate by source. Scan-bound at 100 TB.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+        ),
+    )
+    per_doc_bigram = (
+        d.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_bigram_n"))
+    )
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+    ).join(per_doc_bigram, "doc_id")
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tok") - F.col("n_uniq")).cast("bigint").alias("dup_tokens"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.max("top_bigram_n").cast("bigint").alias("max_top_bigram"),
+        F.sum(
+            (
+                (F.col("n_tok") - F.col("n_uniq")) * 10 > F.col("n_tok") * 7
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+
+
+@query(
+    "q_corpus_mix_sample",
+    oracle="""
+    WITH w AS (
+        SELECT source, count(*) AS n_avail,
+               CASE source WHEN 'src0' THEN 4 WHEN 'src1' THEN 2
+                    ELSE 1 END AS wt
+        FROM documents GROUP BY source
+    ),
+    alloc AS (
+        SELECT source, n_avail, wt,
+               least(n_avail,
+                     CAST(floor((sum(n_avail) OVER ()) / 5 * wt
+                          / (sum(wt) OVER ())) AS BIGINT)) AS target
+        FROM w
+    ),
+    ranked AS (
+        SELECT d.source, d.doc_id,
+               len(string_split(d.text, ' ')) AS n_tok,
+               row_number() OVER (PARTITION BY d.source
+                                  ORDER BY md5(CAST(d.doc_id AS VARCHAR)),
+                                           d.doc_id) AS rk
+        FROM documents d
+    )
+    SELECT a.source, a.n_avail, a.target AS n_sampled,
+           CAST(sum(r.n_tok) AS BIGINT) AS tokens_sampled
+    FROM alloc a JOIN ranked r
+      ON r.source = a.source AND r.rk <= a.target
+    GROUP BY a.source, a.n_avail, a.target
+    """,
+)
+def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-MIXTURE SAMPLING — the "20% of the corpus at 4:2:1
+    source weights" step that turns a raw crawl into a training mix:
+    integer weight allocation (floor of budget·w/Σw, capped at
+    availability) feeds a DETERMINISTIC exact-k per-source pick ranked
+    by md5(doc_id) — reproducible across engines, runs, and
+    partitionings, unlike rand(seed) or TABLESAMPLE. Emits the
+    per-source audit (available, sampled, token mass) a mixture report
+    needs.
+
+    Plan shape: the allocation is a #sources-row frame (unpartitioned
+    window over kilobytes — fine); the pick is one WindowGroupLimit
+    shuffle on source; the allocation broadcast-joins back. All
+    integer math — no float boundary can disagree.
+    """
+    d = load(spark, sf_dir, "documents")
+    wt = (
+        F.when(F.col("source") == "src0", 4)
+        .when(F.col("source") == "src1", 2)
+        .otherwise(1)
+    )
+    wall = Window.partitionBy()
+    alloc = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_avail"))
+        .withColumn("wt", wt)
+        .withColumn(
+            "target",
+            F.least(
+                F.col("n_avail"),
+                F.floor(
+                    F.sum("n_avail").over(wall)
+                    / 5
+                    * F.col("wt")
+                    / F.sum("wt").over(wall)
+                ).cast("bigint"),
+            ),
+        )
+    )
+    rk = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tok"),
+    ).withColumn("rk", F.row_number().over(rk))
+    return (
+        ranked.join(F.broadcast(alloc), "source")
+        .filter(F.col("rk") <= F.col("target"))
+        .groupBy("source", "n_avail", F.col("target").alias("n_sampled"))
+        .agg(F.sum("n_tok").cast("bigint").alias("tokens_sampled"))
+        .select("source", "n_avail", "n_sampled", "tokens_sampled")
+    )

@@ -142,6 +142,9 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_time_travel_timestamp",
     "q_etl_branch_fastforward",
     "q_scan_manifest_refs_table",
+    "q_text_redact_pii",
+    "q_text_repetition_stats",
+    "q_corpus_mix_sample",
 ]
 
 

@@ -351,16 +351,17 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 254 extras = 333 registered,
-    320 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
-    gained a 6-dp-rounded exact oracle; 6 new table-format keys —
-    $partitions, MoR MERGE, column defaults, type widening, timestamp
-    travel, branches/fast-forward). Keep the arithmetic honest."""
+    """SURVEY.md §2 declares 79 §2 keys + 258 extras = 337 registered,
+    324 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
+    LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
+    type widening, timestamp travel, branches/fast-forward, PII scrub,
+    repetition gate, domain-mix sampling). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 333
-    assert len(oracles) == 320
+    assert len(QUERIES) == 337
+    assert len(oracles) == 324
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
