@@ -2271,6 +2271,114 @@ def q_etl_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_etl_row_lineage",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS ids_unique,
+           true AS ids_stable_across_compaction,
+           true AS compaction_rewrote_all_files,
+           true AS post_compact_ids_fresh
+    FROM orders
+    WHERE o_orderkey % 113 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW LINEAGE (the Iceberg v3 stable-row-id story): every committed
+    row gets a table-global ``_row_id`` (manifest-allocated
+    ``first_row_id`` + position), and a lineage-preserving compaction
+    MATERIALIZES the ids into the rewritten files — so after a
+    position-delete (%113) and a full compaction that churns EVERY
+    file path (graded compaction_rewrote_all_files), each surviving
+    order still carries its original id (graded stability via a
+    distributed orderkey-join mismatch count — zero rows moved).
+    Post-compact appends mint fresh ids above the carried high-water
+    mark (graded).
+
+    This is the identity a feature store or incremental trainer keys
+    on at 100 TB: files churn under OPTIMIZE weekly, row ids never do,
+    so downstream state survives table maintenance. Id assignment is
+    O(1) metadata per commit; the read adds one broadcast O(#files)
+    map join.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        compact_with_lineage,
+        read_manifest,
+        read_version,
+        read_version_with_lineage,
+        read_version_with_pos,
+    )
+
+    table = _sink_dir(f"orders_lineage_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    cut = F.lit("1997-01-01").cast("timestamp_ntz")
+    for half, flt in [
+        ("old", F.col("o_orderdate") < cut),
+        ("new", F.col("o_orderdate") >= cut),
+    ]:
+        v = commit_append(
+            o.filter(flt).repartition(2), table, ["o_orderdate"], op=f"append_{half}"
+        )
+    doomed = read_version_with_pos(spark, table).filter(
+        F.col("o_orderkey") % 113 == 0
+    )
+    v_d = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    pre = read_version_with_lineage(spark, table, v_d).select(
+        "o_orderkey", F.col("_row_id").alias("pre_id")
+    )
+    n_pre = pre.count()
+    ids_unique = pre.select("pre_id").distinct().count() == n_pre
+    v_c = compact_with_lineage(spark, table, ["o_orderdate"])
+    post = read_version_with_lineage(spark, table, v_c).select(
+        "o_orderkey", F.col("_row_id").alias("post_id")
+    )
+    moved = (
+        pre.join(post, "o_orderkey")
+        .filter(F.col("pre_id") != F.col("post_id"))
+        .count()
+    )
+    stable = moved == 0 and post.count() == n_pre
+    paths_before = {f["path"] for f in read_manifest(table, v_d)["files"]}
+    paths_after = {f["path"] for f in read_manifest(table, v_c)["files"]}
+    all_rewritten = not (paths_before & paths_after)
+    hwm = int(read_manifest(table, v_c)["next_row_id"])
+    v_a = commit_append(
+        o.filter(F.col("o_orderkey") % 113 == 0)
+        .limit(5)
+        .repartition(1),
+        table,
+        ["o_orderdate"],
+        op="late_append",
+    )
+    fresh = (
+        read_version_with_lineage(spark, table, v_a)
+        .agg(F.max("_row_id"))
+        .first()[0]
+    )
+    post_fresh = fresh >= hwm
+    return (
+        read_version(spark, table, v_c)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("ids_unique", F.lit(ids_unique))
+        .withColumn("ids_stable_across_compaction", F.lit(stable))
+        .withColumn("compaction_rewrote_all_files", F.lit(all_rewritten))
+        .withColumn("post_compact_ids_fresh", F.lit(post_fresh))
+    )
+
+
+@query(
     "q_etl_time_travel_timestamp",
     oracle=f"""
     SELECT CAST(1 AS BIGINT) AS snapshot, count(*) AS n_orders,

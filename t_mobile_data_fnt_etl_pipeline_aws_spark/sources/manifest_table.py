@@ -292,6 +292,10 @@ def _stage_files(
             "rows": pq.ParquetFile(dest).metadata.num_rows,
             "stats": _file_stats(dest, stat_cols),
         }
+        if "__row_id" in pq.ParquetFile(dest).schema_arrow.names:
+            # lineage-materializing rewrite (compact_with_lineage):
+            # row ids live IN the file; no fresh allocation for it
+            entry["lineage_in_file"] = True
         blooms = {
             c: b
             for c in (bloom_cols or [])
@@ -333,6 +337,33 @@ def _publish(
     files = [
         f if "seq" in f else {**f, "seq": version} for f in files
     ]
+    # ROW LINEAGE (Iceberg v3): every data file gets a first_row_id from
+    # a table-global monotone allocator; a row's stable id is
+    # first_row_id + its position (or the materialized __row_id column
+    # after a lineage-preserving compaction). The newest manifest holds
+    # the global high-water mark — publishes are serialized by the
+    # create-exclusive version ids, so reading version-1 suffices.
+    alloc = 0
+    if version > 1:
+        try:
+            alloc = int(read_manifest(table_dir, version - 1).get("next_row_id", 0))
+        except FileNotFoundError:
+            pass  # vacuumed beyond retention: fall back to the derived max
+    alloc = max(
+        [alloc]
+        + [
+            int(f.get("first_row_id", 0)) + int(f.get("rows", 0))
+            for f in files
+            if "first_row_id" in f
+        ]
+    )
+    stamped = []
+    for f in files:
+        if "first_row_id" not in f and not f.get("lineage_in_file"):
+            f = {**f, "first_row_id": alloc}
+            alloc += int(f.get("rows", 0))
+        stamped.append(f)
+    files = stamped
     if eq_deletes:
         eq_deletes = [
             e if "seq" in e else {**e, "seq": version} for e in eq_deletes
@@ -340,7 +371,13 @@ def _publish(
     # wall-clock commit timestamp: powers AS OF TIMESTAMP resolution
     # (version_at_timestamp); versions are still the canonical offset —
     # the timestamp is a convenience index over the forward-only log
-    manifest = {"version": version, "op": op, "ts": time.time(), "files": files}
+    manifest = {
+        "version": version,
+        "op": op,
+        "ts": time.time(),
+        "next_row_id": alloc,
+        "files": files,
+    }
     if schema is not None:
         manifest["schema"] = schema
     if deletes:
@@ -1806,6 +1843,100 @@ def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
         eq_deletes=src.get("eq_deletes"),
         defaults=src.get("defaults"),
     )
+
+
+def read_version_with_lineage(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Masked read plus the STABLE ROW ID column ``_row_id`` (Iceberg v3
+    row lineage): for ordinary files, ``first_row_id + row position``
+    (the manifest allocator assigned first_row_id at commit); for files
+    written by a lineage-preserving compaction, the MATERIALIZED
+    ``__row_id`` column. The id survives compaction, masking, and time
+    travel — the identity a downstream feature store or incremental
+    trainer can key on while files churn underneath. One broadcast map
+    join (O(#files)) on top of read_version's plan."""
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir) if version is None else version
+    manifest = read_manifest(table_dir, v)
+    schema = manifest.get("schema") or []
+    ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
+    reader = spark.read.schema(ddl + ", `__row_id` bigint")
+    df = reader.parquet(*[f["path"] for f in manifest["files"]])
+    cols = [n for n, _ in schema]
+    pos = df.select(
+        "*",
+        F.col("_metadata.file_path").alias("__mt_fp"),
+        F.col("_metadata.row_index").alias("__mt_ri"),
+    )
+    deletes = manifest.get("deletes") or []
+    if deletes:
+        dv = spark.read.parquet(*[d["path"] for d in deletes]).select(
+            F.col("file_path").alias("__del_fp"),
+            F.col("row_index").alias("__del_ri"),
+        )
+        pos = pos.join(
+            F.broadcast(dv),
+            (pos["__mt_fp"] == dv["__del_fp"])
+            & (pos["__mt_ri"] == dv["__del_ri"]),
+            "left_anti",
+        )
+    pos = _apply_equality_deletes(spark, pos, manifest, fp_col="__mt_fp")
+    pos = _apply_column_defaults(spark, pos, manifest, fp_col="__mt_fp")
+    fmap = spark.createDataFrame(
+        [
+            (f["path"], f.get("first_row_id"))
+            for f in manifest["files"]
+        ],
+        "__ln_fp string, __ln_first long",
+    )
+    pos = pos.withColumn("__ln_key", _norm_fp(F.col("__mt_fp")))
+    pos = pos.join(
+        F.broadcast(fmap), pos["__ln_key"] == fmap["__ln_fp"], "left"
+    )
+    row_id = F.coalesce(
+        F.col("__row_id"), F.col("__ln_first") + F.col("__mt_ri")
+    )
+    return pos.select(*cols, row_id.alias("_row_id"))
+
+
+def compact_with_lineage(
+    spark: SparkSession, table_dir: str, stat_cols: list[str], op: str = "compact"
+) -> int:
+    """Lineage-PRESERVING compaction: rewrite the live (deletes-applied,
+    defaults-applied) row set into fresh files that carry each row's
+    ``__row_id`` as a physical column, and publish a REPLACE manifest —
+    so ``_row_id`` reads identically before and after while every file
+    path churns. Like ``commit_replace``, masks and the defaults
+    section drop (both are materialized into the feed); UNLIKE it, the
+    declared schema stays the DATA schema — ``__row_id`` is storage,
+    not surface (ordinary reads pin the declared schema and never see
+    it). The allocator high-water mark carries forward, so post-compact
+    appends keep minting fresh ids."""
+    prev = current_version(table_dir)
+    if not prev:
+        raise ValueError("cannot compact an empty table")
+    prev_m = read_manifest(table_dir, prev)
+    feed = read_version_with_lineage(spark, table_dir, prev).withColumnRenamed(
+        "_row_id", "__row_id"
+    )
+    new = _stage_files(feed, table_dir, stat_cols)
+    try:
+        return _publish(
+            table_dir,
+            prev + 1,
+            op,
+            new,
+            prev_m.get("schema"),
+        )
+    except BaseException:
+        for f in new:
+            try:
+                os.unlink(f["path"])
+            except OSError:
+                pass
+        raise
 
 
 def version_at_timestamp(table_dir: str, ts: float) -> int:

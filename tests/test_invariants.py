@@ -351,8 +351,8 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 258 extras = 337 registered,
-    324 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    """SURVEY.md §2 declares 79 §2 keys + 259 extras = 338 registered,
+    325 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
     gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
     LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
     type widening, timestamp travel, branches/fast-forward, PII scrub,
@@ -360,8 +360,8 @@ def test_registry_totals_match_survey():
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 337
-    assert len(oracles) == 324
+    assert len(QUERIES) == 338
+    assert len(oracles) == 325
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -3219,6 +3219,61 @@ def test_type_widening_semantics(spark, tmp_path):
     old = dict(mt.table_schema(table, v1))
     assert old == {"k": "int", "x": "float"}
     assert mt.read_version(spark, table, v1).schema["k"].dataType.simpleString() == "int"
+
+
+def test_row_lineage_semantics(spark, tmp_path):
+    """Row lineage (Iceberg v3): ids are allocated monotonically at
+    commit (first_row_id + position), unique, STABLE through a
+    position-delete and a lineage-preserving compaction (which rewrites
+    every file and materializes __row_id physically), invisible to
+    ordinary reads, and post-compact appends mint fresh ids above the
+    carried high-water mark. Double compaction keeps ids stable too
+    (the coalesce prefers the materialized column)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "lineage")
+    ddl = "k long, v long"
+    mt.commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(6)], ddl).repartition(2),
+        table,
+        ["k"],
+    )
+    mt.commit_append(
+        spark.createDataFrame([(i, i * 10) for i in range(6, 10)], ddl)
+        .repartition(1),
+        table,
+        ["k"],
+    )
+    before = {r.k: r._row_id for r in
+              mt.read_version_with_lineage(spark, table).collect()}
+    assert sorted(before.values()) == list(range(10))  # dense, unique
+    doomed = mt.read_version_with_pos(spark, table).filter("k % 3 = 0")
+    mt.commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    mid = {r.k: r._row_id for r in
+           mt.read_version_with_lineage(spark, table).collect()}
+    assert mid == {k: i for k, i in before.items() if k % 3 != 0}
+    v_c = mt.compact_with_lineage(spark, table, ["k"])
+    after = {r.k: r._row_id for r in
+             mt.read_version_with_lineage(spark, table).collect()}
+    assert after == mid  # stable through the rewrite
+    assert mt.read_version(spark, table).columns == ["k", "v"]  # hidden
+    # high-water mark carried: the next append starts at 10
+    mt.commit_append(
+        spark.createDataFrame([(99, 990)], ddl).repartition(1), table, ["k"]
+    )
+    post = {r.k: r._row_id for r in
+            mt.read_version_with_lineage(spark, table).collect()}
+    assert post[99] == 10
+    assert {k: v for k, v in post.items() if k != 99} == after
+    # double compaction: materialized ids win the coalesce, still stable
+    mt.compact_with_lineage(spark, table, ["k"])
+    again = {r.k: r._row_id for r in
+             mt.read_version_with_lineage(spark, table).collect()}
+    assert again == post
+    # time travel reads the OLD lineage view exactly
+    tt = {r.k: r._row_id for r in
+          mt.read_version_with_lineage(spark, table, v_c).collect()}
+    assert tt == mid
 
 
 def test_merge_mor_clause_scoping(spark, tmp_path):

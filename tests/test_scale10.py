@@ -169,6 +169,10 @@ SCALE_SENSITIVE_EXTRA = [
     "q_etl_type_widening",
     "q_etl_time_travel_timestamp",
     "q_etl_branch_fastforward",
+    # row lineage at 10x: id allocation + the stability join over
+    # multi-row-group files (row position past one row group is the
+    # class this battery exists for)
+    "q_etl_row_lineage",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
