@@ -291,6 +291,7 @@ HEADLINE = [
     "q_text_repetition_stats",            # Gopher-style repetition gate
     "q_corpus_mix_sample",                # weighted deterministic domain mix
     "q_etl_row_lineage",                  # stable row ids through compaction
+    "q_stream_manifest_merge_sink",       # foreachBatch MoR MERGE CDC sink
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

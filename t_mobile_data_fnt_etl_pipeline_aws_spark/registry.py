@@ -146,6 +146,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_text_repetition_stats",
     "q_corpus_mix_sample",
     "q_etl_row_lineage",
+    "q_stream_manifest_merge_sink",
 ]
 
 

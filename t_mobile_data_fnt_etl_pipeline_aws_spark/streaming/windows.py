@@ -1106,3 +1106,135 @@ def q_stream_manifest_cdf_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum(F.col("o_totalprice"), "revenue"),
     )
+
+
+@query(
+    "q_stream_manifest_merge_sink",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, event_type, value, ts,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn,
+               count(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           event_type AS last_event_type,
+           value AS last_value,
+           ts AS last_ts,
+           cast(n AS bigint) AS n_updates,
+           true AS one_commit_per_batch,
+           true AS no_files_rewritten
+    FROM r WHERE rn = 1
+    """,
+)
+def q_stream_manifest_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC UPSERT INTO THE TABLE FORMAT — foreachBatch + MoR MERGE, the
+    Delta `MERGE INTO` streaming-sink shape: each micro-batch's
+    per-user delta (argmax-by-(ts,event_id) latest + update count)
+    merges into a manifest-table STATE TABLE via ``commit_merge_mor``
+    — matched users get a position-vector mask + replacement row
+    (update count ACCUMULATES: `SET n = t.n + s.n`), new users append
+    — one atomic commit per batch (graded), zero files rewritten by
+    the merge commits (graded). The fold is associative/commutative
+    (greatest-of-structs + summed counts), so the result is
+    batch-boundary-invariant and equals the one-shot aggregate the
+    oracle computes. Declared here in the batch-equivalent form over
+    event_id%3 micro-batches; the REAL writeStream.foreachBatch twin
+    is pinned in tests/test_streaming.py::
+    test_stream_manifest_merge_sink_converges.
+
+    Scale: per batch, work is O(batch + matched keys) — the delta
+    broadcasts through every merge join, and the write is a kilobyte
+    vector + one small file; this is how a trickle of CDC lands in a
+    100-TB table without ever rewriting it.
+    """
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_merge_mor,
+        current_version,
+        read_manifest,
+        read_version,
+    )
+    from ..sources.tables import load
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_sinks_{os.getpid()}"
+    )
+    os.makedirs(base, exist_ok=True)
+    table = os.path.join(base, f"merge_sink_{_uuid.uuid4().hex[:8]}")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+
+    def delta_of(batch):
+        return batch.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                "last"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    state_cols = [
+        "user_id",
+        F.col("last.event_type").alias("last_event_type"),
+        F.col("last.value").alias("last_value"),
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("n").alias("n_updates"),
+    ]
+    b0 = e.filter(F.col("event_id") % 3 == 0)
+    commit_append(
+        delta_of(b0).select(*state_cols).repartition(1),
+        table,
+        ["user_id"],
+        op="bootstrap",
+    )
+    paths_ok = True
+    for i in (1, 2):
+        batch = e.filter(F.col("event_id") % 3 == i)
+        cur = read_version(spark, table)
+        j = delta_of(batch).join(cur, "user_id", "left")
+        cstruct = F.struct(
+            F.col("last_ts").alias("ts"),
+            F.col("last_event_id").alias("event_id"),
+            F.col("last_event_type").alias("event_type"),
+            F.col("last_value").alias("value"),
+        )
+        new_last = F.when(F.col("last_ts").isNull(), F.col("last")).otherwise(
+            F.greatest(F.col("last"), cstruct)
+        )
+        src = j.select(
+            "user_id",
+            new_last["event_type"].alias("last_event_type"),
+            new_last["value"].alias("last_value"),
+            new_last["ts"].alias("last_ts"),
+            new_last["event_id"].alias("last_event_id"),
+            (F.coalesce(F.col("n_updates"), F.lit(0)) + F.col("n")).alias(
+                "n_updates"
+            ),
+            F.when(F.col("last_ts").isNotNull(), F.lit("u"))
+            .otherwise(F.lit("i"))
+            .alias("__op"),
+        )
+        before = {f["path"] for f in read_manifest(table, current_version(table))["files"]}
+        commit_merge_mor(spark, table, src, "user_id", ["user_id"], op=f"merge_b{i}")
+        after = {f["path"] for f in read_manifest(table, current_version(table))["files"]}
+        paths_ok = paths_ok and before.issubset(after)
+    return (
+        read_version(spark, table)
+        .select(
+            "user_id",
+            "last_event_type",
+            "last_value",
+            "last_ts",
+            "n_updates",
+        )
+        .withColumn("one_commit_per_batch", F.lit(current_version(table) == 3))
+        .withColumn("no_files_rewritten", F.lit(paths_ok))
+    )

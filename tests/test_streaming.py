@@ -1304,3 +1304,140 @@ def test_manifest_cdf_source_real_readstream(spark, sf_dir, tmp_path):
         assert rows2 == []
     finally:
         q2.stop()
+
+
+def test_stream_manifest_merge_sink_converges(spark, sf_dir, tmp_path):
+    """REAL writeStream.foreachBatch(commit_merge_mor) — streaming CDC
+    upsert into the manifest table: each micro-batch's per-user delta
+    merges into the state table (bootstrap append on the first batch,
+    MoR merge after), one commit per batch, no data file ever
+    rewritten, and the final state equals the one-shot batch aggregate
+    regardless of batch boundaries (the fold is associative)."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_merge_mor,
+        current_version,
+        read_manifest,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    stream_dir = str(tmp_path / "stream")
+    src = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    src.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    table = str(tmp_path / "state")
+    rewrites = []
+
+    def delta_of(batch):
+        return batch.groupBy("user_id").agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                "last"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+
+    def sink(batch_df, batch_id: int) -> None:
+        d = delta_of(batch_df)
+        if not current_version(table):
+            commit_append(
+                d.select(
+                    "user_id",
+                    F.col("last.event_type").alias("last_event_type"),
+                    F.col("last.value").alias("last_value"),
+                    F.col("last.ts").alias("last_ts"),
+                    F.col("last.event_id").alias("last_event_id"),
+                    F.col("n").alias("n_updates"),
+                ).repartition(1),
+                table,
+                ["user_id"],
+                op=f"bootstrap_{batch_id}",
+            )
+            return
+        cur = read_version(batch_df.sparkSession, table)
+        j = d.join(cur, "user_id", "left")
+        cstruct = F.struct(
+            F.col("last_ts").alias("ts"),
+            F.col("last_event_id").alias("event_id"),
+            F.col("last_event_type").alias("event_type"),
+            F.col("last_value").alias("value"),
+        )
+        new_last = F.when(
+            F.col("last_ts").isNull(), F.col("last")
+        ).otherwise(F.greatest(F.col("last"), cstruct))
+        src_b = j.select(
+            "user_id",
+            new_last["event_type"].alias("last_event_type"),
+            new_last["value"].alias("last_value"),
+            new_last["ts"].alias("last_ts"),
+            new_last["event_id"].alias("last_event_id"),
+            (F.coalesce(F.col("n_updates"), F.lit(0)) + F.col("n")).alias(
+                "n_updates"
+            ),
+            F.when(F.col("last_ts").isNotNull(), F.lit("u"))
+            .otherwise(F.lit("i"))
+            .alias("__op"),
+        )
+        before = {
+            f["path"]
+            for f in read_manifest(table, current_version(table))["files"]
+        }
+        commit_merge_mor(
+            batch_df.sparkSession,
+            table,
+            src_b,
+            "user_id",
+            ["user_id"],
+            op=f"merge_{batch_id}",
+        )
+        after = {
+            f["path"]
+            for f in read_manifest(table, current_version(table))["files"]
+        }
+        rewrites.append(before.issubset(after))
+
+    s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_merge"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert current_version(table) == 3  # one commit per micro-batch
+    assert rewrites and all(rewrites)  # merges never rewrote a file
+    got = {
+        r.user_id: (r.last_event_type, r.last_value, r.last_ts, r.n_updates)
+        for r in read_version(spark, table).collect()
+    }
+    want = {
+        r.user_id: (r.last_event_type, r.last_value, r.last_ts, r.n_updates)
+        for r in src.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                "last"
+            ),
+            F.count(F.lit(1)).alias("n_updates"),
+        )
+        .select(
+            "user_id",
+            F.col("last.event_type").alias("last_event_type"),
+            F.col("last.value").alias("last_value"),
+            F.col("last.ts").alias("last_ts"),
+            "n_updates",
+        )
+        .collect()
+    }
+    assert got == want
