@@ -1713,12 +1713,18 @@ def parent_of(table_dir: str, version: int) -> int:
 def is_ancestor(table_dir: str, ancestor: int, descendant: int) -> bool:
     """Walk the parent chain from ``descendant``: is ``ancestor`` on
     it? (0 is everyone's root.) O(chain length) kilobyte manifest
-    reads."""
+    reads. A chain broken by vacuum (an expired intermediate manifest)
+    answers False — conservative: fast_forward then REFUSES rather
+    than guessing lineage (re-point with set_ref explicitly if you
+    know better)."""
     v = descendant
     while v > 0:
         if v == ancestor:
             return True
-        v = parent_of(table_dir, v)
+        try:
+            v = parent_of(table_dir, v)
+        except FileNotFoundError:
+            return False  # lineage expired beyond the vacuum horizon
     return ancestor == 0
 
 

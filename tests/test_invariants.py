@@ -3489,6 +3489,48 @@ def test_branch_commits_and_fast_forward(spark, tmp_path):
     }
 
 
+def test_branch_files_survive_vacuum(spark, tmp_path):
+    """A branch head's ENTIRE lineage of data files survives vacuum
+    (the head manifest lists them all and ref-pinned versions stay
+    alive), even when intermediate branch MANIFESTS expire below the
+    retention horizon — and an ancestry walk across an expired
+    manifest answers False conservatively, so fast_forward refuses
+    instead of crashing or guessing."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "brvac")
+    ddl = "k long"
+    v1 = mt.commit_append(
+        spark.createDataFrame([(1,)], ddl).repartition(1), table, ["k"]
+    )
+    mt.set_ref(table, "main", v1)
+    mt.create_branch(table, "dev")
+    for k in (2, 3, 4, 5):
+        mt.commit_append_to_ref(
+            spark.createDataFrame([(k,)], ddl).repartition(1),
+            table,
+            "dev",
+            ["k"],
+        )
+    head = mt.get_ref(table, "dev")
+    mt.vacuum(table, retain_last=1)  # expires v2..v4 manifests
+    # the dev head still reads its whole lineage
+    assert {r.k for r in mt.read_ref(spark, table, "dev").collect()} == {
+        1, 2, 3, 4, 5,
+    }
+    # main (pinned at v1) also survives
+    assert {r.k for r in mt.read_ref(spark, table, "main").collect()} == {1}
+    # ancestry across the expired middle: conservative False -> FF refuses
+    assert not mt.is_ancestor(table, v1, head)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not an ancestor"):
+        mt.fast_forward(table, "main", "dev")
+    # explicit re-point remains available to an operator who knows
+    mt.set_ref(table, "main", head)
+    assert mt.get_ref(table, "main") == head
+
+
 def test_manifest_refs_rollback_and_vacuum_pin(spark, tmp_path):
     """Ref/WAP plumbing: refs move atomically and reject missing
     versions; rollback is a forward-only content copy (the bad version
