@@ -147,6 +147,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_corpus_mix_sample",
     "q_etl_row_lineage",
     "q_stream_manifest_merge_sink",
+    "q_etl_table_constraints",
 ]
 
 

@@ -319,6 +319,7 @@ def _publish(
     eq_deletes: list[dict] | None = None,
     defaults: dict | None = None,
     parent: int | None = None,
+    constraints: dict | None = None,
 ) -> int:
     """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
     name, then ``os.link`` it to its final version name. link(2) fails
@@ -388,6 +389,8 @@ def _publish(
         manifest["eq_deletes"] = eq_deletes
     if defaults:
         manifest["defaults"] = defaults
+    if constraints:
+        manifest["constraints"] = constraints
     if parent is not None:
         # branch commits chain from a REF head, not the newest id —
         # the version sequence is an ID ALLOCATOR, the parent pointers
@@ -506,6 +509,7 @@ def commit_append(
         )
     prev_manifest0 = read_manifest(table_dir, prev0) if prev0 else {}
     _merged_schema(prev_manifest0.get("schema"), df)  # reject before staging
+    _validate_constraints(df, prev_manifest0.get("constraints") or {})
     new = _stage_files(df, table_dir, stat_cols, bloom_cols)
     try:
         while True:
@@ -528,6 +532,7 @@ def commit_append(
                     partition_spec=prev_manifest.get("partition_spec"),
                     eq_deletes=prev_manifest.get("eq_deletes"),
                     defaults=prev_manifest.get("defaults"),
+                    constraints=prev_manifest.get("constraints"),
                 )
             except CommitConflictError:
                 if expected_base is not None or not retry_conflicts:
@@ -858,6 +863,7 @@ def commit_delete(
             partition_spec=prev_manifest.get("partition_spec"),
             eq_deletes=prev_manifest.get("eq_deletes"),
             defaults=prev_manifest.get("defaults"),
+            constraints=prev_manifest.get("constraints"),
         )
     except BaseException:
         for e in entries:
@@ -1147,6 +1153,7 @@ def commit_rewrite(
         table_dir, prev + 1, op, keep + new, schema,
         partition_spec=prev_manifest.get("partition_spec"),
         defaults=prev_manifest.get("defaults"),
+        constraints=prev_manifest.get("constraints"),
     )
 
 
@@ -1203,6 +1210,7 @@ def commit_append_partitioned(
         )
     fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[transform]
     _merged_schema(prev_manifest.get("schema"), df)  # reject before staging
+    _validate_constraints(df, prev_manifest.get("constraints") or {})
 
     import pyarrow.parquet as pq
 
@@ -1272,6 +1280,7 @@ def commit_append_partitioned(
                     partition_spec=spec,
                     eq_deletes=head_manifest.get("eq_deletes"),
                     defaults=head_manifest.get("defaults"),
+                    constraints=head_manifest.get("constraints"),
                 )
             except CommitConflictError:
                 continue
@@ -1323,6 +1332,7 @@ def evolve_partition_spec(
                 partition_spec=spec,
                 eq_deletes=m.get("eq_deletes"),
                 defaults=m.get("defaults"),
+                constraints=m.get("constraints"),
             )
         except CommitConflictError:
             continue
@@ -1373,6 +1383,109 @@ def commit_add_column(
             continue
 
 
+class ConstraintViolation(ValueError):
+    """A commit's batch violated a table CHECK constraint — the commit
+    was rejected and nothing was staged or published."""
+
+
+def commit_add_constraint(
+    table_dir: str, name: str, predicate: str, op: str = "add_constraint"
+) -> int:
+    """Declare a CHECK CONSTRAINT (the Delta ``ADD CONSTRAINT`` shape)
+    as a metadata-only commit: ``predicate`` is a SQL boolean every row
+    of every FUTURE batch must satisfy (``commit_append`` validates the
+    batch and raises ConstraintViolation on the first offender — the
+    write-side data-quality gate, enforced at the format layer so no
+    writer can forget it). Existing data is NOT retro-validated (the
+    Delta contract: the constraint gates writes from now on; audit old
+    data with a query). NOT NULL is just ``col IS NOT NULL``."""
+    while True:
+        prev = current_version(table_dir)
+        if not prev:
+            raise ValueError("cannot constrain an empty table")
+        m = read_manifest(table_dir, prev)
+        cons = dict(m.get("constraints") or {})
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        cons[name] = predicate
+        try:
+            return _publish(
+                table_dir,
+                prev + 1,
+                op,
+                m["files"],
+                m.get("schema"),
+                deletes=m.get("deletes"),
+                partition_spec=m.get("partition_spec"),
+                eq_deletes=m.get("eq_deletes"),
+                defaults=m.get("defaults"),
+                constraints=cons,
+            )
+        except CommitConflictError:
+            continue
+
+
+def commit_drop_constraint(
+    table_dir: str, name: str, op: str = "drop_constraint"
+) -> int:
+    """Drop a CHECK constraint (metadata-only commit)."""
+    while True:
+        prev = current_version(table_dir)
+        m = read_manifest(table_dir, prev)
+        cons = dict(m.get("constraints") or {})
+        if name not in cons:
+            raise ValueError(f"no such constraint {name!r}")
+        del cons[name]
+        try:
+            return _publish(
+                table_dir,
+                prev + 1,
+                op,
+                m["files"],
+                m.get("schema"),
+                deletes=m.get("deletes"),
+                partition_spec=m.get("partition_spec"),
+                eq_deletes=m.get("eq_deletes"),
+                defaults=m.get("defaults"),
+                constraints=cons or None,
+            )
+        except CommitConflictError:
+            continue
+
+
+def _validate_constraints(df: DataFrame, constraints: dict) -> None:
+    """Reject the batch if ANY row violates ANY declared constraint.
+    One pass over the BATCH (never the table): all predicates fold into
+    a single filter + limit(1) probe, so the gate costs at most one
+    extra scan of the data being written and short-circuits on the
+    first offender."""
+    from pyspark.sql import functions as F
+
+    if not constraints:
+        return
+    # ANSI/Delta CHECK semantics: a row is rejected only when a
+    # predicate evaluates FALSE — UNKNOWN (null) passes, which is why
+    # NOT NULL must be declared explicitly as `col IS NOT NULL`.
+    viol = None
+    for pred in constraints.values():
+        c = ~F.coalesce(F.expr(pred), F.lit(True))
+        viol = c if viol is None else (viol | c)
+    bad = df.filter(viol).limit(1).collect()
+    if bad:
+        row_df = df.sparkSession.createDataFrame(bad, df.schema)
+        offenders = sorted(
+            n
+            for n, p in constraints.items()
+            if row_df.filter(
+                ~F.coalesce(F.expr(p), F.lit(True))
+            ).count()
+        )
+        raise ConstraintViolation(
+            f"batch violates CHECK constraint(s) {offenders}: "
+            f"first offending row {bad[0].asDict()}"
+        )
+
+
 def commit_widen_column(
     table_dir: str, name: str, new_type: str, op: str = "widen_column"
 ) -> int:
@@ -1413,6 +1526,7 @@ def commit_widen_column(
                 partition_spec=m.get("partition_spec"),
                 eq_deletes=m.get("eq_deletes"),
                 defaults=m.get("defaults"),
+                constraints=m.get("constraints"),
             )
         except CommitConflictError:
             continue
@@ -1520,6 +1634,7 @@ def commit_delete_equality(
             partition_spec=prev_manifest.get("partition_spec"),
             eq_deletes=eq,
             defaults=prev_manifest.get("defaults"),
+            constraints=prev_manifest.get("constraints"),
         )
     except BaseException:
         for e in entries:
@@ -1760,6 +1875,7 @@ def commit_append_to_ref(
         raise ValueError(f"ref {ref!r} does not exist in {table_dir}")
     base_m = read_manifest(table_dir, base)
     _merged_schema(base_m.get("schema"), df)  # reject before staging
+    _validate_constraints(df, base_m.get("constraints") or {})
     new = _stage_files(df, table_dir, stat_cols)
     try:
         while True:
@@ -1779,6 +1895,7 @@ def commit_append_to_ref(
                     eq_deletes=base_m.get("eq_deletes"),
                     defaults=base_m.get("defaults"),
                     parent=base,
+                    constraints=base_m.get("constraints"),
                 )
             except CommitConflictError:
                 continue  # lost the id race; re-read ref and retry
@@ -1848,6 +1965,7 @@ def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
         partition_spec=src.get("partition_spec"),
         eq_deletes=src.get("eq_deletes"),
         defaults=src.get("defaults"),
+        constraints=src.get("constraints"),
     )
 
 
@@ -2124,6 +2242,7 @@ def clone_table(src_dir: str, dst_dir: str) -> int:
         partition_spec=m.get("partition_spec"),
         eq_deletes=m.get("eq_deletes"),
         defaults=m.get("defaults"),
+        constraints=m.get("constraints"),
     )
 
 
@@ -2156,6 +2275,8 @@ def commit_update_mor(
         raise ValueError("cannot update an empty table")
     prev_manifest = read_manifest(table_dir, prev)
     _merged_schema(prev_manifest.get("schema"), df_new)  # reject early
+    # replacement/new rows of a MoR UPDATE/MERGE satisfy the same gate
+    _validate_constraints(df_new, prev_manifest.get("constraints") or {})
     new_files = _stage_files(df_new, table_dir, stat_cols)
     os.makedirs(_deletes_dir(table_dir), exist_ok=True)
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
@@ -2187,6 +2308,7 @@ def commit_update_mor(
             partition_spec=prev_manifest.get("partition_spec"),
             eq_deletes=prev_manifest.get("eq_deletes"),
             defaults=prev_manifest.get("defaults"),
+            constraints=prev_manifest.get("constraints"),
         )
     except BaseException:
         for e in new_files + dv_entries:

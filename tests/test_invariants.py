@@ -351,8 +351,8 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 260 extras = 339 registered,
-    326 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    """SURVEY.md §2 declares 79 §2 keys + 261 extras = 340 registered,
+    327 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
     gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
     LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
     type widening, timestamp travel, branches/fast-forward, PII scrub,
@@ -360,8 +360,8 @@ def test_registry_totals_match_survey():
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 339
-    assert len(oracles) == 326
+    assert len(QUERIES) == 340
+    assert len(oracles) == 327
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -3219,6 +3219,89 @@ def test_type_widening_semantics(spark, tmp_path):
     old = dict(mt.table_schema(table, v1))
     assert old == {"k": "int", "x": "float"}
     assert mt.read_version(spark, table, v1).schema["k"].dataType.simpleString() == "int"
+
+
+def test_table_constraints_semantics(spark, tmp_path):
+    """CHECK constraints, the full contract: (1) add/drop are
+    metadata-only commits; (2) every write path is gated — plain
+    append, partitioned append, branch append, and MoR update/merge
+    replacement rows all raise ConstraintViolation with the offending
+    constraint NAMED; (3) ANSI semantics — a NULL predicate result
+    PASSES (so NOT NULL needs an explicit IS NOT NULL constraint);
+    (4) rejection stages nothing; (5) existing data is not
+    retro-validated; (6) duplicate add and missing drop reject."""
+    import datetime
+    import glob as _glob
+    import os as _os
+
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "cons")
+    ddl = "k long, v long, ts timestamp_ntz"
+    d0 = datetime.datetime(2021, 1, 15)
+    # seed INCLUDES a v=-5 row: constraints never retro-validate (5)
+    mt.commit_append(
+        spark.createDataFrame([(1, 10, d0), (2, -5, d0)], ddl).repartition(1),
+        table,
+        ["k"],
+    )
+    v_a = mt.commit_add_constraint(table, "v_positive", "v > 0")
+    assert [f["path"] for f in mt.read_manifest(table, v_a - 1)["files"]] == [
+        f["path"] for f in mt.read_manifest(table, v_a)["files"]
+    ]  # (1)
+    with _pytest.raises(ValueError, match="already exists"):
+        mt.commit_add_constraint(table, "v_positive", "v > 1")  # (6)
+    # (3) NULL passes the CHECK; a clean batch passes
+    mt.commit_append(
+        spark.createDataFrame([(3, None, d0)], ddl).repartition(1),
+        table,
+        ["k"],
+    )
+    n_files = len(mt.read_manifest(table, mt.current_version(table))["files"])
+    # (2)+(4) plain append rejected, nothing staged, name surfaced
+    with _pytest.raises(mt.ConstraintViolation, match="v_positive"):
+        mt.commit_append(
+            spark.createDataFrame([(4, -1, d0)], ddl).repartition(1),
+            table,
+            ["k"],
+        )
+    assert len(_glob.glob(_os.path.join(table, "data", "*.parquet"))) == n_files
+    # partitioned append gated
+    with _pytest.raises(mt.ConstraintViolation):
+        mt.commit_append_partitioned(
+            spark.createDataFrame([(5, -2, d0)], ddl),
+            table,
+            "ts",
+            "month",
+            ["ts"],
+        )
+    # branch append gated
+    mt.set_ref(table, "main", mt.current_version(table))
+    mt.create_branch(table, "dev")
+    with _pytest.raises(mt.ConstraintViolation):
+        mt.commit_append_to_ref(
+            spark.createDataFrame([(6, -3, d0)], ddl).repartition(1),
+            table,
+            "dev",
+            ["k"],
+        )
+    # MoR merge replacement rows gated
+    src = spark.createDataFrame(
+        [(1, -99, d0, "u")], "k long, v long, ts timestamp_ntz, __op string"
+    )
+    with _pytest.raises(mt.ConstraintViolation):
+        mt.commit_merge_mor(spark, table, src, "k", ["k"])
+    # drop, then the formerly-bad append lands
+    mt.commit_drop_constraint(table, "v_positive")
+    with _pytest.raises(ValueError, match="no such constraint"):
+        mt.commit_drop_constraint(table, "v_positive")
+    mt.commit_append(
+        spark.createDataFrame([(4, -1, d0)], ddl).repartition(1), table, ["k"]
+    )
+    got = {(r.k, r.v) for r in mt.read_version(spark, table).collect()}
+    assert got == {(1, 10), (2, -5), (3, None), (4, -1)}
 
 
 def test_row_lineage_semantics(spark, tmp_path):

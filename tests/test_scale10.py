@@ -173,6 +173,11 @@ SCALE_SENSITIVE_EXTRA = [
     # multi-row-group files (row position past one row group is the
     # class this battery exists for)
     "q_etl_row_lineage",
+    # constraints + streaming merge sink at 10x: the violation probe
+    # scans a real batch; the CDC fold accumulates counts over
+    # replicated keys (tie-dense argmax class)
+    "q_etl_table_constraints",
+    "q_stream_manifest_merge_sink",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
