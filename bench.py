@@ -293,6 +293,7 @@ HEADLINE = [
     "q_etl_row_lineage",                  # stable row ids through compaction
     "q_stream_manifest_merge_sink",       # foreachBatch MoR MERGE CDC sink
     "q_etl_table_constraints",            # commit-gated CHECK constraints
+    "q_etl_optimize_binpack",             # partial small-file OPTIMIZE + vector pruning
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

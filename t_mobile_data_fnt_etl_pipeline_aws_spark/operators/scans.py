@@ -2271,6 +2271,106 @@ def q_etl_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_etl_optimize_binpack",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')},
+           true AS files_reduced,
+           true AS big_file_kept_by_reference,
+           true AS dead_vector_rows_pruned,
+           true AS lineage_stable
+    FROM orders
+    WHERE o_orderkey % 101 <> 0
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL small-file OPTIMIZE (the Iceberg `rewrite_data_files`
+    shape): 8 trickle commits leave small files next to one big file;
+    bin-packing rewrites ONLY the small ones into ~target-sized bins —
+    the big file carries by reference (graded), so OPTIMIZE cost
+    tracks the small-file problem, not table size. Row-level state
+    composes through the partial rewrite: the position vector's rows
+    for rewritten files are APPLIED + PRUNED while the big file's
+    mask rows survive (graded: vector row count strictly between zero
+    and the original), and row lineage reads identically before and
+    after (graded via the zero-moved join check).
+
+    At 100 TB this is the nightly maintenance job: a streaming sink's
+    per-batch files fold into scan-efficient sizes without ever
+    touching the historical bulk — and the seq-scoping invariant keeps
+    equality deletes correct across the rewrite for free.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        commit_optimize_binpack,
+        read_manifest,
+        read_version,
+        read_version_with_lineage,
+        read_version_with_pos,
+    )
+
+    table = _sink_dir(f"orders_binpack_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    k = F.col("o_orderkey")
+    big = o.filter(k % 5 < 3)  # ~60% in one big file
+    commit_append(big.repartition(1), table, ["o_orderdate"], op="bulk")
+    for i in range(8):  # trickle: 8 small files
+        commit_append(
+            o.filter((k % 5 >= 3) & (k % 8 == i)).repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"trickle_{i}",
+        )
+    doomed = read_version_with_pos(spark, table).filter(k % 101 == 0)
+    v_d = commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    m0 = read_manifest(table, v_d)
+    big_path = max(m0["files"], key=lambda f: f["rows"])["path"]
+    dv0 = sum(d["rows"] for d in m0.get("deletes", []))
+    pre_lin = read_version_with_lineage(spark, table, v_d).select(
+        "o_orderkey", F.col("_row_id").alias("pre_id")
+    )
+    n_small_rows = sum(
+        f["rows"] for f in m0["files"] if f["path"] != big_path
+    )
+    v_o = commit_optimize_binpack(
+        spark, table, ["o_orderdate"], target_rows=max(2, n_small_rows // 2)
+    )
+    m1 = read_manifest(table, v_o)
+    dv1 = sum(d["rows"] for d in m1.get("deletes", []))
+    post_lin = read_version_with_lineage(spark, table, v_o).select(
+        "o_orderkey", F.col("_row_id").alias("post_id")
+    )
+    moved = (
+        pre_lin.join(post_lin, "o_orderkey")
+        .filter(F.col("pre_id") != F.col("post_id"))
+        .count()
+    )
+    lineage_stable = moved == 0 and post_lin.count() == pre_lin.count()
+    return (
+        read_version(spark, table, v_o)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("files_reduced", F.lit(len(m1["files"]) < len(m0["files"])))
+        .withColumn(
+            "big_file_kept_by_reference",
+            F.lit(big_path in {f["path"] for f in m1["files"]}),
+        )
+        .withColumn("dead_vector_rows_pruned", F.lit(0 < dv1 < dv0))
+        .withColumn("lineage_stable", F.lit(lineage_stable))
+    )
+
+
+@query(
     "q_etl_table_constraints",
     oracle=f"""
     SELECT o_orderpriority,

@@ -148,6 +148,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_row_lineage",
     "q_stream_manifest_merge_sink",
     "q_etl_table_constraints",
+    "q_etl_optimize_binpack",
 ]
 
 

@@ -1970,7 +1970,10 @@ def rollback(table_dir: str, to_version: int, op: str = "restore") -> int:
 
 
 def read_version_with_lineage(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    paths: list[str] | None = None,
 ) -> DataFrame:
     """Masked read plus the STABLE ROW ID column ``_row_id`` (Iceberg v3
     row lineage): for ordinary files, ``first_row_id + row position``
@@ -1987,7 +1990,10 @@ def read_version_with_lineage(
     schema = manifest.get("schema") or []
     ddl = ", ".join(f"`{n}` {t}" for n, t in schema)
     reader = spark.read.schema(ddl + ", `__row_id` bigint")
-    df = reader.parquet(*[f["path"] for f in manifest["files"]])
+    file_list = [f["path"] for f in manifest["files"]]
+    if paths is not None:
+        file_list = [p for p in file_list if p in set(paths)]
+    df = reader.parquet(*file_list)
     cols = [n for n, _ in schema]
     pos = df.select(
         "*",
@@ -2061,6 +2067,124 @@ def compact_with_lineage(
             except OSError:
                 pass
         raise
+
+
+def commit_optimize_binpack(
+    spark: SparkSession,
+    table_dir: str,
+    stat_cols: list[str],
+    target_rows: int,
+    op: str = "optimize",
+) -> int:
+    """PARTIAL small-file OPTIMIZE (the Iceberg ``rewrite_data_files``
+    shape, unlike the full-table ``commit_replace``): first-fit-
+    decreasing bin-pack every file under ``target_rows`` into
+    ~target-sized bins and rewrite ONLY those — large files carry over
+    BY REFERENCE, so OPTIMIZE cost tracks the small-file problem, not
+    table size. Row-level state composes correctly through the partial
+    rewrite:
+
+    * position vectors: rewritten files' masked rows are APPLIED (the
+      bin read is masks-applied) and their now-dead vector rows are
+      PRUNED from the vector files; vectors for untouched files stay;
+    * equality deletes: applied to the bins at read; the new files'
+      HIGHER data sequence numbers take them out of scope
+      automatically, while untouched older files stay masked — the
+      seq-scoping invariant doing real work;
+    * column defaults: materialized into the bins (their new seq ends
+      default resolution for them); untouched files still resolve;
+    * row lineage: bins carry materialized ``__row_id``, so ids are
+      stable through the rewrite.
+
+    Returns the new version (or the current one unchanged when fewer
+    than two small files exist — nothing to pack)."""
+    prev = current_version(table_dir)
+    if not prev:
+        raise ValueError("cannot optimize an empty table")
+    m = read_manifest(table_dir, prev)
+    small = [f for f in m["files"] if int(f.get("rows", 0)) < target_rows]
+    if len(small) < 2:
+        return prev
+    # first-fit decreasing
+    bins: list[list[dict]] = []
+    loads: list[int] = []
+    for f in sorted(small, key=lambda e: -int(e.get("rows", 0))):
+        r = int(f.get("rows", 0))
+        for i, ld in enumerate(loads):
+            if ld + r <= target_rows:
+                bins[i].append(f)
+                loads[i] += r
+                break
+        else:
+            bins.append([f])
+            loads.append(r)
+    # only bins that actually MERGE pay a rewrite: a small file alone in
+    # its bin can't get bigger by rewriting — carry it by reference
+    # (also makes OPTIMIZE idempotent: a second run finds no mergeable
+    # pair and no-ops instead of churning files)
+    bins = [b for b in bins if len(b) >= 2]
+    if not bins:
+        return prev
+    rewritten = {f["path"] for b in bins for f in b}
+    new_entries: list[dict] = []
+    try:
+        for b in bins:
+            feed = read_version_with_lineage(
+                spark, table_dir, prev, paths=[f["path"] for f in b]
+            ).withColumnRenamed("_row_id", "__row_id")
+            new_entries += _stage_files(feed.coalesce(1), table_dir, stat_cols)
+        # prune dead vector rows (they referenced rewritten files)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        new_deletes = []
+        for d in m.get("deletes", []):
+            t = pq.read_table(d["path"])
+            keep_mask = [
+                _norm_fp_str(fp) not in rewritten
+                for fp in t.column("file_path").to_pylist()
+            ]
+            n_keep = sum(keep_mask)
+            if n_keep == 0:
+                continue  # vector fully dead: drop the entry
+            if n_keep == t.num_rows:
+                new_deletes.append(d)  # untouched
+                continue
+            pruned = t.filter(pa.array(keep_mask))
+            dest = os.path.join(
+                _deletes_dir(table_dir), f"{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(pruned, dest)
+            new_deletes.append({"path": dest, "rows": n_keep})
+        keep_files = [f for f in m["files"] if f["path"] not in rewritten]
+        return _publish(
+            table_dir,
+            prev + 1,
+            op,
+            keep_files + new_entries,
+            m.get("schema"),
+            deletes=new_deletes or None,
+            partition_spec=m.get("partition_spec"),
+            eq_deletes=m.get("eq_deletes"),
+            defaults=m.get("defaults"),
+            constraints=m.get("constraints"),
+        )
+    except BaseException:
+        for e in new_entries:
+            try:
+                os.unlink(e["path"])
+            except OSError:
+                pass
+        raise
+
+
+def _norm_fp_str(p: str) -> str:
+    """String twin of ``_norm_fp`` for driver-side path comparisons."""
+    if p.startswith("file://"):
+        return p[7:]
+    if p.startswith("file:"):
+        return p[5:]
+    return p
 
 
 def version_at_timestamp(table_dir: str, ts: float) -> int:

@@ -178,6 +178,9 @@ SCALE_SENSITIVE_EXTRA = [
     # replicated keys (tie-dense argmax class)
     "q_etl_table_constraints",
     "q_stream_manifest_merge_sink",
+    # binpack OPTIMIZE at 10x: bins over multi-row-group files, vector
+    # pruning against a real ~1% mask, lineage join at real mass
+    "q_etl_optimize_binpack",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA
