@@ -2271,6 +2271,65 @@ def q_etl_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_sql_over_manifest_table",
+    oracle=f"""
+    SELECT n_name,
+           count(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'revenue')}
+    FROM orders o
+    JOIN customer c ON o_custkey = c_custkey
+    JOIN nation n ON c_nationkey = n_nationkey
+    WHERE o_orderkey % 131 <> 0
+    GROUP BY n_name
+    """,
+)
+def q_sql_over_manifest_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARK SQL OVER THE TABLE FORMAT: ``register_table`` exposes a
+    masked manifest snapshot (here: orders with a live %131 equality
+    delete) as a temp view, and a plain ANSI join/aggregate over it —
+    written in SQL, joining ordinary parquet dims — returns exactly
+    what the relational oracle computes on the post-delete truth. The
+    view IS the `read_version` Catalyst tree, so SQL users inherit the
+    pinned schema, the broadcast mask joins, and scan pushdown without
+    knowing the format exists — the "switch your warehouse query, keep
+    your SQL" property.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete_equality,
+        register_table,
+    )
+
+    table = _sink_dir(f"orders_sqlview_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    commit_append(o.repartition(4), table, ["o_orderdate"], op="bulk")
+    commit_delete_equality(
+        spark,
+        table,
+        "o_orderkey",
+        o.filter(F.col("o_orderkey") % 131 == 0).select("o_orderkey"),
+    )
+    view = f"orders_mt_{_uuid.uuid4().hex[:8]}"
+    register_table(spark, table, view)
+    load(spark, sf_dir, "customer").createOrReplaceTempView(f"cust_{view}")
+    load(spark, sf_dir, "nation").createOrReplaceTempView(f"nat_{view}")
+    return spark.sql(f"""
+        SELECT n_name,
+               count(*) AS n_orders,
+               CAST(CAST(sum(CAST(o_totalprice AS decimal(30,10)))
+                    AS decimal(38,4)) AS double) AS revenue
+        FROM {view} o
+        JOIN cust_{view} c ON o.o_custkey = c.c_custkey
+        JOIN nat_{view} n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n_name
+    """)
+
+
+@query(
     "q_etl_optimize_binpack",
     oracle=f"""
     SELECT o_orderpriority,

@@ -149,6 +149,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_stream_manifest_merge_sink",
     "q_etl_table_constraints",
     "q_etl_optimize_binpack",
+    "q_sql_over_manifest_table",
 ]
 
 

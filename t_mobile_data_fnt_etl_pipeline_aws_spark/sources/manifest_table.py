@@ -2334,6 +2334,24 @@ def refs_table(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def register_table(
+    spark: SparkSession,
+    table_dir: str,
+    name: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Expose a manifest table to SPARK SQL: create (or replace) a temp
+    view ``name`` over the masked, defaults-resolved snapshot read —
+    ``spark.sql("SELECT ... FROM name JOIN ...")`` then plans through
+    the exact same Catalyst tree as ``read_version`` (pinned schema,
+    broadcast mask joins, pushdown into the parquet scan), so SQL
+    users pay nothing for the format. ``version`` pins time travel
+    into the view. Returns the view's DataFrame."""
+    df = read_version(spark, table_dir, version)
+    df.createOrReplaceTempView(name)
+    return df
+
+
 def clone_table(src_dir: str, dst_dir: str) -> int:
     """SHALLOW CLONE (the Delta `CLONE` shape): create a NEW table whose
     v1 manifest references the source's current live files, delete
