@@ -2271,6 +2271,71 @@ def q_etl_branch_fastforward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_etl_maintenance_report",
+    oracle="""
+    WITH y AS (SELECT count(DISTINCT year(o_orderdate)) AS ny,
+                      count(*) AS n
+               FROM orders),
+         d AS (SELECT count(*) AS nd FROM orders
+               WHERE o_orderkey % 113 = 0)
+    SELECT CAST(ny AS BIGINT) AS n_files,
+           CAST(ny AS BIGINT) AS n_small_files,
+           CAST(n AS BIGINT) AS footer_rows,
+           CAST(nd AS BIGINT) AS pos_vector_rows,
+           CAST(0 AS BIGINT) AS eq_vector_values,
+           CAST(ny + 1 AS BIGINT) AS n_versions,
+           true AS needs_compaction
+    FROM y, d
+    """,
+)
+def q_etl_maintenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE-HEALTH REPORT (the ops row a maintenance scheduler reads
+    across thousands of tables): per-year trickle appends leave one
+    small file per order year, a %113 position-delete leaves mask
+    debt, and the report — a pure manifest fold, zero data reads —
+    must state the exact file count, small-file count, footer row
+    total, vector-row debt, reachable snapshot count, and the
+    needs_compaction verdict. The oracle rebuilds every number
+    relationally from the year histogram and the delete predicate —
+    proving the metadata plane's bookkeeping against the data plane.
+
+    Scale: O(#files + #versions) kilobyte manifest reads per table —
+    cheap enough to sweep a whole warehouse every hour and rank where
+    the `commit_optimize_binpack` / `vacuum` budget goes.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        maintenance_report,
+        read_version_with_pos,
+    )
+
+    table = _sink_dir(f"orders_maint_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    years = sorted(
+        r.yr
+        for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
+    )
+    for yr in years:
+        commit_append(
+            o.filter(F.year("o_orderdate") == yr).repartition(1),
+            table,
+            ["o_orderdate"],
+            op=f"trickle_y{yr}",
+        )
+    doomed = read_version_with_pos(spark, table).filter(
+        F.col("o_orderkey") % 113 == 0
+    )
+    commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    # every per-year file is "small" against a full-table threshold
+    return maintenance_report(spark, table, small_file_rows=o.count() + 1)
+
+
+@query(
     "q_sql_over_manifest_table",
     oracle=f"""
     SELECT n_name,

@@ -150,6 +150,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_table_constraints",
     "q_etl_optimize_binpack",
     "q_sql_over_manifest_table",
+    "q_etl_maintenance_report",
 ]
 
 

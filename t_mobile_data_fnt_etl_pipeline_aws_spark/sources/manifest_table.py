@@ -2334,6 +2334,51 @@ def refs_table(spark: SparkSession, table_dir: str) -> DataFrame:
     )
 
 
+def maintenance_report(
+    spark: SparkSession, table_dir: str, small_file_rows: int
+) -> DataFrame:
+    """TABLE-HEALTH REPORT — the ops dashboard row behind "does this
+    table need maintenance": live file count, small-file count (under
+    the given row threshold), footer row total, merge-on-read mask
+    debt (position-vector rows + equality-vector values awaiting a
+    compaction), reachable snapshot count, and a needs_compaction
+    verdict (any small-file pair to pack, or any standing mask). Pure
+    manifest fold — zero data files opened, O(#files + #versions)
+    kilobyte reads; the input to a maintenance scheduler deciding
+    where to spend `commit_optimize_binpack` / `vacuum` budget across
+    thousands of tables."""
+    cur = current_version(table_dir)
+    m = read_manifest(table_dir, cur)
+    files = m["files"]
+    n_small = sum(1 for f in files if int(f.get("rows", 0)) < small_file_rows)
+    pos_rows = sum(int(d.get("rows", 0)) for d in m.get("deletes", []))
+    eq_vals = sum(int(d.get("rows", 0)) for d in m.get("eq_deletes", []))
+    n_versions = 0
+    for v in range(1, cur + 1):
+        try:
+            read_manifest(table_dir, v)
+            n_versions += 1
+        except FileNotFoundError:
+            continue
+    needs = n_small >= 2 or pos_rows > 0 or eq_vals > 0
+    return spark.createDataFrame(
+        [
+            (
+                len(files),
+                n_small,
+                sum(int(f.get("rows", 0)) for f in files),
+                pos_rows,
+                eq_vals,
+                n_versions,
+                needs,
+            )
+        ],
+        "n_files long, n_small_files long, footer_rows long, "
+        "pos_vector_rows long, eq_vector_values long, n_versions long, "
+        "needs_compaction boolean",
+    )
+
+
 def register_table(
     spark: SparkSession,
     table_dir: str,

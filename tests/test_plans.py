@@ -1122,3 +1122,48 @@ def test_type_widening_single_scan_both_generations(spark, sf_dir):
     assert not join_strategies(df), plan
     assert "Union" not in plan, plan
     assert all(r.zero_files_rewritten for r in df.collect())
+
+
+def test_lineage_read_all_broadcast_no_python(spark, tmp_path):
+    """The row-lineage read composes the mask joins with ONE extra
+    broadcast map join (file -> first_row_id) and a projection — every
+    join broadcast, zero Python evals, no shuffle of the data side."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "linplan")
+    mt.commit_append(
+        spark.range(100).selectExpr("id as k", "id*2 as v").repartition(2),
+        table,
+        ["k"],
+    )
+    doomed = mt.read_version_with_pos(spark, table).filter("k % 10 = 0")
+    mt.commit_delete(spark, table, doomed.select("file_path", "row_index"))
+    df = mt.read_version_with_lineage(spark, table)
+    plan = plan_string(df)
+    strategies = set(join_strategies(df))
+    assert strategies and strategies <= {"BroadcastHashJoin"}, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_sql_view_over_manifest_pushes_filters(spark, tmp_path):
+    """A Spark SQL filter over a register_table view must reach the
+    parquet scan as PushedFilters — the view is the read_version
+    Catalyst tree, not an opaque materialization, so SQL users keep
+    scan pushdown through the format layer (masks included)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources import manifest_table as mt
+
+    table = str(tmp_path / "sqlplan")
+    mt.commit_append(
+        spark.range(1000).selectExpr("id as k", "id % 7 as bucket")
+        .repartition(2),
+        table,
+        ["k"],
+    )
+    mt.commit_delete_equality(
+        spark, table, "k", spark.createDataFrame([(5,)], "k long")
+    )
+    mt.register_table(spark, table, "sqlplan_view")
+    df = spark.sql("SELECT k FROM sqlplan_view WHERE k > 900")
+    pushed = pushed_filters(df)
+    assert any("k" in p for p in pushed), plan_string(df)
