@@ -296,6 +296,7 @@ HEADLINE = [
     "q_etl_optimize_binpack",             # partial small-file OPTIMIZE + vector pruning
     "q_sql_over_manifest_table",          # ANSI SQL via register_table view
     "q_etl_maintenance_report",           # table-health manifest fold
+    "q_dedup_minhash_portable",           # oracle-proven LSH banding twin
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -1040,3 +1040,112 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "q_dedup_minhash_portable",
+    oracle="""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, len(string_split(text, ' ')) - 2),
+                   i -> string_split(text, ' ')[i] || ' ' ||
+                        string_split(text, ' ')[i+1] || ' ' ||
+                        string_split(text, ' ')[i+2]
+               )) AS shingles
+        FROM documents WHERE doc_id < 500
+    ),
+    mins AS (
+        SELECT e.doc_id, k.k,
+               min(md5(CAST(k.k AS VARCHAR) || '|' || e.s)) AS mv
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) e
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS k) k
+        GROUP BY e.doc_id, k.k
+    ),
+    sigs AS (
+        SELECT doc_id, CAST(k // 2 AS INT) AS band,
+               md5(string_agg(mv, '|' ORDER BY k)) AS sig
+        FROM mins GROUP BY doc_id, k // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           cast(len(list_intersect(x.shingles, y.shingles)) as double) /
+           (len(x.shingles) + len(y.shingles)
+            - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.doc_a
+    JOIN sh y ON y.doc_id = c.doc_b
+    WHERE cast(len(list_intersect(x.shingles, y.shingles)) as double) /
+          (len(x.shingles) + len(y.shingles)
+           - len(list_intersect(x.shingles, y.shingles))) >= 0.5
+    """,
+)
+def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding with a FULLY PORTABLE permutation family —
+    the exact-oracle twin of q_dedup_fuzzy_minhash (whose xxhash64
+    permutations are engine-seeded, hence rows-only): here each
+    permutation is min(md5(k || '|' || shingle)) over the shingle set
+    (lexicographic min of hex digests — a perfectly good random
+    permutation proxy, computable bit-identically by ANY engine), 8
+    perms banded 4×2, candidates from the band-signature bucket join,
+    then exact Jaccard ≥ 0.5 verification. The DuckDB oracle replays
+    the ENTIRE pipeline — banding included — so the hash-match proves
+    the LSH mechanics themselves, not just the verified tail.
+
+    Bounded to doc_id < 500 (like the other exact-oracle dedup
+    slices) so the oracle's all-perm cross join stays cheap at any
+    SF. Scale shape is the standard one: explode → per-perm min agg →
+    band-signature bucket join (never all-pairs) → candidates-only
+    verify. md5-as-permutation costs ~2× xxhash64 — the portable twin
+    documents the trade; the fast engine-seeded form remains the
+    production path.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    sh = d.select("doc_id", _shingles(_tokens()).alias("shingles")).filter(
+        F.size("shingles") > 0
+    )
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    K, R = 8, 2
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
+            for k in range(K)
+        ]
+    )
+    bands = None
+    for b in range(K // R):
+        cols = [F.col(f"m{b * R + j}") for j in range(R)]
+        one = mins.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *cols)).alias("sig"),
+        )
+        bands = one if bands is None else bands.unionByName(one)
+    a = bands.alias("a")
+    b2 = bands.alias("b")
+    cand = (
+        a.join(
+            b2,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa"))
+    y = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    union = (F.size("sa") + F.size("sb")).cast("double") - F.size(
+        F.array_intersect("sa", "sb")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )

@@ -151,6 +151,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_optimize_binpack",
     "q_sql_over_manifest_table",
     "q_etl_maintenance_report",
+    "q_dedup_minhash_portable",
 ]
 
 
