@@ -297,6 +297,15 @@ HEADLINE = [
     "q_sql_over_manifest_table",          # ANSI SQL via register_table view
     "q_etl_maintenance_report",           # table-health manifest fold
     "q_dedup_minhash_portable",           # oracle-proven LSH banding twin
+    "q_dedup_simhash_portable",           # oracle-proven SimHash Hamming twin
+    "q_text_vocab_coverage",              # top-K vocab OOV rate (broadcast probe)
+    "q_sql_scripting_loop",               # SQL scripting WHILE/IF compound
+    "q_catalog_analyze_cbo",              # ANALYZE stats -> CBO plan estimates
+    "q_stream_session_dynamic_gap",       # per-event-gap session windows
+    "q_stream_stream_semi",               # stream-stream left-semi interval join
+    "q_etl_merge_schema_evolution",       # autoMerge: ADD COLUMN + MoR MERGE
+    "q_dq_expectations",                  # one-pass declarative rule battery
+    "q_etl_remove_orphans",               # age-gated orphan-file GC
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

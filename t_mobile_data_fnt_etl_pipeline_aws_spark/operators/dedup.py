@@ -1149,3 +1149,146 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.5)
     )
+
+
+@query(
+    "q_dedup_simhash_portable",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, t, count(*) AS w
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents WHERE doc_id < 500)
+        GROUP BY doc_id, t
+    ),
+    bits AS (
+        SELECT doc_id, i.i,
+               sum(w * CASE WHEN substr(
+                        md5(CAST(i.i // 32 AS VARCHAR) || '|' || t),
+                        (i.i % 32) + 1, 1)
+                    IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS c
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i) i
+        GROUP BY doc_id, i.i
+    ),
+    fp AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN c > 0 THEN '1' ELSE '0' END,
+                          '' ORDER BY i) AS fingerprint
+        FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               substr(fingerprint, b.b * 16 + 1, 16) AS sig, fingerprint
+        FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.fingerprint AS fa, b.fingerprint AS fb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           len(list_filter(generate_series(1, 64),
+               i -> substr(fa, i, 1) <> substr(fb, i, 1))) AS hamming
+    FROM cand
+    WHERE len(list_filter(generate_series(1, 64),
+          i -> substr(fa, i, 1) <> substr(fb, i, 1))) <= 3
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS with a FULLY PORTABLE bit family — the
+    exact-oracle twin of q_dedup_simhash (whose xxhash64 token bits are
+    engine-seeded, hence rows-only), completing the portable-twin pattern
+    q_dedup_minhash_portable established for the MinHash family.
+
+    Bit i of token t is the top bit of hex nibble (i mod 32) of
+    md5((i div 32) || '|' || t) — two md5 digests per distinct token
+    yield 64 bits, computable bit-identically by any engine. Fingerprint
+    = count-weighted bitwise majority (the classic Charikar sketch);
+    banding is Manku-style 4×16 (any pair within Hamming distance 3
+    MUST agree on ≥1 of 4 disjoint 16-bit blocks — the pigeonhole
+    guarantee, so banding loses NO qualifying pair and the final
+    Hamming ≤ 3 filter is exact, not approximate). The DuckDB oracle
+    replays the whole pipeline — weighting, majority, banding, Hamming
+    verify — so the hash-match proves the sketch mechanics end to end.
+
+    Scale shape: explode → (doc, token) count agg → one 64-column hash
+    agg → 4-way band explode → band-bucket equi-join (never all-pairs;
+    8 000 candidates of 124 750 possible at the fixture) →
+    candidates-only Hamming verify on the 64-char fingerprint strings.
+    Bounded to doc_id < 500 like the other exact-oracle dedup slices so
+    the oracle's 64-way bit cross join stays cheap at any SF.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    hexhi = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    toks = (
+        d.select("doc_id", F.explode(_tokens()).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .withColumn("h0", F.md5(F.concat(F.lit("0|"), F.col("t"))))
+        .withColumn("h1", F.md5(F.concat(F.lit("1|"), F.col("t"))))
+        # barrier: materialize the two md5 digests — CollapseProject would
+        # otherwise inline h0/h1 into all 64 bit-sum agg expressions and
+        # re-digest every token 32× (same class as the minhash barrier
+        # above; measured 11 s → ~2 s at sf0.01 with the barrier).
+        .repartition("doc_id")
+    )
+    bits = toks.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.col("w")
+                * F.when(
+                    F.substring(
+                        F.col("h0") if i < 32 else F.col("h1"), (i % 32) + 1, 1
+                    ).isin(hexhi),
+                    1,
+                ).otherwise(-1)
+            ).alias(f"c{i}")
+            for i in range(64)
+        ]
+    )
+    fp = bits.select(
+        "doc_id",
+        F.concat(
+            *[
+                F.when(F.col(f"c{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                for i in range(64)
+            ]
+        ).alias("fingerprint"),
+    )
+    bands = fp.select(
+        "doc_id",
+        "fingerprint",
+        F.posexplode(
+            F.array(*[F.substring("fingerprint", b * 16 + 1, 16) for b in range(4)])
+        ).alias("band", "sig"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fingerprint").alias("fa"),
+            F.col("b.fingerprint").alias("fb"),
+        )
+        .distinct()
+    )
+    hamming = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("fa", ""), F.split("fb", ""), lambda x, y: x != y
+            ),
+            lambda z: z,
+        )
+    ).cast("long")
+    return (
+        cand.select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .orderBy("doc_a", "doc_b")
+    )

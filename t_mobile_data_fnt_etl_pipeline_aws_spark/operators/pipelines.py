@@ -2236,3 +2236,157 @@ def q_sql_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNPIVOT (n FOR status_label IN (n_f, n_o, n_p))
         """
     )
+
+
+@query(
+    "q_sql_scripting_loop",
+    oracle="""
+    WITH per_q AS (
+        SELECT quarter(o_orderdate) AS qtr, count(*) AS n
+        FROM orders GROUP BY quarter(o_orderdate)
+    )
+    SELECT CAST((SELECT sum(n) FROM per_q) AS BIGINT) AS total_orders,
+           CAST((SELECT qtr FROM per_q ORDER BY n DESC, qtr LIMIT 1) AS INT)
+               AS busiest_quarter,
+           CAST((SELECT max(n) FROM per_q) AS BIGINT)
+               AS busiest_quarter_orders
+    """,
+)
+def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (SPARK-48338, Spark 4.0): BEGIN…END compound with
+    DECLARE / WHILE / IF / SET control flow — the stored-procedure-style
+    surface for multi-step SQL pipelines that previously needed a
+    driver-side for-loop in Python.
+
+    The script walks the four calendar quarters, folding a per-quarter
+    COUNT into running total/argmax variables (scalar-subquery SET, IF
+    branch for the max — strictly-greater keeps the EARLIEST quarter on
+    ties, mirrored by the oracle's ORDER BY n DESC, qtr). Variable names
+    deliberately avoid the view's column names: a variable colliding
+    with a column silently resolves to the COLUMN inside the loop body
+    (measured: the collision turned count(*) WHERE q = q into the full
+    table each round).
+
+    Scale: control flow runs on the driver but each iteration's body is
+    an ordinary distributed agg with the quarter predicate pushed to the
+    scan; loop count is O(4), not O(data). The all-at-once GROUP BY
+    form (the oracle) is what you'd write when the loop axis is dense —
+    scripting earns its keep when iterations carry state between
+    distributed statements, which is exactly what this demonstrates.
+    """
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE cur_q INT = 1;
+          DECLARE cur_n BIGINT = 0;
+          DECLARE total_n BIGINT = 0;
+          DECLARE best_q INT = 0;
+          DECLARE best_n BIGINT = -1;
+          WHILE cur_q <= 4 DO
+            SET cur_n = (SELECT count(*) FROM script_orders
+                         WHERE quarter(o_orderdate) = cur_q);
+            SET total_n = total_n + cur_n;
+            IF cur_n > best_n THEN
+              SET best_q = cur_q;
+              SET best_n = cur_n;
+            END IF;
+            SET cur_q = cur_q + 1;
+          END WHILE;
+          SELECT total_n AS total_orders,
+                 best_q AS busiest_quarter,
+                 best_n AS busiest_quarter_orders;
+        END
+        """
+    )
+
+
+@query(
+    "q_dq_expectations",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS v_null,
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS v_uniq,
+               CAST(count(*) FILTER (o_orderstatus NOT IN ('F','O','P'))
+                    AS BIGINT) AS v_status,
+               CAST(count(*) FILTER (o_totalprice <= 0) AS BIGINT) AS v_price,
+               CAST(count(*) FILTER (o_orderpriority NOT IN
+                    ('1-URGENT','2-HIGH','3-MEDIUM')) AS BIGINT) AS v_prio,
+               CAST(count(*) FILTER (o_orderdate <
+                         TIMESTAMP '1992-01-01 00:00:00'
+                      OR o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+                    AS BIGINT) AS v_date
+        FROM orders
+    )
+    SELECT 'not_null__o_custkey' AS rule, n AS n_checked,
+           v_null AS n_violations, v_null = 0 AS passed FROM m
+    UNION ALL SELECT 'unique__o_orderkey', n, v_uniq, v_uniq = 0 FROM m
+    UNION ALL SELECT 'accepted_values__o_orderstatus', n, v_status,
+                     v_status = 0 FROM m
+    UNION ALL SELECT 'positive__o_totalprice', n, v_price,
+                     v_price = 0 FROM m
+    UNION ALL SELECT 'accepted_values__o_orderpriority', n, v_prio,
+                     v_prio = 0 FROM m
+    UNION ALL SELECT 'in_range__o_orderdate', n, v_date, v_date = 0 FROM m
+    """,
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality EXPECTATIONS battery (the dbt-test /
+    Deequ shape): six rules — not-null, uniqueness, two accepted-values
+    sets, positivity, date-range freshness — evaluated in ONE pass and
+    reported as (rule, n_checked, n_violations, passed) rows, the
+    contract a quality gate consumes before promoting a load.
+
+    The o_orderpriority accepted-values rule is deliberately tighter
+    than the data (4-NOT SPECIFIED / 5-LOW exist), so the report
+    demonstrably carries a FAILING row — a battery that always passes
+    pins nothing. Unlike q_etl_quarantine (row-level routing) or
+    q_dq_referential (cross-table FK), this is the single-table
+    rule-battery report.
+
+    Scale: every rule folds into one hash-agg pass over the table (the
+    uniqueness rule rides the same pass as count DISTINCT); the rule
+    axis unpivots from the single metrics row via stack — 6 output rows
+    regardless of table size, no per-rule rescans.
+    """
+    o = load(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("v_null"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v_uniq"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1)
+        ).alias("v_status"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("v_price"),
+        F.count(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM"
+                ),
+                1,
+            )
+        ).alias("v_prio"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("timestamp_ntz"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("1999-01-01").cast("timestamp_ntz")
+                ),
+                1,
+            )
+        ).alias("v_date"),
+    )
+    stacked = m.selectExpr(
+        """stack(6,
+            'not_null__o_custkey', n, v_null,
+            'unique__o_orderkey', n, v_uniq,
+            'accepted_values__o_orderstatus', n, v_status,
+            'positive__o_totalprice', n, v_price,
+            'accepted_values__o_orderpriority', n, v_prio,
+            'in_range__o_orderdate', n, v_date
+        ) AS (rule, n_checked, n_violations)"""
+    )
+    return stacked.withColumn("passed", F.col("n_violations") == 0)

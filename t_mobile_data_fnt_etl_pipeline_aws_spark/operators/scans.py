@@ -4276,3 +4276,273 @@ def q_etl_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("pruned_both_generations", F.lit(pruned_both))
     )
+
+
+@query(
+    "q_catalog_analyze_cbo",
+    oracle="""
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           max(c_acctbal) AS max_acctbal,
+           min(c_acctbal) AS min_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def q_catalog_analyze_cbo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE + cost-based optimization: catalog statistics feed
+    the planner.
+
+    The missing piece between "a catalog names tables"
+    (q_catalog_table_roundtrip) and "the optimizer chooses well at
+    100 TB": ANALYZE TABLE COMPUTE STATISTICS [FOR COLUMNS] records
+    rowCount/sizeInBytes plus per-column NDV/min/max/null-count in the
+    catalog, and with spark.sql.cbo.enabled the optimizer estimates
+    every operator's cardinality from them — join reordering, broadcast
+    selection, and filter selectivity stop being file-size guesses.
+    The query asserts the contract end-to-end: column stats visible in
+    DESCRIBE EXTENDED (distinct_count non-null), and EXPLAIN COST
+    showing rowCount= estimates flowing through the optimized plan —
+    then returns a stats-informed dim-join aggregate, value-oracled.
+
+    Scale: ANALYZE is one scan (columns via HLL sketches, merged
+    map-side); it runs once per load, not per query, and pays for
+    itself the first time the planner broadcasts a dim it would have
+    shuffle-joined on byte-size alone. Exact-valued output only
+    (count/max/min — no float sums).
+    """
+    name = "graft_customer_analyzed"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    ).write.mode("overwrite").option(
+        "path", _sink_dir("customer_analyzed")
+    ).saveAsTable(name)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    spark.sql(
+        f"ANALYZE TABLE {name} COMPUTE STATISTICS "
+        "FOR COLUMNS c_nationkey, c_mktsegment, c_acctbal"
+    )
+    kv = {r[0]: r[1] for r in spark.sql(
+        f"DESCRIBE EXTENDED {name} c_mktsegment"
+    ).collect()}
+    if kv.get("distinct_count") in (None, "NULL"):
+        raise AssertionError(f"ANALYZE recorded no column stats: {kv}")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("cbo_nation")
+    q = f"""
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               max(c_acctbal) AS max_acctbal,
+               min(c_acctbal) AS min_acctbal
+        FROM {name} c JOIN cbo_nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY n_name
+        ORDER BY n_name
+    """
+    cost_plan = spark.sql("EXPLAIN COST " + q).collect()[0][0]
+    if "rowCount=" not in cost_plan:
+        raise AssertionError("CBO estimates missing from optimized plan")
+    return spark.sql(q)
+
+
+@query(
+    "q_etl_merge_schema_evolution",
+    oracle=f"""
+    SELECT channel,
+           count(*) AS n_orders,
+           {sql_dsum("price", "revenue")},
+           true AS evolution_metadata_only,
+           true AS merge_atomic
+    FROM (
+        SELECT CASE WHEN o_orderkey % 151 = 0 THEN 'online'
+                    ELSE 'legacy' END AS channel,
+               CASE WHEN o_orderkey % 151 = 0
+                    THEN CAST(o_totalprice + 50 AS DECIMAL(12,2))
+                    ELSE o_totalprice END AS price
+        FROM orders
+        UNION ALL
+        SELECT 'online' AS channel,
+               CAST(o_totalprice + 1000 AS DECIMAL(12,2)) AS price
+        FROM orders WHERE o_orderkey % 191 = 0
+    )
+    GROUP BY channel
+    """,
+)
+def q_etl_merge_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUTO-EVOLVING MERGE (the Delta ``mergeSchema``/autoMerge shape):
+    the change batch carries a column the table has never seen
+    (``o_channel``) — instead of failing, the pipeline widens the table
+    FIRST with a metadata-only ADD COLUMN, then lands the merge, all
+    against the manifest format.
+
+    Two deliberate semantics on top of Delta's: (a) evolution is
+    detected GENERICALLY (any source column absent from table_schema),
+    not hard-coded; (b) the new column gets an INITIAL DEFAULT
+    ('legacy') rather than Delta's null-fill, so the billion
+    pre-existing rows read a meaningful value the moment the column
+    lands — the Iceberg v3 initial-default composed with autoMerge,
+    zero files rewritten (graded evolution_metadata_only). Updated and
+    inserted rows carry the source's real value ('online').
+
+    Scale: the evolution commit is one kilobyte manifest write
+    regardless of table size; the merge is the standard MoR shape
+    (change batch broadcasts, write cost O(rows changed)).
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_add_column,
+        commit_append,
+        commit_merge_mor,
+        current_version,
+        read_manifest,
+        read_version,
+        table_schema,
+    )
+
+    table = _sink_dir(f"orders_mergeevo_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    v0 = commit_append(o.repartition(2), table, ["o_orderkey"], op="append_base")
+    price_t = dict(o.dtypes)["o_totalprice"]
+    k = F.col("o_orderkey")
+    src = (
+        o.filter(k % 151 == 0)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_totalprice") + F.lit(50)).cast(price_t).alias("o_totalprice"),
+            F.lit("online").alias("o_channel"),
+            F.lit("u").alias("__op"),
+        )
+        .unionByName(
+            o.filter(k % 191 == 0).select(
+                (k + F.lit(100000000)).alias("o_orderkey"),
+                "o_orderpriority",
+                (F.col("o_totalprice") + F.lit(1000))
+                .cast(price_t)
+                .alias("o_totalprice"),
+                F.lit("online").alias("o_channel"),
+                F.lit("i").alias("__op"),
+            )
+        )
+    )
+    # generic autoMerge: widen the table for every unseen source column
+    existing = {n for n, _ in table_schema(table)}
+    src_types = dict(src.dtypes)
+    files_before = {f["path"] for f in read_manifest(table, v0)["files"]}
+    v_evo = v0
+    for cname in src.columns:
+        if cname != "__op" and cname not in existing:
+            v_evo = commit_add_column(
+                table, cname, src_types[cname], default="legacy"
+            )
+    files_after = {
+        f["path"] for f in read_manifest(table, v_evo)["files"]
+    }
+    v_m = commit_merge_mor(spark, table, src, "o_orderkey", ["o_orderkey"])
+    return (
+        read_version(spark, table, v_m)
+        .groupBy(F.col("o_channel").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn(
+            "evolution_metadata_only", F.lit(files_before == files_after)
+        )
+        .withColumn(
+            "merge_atomic", F.lit(v_m == v_evo + 1 == current_version(table))
+        )
+    )
+
+
+@query(
+    "q_etl_remove_orphans",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS old_orphan_reclaimed,
+           true AS fresh_orphan_protected,
+           true AS full_history_intact
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_etl_remove_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REMOVE ORPHAN FILES — the third leg of the maintenance tripod
+    next to OPTIMIZE (q_etl_optimize_binpack) and VACUUM
+    (q_etl_manifest_vacuum): reclaim crashed-writer leftovers (files on
+    disk no manifest references) WITHOUT expiring any snapshot — time
+    travel to every version survives, which vacuum's retention horizon
+    cannot promise.
+
+    The demo plants two orphans in the data directory: one backdated a
+    week (a crashed writer from last Tuesday) and one fresh (a
+    concurrent writer mid-staging RIGHT NOW — this format stages data
+    files before publishing the manifest, so reference-counting alone
+    cannot tell it from garbage). remove_orphan_files with a 1-hour
+    age gate must reclaim exactly the old one (graded
+    old_orphan_reclaimed + fresh_orphan_protected) while both committed
+    snapshots stay byte-identically readable (full_history_intact
+    re-reads version 1 AND the head after the GC).
+
+    Scale: the scan is one directory listing joined against the
+    manifest union — O(files), no data reads; the age cutoff is the
+    entire concurrency story, same as Iceberg's older_than=3d default.
+    """
+    import shutil as _shutil
+    import time as _time
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        read_manifest,
+        read_version,
+        remove_orphan_files,
+    )
+
+    table = _sink_dir(f"orders_orphans_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    commit_append(
+        o.filter(F.col("o_orderkey") % 2 == 0), table, ["o_orderkey"], op="a1"
+    )
+    v_head = commit_append(
+        o.filter(F.col("o_orderkey") % 2 == 1), table, ["o_orderkey"], op="a2"
+    )
+    n_v1 = read_version(spark, table, 1).count()
+    # plant orphans: byte-copies of a live file under uncommitted names
+    donor = read_manifest(table, 1)["files"][0]["path"]
+    data_dir = os.path.dirname(donor)
+    old_orphan = os.path.join(data_dir, f"orphan_old_{_uuid.uuid4().hex}.parquet")
+    new_orphan = os.path.join(data_dir, f"orphan_new_{_uuid.uuid4().hex}.parquet")
+    _shutil.copyfile(donor, old_orphan)
+    _shutil.copyfile(donor, new_orphan)
+    week_ago = _time.time() - 7 * 24 * 3600
+    os.utime(old_orphan, (week_ago, week_ago))
+    n_deleted, n_skipped = remove_orphan_files(table, older_than_s=3600.0)
+    ok_old = n_deleted == 1 and not os.path.exists(old_orphan)
+    ok_new = n_skipped == 1 and os.path.exists(new_orphan)
+    ok_hist = (
+        read_version(spark, table, 1).count() == n_v1
+        and read_version(spark, table, v_head).count() > n_v1
+    )
+    return (
+        read_version(spark, table, v_head)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("old_orphan_reclaimed", F.lit(ok_old))
+        .withColumn("fresh_orphan_protected", F.lit(ok_new))
+        .withColumn("full_history_intact", F.lit(ok_hist))
+    )

@@ -841,3 +841,68 @@ def q_corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_tok").cast("bigint").alias("tokens_sampled"))
         .select("source", "n_avail", "n_sampled", "tokens_sampled")
     )
+
+
+@query(
+    "q_text_vocab_coverage",
+    oracle="""
+    WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS t
+                  FROM documents),
+    vocab AS (SELECT t FROM toks GROUP BY t
+              ORDER BY count(*) DESC, t LIMIT 20),
+    cov AS (SELECT lang, count(*) AS n_occ,
+                   count(*) FILTER (t IN (SELECT t FROM vocab)) AS n_cov
+            FROM toks GROUP BY lang)
+    SELECT lang,
+           CAST(n_occ AS BIGINT) AS n_occurrences,
+           CAST(n_cov AS BIGINT) AS n_covered,
+           round(CAST(n_cov AS DOUBLE) / n_occ, 6) AS coverage
+    FROM cov ORDER BY lang
+    """,
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage (OOV rate) per language.
+
+    The go/no-go metric before committing to a tokenizer vocab: build
+    the top-K token vocabulary from the corpus itself (count DESC,
+    token ASC — the unique tiebreak keeps the cut deterministic at the
+    rank-K boundary), then measure what fraction of token OCCURRENCES
+    each language's text covers. Coverage is a single division of two
+    exact integer sums finished at 6 dp — no float accumulation, so the
+    ratio is engine-exact.
+
+    Scale shape: explode → one global hash agg for the vocab (tiny:
+    vocab size bounds the result, not the corpus) → TakeOrdered top-K →
+    BROADCAST semi-probe of the exploded tokens (the vocab is K rows —
+    never a shuffle join) → per-lang hash agg. At 100 TB the only big
+    shuffles are the two token aggs, both map-side combinable to
+    |vocab| × |langs| grains.
+    """
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("t"))
+    vocab = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("t"))
+        .limit(20)
+        .select("t")
+    )
+    marked = toks.join(
+        F.broadcast(vocab.withColumn("in_vocab", F.lit(1))), on="t", how="left"
+    )
+    return (
+        marked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count("in_vocab").alias("n_covered"),
+        )
+        .select(
+            "lang",
+            "n_occurrences",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_occurrences"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )

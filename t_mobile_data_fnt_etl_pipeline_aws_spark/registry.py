@@ -152,6 +152,15 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_sql_over_manifest_table",
     "q_etl_maintenance_report",
     "q_dedup_minhash_portable",
+    "q_dedup_simhash_portable",
+    "q_text_vocab_coverage",
+    "q_sql_scripting_loop",
+    "q_catalog_analyze_cbo",
+    "q_stream_session_dynamic_gap",
+    "q_stream_stream_semi",
+    "q_etl_merge_schema_evolution",
+    "q_dq_expectations",
+    "q_etl_remove_orphans",
 ]
 
 

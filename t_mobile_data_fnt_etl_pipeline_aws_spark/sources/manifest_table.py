@@ -2579,3 +2579,50 @@ def commit_merge_mor(
     return commit_update_mor(
         spark, table_dir, doomed, upd.unionByName(ins), stat_cols, op=op
     )
+
+
+def remove_orphan_files(
+    table_dir: str,
+    older_than_s: float = 3 * 24 * 3600.0,
+    now: float | None = None,
+) -> tuple[int, int]:
+    """REMOVE ORPHAN FILES (the Iceberg ``remove_orphan_files`` shape,
+    distinct from ``vacuum`` on both axes): delete physical files in
+    the table's data/deletes directories that NO manifest version
+    references — crashed-writer leftovers — while (a) never expiring a
+    manifest (time travel to EVERY version survives, unlike vacuum's
+    retention horizon) and (b) only touching files whose mtime is older
+    than ``older_than_s``. The age gate is the correctness boundary,
+    not a nicety: this format stages data files BEFORE publishing the
+    manifest (``_stage_files`` → ``_publish``), so a concurrent
+    writer's staged-but-unpublished files are indistinguishable from
+    orphans by reference-counting alone — exactly why Iceberg defaults
+    ``older_than`` to 3 days. Returns (n_deleted, n_skipped_recent);
+    ``now`` is injectable for tests."""
+    import time as _time
+
+    cutoff = (now if now is not None else _time.time()) - older_than_s
+    live: set[str] = set()
+    live_dv: set[str] = set()
+    for v in range(1, current_version(table_dir) + 1):
+        try:
+            m = read_manifest(table_dir, v)
+        except FileNotFoundError:
+            continue  # vacuumed beyond retention — nothing to protect
+        live |= {f["path"] for f in m["files"]}
+        live_dv |= {d["path"] for d in m.get("deletes", [])}
+        live_dv |= {d["path"] for d in m.get("eq_deletes", [])}
+    deleted = skipped = 0
+    for dirpath, refs in (
+        (_data_dir(table_dir), live),
+        (_deletes_dir(table_dir), live_dv),
+    ):
+        for f in glob.glob(os.path.join(dirpath, "*.parquet")):
+            if f in refs:
+                continue
+            if os.path.getmtime(f) > cutoff:
+                skipped += 1  # possibly a concurrent writer's staging
+                continue
+            os.remove(f)
+            deleted += 1
+    return deleted, skipped

@@ -1238,3 +1238,134 @@ def q_stream_manifest_merge_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("one_commit_per_batch", F.lit(current_version(table) == 3))
         .withColumn("no_files_rewritten", F.lit(paths_ok))
     )
+
+
+@query(
+    "q_stream_session_dynamic_gap",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, ts, event_id, value,
+               ts + CASE WHEN event_type = 'purchase' THEN INTERVAL 45 MINUTE
+                         ELSE INTERVAL 15 MINUTE END AS w_end
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, ts, event_id, value, w_end,
+               CASE WHEN max(w_end) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                        IS NULL
+                      OR ts >= max(w_end) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    THEN 1 ELSE 0 END AS new_session
+        FROM g
+    ),
+    numbered AS (
+        SELECT *, sum(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sn
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS s_start,
+           max(w_end) AS s_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM numbered GROUP BY user_id, sn
+    """,
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a DYNAMIC per-event gap (SPARK-36465): the
+    inactivity timeout is an expression of the row — purchases hold the
+    session open 45 minutes, everything else 15 — so high-intent events
+    legitimately extend a session that cheap events would let lapse.
+
+    Semantics under merge (pinned by the oracle's gaps-and-islands
+    rewrite): each event claims [ts, ts + gap(event)); overlapping
+    claims merge; a new session starts exactly when ts reaches the
+    RUNNING MAX of all previous claims' ends (not the previous event's
+    end — an early long-gap event can outlast several later short-gap
+    events, which lag()-based splits get wrong); session end is the max
+    claim end, not last-event-plus-gap.
+
+    Scale: identical to fixed-gap sessionization — one shuffle on
+    user_id, per-key ordered merge; in the streaming form state per key
+    is one open session, expired by the watermark.
+    """
+    e = load(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    return (
+        e.groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("s_start"),
+            F.col("s.end").alias("s_end"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "q_stream_stream_semi",
+    oracle="""
+    WITH v AS (
+        SELECT event_id AS v_id, user_id, ts
+        FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT date_trunc('day', v.ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_converted_views,
+           CAST(count(DISTINCT v.user_id) AS BIGINT) AS n_users
+    FROM v
+    WHERE EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    GROUP BY 1
+    """,
+)
+def q_stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: views that converted to a
+    purchase within 1 h, each view emitted ONCE regardless of how many
+    purchases matched — the existence test the inner join can't express
+    without a downstream distinct (which in streaming means a second
+    stateful operator) and the left outer expresses only with a null
+    filter after state expiry.
+
+    Completes the stream-stream join-mode family (inner /
+    left outer / full outer / left semi — the modes Structured
+    Streaming supports for watermarked interval joins; anti is not a
+    streaming mode). Semi state semantics differ from outer: a left row
+    is emitted AT MATCH TIME and dropped from state immediately, while
+    unmatched rows expire silently at the watermark — so semi state is
+    strictly smaller than outer state. The equi-key carries the
+    shuffle; the time range is the state-expiry bound.
+    """
+    e = load(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    converted = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    return converted.groupBy(
+        F.date_trunc("day", F.col("v_ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_converted_views"),
+        F.countDistinct("v_user").alias("n_users"),
+    )

@@ -351,17 +351,18 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 265 extras = 344 registered,
-    331 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    """SURVEY.md §2 declares 79 §2 keys + 274 extras = 353 registered,
+    340 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
     gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
     LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
     type widening, timestamp travel, branches/fast-forward, PII scrub,
-    repetition gate, domain-mix sampling). Keep the arithmetic honest."""
+    repetition gate, domain-mix sampling; plus the portable md5 twins
+    of the MinHash and SimHash families). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 344
-    assert len(oracles) == 331
+    assert len(QUERIES) == 353
+    assert len(oracles) == 340
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -4000,3 +4001,66 @@ def test_manifest_cdc_apply_every_version(spark, sf_dir, tmp_path):
             for r in agg(read_version(spark, table, v)).collect()
         }
         assert got == want, f"state diverged at version {v}"
+
+
+def test_remove_orphans_age_gate_history_and_vectors(spark, sf_dir, tmp_path):
+    """remove_orphan_files contract: (a) reclaims old unreferenced
+    files in BOTH the data and delete-vector directories, (b) the age
+    gate protects anything younger than older_than_s (a concurrent
+    writer's staged files), (c) NO manifest expires — every version
+    reads identically after the GC (the property vacuum cannot give),
+    (d) idempotent: a second run finds nothing."""
+    import os
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_delete,
+        read_manifest,
+        read_version,
+        read_version_with_pos,
+        remove_orphan_files,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "t")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    commit_append(o.filter(F.col("o_orderkey") % 2 == 0), table, ["o_orderkey"])
+    commit_append(o.filter(F.col("o_orderkey") % 2 == 1), table, ["o_orderkey"])
+    doomed = (
+        read_version_with_pos(spark, table)
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("file_path", "row_index")
+    )
+    v3 = commit_delete(spark, table, doomed)
+    pre = {v: read_version(spark, table, v).count() for v in (1, 2, 3)}
+
+    m = read_manifest(table, v3)
+    data_donor = m["files"][0]["path"]
+    dv_donor = m["deletes"][0]["path"]
+    now = os.path.getmtime(data_donor) + 1000.0
+    planted = []
+    for donor, age_s in ((data_donor, 7000.0), (data_donor, 10.0),
+                         (dv_donor, 7000.0)):
+        p = os.path.join(
+            os.path.dirname(donor), f"orph_{uuid.uuid4().hex}.parquet"
+        )
+        shutil.copyfile(donor, p)
+        os.utime(p, (now - age_s, now - age_s))
+        planted.append(p)
+    old_data, fresh_data, old_dv = planted
+
+    deleted, skipped = remove_orphan_files(table, older_than_s=3600.0, now=now)
+    assert (deleted, skipped) == (2, 1)
+    assert not os.path.exists(old_data) and not os.path.exists(old_dv)
+    assert os.path.exists(fresh_data)
+    # full history intact, masks included
+    for v, n in pre.items():
+        assert read_version(spark, table, v).count() == n
+    # idempotent (fresh file still inside the gate at the same `now`)
+    assert remove_orphan_files(table, older_than_s=3600.0, now=now) == (0, 1)

@@ -1167,3 +1167,42 @@ def test_sql_view_over_manifest_pushes_filters(spark, tmp_path):
     df = spark.sql("SELECT k FROM sqlplan_view WHERE k > 900")
     pushed = pushed_filters(df)
     assert any("k" in p for p in pushed), plan_string(df)
+
+
+def test_vocab_coverage_probe_is_broadcast(spark, sf_dir):
+    """The top-K vocab (K rows) must broadcast into the exploded-token
+    probe — a shuffle join on the token axis would move the whole
+    corpus to co-locate with a 20-row build side."""
+    df = QUERIES["q_text_vocab_coverage"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(
+        s == "BroadcastHashJoin" for s in strategies
+    ), strategies
+
+
+def test_stream_semi_is_semi_join_not_distinct(spark, sf_dir):
+    """Left-semi must appear as a semi JOIN strategy — an inner join
+    followed by a distinct would be a second stateful operator in the
+    streaming form and a second shuffle in batch."""
+    df = QUERIES["q_stream_stream_semi"](spark, sf_dir)
+    s = plan_string(df)
+    assert "LeftSemi" in s, s
+    assert "HashAggregate" in s  # the day rollup, not a dedup
+
+
+def test_simhash_portable_never_all_pairs(spark, sf_dir):
+    """The banded bucket join must stay an equi-join: no cartesian or
+    broadcast-nested-loop fallback (the O(n²) shapes)."""
+    df = QUERIES["q_dedup_simhash_portable"](spark, sf_dir)
+    s = plan_string(df)
+    assert "CartesianProduct" not in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+
+
+def test_dq_expectations_single_pass(spark, sf_dir):
+    """All six rules must fold into one aggregation over one scan —
+    per-rule rescans multiply the table-read cost by the rule count."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.plans.inspect import read_schemas
+
+    df = QUERIES["q_dq_expectations"](spark, sf_dir)
+    assert len(read_schemas(df)) == 1, plan_string(df)

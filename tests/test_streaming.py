@@ -1441,3 +1441,119 @@ def test_stream_manifest_merge_sink_converges(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_stream_session_dynamic_gap_converges_to_batch(spark, sf_dir, tmp_path):
+    """Dynamic-gap session windows (gap = f(event_type)) in a REAL
+    readStream converge to the batch q_stream_session_dynamic_gap
+    result — the per-event gap expression must evaluate identically
+    inside the streaming session state store."""
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    sessions = (
+        read_events_stream(spark, stream_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("s_start"),
+            F.col("s.end").alias("s_end"),
+            "n_events",
+        )
+    )
+    run_available_now(
+        sessions, "dyn_gap_mem", str(tmp_path / "ckpt"), "complete"
+    )
+    streamed = spark.table("dyn_gap_mem").toPandas()
+    batch = QUERIES["q_stream_session_dynamic_gap"](spark, sf_dir).toPandas()
+    assert len(streamed) > 0
+    assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_stream_session_dynamic_gap_purchase_extends(spark):
+    """Directed semantics pin: a purchase's 45-minute claim keeps the
+    session open across a gap that a click's 15-minute claim cannot
+    bridge — and the session END is the max claim end (the purchase's),
+    not last-event-plus-gap."""
+    rows = [
+        (1, "2024-01-01 10:00:00", "purchase"),
+        (1, "2024-01-01 10:40:00", "click"),   # inside purchase's 45-min claim
+        (1, "2024-01-01 11:00:00", "click"),   # 10:55 max-claim end passed -> new
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id BIGINT, t STRING, event_type STRING"
+    ).select("user_id", F.col("t").cast("timestamp").alias("ts"), "event_type")
+    gap = F.when(
+        F.col("event_type") == "purchase", F.lit("45 minutes")
+    ).otherwise(F.lit("15 minutes"))
+    got = {
+        (str(r.s), str(r.e), r.n)
+        for r in df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").alias("s"), F.col("w.end").alias("e"), F.col("n")
+        )
+        .collect()
+    }
+    assert got == {
+        ("2024-01-01 10:00:00", "2024-01-01 10:55:00", 2),
+        ("2024-01-01 11:00:00", "2024-01-01 11:15:00", 1),
+    }, got
+
+
+def test_stream_stream_semi_converges_to_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream LEFT SEMI interval join emits exactly
+    the batch converted-view set, each view at most once (at-match-time
+    emission must not duplicate on later matches)."""
+    stream_dir, _ = stage_events(spark, sf_dir, str(tmp_path))
+    v = (
+        read_events_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("v_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", "2 hours")
+    )
+    p = (
+        read_events_stream(spark, stream_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    semi = v.join(
+        p,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    )
+    run_available_now(semi, "ss_semi_mem", str(tmp_path / "ckpt"), "append")
+    streamed = spark.table("ss_semi_mem").toPandas()
+    assert len(streamed) > 0
+    assert streamed["v_id"].is_unique, "semi join emitted a view twice"
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    e = load(spark, sf_dir, "events")
+    bv = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("v_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").cast("timestamp").alias("v_ts"),
+    )
+    bp = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+    )
+    batch = bv.join(
+        bp,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_semi",
+    ).toPandas()
+    assert canonicalize(streamed) == canonicalize(batch)
