@@ -306,6 +306,9 @@ HEADLINE = [
     "q_etl_merge_schema_evolution",       # autoMerge: ADD COLUMN + MoR MERGE
     "q_dq_expectations",                  # one-pass declarative rule battery
     "q_etl_remove_orphans",               # age-gated orphan-file GC
+    "q_etl_row_column_policy",            # row-filter + column-mask governance
+    "q_etl_gdpr_purge",                   # delete+compact+vacuum physical erasure
+    "q_corpus_curation_pipeline",         # dedup->quality->mix composed plan
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -876,3 +876,83 @@ def q_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("n_bpe_tokens"),
     )
+
+
+@query(
+    "q_corpus_curation_pipeline",
+    oracle=f"""
+    WITH dedup AS (
+        SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
+        FROM documents GROUP BY text
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' ')) AS n_tokens,
+               length(text) AS n_chars
+        FROM dedup
+    ),
+    quality AS (
+        SELECT * FROM scored
+        WHERE n_tokens BETWEEN 40 AND 150
+          AND CAST(n_chars AS DOUBLE) / n_tokens BETWEEN 3.0 AND 8.0
+    ),
+    mixed AS (
+        SELECT * FROM quality
+        WHERE (doc_id * {_KNUTH}) % 1000 < {_mix_case_sql()}
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM mixed GROUP BY lang ORDER BY lang
+    """,
+)
+def q_corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CORPUS CURATION — the four standard stages composed
+    into ONE DataFrame plan (each stage also exists as a graded
+    standalone key; this key proves they COMPOSE): exact dedup
+    (group-by-text, keep the min doc_id — q_dedup_exact's shape) →
+    integer quality gate (token count 40–150, mean token length 3–8
+    chars — q_text_quality's shape) → deterministic language-mix
+    sampling ((doc_id·Knuth) mod 1000 against per-lang permille —
+    q_corpus_mix_weighted's arithmetic) → per-lang token/char budget
+    report. Every decision is integer math on exact counts, so the
+    whole pipeline is engine-exact with zero finishing.
+
+    Scale: one shuffle for the dedup group-by (keyed on text — the
+    unavoidable one), then gate + mix are map-side predicates fused
+    into the same stage, and the final per-lang agg is map-side
+    combinable to |langs| grains. Catalyst pipelines all four stages
+    into two exchanges total — the reason to compose in one plan
+    instead of materializing between stages.
+    """
+    d = load(spark, sf_dir, "documents")
+    dedup = d.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    scored = dedup.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    quality = scored.filter(
+        F.col("n_tokens").between(40, 150)
+        & (F.col("n_chars").cast("double") / F.col("n_tokens")).between(3.0, 8.0)
+    )
+    permille = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pm))
+            for lang, pm in _MIX_PERMILLE.items()
+        ],
+        F.lit(_MIX_DEFAULT),
+    )
+    mixed = quality.filter((F.col("doc_id") * _KNUTH) % 1000 < permille)
+    return (
+        mixed.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .orderBy("lang")
+    )

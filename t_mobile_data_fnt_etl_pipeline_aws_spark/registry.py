@@ -161,6 +161,9 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_merge_schema_evolution",
     "q_dq_expectations",
     "q_etl_remove_orphans",
+    "q_etl_row_column_policy",
+    "q_etl_gdpr_purge",
+    "q_corpus_curation_pipeline",
 ]
 
 

@@ -2626,3 +2626,90 @@ def remove_orphan_files(
             os.remove(f)
             deleted += 1
     return deleted, skipped
+
+
+def set_policy(
+    table_dir: str,
+    name: str,
+    row_filter: str | None = None,
+    column_masks: dict[str, str] | None = None,
+    exempt: tuple[str, ...] = ("admin",),
+) -> None:
+    """Register a named GOVERNANCE POLICY (the row-filter + column-mask
+    shape of Databricks/Snowflake row access policies): ``row_filter``
+    is a SQL boolean the read keeps, ``column_masks`` maps column →
+    SQL replacement expression (may reference the column itself for
+    partial masks), ``exempt`` principals read through unmasked.
+
+    Policies live in a TABLE-scoped sidecar (``policies.json`` in the
+    log dir, atomic-replace like refs), deliberately NOT per-manifest:
+    a policy must keep protecting time-travel reads of snapshots
+    committed BEFORE it existed — storing it snapshot-scoped would let
+    ``VERSION AS OF`` leak pre-policy rows, the classic governance
+    hole. The data plane is untouched: zero files rewritten."""
+    path = os.path.join(_log_dir(table_dir), "policies.json")
+    pols = {}
+    if os.path.exists(path):
+        with open(path) as fh:
+            pols = json.load(fh)
+    pols[name] = {
+        "row_filter": row_filter,
+        "column_masks": column_masks or {},
+        "exempt": list(exempt),
+    }
+    tmp = os.path.join(_log_dir(table_dir), f".pol.{uuid.uuid4().hex[:8]}.tmp")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    with open(tmp, "w") as fh:
+        json.dump(pols, fh)
+    os.replace(tmp, path)
+
+
+def drop_policy(table_dir: str, name: str) -> None:
+    path = os.path.join(_log_dir(table_dir), "policies.json")
+    if not os.path.exists(path):
+        return
+    with open(path) as fh:
+        pols = json.load(fh)
+    pols.pop(name, None)
+    tmp = os.path.join(_log_dir(table_dir), f".pol.{uuid.uuid4().hex[:8]}.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(pols, fh)
+    os.replace(tmp, path)
+
+
+def get_policies(table_dir: str) -> dict:
+    path = os.path.join(_log_dir(table_dir), "policies.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def read_with_policy(
+    spark: SparkSession,
+    table_dir: str,
+    principal: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Policy-enforced read: ``read_version`` (full time-travel + mask
+    + default semantics) with every registered policy applied for
+    ``principal`` — row filters first, then column masks cast back to
+    the column's declared type so the schema is principal-invariant
+    (a governed view must not change shape per reader).
+
+    Scale: the row filter is an ordinary Catalyst predicate (pushes to
+    the scan where the column allows); masks are projection
+    expressions — governance costs nothing beyond the expressions
+    themselves, exactly like engine-native row-level security."""
+    from pyspark.sql import functions as F
+
+    df = read_version(spark, table_dir, version)
+    dtypes = dict(df.dtypes)
+    for pol in get_policies(table_dir).values():
+        if principal in pol.get("exempt", []):
+            continue
+        if pol.get("row_filter"):
+            df = df.filter(F.expr(pol["row_filter"]))
+        for col, mask in (pol.get("column_masks") or {}).items():
+            df = df.withColumn(col, F.expr(mask).cast(dtypes[col]))
+    return df

@@ -351,8 +351,8 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 274 extras = 353 registered,
-    340 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    """SURVEY.md §2 declares 79 §2 keys + 277 extras = 356 registered,
+    343 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
     gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
     LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
     type widening, timestamp travel, branches/fast-forward, PII scrub,
@@ -361,8 +361,8 @@ def test_registry_totals_match_survey():
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 353
-    assert len(oracles) == 340
+    assert len(QUERIES) == 356
+    assert len(oracles) == 343
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -4064,3 +4064,60 @@ def test_remove_orphans_age_gate_history_and_vectors(spark, sf_dir, tmp_path):
         assert read_version(spark, table, v).count() == n
     # idempotent (fresh file still inside the gate at the same `now`)
     assert remove_orphan_files(table, older_than_s=3600.0, now=now) == (0, 1)
+
+
+def test_policy_scope_exemption_and_drop(spark, sf_dir, tmp_path):
+    """Governance-policy contract: (a) schema is principal-invariant
+    (masks cast back to declared types), (b) exempt principals read
+    through, (c) policies are table-scoped — they govern snapshots
+    committed before registration, (d) drop_policy restores the
+    unmasked read, (e) registration touches zero data files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        _data_dir,
+        commit_append,
+        drop_policy,
+        read_with_policy,
+        set_policy,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "t")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    commit_append(c, table, ["c_custkey"])
+    files_before = sorted(glob.glob(os.path.join(_data_dir(table), "*")))
+    set_policy(
+        table,
+        "pii",
+        row_filter="c_nationkey < 13",
+        column_masks={"c_acctbal": "CAST(-1.0 AS DOUBLE)"},
+        exempt=("admin",),
+    )
+    assert sorted(glob.glob(os.path.join(_data_dir(table), "*"))) == files_before
+
+    analyst = read_with_policy(spark, table, "analyst")
+    admin = read_with_policy(spark, table, "admin")
+    # principal-invariant shape: same names + types (nullability may
+    # legitimately TIGHTEN under a constant mask — it is advisory)
+    assert analyst.dtypes == admin.dtypes
+    assert analyst.filter(F.col("c_nationkey") >= 13).count() == 0
+    assert analyst.filter(F.col("c_acctbal") != -1.0).count() == 0
+    assert admin.filter(F.col("c_nationkey") >= 13).count() > 0
+    # table-scoped: version 1 predates nothing here, but a post-policy
+    # append then a v1 travel read must still be governed
+    commit_append(c.limit(0), table, ["c_custkey"])
+    assert (
+        read_with_policy(spark, table, "analyst", 1)
+        .filter(F.col("c_nationkey") >= 13)
+        .count()
+        == 0
+    )
+    drop_policy(table, "pii")
+    restored = read_with_policy(spark, table, "analyst")
+    assert restored.filter(F.col("c_nationkey") >= 13).count() > 0
