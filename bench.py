@@ -309,6 +309,8 @@ HEADLINE = [
     "q_etl_row_column_policy",            # row-filter + column-mask governance
     "q_etl_gdpr_purge",                   # delete+compact+vacuum physical erasure
     "q_corpus_curation_pipeline",         # dedup->quality->mix composed plan
+    "q_stats_welch_ttest",                # one-pass two-sample Welch t
+    "q_scan_manifest_policies_table",     # $policies governance audit table
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

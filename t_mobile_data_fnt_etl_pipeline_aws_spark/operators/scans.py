@@ -4729,3 +4729,57 @@ def q_etl_gdpr_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("physically_purged", F.lit(purged))
         .withColumn("survivors_intact", F.lit(intact))
     )
+
+
+@query(
+    "q_scan_manifest_policies_table",
+    oracle="""
+    SELECT 'pii' AS policy,
+           'c_nationkey < 13' AS row_filter,
+           CAST(2 AS INT) AS n_masks,
+           'c_acctbal,c_name' AS masked_columns,
+           'admin' AS exempt
+    UNION ALL
+    SELECT 'region_eu', 'c_nationkey IN (6, 7, 19)', CAST(0 AS INT),
+           '', 'admin,dpo'
+    """,
+)
+def q_scan_manifest_policies_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `table$policies` METADATA TABLE — the governance audit
+    surface extending the metadata plane to a quintet
+    ($files/$history/$partitions/$refs/$policies): one row per
+    registered policy with its row filter, mask count, masked-column
+    and exempt-principal CSVs. "Who can see what on this table" is a
+    kilobyte sidecar read, never a data scan — the same
+    metadata-not-data principle as the rest of the plane.
+    """
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        policies_table,
+        set_policy,
+    )
+
+    table = _sink_dir(f"customer_poltbl_{_uuid.uuid4().hex[:8]}")
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    commit_append(c.limit(50), table, ["c_custkey"])
+    set_policy(
+        table,
+        "pii",
+        row_filter="c_nationkey < 13",
+        column_masks={
+            "c_acctbal": "CAST(-1.0 AS DOUBLE)",
+            "c_name": "concat(substr(c_name, 1, 2), '***')",
+        },
+        exempt=("admin",),
+    )
+    set_policy(
+        table,
+        "region_eu",
+        row_filter="c_nationkey IN (6, 7, 19)",
+        exempt=("admin", "dpo"),
+    )
+    return policies_table(spark, table)

@@ -980,3 +980,98 @@ def q_stats_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (p_a / p_b).alias("lift"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "q_stats_welch_ttest",
+    oracle=f"""
+    WITH m AS (
+        SELECT CAST(count(*) FILTER (o_orderpriority = '1-URGENT')
+                    AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (o_orderpriority = '5-LOW')
+                    AS BIGINT) AS n_b,
+               {sql_finish_dec(
+                   "sum(cast(CASE WHEN o_orderpriority = '1-URGENT' THEN"
+                   f" o_totalprice / 1000000.0 END as {DEC}))", 6)} AS sa,
+               {sql_finish_dec(
+                   "sum(cast(CASE WHEN o_orderpriority = '5-LOW' THEN"
+                   f" o_totalprice / 1000000.0 END as {DEC}))", 6)} AS sb,
+               {sql_finish_dec(
+                   "sum(cast(CASE WHEN o_orderpriority = '1-URGENT' THEN"
+                   " (o_totalprice / 1000000.0) * (o_totalprice / 1000000.0)"
+                   f" END as {DEC}))", 6)} AS saa,
+               {sql_finish_dec(
+                   "sum(cast(CASE WHEN o_orderpriority = '5-LOW' THEN"
+                   " (o_totalprice / 1000000.0) * (o_totalprice / 1000000.0)"
+                   f" END as {DEC}))", 6)} AS sbb
+        FROM orders
+    )
+    SELECT n_a, n_b,
+           sa / n_a AS mean_a,
+           sb / n_b AS mean_b,
+           (sa / n_a - sb / n_b)
+             / sqrt(((n_a * saa - sa * sa) / (n_a * (n_a - 1))) / n_a
+                  + ((n_b * sbb - sb * sb) / (n_b * (n_b - 1))) / n_b)
+               AS t_stat,
+           pow(((n_a * saa - sa * sa) / (n_a * (n_a - 1))) / n_a
+             + ((n_b * sbb - sb * sb) / (n_b * (n_b - 1))) / n_b, 2)
+             / (pow(((n_a * saa - sa * sa) / (n_a * (n_a - 1))) / n_a, 2)
+                    / (n_a - 1)
+              + pow(((n_b * sbb - sb * sb) / (n_b * (n_b - 1))) / n_b, 2)
+                    / (n_b - 1))
+               AS welch_df
+    FROM m
+    """,
+)
+def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test: does mean order value differ
+    between 1-URGENT and 5-LOW priorities? The two-sample test every
+    experimentation platform runs when variances can't be assumed equal
+    (q_stats_ab_lift's pooled-variance cousin); welch_df is the
+    Welch–Satterthwaite effective degrees of freedom the p-value lookup
+    needs.
+
+    Numeric recipe (numeric.py rules, same as q_agg_stats_corr): both
+    groups' count/sum/sum-of-squares fold into ONE conditional-agg pass
+    over prescaled values (price/1e6 keeps every moment inside the 2^53
+    finish window), each moment decimal-finished at 6 dp; mean,
+    variance, t, and df are then fixed IEEE expressions on identical
+    finished inputs — an iterative-feeling statistic made
+    bit-reproducible across engines. Means are reported in the
+    prescaled unit (documented contract, like covar_samp).
+
+    Scale: one map-side-combinable agg to a single row; the test
+    statistic costs nothing beyond the scan.
+    """
+    o = load(spark, sf_dir, "orders")
+    x = F.col("o_totalprice") / 1000000.0
+    in_a = F.col("o_orderpriority") == "1-URGENT"
+    in_b = F.col("o_orderpriority") == "5-LOW"
+    m = o.agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        finish(F.sum(F.when(in_a, x).cast(DEC)), 6).alias("sa"),
+        finish(F.sum(F.when(in_b, x).cast(DEC)), 6).alias("sb"),
+        finish(F.sum(F.when(in_a, x * x).cast(DEC)), 6).alias("saa"),
+        finish(F.sum(F.when(in_b, x * x).cast(DEC)), 6).alias("sbb"),
+    )
+    n_a, n_b = F.col("n_a"), F.col("n_b")
+    sa, sb = F.col("sa"), F.col("sb")
+    saa, sbb = F.col("saa"), F.col("sbb")
+    va_over_na = ((n_a * saa - sa * sa) / (n_a * (n_a - F.lit(1)))) / n_a
+    vb_over_nb = ((n_b * sbb - sb * sb) / (n_b * (n_b - F.lit(1)))) / n_b
+    se2 = va_over_na + vb_over_nb
+    return m.select(
+        "n_a",
+        "n_b",
+        (sa / n_a).alias("mean_a"),
+        (sb / n_b).alias("mean_b"),
+        ((sa / n_a - sb / n_b) / F.sqrt(se2)).alias("t_stat"),
+        (
+            F.pow(se2, 2)
+            / (
+                F.pow(va_over_na, 2) / (n_a - F.lit(1))
+                + F.pow(vb_over_nb, 2) / (n_b - F.lit(1))
+            )
+        ).alias("welch_df"),
+    )

@@ -164,6 +164,8 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_row_column_policy",
     "q_etl_gdpr_purge",
     "q_corpus_curation_pipeline",
+    "q_stats_welch_ttest",
+    "q_scan_manifest_policies_table",
 ]
 
 

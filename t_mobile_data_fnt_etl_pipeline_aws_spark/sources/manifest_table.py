@@ -2713,3 +2713,30 @@ def read_with_policy(
         for col, mask in (pol.get("column_masks") or {}).items():
             df = df.withColumn(col, F.expr(mask).cast(dtypes[col]))
     return df
+
+
+def policies_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The ``table$policies`` metadata table — the governance audit
+    surface next to $files/$history/$partitions/$refs: one row per
+    registered policy with its row filter, mask count, masked-column
+    CSV, and exempt-principal CSV. Pure sidecar-file read; the answer
+    to "who can see what on this table" without touching data."""
+    rows = []
+    pols = get_policies(table_dir)
+    for name in sorted(pols):
+        pol = pols[name]
+        masks = pol.get("column_masks") or {}
+        rows.append(
+            (
+                name,
+                pol.get("row_filter"),
+                len(masks),
+                ",".join(sorted(masks)),
+                ",".join(sorted(pol.get("exempt", []))),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "policy string, row_filter string, n_masks int, "
+        "masked_columns string, exempt string",
+    )
