@@ -181,6 +181,13 @@ SCALE_SENSITIVE_EXTRA = [
     # binpack OPTIMIZE at 10x: bins over multi-row-group files, vector
     # pruning against a real ~1% mask, lineage join at real mass
     "q_etl_optimize_binpack",
+    # r14 continuation: auto-evolving MERGE at 10x — the +1e8 synthetic
+    # insert offset is the class-(a) collision construction, and the
+    # initial-default must resolve over multi-row-group pre-evolution
+    # files; GDPR purge at 10x — the auditor raw-read sweeps real file
+    # mass and the victim's rows span row-group boundaries
+    "q_etl_merge_schema_evolution",
+    "q_etl_gdpr_purge",
 ]
 
 SCALE10_KEYS = DECIMAL_HEAVY + SCALE_SENSITIVE_EXTRA

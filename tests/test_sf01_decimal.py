@@ -63,6 +63,10 @@ DECIMAL_HEAVY = [
     # must not perturb decimal aggregates over pre-evolution files
     "q_stream_manifest_cdc_apply",
     "q_etl_schema_evolution_add_column",
+    # r14 continuation: Welch t folds six conditional decimal moments in
+    # one pass — the 2^53 finish-window arithmetic must hold at real
+    # group masses (prescale /1e6 keeps Σx² << 2^53/10^6 at any SF here)
+    "q_stats_welch_ttest",
 ]
 
 
