@@ -4783,3 +4783,249 @@ def q_scan_manifest_policies_table(spark: SparkSession, sf_dir: str) -> DataFram
         exempt=("admin", "dpo"),
     )
     return policies_table(spark, table)
+
+
+@query(
+    "q_scan_python_datasource_pushdown",
+    oracle="""
+    SELECT n_nationkey, n_name,
+           true AS filter_reached_reader,
+           true AS partitions_pruned
+    FROM nation WHERE n_regionkey = 2
+    ORDER BY n_nationkey
+    """,
+)
+def q_scan_python_datasource_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER PUSHDOWN through the Python Data Source API (SPARK-50657,
+    Spark 4.1): the reader implements ``pushFilters`` — Spark hands the
+    query's predicates to the source at PLANNING time as typed Filter
+    objects (EqualTo/GreaterThan/In/...), the source claims the ones it
+    can serve and returns the rest for the engine to re-apply. The
+    capability that separates a toy connector from a production one:
+    q_scan_python_datasource parallelizes the read; THIS key makes the
+    read proportional to the PREDICATE — the claimed EqualTo on the
+    partition column prunes ``partitions()`` to one directory of five,
+    the same contract parquet scans get from hive partition pruning.
+
+    Two graded flags do the honesty work: filter_reached_reader pins
+    that pushFilters actually received the EqualTo (via a
+    planning-time marker file — pushFilters runs on the driver), and
+    partitions_pruned pins that only 1 of 5 partition dirs was
+    planned. Unclaimed predicates stay with Spark (the n_nationkey
+    bound below is returned, not claimed), so correctness never
+    depends on the source's filter coverage.
+
+    Scale: at 100 TB a Python source WITHOUT pushdown streams the
+    whole feed through Arrow to evaluate a 1-partition predicate;
+    with it, unread partitions cost zero bytes.
+    """
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        EqualTo,
+        InputPartition,
+    )
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    base = _sink_dir(f"nation_pipe_part_{_uuid.uuid4().hex[:8]}")
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    for r in [row.r for row in n.select(F.col("n_regionkey").alias("r")).distinct().collect()]:
+        sub = os.path.join(base, f"region={r}")
+        os.makedirs(sub, exist_ok=True)
+        rows = n.filter(F.col("n_regionkey") == r).collect()
+        with open(os.path.join(sub, "data.csv"), "w") as fh:
+            for row in sorted(rows, key=lambda x: x.n_nationkey):
+                fh.write(f"{row.n_nationkey}|{row.n_name}|{row.n_regionkey}\n")
+
+    class _Part(InputPartition):
+        def __init__(self, path: str):
+            self.path = path
+
+    class PipePushdownReader(DataSourceReader):
+        def __init__(self, options):
+            self.dir = options["path"]
+            self.region = None
+
+        def pushFilters(self, filters):
+            rest, claimed = [], []
+            for f in filters:
+                if isinstance(f, EqualTo) and f.attribute == ("n_regionkey",):
+                    self.region = f.value
+                    claimed.append(str(f))
+                else:
+                    rest.append(f)  # unclaimed: Spark re-applies
+            with open(os.path.join(self.dir, "_pushed.json"), "w") as fh:
+                _json.dump(claimed, fh)
+            return rest
+
+        def partitions(self):
+            parts = []
+            for d in sorted(os.listdir(self.dir)):
+                if not d.startswith("region="):
+                    continue
+                if self.region is not None and int(d.split("=")[1]) != self.region:
+                    continue
+                parts.append(_Part(os.path.join(self.dir, d, "data.csv")))
+            with open(os.path.join(self.dir, "_planned.json"), "w") as fh:
+                _json.dump(len(parts), fh)
+            return parts
+
+        def read(self, partition):
+            with open(partition.path) as fh:
+                for line in fh:
+                    k, name, r = line.rstrip("\n").split("|")
+                    yield int(k), name, int(r)
+
+    class PipePushdownSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "pipe_nation_pushdown"
+
+        def schema(self) -> str:
+            return "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+        def reader(self, schema) -> DataSourceReader:
+            return PipePushdownReader(self.options)
+
+    spark.dataSource.register(PipePushdownSource)
+    out = (
+        spark.read.format("pipe_nation_pushdown")
+        .option("path", base)
+        .load()
+        .filter((F.col("n_regionkey") == 2) & (F.col("n_nationkey") >= 0))
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    )
+    pdf_rows = out.collect()  # materialize so the planning markers exist
+    with open(os.path.join(base, "_pushed.json")) as fh:
+        claimed = _json.load(fh)
+    with open(os.path.join(base, "_planned.json")) as fh:
+        planned = _json.load(fh)
+    pushed_ok = any("n_regionkey" in c for c in claimed)
+    pruned_ok = planned == 1
+    return (
+        spark.createDataFrame(pdf_rows, out.schema)
+        .withColumn("filter_reached_reader", F.lit(pushed_ok))
+        .withColumn("partitions_pruned", F.lit(pruned_ok))
+    )
+
+
+@query(
+    "q_sink_python_datasource_arrow",
+    oracle=f"""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS two_phase_committed
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_sink_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTORIZED custom sink via ``DataSourceArrowWriter`` (Spark 4.1)
+    — the Arrow tier of the Python writer protocol:
+    q_sink_python_datasource's ``write(iterator)`` receives ROWS (one
+    Python object per row, the 10-100× slow path); this writer receives
+    ``pyarrow.RecordBatch``es and encodes each task's partition to
+    parquet with ``pyarrow.parquet`` — ZERO per-row Python anywhere in
+    the data path, the same Arrow-batch boundary that makes pandas UDFs
+    viable. The two-phase discipline is identical (task-unique staging
+    names from partitionId + taskAttemptId so speculative attempts
+    never collide; driver-side promote + _SUCCESS; abort discards), so
+    readers never observe a torn write — graded two_phase_committed
+    pins the staged→promoted accounting.
+
+    Scale: at 100 TB the row-based writer burns the cluster on Python
+    object churn; the Arrow writer's cost is parquet encoding, the same
+    as the built-in committer — custom sink destinations stop costing
+    an interpreter tax.
+    """
+    import glob as _glob
+    import uuid as _uuid
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceArrowWriter,
+        WriterCommitMessage,
+    )
+
+    out = _sink_dir(f"orders_arrow_sink_{_uuid.uuid4().hex[:8]}")
+    os.makedirs(out, exist_ok=True)
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, tmp_name: str, n_rows: int):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class ArrowParquetWriter(DataSourceArrowWriter):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def write(self, iterator):
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            ctx = TaskContext.get()
+            tmp = (
+                f".tmp-{ctx.partitionId()}-{ctx.taskAttemptId()}-"
+                f"{_uuid.uuid4().hex[:8]}"
+            )
+            tbl = pa.Table.from_batches(list(iterator))
+            pq.write_table(tbl, os.path.join(self.dir, tmp))
+            return _Staged(tmp, tbl.num_rows)
+
+        def commit(self, messages) -> None:
+            total = 0
+            for i, m in enumerate(messages):
+                os.replace(
+                    os.path.join(self.dir, m.tmp_name),
+                    os.path.join(self.dir, f"part-{i:05d}.parquet"),
+                )
+                total += m.n_rows
+            with open(os.path.join(self.dir, "_SUCCESS"), "w") as fh:
+                fh.write(str(total))
+
+        def abort(self, messages) -> None:
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.dir, m.tmp_name))
+                    except OSError:
+                        pass
+
+    class ArrowParquetSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "arrow_parquet_sink"
+
+        def writer(self, schema, overwrite: bool) -> ArrowParquetWriter:
+            return ArrowParquetWriter(self.options)
+
+    spark.dataSource.register(ArrowParquetSink)
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    n_in = o.count()
+    o.repartition(4).write.format("arrow_parquet_sink").option(
+        "path", out
+    ).mode("append").save()
+    committed = _glob.glob(os.path.join(out, "part-*.parquet"))
+    stragglers = _glob.glob(os.path.join(out, ".tmp-*"))
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        n_committed = int(fh.read())
+    ok = len(committed) == 4 and not stragglers and n_committed == n_in
+    return (
+        spark.read.parquet(*committed)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("two_phase_committed", F.lit(ok))
+    )

@@ -166,6 +166,8 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_corpus_curation_pipeline",
     "q_stats_welch_ttest",
     "q_scan_manifest_policies_table",
+    "q_scan_python_datasource_pushdown",
+    "q_sink_python_datasource_arrow",
 ]
 
 
