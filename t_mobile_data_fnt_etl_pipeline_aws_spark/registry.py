@@ -168,6 +168,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_manifest_policies_table",
     "q_scan_python_datasource_pushdown",
     "q_sink_python_datasource_arrow",
+    "q_stream_state_store_read",
 ]
 
 
