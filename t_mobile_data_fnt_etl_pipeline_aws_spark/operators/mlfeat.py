@@ -1,0 +1,121 @@
+"""MLlib feature-engineering surface (SURVEY.md §2 extensions).
+
+The deterministic slice of pyspark.ml feature transformers — the ones
+whose fit() statistics are EXACT order-independent reductions (min/max,
+explicit split points), so fit+transform is bit-reproducible and
+DuckDB-oracle-checkable. Transformers whose fit uses float-accumulated
+moments (StandardScaler's mean/std) are deliberately NOT keyed: their
+merge order varies with partitioning, the same reason native
+corr()/covar aren't used (SURVEY.md §5.5); the decimal-finished manual
+recipes in operators/stats.py cover those statistics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..sources.tables import load
+
+
+@query(
+    "q_ml_minmax_scaler",
+    oracle="""
+    WITH b AS (
+        SELECT min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p,
+               min(o_custkey) AS lo_c, max(o_custkey) AS hi_c
+        FROM orders
+    )
+    SELECT o_orderkey,
+           round((o_totalprice - lo_p) / (hi_p - lo_p), 6) AS price_scaled,
+           round((o_custkey - lo_c) / CAST(hi_c - lo_c AS DOUBLE), 6)
+               AS cust_scaled
+    FROM orders, b
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def q_ml_minmax_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib feature pipeline: VectorAssembler → MinMaxScaler
+    fit/transform — the pyspark.ml Estimator/Transformer/Pipeline
+    surface on its EXACT-statistics member: min/max are
+    order-independent reductions, so the fitted model and every scaled
+    value are bit-reproducible (unlike StandardScaler, whose
+    float-accumulated mean/std merge in partition order — documented
+    module-level exclusion). Scores round at 6 dp on both sides, the
+    q_sim_cosine_pair convention. The fit is computed over the FULL
+    table; the transform output is sliced to o_orderkey < 1000 so the
+    oracle stays bounded while the fitted statistics are real.
+
+    Scale: fit is one min/max agg (map-side combinable); transform is
+    a per-row projection — the whole pipeline is two narrow passes.
+    """
+    from pyspark.ml.feature import MinMaxScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["price", "cust"], outputCol="feat"
+    ).transform(o)
+    model = MinMaxScaler(inputCol="feat", outputCol="scaled").fit(assembled)
+    arr = vector_to_array(F.col("scaled"))
+    return (
+        model.transform(assembled)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.round(arr[0], 6).alias("price_scaled"),
+            F.round(arr[1], 6).alias("cust_scaled"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_ml_bucketizer_discretize",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 0
+                WHEN o_totalprice < 150000 THEN 1
+                WHEN o_totalprice < 300000 THEN 2
+                ELSE 3 END AS price_bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ml_bucketizer_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Bucketizer with EXPLICIT split points — deterministic
+    discretization (each split interval is [lo, hi): exact double
+    comparisons, no fitted statistics at all), the feature-binning prep
+    every GBM/monotonic model pipeline runs. QuantileDiscretizer is
+    deliberately not keyed: its fitted splits come from
+    approxQuantile's sketch (relative-error dependent), not an exact
+    statistic. A metadata-only transformer like this costs one
+    projection; the rollup proves the bin arithmetic against plain SQL
+    CASE.
+    """
+    from pyspark.ml.feature import Bucketizer
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("double").alias("price")
+    )
+    b = Bucketizer(
+        splits=[float("-inf"), 50000.0, 150000.0, 300000.0, float("inf")],
+        inputCol="price",
+        outputCol="bucket",
+    )
+    return (
+        b.transform(o)
+        .groupBy(F.col("bucket").cast("int").alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("price").alias("max_price"),
+        )
+        .orderBy("price_bucket")
+    )

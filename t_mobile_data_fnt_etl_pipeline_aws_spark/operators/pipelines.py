@@ -2390,3 +2390,56 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (rule, n_checked, n_violations)"""
     )
     return stacked.withColumn("passed", F.col("n_violations") == 0)
+
+
+@query(
+    "q_pandas_api_groupby",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PANDAS API ON SPARK (pyspark.pandas, SPARK-34849): the drop-in
+    pandas surface — read_parquet → groupby → agg → sort_index — that
+    lets a pandas user run unchanged code on the cluster; the result
+    converts back to a plain DataFrame with to_spark() and must
+    hash-match the SQL GROUP BY exactly (the API is a veneer over the
+    same Catalyst plans).
+
+    The one scale decision a pandas-API user must make is pinned here:
+    ``compute.default_index_type = 'distributed'`` — the default
+    'sequence' index materializes a GLOBAL row-number window (one
+    partition, the classic silent bottleneck); 'distributed' keeps the
+    index monotonic-but-sparse and fully parallel. The index is then
+    dropped at to_spark() anyway, which is why the nondeterministic
+    distributed index is safe under the hash gate: only named columns
+    leave this function.
+    """
+    import pyspark.pandas as ps
+
+    prev = ps.get_option("compute.default_index_type")
+    ps.set_option("compute.default_index_type", "distributed")
+    try:
+        psdf = ps.read_parquet(f"{sf_dir}/orders.parquet")[
+            ["o_orderstatus", "o_totalprice"]
+        ]
+        agg = psdf.groupby("o_orderstatus").agg(
+            n_orders=("o_totalprice", "count"),
+            max_price=("o_totalprice", "max"),
+            min_price=("o_totalprice", "min"),
+        )
+        out = agg.reset_index().to_spark()
+    finally:
+        ps.set_option("compute.default_index_type", prev)
+    return out.select(
+        "o_orderstatus",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        "max_price",
+        "min_price",
+    ).orderBy("o_orderstatus")

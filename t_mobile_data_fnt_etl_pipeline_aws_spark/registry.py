@@ -36,6 +36,7 @@ _QUERY_MODULES = [
     "operators.linkage",
     "operators.stats",
     "operators.mining",
+    "operators.mlfeat",
     "operators.graph",
     "operators.similarity",
     "operators.text",
@@ -169,6 +170,9 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_scan_python_datasource_pushdown",
     "q_sink_python_datasource_arrow",
     "q_stream_state_store_read",
+    "q_ml_minmax_scaler",
+    "q_ml_bucketizer_discretize",
+    "q_pandas_api_groupby",
 ]
 
 

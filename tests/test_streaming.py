@@ -1557,3 +1557,61 @@ def test_stream_stream_semi_converges_to_batch(spark, sf_dir, tmp_path):
         "left_semi",
     ).toPandas()
     assert canonicalize(streamed) == canonicalize(batch)
+
+
+def test_drop_duplicates_within_watermark_state_expiry(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned — the difference
+    from plain dropDuplicates that only a multi-phase feed can show:
+    (a) a duplicate arriving while the key's state is alive is
+    suppressed; (b) once the watermark passes first-seen + delay, the
+    state EXPIRES and the same key RE-EMITS (plain dropDuplicates
+    would suppress it forever — unbounded state is exactly what the
+    within-watermark form exists to avoid)."""
+    import os
+
+    stream = str(tmp_path / "stream")
+    os.makedirs(stream)
+
+    def mk(rows, sub):
+        spark.createDataFrame(rows, "k long, t string").selectExpr(
+            "k", "cast(t as timestamp) AS ts"
+        ).coalesce(1).write.parquet(f"{stream}/{sub}")
+
+    mk([(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:00")], "a")
+    ddw = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("recursiveFileLookup", "true")
+        .parquet(stream)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark(["k"])
+    )
+    got: list = []
+
+    def drain():
+        q = (
+            ddw.writeStream.foreachBatch(
+                lambda b, _: got.extend((r.k, str(r.ts)) for r in b.collect())
+            )
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert sorted(got) == [
+        (1, "2024-01-01 10:00:00"),
+        (2, "2024-01-01 10:00:00"),
+    ], got
+    # dup while state is alive (watermark from batch end: 09:30) +
+    # a watermark advancer that pushes expiry past 10:30
+    mk([(1, "2024-01-01 10:05:00"), (9, "2024-01-01 20:00:00")], "b")
+    drain()
+    assert (1, "2024-01-01 10:05:00") not in got, got  # suppressed
+    assert (9, "2024-01-01 20:00:00") in got, got
+    # same key AFTER expiry: must re-emit
+    mk([(1, "2024-01-01 21:00:00")], "c")
+    drain()
+    assert (1, "2024-01-01 21:00:00") in got, got
+    assert [k for k, _ in got].count(1) == 2, got
