@@ -315,6 +315,7 @@ HEADLINE = [
     "q_sink_python_datasource_arrow",     # Arrow-batch custom sink (2-phase)
     "q_stream_state_store_read",          # checkpoint state-store inspection
     "q_ml_minmax_scaler",                 # MLlib exact-stat fit/transform
+    "q_ml_string_indexer",                # frequencyDesc categorical encoding
     "q_pandas_api_groupby",               # pandas-on-Spark API veneer
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm

@@ -119,3 +119,47 @@ def q_ml_bucketizer_discretize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("price_bucket")
     )
+
+
+@query(
+    "q_ml_string_indexer",
+    oracle="""
+    SELECT o_orderpriority AS label,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, o_orderpriority)
+                - 1 AS DOUBLE) AS idx,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY idx
+    """,
+)
+def q_ml_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib StringIndexer (frequencyDesc) — the categorical-encoding
+    fit whose statistic IS deterministic: label order is count
+    descending with ties broken by the SMALLER lexicographic string
+    (probed and pinned — 'a' and 'c' at equal frequency index as a=0,
+    c=1), so the fitted labels reproduce as a plain row_number() over
+    (count DESC, value ASC). The transform output is folded back to
+    one row per label with its count, proving both the fit ordering
+    and the per-row assignment in one oracle.
+
+    Scale: fit is one hash-agg over the column (label-space-sized
+    result); transform is a broadcast-map projection. Completes the
+    mlfeat trio of exact-statistics transformers next to MinMaxScaler
+    and Bucketizer.
+    """
+    from pyspark.ml.feature import StringIndexer
+
+    o = load(spark, sf_dir, "orders").select("o_orderpriority")
+    m = StringIndexer(
+        inputCol="o_orderpriority",
+        outputCol="idx",
+        stringOrderType="frequencyDesc",
+    ).fit(o)
+    return (
+        m.transform(o)
+        .groupBy(F.col("o_orderpriority").alias("label"), "idx")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select("label", "idx", "n_rows")
+        .orderBy("idx")
+    )

@@ -173,6 +173,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_ml_minmax_scaler",
     "q_ml_bucketizer_discretize",
     "q_pandas_api_groupby",
+    "q_ml_string_indexer",
 ]
 
 

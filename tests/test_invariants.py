@@ -351,8 +351,8 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 285 extras = 364 registered,
-    351 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
+    """SURVEY.md §2 declares 79 §2 keys + 286 extras = 365 registered,
+    352 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
     gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
     LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
     type widening, timestamp travel, branches/fast-forward, PII scrub,
@@ -361,8 +361,8 @@ def test_registry_totals_match_survey():
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 364
-    assert len(oracles) == 351
+    assert len(QUERIES) == 365
+    assert len(oracles) == 352
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
