@@ -401,7 +401,11 @@ def load_prior_timings(repo_dir: str) -> dict[str, float]:
                 vals = history.setdefault(k, [])
                 if len(vals) < _PRIOR_HISTORY_N:
                     vals.append(float(v))
-    return {k: statistics.median(v) for k, v in history.items()}
+    out = {k: statistics.median(v) for k, v in history.items()}
+    # Quiet-host re-pins override history for keys whose recent records
+    # are known contention-inflated (see PINNED_PRIORS).
+    out.update(PINNED_PRIORS)
+    return out
 
 
 def next_round_number(repo_dir: str) -> int:
@@ -442,9 +446,62 @@ def find_regressions(
 #: ``anchor_regression`` entry), and a key is confirmed only when BOTH
 #: normalizations agree (divide by the larger host factor), so one
 #: anchor's own jitter can't mint flags.
-ANCHOR_KEYS = ("q_agg_hash", "q_join_sortmerge")
+ANCHOR_KEYS = ("q_agg_hash", "q_join_sortmerge", "q_agg_higher_moments")
 #: primary anchor (back-compat: the payload's scalar "anchor_ratio")
 ANCHOR_KEY = ANCHOR_KEYS[0]
+
+#: Anchor drift class (VERDICT r14 item 2): the original two anchors are
+#: scan/shuffle-bound, so a host whose CPUs are contended but whose IO is
+#: fine reads anchor ~1.0 while compute-bound keys drift 1.3-1.9x — the
+#: gate under-corrects and mints phantom flags (31 hand-adjudicated in
+#: r14). q_agg_higher_moments is the compute proxy: 4-power-sum decimal
+#: skew/kurtosis over lineitem, CPU-dominated, single stable plan, in
+#: every round's record since r5.
+ANCHOR_CLASS = {
+    "q_agg_hash": "scan",
+    "q_join_sortmerge": "shuffle",
+    "q_agg_higher_moments": "compute",
+}
+
+#: Keys whose cost is CPU-dominated (iterative driver loops, BLAS/Arrow
+#: kernels, Python-boundary hot paths, decimal power sums). A flagged key
+#: in this set is normalized by the COMPUTE anchor; everything else by the
+#: min of the scan/shuffle anchors (the pre-r15 behavior). This is the
+#: r14 drift class: every key below that was flagged in r11-r14 cleared
+#: on a quiet host while the scan anchors read ~1.0.
+COMPUTE_BOUND = frozenset({
+    "q_cluster_kmeans",
+    "q_cluster_kmeans_lloyd",
+    "q_graph_pagerank",
+    "q_graph_pagerank_converged",
+    "q_graph_triangles",
+    "q_graph_bfs_hops",
+    "q_graph_bfs_recursive_sql",
+    "q_knn_join_multiprobe",
+    "q_knn_join_bucketed",
+    "q_agg_percentile_within_group",
+    "q_agg_higher_moments",
+    "q_sim_search_topk_vectorized",
+    "q_text_edit_distance",
+    "q_er_resolve_entities",
+    "q_bpe_train_merges",
+    "q_dedup_pairs_full",
+})
+
+#: Quiet-host re-pins (VERDICT r14 item 2): per-key MEDIAN across three
+#: independent isolated measurements — the r14 judge's fresh-JVM triples
+#: (kmeans 2.40 / pagerank 2.28 / multiprobe 3.31) and two round-15-open
+#: quiet-host bench-protocol runs (2.63,2.52 / 2.58,2.87 / 2.57,4.46).
+#: These OVERRIDE the history median for exactly these keys until the
+#: rolling history catches up — the r14 records hold contention-inflated
+#: samples (multiprobe 8.57 vs 3.31 isolated) and r13-era records hold
+#: pre-drift lows (kmeans 1.29), so a median-of-5 over them would keep
+#: minting phantom flags either way.
+PINNED_PRIORS: dict[str, float] = {
+    "q_cluster_kmeans": 2.5,
+    "q_graph_pagerank": 2.6,
+    "q_knn_join_multiprobe": 3.3,
+}
 
 
 def confirm_regressions(
@@ -493,7 +550,21 @@ def confirm_regressions(
             confirmed[k] = {**info, "anchor_regression": True}
             continue
         now2 = rerun(k)
-        host = min(partners.values())
+        # Class-matched normalization (VERDICT r14 item 2): compute-bound
+        # keys drift with CPU contention the scan/shuffle anchors can't
+        # see — normalize them by the compute anchor; everything else by
+        # the min of the non-compute anchors (pre-r15 behavior). The
+        # shielding trade-off is accepted deliberately: a genuine code
+        # regression in shared compute helpers would also inflate the
+        # compute anchor, but its own cross-round ratio is surfaced
+        # unconditionally in anchor_ratios, so it can't hide.
+        want_compute = k in COMPUTE_BOUND
+        pool = {
+            a: h
+            for a, h in partners.items()
+            if (ANCHOR_CLASS.get(a) == "compute") == want_compute
+        } or partners
+        host = min(pool.values())
         adj = (now2 / prior[k]) / host
         verdict = {
             **info,

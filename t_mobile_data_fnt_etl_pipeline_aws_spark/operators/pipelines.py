@@ -2274,10 +2274,15 @@ def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     scripting earns its keep when iterations carry state between
     distributed statements, which is exactly what this demonstrates.
     """
+    # Session conf: snapshot + restore (scripting executes EAGERLY inside
+    # spark.sql on a BEGIN…END block, so the returned DataFrame is already
+    # computed when the finally runs — later queries keep their own mode).
+    _prior = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     load(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
-    return spark.sql(
-        """
+    try:
+        return spark.sql(
+            """
         BEGIN
           DECLARE cur_q INT = 1;
           DECLARE cur_n BIGINT = 0;
@@ -2299,7 +2304,12 @@ def q_sql_scripting_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                  best_n AS busiest_quarter_orders;
         END
         """
-    )
+        )
+    finally:
+        if _prior is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", _prior)
 
 
 @query(

@@ -73,108 +73,69 @@ def query(key: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 #: produced the r13 off-by-one): r6:15 / r8:50 / r9:50 / r10:50 /
 #: r11:50 / r12:50 / r13:50, 12 never-checked (round-13 post-freeze).
 #:
-#: ROUND-14 WINDOW (this list) = the tool's emitted plan: the 12
-#: round-13 post-freeze keys first (never-checked > stale-green — the
-#: row-level table-format family), then the 15 r6-stale remainder, then
-#: the 23 OLDEST r8-stale keys (12 + 15 + 23 = 50).
+#: ROUND-15 WINDOW (this list) = the tool's emitted plan: all 38
+#: round-14 post-freeze keys first (never-checked > stale-green — the
+#: v3 table-format / governance / Python-DS-4.1 / MLlib-trio family),
+#: then the 12 OLDEST r8-stale keys (38 + 12 = 50).
 #: Keep test_driver_window_rotation in sync.
 _DRIVER_WINDOW = [
-    "q_etl_manifest_delete_mor",  # never-checked
-    "q_etl_hidden_partitioning",  # never-checked
-    "q_etl_manifest_delete_equality",  # never-checked
-    "q_etl_changefeed_rowlevel",  # never-checked
-    "q_etl_write_audit_publish",  # never-checked
-    "q_scan_manifest_files_table",  # never-checked
-    "q_scan_manifest_history_table",  # never-checked
-    "q_etl_manifest_clone",  # never-checked
-    "q_etl_manifest_update_mor",  # never-checked
-    "q_etl_partition_evolution",  # never-checked
-    "q_stream_changefeed_apply_retract",  # never-checked
-    "q_stream_manifest_cdf_source",  # never-checked
-    "q_pipeline_disjunctive_revenue",  # r6
-    "q_profile_histogram_equidepth",  # r6
-    "q_window_trailing_distinct",  # r6
-    "q_udf_scalar_pandas",  # r6
-    "q_udaf_grouped_agg",  # r6
-    "q_udtf_grouped_map",  # r6
-    "q_udtf_python",  # r6
-    "q_udf_registered_sql",  # r6
-    "q_stream_tumbling",  # r6
-    "q_stream_sliding",  # r6
-    "q_stream_session",  # r6
-    "q_stream_watermark_late",  # r6
-    "q_stream_dedup",  # r6
-    "q_stream_stateful_count",  # r6
-    "q_stream_stream_full_outer",  # r6
-    "q_scan_binaryfile",  # r8
-    "q_sink_dynamic_partition_overwrite",  # r8
-    "q_scan_agg_pushdown",  # r8
-    "q_filter_like",  # r8
-    "q_filter_null",  # r8
-    "q_distinct_rows",  # r8
-    "q_join_cross",  # r8
-    "q_join_theta_bucketed",  # r8
-    "q_join_interval",  # r8
-    "q_join_asof_tolerance",  # r8
-    "q_join_bloom_pruned",  # r8
-    "q_join_lateral_topk",  # r8
-    "q_agg_collect_sorted",  # r8
-    "q_sample_stratified",  # r8
-    "q_agg_winsorized_mean",  # r8
-    "q_ts_seasonal_decompose",  # r8
-    "q_limit",  # r8
-    "q_union_all",  # r8
-    "q_union_distinct",  # r8
-    "q_intersect",  # r8
-    "q_intersect_all",  # r8
-    "q_except",  # r8
-    "q_except_all",  # r8
+    "q_etl_schema_default_values",  # never-checked
+    "q_scan_manifest_refs_table",  # never-checked
+    "q_etl_branch_fastforward",  # never-checked
+    "q_etl_maintenance_report",  # never-checked
+    "q_sql_over_manifest_table",  # never-checked
+    "q_etl_optimize_binpack",  # never-checked
+    "q_etl_table_constraints",  # never-checked
+    "q_etl_row_lineage",  # never-checked
+    "q_etl_time_travel_timestamp",  # never-checked
+    "q_etl_type_widening",  # never-checked
+    "q_scan_manifest_partitions_table",  # never-checked
+    "q_etl_manifest_merge_mor",  # never-checked
+    "q_catalog_analyze_cbo",  # never-checked
+    "q_etl_merge_schema_evolution",  # never-checked
+    "q_etl_remove_orphans",  # never-checked
+    "q_etl_row_column_policy",  # never-checked
+    "q_etl_gdpr_purge",  # never-checked
+    "q_scan_manifest_policies_table",  # never-checked
+    "q_scan_python_datasource_pushdown",  # never-checked
+    "q_sink_python_datasource_arrow",  # never-checked
+    "q_dedup_minhash_portable",  # never-checked
+    "q_dedup_simhash_portable",  # never-checked
+    "q_stats_welch_ttest",  # never-checked
+    "q_ml_minmax_scaler",  # never-checked
+    "q_ml_bucketizer_discretize",  # never-checked
+    "q_ml_string_indexer",  # never-checked
+    "q_text_redact_pii",  # never-checked
+    "q_text_repetition_stats",  # never-checked
+    "q_corpus_mix_sample",  # never-checked
+    "q_text_vocab_coverage",  # never-checked
+    "q_corpus_curation_pipeline",  # never-checked
+    "q_sql_scripting_loop",  # never-checked
+    "q_dq_expectations",  # never-checked
+    "q_pandas_api_groupby",  # never-checked
+    "q_stream_manifest_merge_sink",  # never-checked
+    "q_stream_session_dynamic_gap",  # never-checked
+    "q_stream_stream_semi",  # never-checked
+    "q_stream_state_store_read",  # never-checked
+    "q_dedup_prefix_filter",  # r8
+    "q_dedup_pairs_full",  # r8
+    "q_graph_bfs_hops",  # r8
+    "q_graph_bfs_recursive_sql",  # r8
+    "q_chunk_overlap",  # r8
+    "q_contamination_ngram",  # r8
+    "q_bpe_train_merges",  # r8
+    "q_report_wow_growth",  # r8
+    "q_sketch_approx_topk",  # r8
+    "q_pipeline_shipping_priority",  # r8
+    "q_etl_merge_tombstones",  # r8
+    "q_profile_table",  # r8
 ]
 
 #: Keys added AFTER the current round's window was frozen. Append any
 #: round-14 additions here as they register; they head the ROUND-15
 #: window (never-checked > stale-green), padded per
 #: ``tools/driver_staleness.py``'s emitted plan.
-_POST_WINDOW_ADDITIONS: list[str] = [
-    "q_scan_manifest_partitions_table",
-    "q_etl_manifest_merge_mor",
-    "q_etl_schema_default_values",
-    "q_etl_type_widening",
-    "q_etl_time_travel_timestamp",
-    "q_etl_branch_fastforward",
-    "q_scan_manifest_refs_table",
-    "q_text_redact_pii",
-    "q_text_repetition_stats",
-    "q_corpus_mix_sample",
-    "q_etl_row_lineage",
-    "q_stream_manifest_merge_sink",
-    "q_etl_table_constraints",
-    "q_etl_optimize_binpack",
-    "q_sql_over_manifest_table",
-    "q_etl_maintenance_report",
-    "q_dedup_minhash_portable",
-    "q_dedup_simhash_portable",
-    "q_text_vocab_coverage",
-    "q_sql_scripting_loop",
-    "q_catalog_analyze_cbo",
-    "q_stream_session_dynamic_gap",
-    "q_stream_stream_semi",
-    "q_etl_merge_schema_evolution",
-    "q_dq_expectations",
-    "q_etl_remove_orphans",
-    "q_etl_row_column_policy",
-    "q_etl_gdpr_purge",
-    "q_corpus_curation_pipeline",
-    "q_stats_welch_ttest",
-    "q_scan_manifest_policies_table",
-    "q_scan_python_datasource_pushdown",
-    "q_sink_python_datasource_arrow",
-    "q_stream_state_store_read",
-    "q_ml_minmax_scaler",
-    "q_ml_bucketizer_discretize",
-    "q_pandas_api_groupby",
-    "q_ml_string_indexer",
-]
+_POST_WINDOW_ADDITIONS: list[str] = []
 
 
 def _import_all() -> None:

@@ -2602,23 +2602,36 @@ def remove_orphan_files(
     import time as _time
 
     cutoff = (now if now is not None else _time.time()) - older_than_s
+    # Liveness is decided by path membership — compare REAL paths on both
+    # sides so a caller passing a differently-normalized table_dir
+    # (relative vs absolute, symlinked mount) can never misclassify live
+    # data files as orphans and physically delete them.
     live: set[str] = set()
     live_dv: set[str] = set()
+    any_manifest = False
     for v in range(1, current_version(table_dir) + 1):
         try:
             m = read_manifest(table_dir, v)
         except FileNotFoundError:
             continue  # vacuumed beyond retention — nothing to protect
-        live |= {f["path"] for f in m["files"]}
-        live_dv |= {d["path"] for d in m.get("deletes", [])}
-        live_dv |= {d["path"] for d in m.get("eq_deletes", [])}
+        any_manifest = True
+        live |= {os.path.realpath(f["path"]) for f in m["files"]}
+        live_dv |= {os.path.realpath(d["path"]) for d in m.get("deletes", [])}
+        live_dv |= {
+            os.path.realpath(d["path"]) for d in m.get("eq_deletes", [])
+        }
+    if not any_manifest:
+        # No readable manifest at all: refuse to GC rather than treat the
+        # entire data directory as orphaned (a mis-pointed table_dir or a
+        # corrupted log would otherwise mean total data loss).
+        return 0, 0
     deleted = skipped = 0
     for dirpath, refs in (
         (_data_dir(table_dir), live),
         (_deletes_dir(table_dir), live_dv),
     ):
         for f in glob.glob(os.path.join(dirpath, "*.parquet")):
-            if f in refs:
+            if os.path.realpath(f) in refs:
                 continue
             if os.path.getmtime(f) > cutoff:
                 skipped += 1  # possibly a concurrent writer's staging

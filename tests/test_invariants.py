@@ -182,14 +182,13 @@ def test_no_complex_output_columns(spark, sf_dir):
 
 
 def test_driver_window_rotation():
-    """The first 50 registry keys must be exactly the round-14 driver-window
-    list — the grading driver records only the first 50. Round-14 contract
-    (VERDICT r13 item 1), auto-derived by tools/driver_staleness.py: the
-    12 round-13 post-freeze keys first (never-checked > stale-green),
-    then the 15 r6-stale remainder, then the 23 oldest r8-stale keys
-    (12 + 15 + 23 = 50). Every key that has never PASSED a driver check
-    (no row, or a hard-failed row) must be inside the window or declared
-    in _POST_WINDOW_ADDITIONS."""
+    """The first 50 registry keys must be exactly the round-15 driver-window
+    list — the grading driver records only the first 50. Round-15 contract
+    (VERDICT r14 item 1), auto-derived by tools/driver_staleness.py: all
+    38 round-14 post-freeze keys first (never-checked > stale-green),
+    then the 12 oldest r8-stale keys (38 + 12 = 50). Every key that has
+    never PASSED a driver check (no row, or a hard-failed row) must be
+    inside the window or declared in _POST_WINDOW_ADDITIONS."""
     import json
     from pathlib import Path
 
@@ -1474,9 +1473,20 @@ def test_bench_drift_gate_is_contention_immune():
     import sys
 
     sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
-    from bench import ANCHOR_KEYS, confirm_regressions, find_regressions
+    from bench import (
+        ANCHOR_CLASS,
+        ANCHOR_KEYS,
+        COMPUTE_BOUND,
+        confirm_regressions,
+        find_regressions,
+    )
 
-    a1, a2 = ANCHOR_KEYS
+    # The first two anchors are the scan/shuffle pair; the third (r15) is
+    # the compute proxy, exercised separately in the class-matching cases
+    # below (it has no prior in these fixtures, so the original dual-anchor
+    # semantics are preserved bit-for-bit for cases 1-8).
+    a1, a2, a3 = ANCHOR_KEYS
+    assert ANCHOR_CLASS[a3] == "compute"
     prior = {a1: 1.0, a2: 0.5, "q_x": 2.0, "q_y": 0.8}
 
     # Case 1: busier host — everything (anchors included) reruns 1.8x
@@ -1587,6 +1597,43 @@ def test_bench_drift_gate_is_contention_immune():
     for k, info in cleared.items():
         assert info["adj_ratio"] <= 1.5, (k, info)
         assert "rerun" in info and "host_factors" in info
+
+    # Case 9: CLASS-MATCHED normalization (VERDICT r14 item 2 — the r14
+    # drift shape). CPUs contended: scan/shuffle anchors read ~1.0 while
+    # the compute anchor reads 1.6x and a compute-bound key drifts 1.7x
+    # with its code untouched. The old min-over-all-anchors divisor
+    # (≈1.0) confirmed it (r14 burned three adjudication essays on 31
+    # such flags); the compute anchor must now clear it. A non-compute
+    # key with the same raw ratio still confirms (the scan anchors say
+    # the host is fine for ITS class).
+    kc = "q_cluster_kmeans"
+    assert kc in COMPUTE_BOUND and "q_x" not in COMPUTE_BOUND
+    c_prior = {a1: 1.0, a2: 0.5, a3: 2.0, kc: 2.0, "q_x": 2.0}
+    c_now = {a1: 1.02, a2: 0.51, a3: 3.2, kc: 3.4, "q_x": 3.4}
+    raw = find_regressions(c_now, c_prior)
+    assert set(raw) == {a3, kc, "q_x"}
+    confirmed, cleared = confirm_regressions(
+        raw, c_prior, rerun=lambda k: c_now[k]
+    )
+    assert kc in cleared, (confirmed, cleared)
+    assert cleared[kc]["host_factor"] == 1.6
+    assert "q_x" in confirmed and confirmed["q_x"]["host_factor"] == 1.02
+    # the compute anchor's own drift is adjudicated by the OTHER anchors
+    # (scan class) and surfaces as an anchor_regression — a compute-wide
+    # code regression can't hide behind self-normalization.
+    assert a3 in confirmed and confirmed[a3]["anchor_regression"] is True
+
+    # Case 10: a compute-bound key genuinely regresses while the compute
+    # anchor holds — the class-matched divisor (~1.0) must CONFIRM it.
+    t_prior = {a1: 1.0, a2: 0.5, a3: 2.0, kc: 2.0}
+    t_now = {a1: 1.0, a2: 0.5, a3: 2.05, kc: 6.0}
+    raw = find_regressions(t_now, t_prior)
+    assert set(raw) == {kc}
+    confirmed, cleared = confirm_regressions(
+        raw, t_prior, rerun=lambda k: t_now[k]
+    )
+    assert kc in confirmed and cleared == {}
+    assert confirmed[kc]["adj_ratio"] == round(3.0 / (2.05 / 2.0), 2)
 
 
 def test_equidepth_bins_tile_and_are_monotone(spark, sf_dir):
