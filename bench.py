@@ -317,6 +317,11 @@ HEADLINE = [
     "q_ml_minmax_scaler",                 # MLlib exact-stat fit/transform
     "q_ml_string_indexer",                # frequencyDesc categorical encoding
     "q_pandas_api_groupby",               # pandas-on-Spark API veneer
+    # round-15 additions
+    "q_cluster_kmeans_fixedrounds",       # oracle-proven BLAS Lloyd rounds
+    "q_dedup_semantic",                   # hyperplane-LSH near-dup clusters + CC
+    "q_stream_state_store_dedup",         # dedup-ledger checkpoint inspection
+    "q_stream_cdc_hidden_partition",      # per-batch partitioned commits + pruning
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor
@@ -471,7 +476,9 @@ ANCHOR_CLASS = {
 #: on a quiet host while the scan anchors read ~1.0.
 COMPUTE_BOUND = frozenset({
     "q_cluster_kmeans",
+    "q_cluster_kmeans_fixedrounds",
     "q_cluster_kmeans_lloyd",
+    "q_dedup_semantic",
     "q_graph_pagerank",
     "q_graph_pagerank_converged",
     "q_graph_triangles",

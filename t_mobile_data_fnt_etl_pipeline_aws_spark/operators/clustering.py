@@ -227,6 +227,222 @@ def q_dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SEMANTIC DEDUP (VERDICT r14 item 5): embedding-space near-duplicate
+# CLUSTERING — the one LLM-pipeline composition the registry lacked:
+# portable hyperplane-LSH bucketing (the ANN scale path) → exact-cosine
+# edge verification → connected components → keep-min representative.
+# ---------------------------------------------------------------------------
+
+#: bounded slice / hyperplane count / 4-bit bands / cosine edge threshold
+_SEM_SLICE = 300
+_SEM_PLANES = 16
+_SEM_BAND_BITS = 4
+_SEM_TAU = 0.25
+_SEM_DIM = 64  # the fixture embedding width (same constant the simhash
+# family's 64-bit fingerprints pin)
+
+
+def _sem_signs() -> list[list[float]]:
+    """The PORTABLE Rademacher hyperplane family: sign(p, d) = +1 iff
+    the first hex nibble of md5('p|d') has its top bit set — the same
+    md5-derived construction as the simhash portable twin, precomputed
+    driver-side (hashlib md5 == SQL md5) and inlined as literals into
+    BOTH engines' plans, so the bucketing replays bit-identically."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"{p}|{d}".encode()).hexdigest()[0] in "89abcdef"
+            else -1.0
+            for d in range(_SEM_DIM)
+        ]
+        for p in range(_SEM_PLANES)
+    ]
+
+
+def _sem_oracle() -> str:
+    from .similarity import _SQL_DOT, _SQL_NORM
+
+    signs = _sem_signs()
+    n_bands = _SEM_PLANES // _SEM_BAND_BITS
+    bit_exprs = ", ".join(
+        "CASE WHEN list_reduce(list_transform(list_zip(e, ["
+        + ", ".join(str(s) for s in signs[p])
+        + "]), s -> s[1] * s[2]), (x, y) -> x + y) > 0"
+        " THEN '1' ELSE '0' END"
+        for p in range(_SEM_PLANES)
+    )
+    return f"""
+    WITH RECURSIVE v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x as double)) AS e
+        FROM embeddings WHERE vec_id < {_SEM_SLICE}
+    ),
+    n AS (
+        SELECT vec_id, e, {_SQL_NORM.format(a="e")} AS nrm FROM v
+    ),
+    fp AS (
+        SELECT vec_id, concat({bit_exprs}) AS f FROM v
+    ),
+    bands AS (
+        SELECT vec_id, b.b AS band,
+               substr(f, b.b * {_SEM_BAND_BITS} + 1, {_SEM_BAND_BITS}) AS sig
+        FROM fp CROSS JOIN
+             (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+    ),
+    pair AS (
+        SELECT c.va AS src, c.vb AS dst
+        FROM cand c JOIN n x ON x.vec_id = c.va JOIN n y ON y.vec_id = c.vb
+        WHERE {_SQL_DOT.format(a="x.e", b="y.e")} / (x.nrm * y.nrm)
+              >= {_SEM_TAU}
+    ),
+    edges AS (
+        SELECT src, dst FROM pair UNION ALL SELECT dst, src FROM pair
+    ),
+    reach(node, r) AS (
+        SELECT vec_id, vec_id FROM v
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    comp AS (
+        SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+    )
+    SELECT c.vec_id, c.cluster_id,
+           count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+           c.vec_id = c.cluster_id AS kept
+    FROM comp c
+    """
+
+
+@query("q_dedup_semantic", oracle=_sem_oracle())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP — embedding-space near-dup CLUSTERS with one kept
+    representative, composing the similarity and dedup families into the
+    pipeline a training corpus actually runs: (1) portable
+    random-hyperplane LSH (16 md5-derived Rademacher planes inlined as
+    literals in both engines, 4×4-bit Manku bands, bucket equi-join —
+    NEVER all-pairs); (2) exact HOF-fold cosine ≥ τ verification on
+    candidates only; (3) connected components via alternating
+    large-star/small-star min propagation (executor-side, no collect);
+    (4) keep-min: a cluster's representative is its label (min vec_id).
+
+    The DuckDB oracle replays the ENTIRE pipeline — hyperplanes,
+    banding, cosine gate, recursive-CTE closure — so the hash-match
+    proves the bucketing and clustering mechanics end-to-end (the
+    LSH-portable-twin standard). Output columns are integer/boolean
+    only; cosine exists solely as the edge gate, where the sequential
+    left-fold convention (F.aggregate seeded 0.0 == list_reduce) is
+    bit-identical across engines.
+
+    Scale: fingerprints are map-only folds; candidates come from a
+    banded bucket join (the plan contract forbids a cartesian product —
+    pinned by test_semantic_dedup_plan_has_no_cartesian); CC is O(log n)
+    rounds of joins. Fixture embeddings are random (cosine ≤ ~0.4), so
+    τ=0.25 demonstrates non-trivial clusters; a production near-dup τ
+    would be ~0.9+ with the same shape. Bounded to vec_id < 300 so the
+    oracle's recursive closure stays cheap at any SF."""
+    from .similarity import _as_dbl
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _SEM_SLICE)
+        .select("vec_id", _as_dbl("embedding").alias("e"))
+    )
+    signs = _sem_signs()
+    bit = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.array(*[F.lit(s) for s in signs[p]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(_SEM_PLANES)
+    ]
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("e"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    fp = e.select(
+        "vec_id", F.col("e"), norm.alias("nrm"), F.concat(*bit).alias("f")
+    )
+    n_bands = _SEM_PLANES // _SEM_BAND_BITS
+    bands = fp.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring("f", b * _SEM_BAND_BITS + 1, _SEM_BAND_BITS)
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("va"), F.col("b.vec_id").alias("vb")
+        )
+        .distinct()
+    )
+    x = fp.select(
+        F.col("vec_id").alias("va"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = fp.select(
+        F.col("vec_id").alias("vb"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    edges = (
+        cand.join(x, "va")
+        .join(y, "vb")
+        .filter(dot / (F.col("na") * F.col("nb")) >= F.lit(_SEM_TAU))
+        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    )
+    labels, _ = alternating_cc(
+        e.select(F.col("vec_id").alias("doc_id")), edges
+    )
+    from pyspark.sql import Window
+
+    return labels.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("kept"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Lloyd k-means over the embeddings table (VERDICT r5 item 4): the E-step
 # (broadcast-centroid nearest assignment, q_topic_assign_nearest_centroid)
 # and M-step (posexplode per-dimension decimal means, q_label_centroids)
@@ -437,70 +653,154 @@ def q_cluster_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle per round with the centroid state O(k·dim) on the driver —
     the textbook distributed Lloyd layout.
     """
-    from collections.abc import Iterator
-    from decimal import ROUND_HALF_UP, Decimal
-
-    import numpy as np
-    import pandas as pd
-
-    from ..functions.numeric import DEC
-
     e, cent0 = _km_base(spark, sf_dir)
     cent_rows = sorted(
         (r["c_id"], tuple(r["ce"])) for r in cent0.collect()
     )
-
-    def estep_blas(cent_rows):
-        ids = np.array([c for c, _ in cent_rows], dtype=np.int32)
-        C = np.array([ce for _, ce in cent_rows], dtype=np.float64)
-        c2 = (C * C).sum(axis=1)
-
-        def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                X = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
-                d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
-                j = d2.argmin(axis=1)  # ties → lowest index = lowest c_id
-                yield pd.DataFrame(
-                    {
-                        "vec_id": pdf["vec_id"],
-                        "emb": pdf["emb"],
-                        "c_id": ids[j],
-                        "d2": d2[np.arange(len(j)), j],
-                    }
-                )
-
-        return e.mapInPandas(
-            assign, "vec_id bigint, emb array<double>, c_id int, d2 double"
-        )
-
-    q6 = Decimal("1e-6")
     prev = None
     for _ in range(60):
-        sums = (
-            estep_blas(cent_rows)
-            .select("c_id", F.posexplode("emb").alias("pos", "val"))
-            .groupBy("c_id", "pos")
-            .agg(
-                F.sum(F.col("val").cast(DEC)).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
-            .collect()
-        )
-        # Width comes from the live centroids, not a literal: a fixture
-        # with dim != 64 would otherwise leave None holes that corrupt
-        # the next E-step's np.array (ADVICE r6).
-        dim = len(cent_rows[0][1])
-        by_cid: dict[int, list] = {}
-        for r in sums:
-            # finish(sum, 6) / count, exactly as _km_mstep / the oracle
-            # twin: quantize the SUM (HALF_UP, 6 dp) to a double first,
-            # THEN divide IEEE — not a quantized quotient.
-            s6 = float(Decimal(r["s"]).quantize(q6, rounding=ROUND_HALF_UP))
-            by_cid.setdefault(r["c_id"], [None] * dim)[r["pos"]] = s6 / r["n"]
-        cent_rows = sorted((c, tuple(ce)) for c, ce in by_cid.items())
+        cent_rows = _km_blas_round(e, cent_rows)
         if cent_rows == prev:
             break
         prev = cent_rows
-    return estep_blas(cent_rows).select(
+    return _km_blas_assign(e, cent_rows).select(
         "vec_id", F.col("c_id").alias("cluster"), F.col("d2").alias("dist2")
     )
+
+
+def _km_blas_assign(e: DataFrame, cent_rows) -> DataFrame:
+    """The PRODUCTION E-step: mapInPandas, one BLAS gram update per
+    Arrow batch (‖x‖² − 2X·Cᵀ + ‖c‖²), argmin over the k axis with the
+    ascending-c_id tiebreak. The k×dim centroid matrix rides in the
+    closure (k collected rows, not data rows). Map-only: no crossJoin
+    fan-out, no argmin-window shuffle."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([c for c, _ in cent_rows], dtype=np.int32)
+    C = np.array([ce for _, ce in cent_rows], dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            X = np.vstack(pdf["emb"].to_numpy()).astype(np.float64)
+            d2 = (X * X).sum(axis=1)[:, None] - 2.0 * (X @ C.T) + c2[None, :]
+            j = d2.argmin(axis=1)  # ties → lowest index = lowest c_id
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "emb": pdf["emb"],
+                    "c_id": ids[j],
+                    "d2": d2[np.arange(len(j)), j],
+                }
+            )
+
+    return e.mapInPandas(
+        assign, "vec_id bigint, emb array<double>, c_id int, d2 double"
+    )
+
+
+#: fixed Lloyd rounds for the exact-oracled production-path twin — more
+#: than the 2-step unroll so the BLAS loop does distinct work, small
+#: enough that the DuckDB CTE chain stays cheap
+_KM_FIXED_ROUNDS = 4
+
+
+@query(
+    "q_cluster_kmeans_fixedrounds",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x as double)) AS emb
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT cast(vec_id as int) AS c_id, emb AS ce
+        FROM e WHERE vec_id < {_KM_K}
+    ),
+    a1 AS (
+        SELECT vec_id, emb, c_id, d2 FROM (
+            SELECT vec_id, emb, c_id, d2,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY d2 ASC, c_id ASC) AS rn
+            FROM (
+                SELECT e.vec_id, e.emb, c.c_id,
+                       {_SQL_D2.format(a="e.emb", b="c.ce")} AS d2
+                FROM e CROSS JOIN c0 c
+            )
+        ) WHERE rn = 1
+    ),
+    {",".join(_km_iter_sql(i) for i in range(1, _KM_FIXED_ROUNDS + 1))}
+    SELECT vec_id, c_id AS cluster, d2 AS dist2
+    FROM a{_KM_FIXED_ROUNDS + 1}
+    """,
+)
+def q_cluster_kmeans_fixedrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION k-means path under an EXACT oracle (VERDICT r14
+    item 4, the LSH-portable-twin strategy applied to clustering):
+    exactly _KM_FIXED_ROUNDS (4) Lloyd rounds of the BLAS pipeline
+    q_cluster_kmeans_lloyd ships — mapInPandas gram-update E-step +
+    decimal-finished driver M-step — with the FINAL assignment computed
+    by the exact HOF E-step on the finished centroids.
+
+    Why this proves the BLAS mechanics end-to-end: the finished-decimal
+    centroids after every round are bit-identical doubles in both
+    engines (the M-step quantizes the SUM at 6 dp then divides IEEE —
+    error does not compound), so if the BLAS gram argmin disagreed with
+    the oracle's sequential-fold argmin for ANY vector in ANY round,
+    that vector's mass would move to a different centroid and the final
+    hash would mismatch. The exact-fold tail (same _km_estep as the
+    oracled 2-step unroll) removes float-accumulation-order noise from
+    the OUTPUT while the ITERATIONS stay on the production kernel — the
+    convergence form (q_cluster_kmeans_lloyd) remains rows-only purely
+    for its data-dependent round count.
+
+    Scale: per round one map-only Arrow-batched scan (zero shuffle for
+    scoring) + one map-side-combined k·dim shuffle; the exact tail adds
+    a single broadcast ×k fan-out pass. Driver state is O(k·dim)."""
+    e, cent0 = _km_base(spark, sf_dir)
+    cent_rows = sorted((r["c_id"], tuple(r["ce"])) for r in cent0.collect())
+    for _ in range(_KM_FIXED_ROUNDS):
+        cent_rows = _km_blas_round(e, cent_rows)
+    spark_sess = e.sparkSession
+    cent = spark_sess.createDataFrame(
+        [(c, list(ce)) for c, ce in cent_rows], "c_id int, ce array<double>"
+    )
+    return _km_estep(e, cent).select(
+        "vec_id", F.col("c_id").alias("cluster"), F.col("d2").alias("dist2")
+    )
+
+
+def _km_blas_round(e: DataFrame, cent_rows):
+    """One PRODUCTION Lloyd round: BLAS E-step + per-(c_id,pos)
+    exact-DECIMAL sums/counts (one map-side-combined shuffle) → k·dim
+    tiny rows collected → the finished-decimal mean (HALF_UP quantize
+    of the SUM at 6 dp, THEN an IEEE divide — numeric.py's finish,
+    bit-identical to _km_mstep / the oracle) computed driver-side.
+    Returns the new sorted (c_id, centroid-tuple) rows."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from ..functions.numeric import DEC
+
+    q6 = Decimal("1e-6")
+    sums = (
+        _km_blas_assign(e, cent_rows)
+        .select("c_id", F.posexplode("emb").alias("pos", "val"))
+        .groupBy("c_id", "pos")
+        .agg(
+            F.sum(F.col("val").cast(DEC)).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    # Width comes from the live centroids, not a literal: a fixture
+    # with dim != 64 would otherwise leave None holes that corrupt
+    # the next E-step's np.array (ADVICE r6).
+    dim = len(cent_rows[0][1])
+    by_cid: dict[int, list] = {}
+    for r in sums:
+        s6 = float(Decimal(r["s"]).quantize(q6, rounding=ROUND_HALF_UP))
+        by_cid.setdefault(r["c_id"], [None] * dim)[r["pos"]] = s6 / r["n"]
+    return sorted((c, tuple(ce)) for c, ce in by_cid.items())

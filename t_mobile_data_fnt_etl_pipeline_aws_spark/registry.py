@@ -135,7 +135,12 @@ _DRIVER_WINDOW = [
 #: round-14 additions here as they register; they head the ROUND-15
 #: window (never-checked > stale-green), padded per
 #: ``tools/driver_staleness.py``'s emitted plan.
-_POST_WINDOW_ADDITIONS: list[str] = []
+_POST_WINDOW_ADDITIONS: list[str] = [
+    "q_cluster_kmeans_fixedrounds",
+    "q_dedup_semantic",
+    "q_stream_state_store_dedup",
+    "q_stream_cdc_hidden_partition",
+]
 
 
 def _import_all() -> None:

@@ -171,10 +171,77 @@ def current_version(table_dir: str) -> int:
     return int(os.path.basename(logs[-1])[1:-5]) if logs else 0
 
 
-def read_manifest(table_dir: str, version: int) -> dict:
+#: Delta-manifest snapshot interval (the Iceberg manifest-list shape,
+#: VERDICT r14 item 3): a commit whose parent is readable stores only its
+#: FILE-LIST CHANGES (add_files / remove_paths) against the parent — the
+#: metadata written per commit is O(changed files), not O(total live
+#: files), which is the difference between a kilobyte and a
+#: hundred-megabyte commit at 10^5-10^6 files. Every
+#: ``SNAPSHOT_INTERVAL``-deep chain re-materializes a full snapshot so a
+#: read folds at most that many segments (read cost stays O(live files +
+#: recent changes), same class as before). Version 1 and any commit whose
+#: parent is unreadable always write full.
+SNAPSHOT_INTERVAL = 16
+
+#: storage-form bookkeeping keys a delta manifest carries on top of the
+#: logical manifest fields; stripped during reconstruction
+_DELTA_KEYS = ("format", "base", "delta_depth", "add_files", "remove_paths")
+
+
+def _read_raw(table_dir: str, version: int) -> dict:
+    """One manifest file, AS STORED — full snapshot or delta segment."""
     path = os.path.join(_log_dir(table_dir), f"v{version:05d}.json")
     with open(path) as fh:
         return json.load(fh)
+
+
+def read_manifest(table_dir: str, version: int) -> dict:
+    """The LOGICAL manifest at ``version``: always the full-snapshot
+    shape every consumer was written against ("files" materialized),
+    regardless of whether the version is stored full or as a delta
+    segment. Delta reconstruction walks parent pointers to the nearest
+    full snapshot (bounded by SNAPSHOT_INTERVAL) and folds each
+    segment's add/remove into the file list; all snapshot-level fields
+    (schema, defaults, constraints, deletes, ...) come from the
+    requested version's own record verbatim — every commit stores them
+    in full because they are O(columns + masks), not O(files)."""
+    raw = _read_raw(table_dir, version)
+    if raw.get("format") != "delta":
+        return raw
+    chain = [raw]
+    base_v = raw["base"]
+    while True:
+        seg = _read_raw(table_dir, base_v)
+        if seg.get("format") != "delta":
+            break
+        chain.append(seg)
+        base_v = seg["base"]
+    files = list(seg["files"])
+    for delta in reversed(chain):  # oldest segment first
+        removed = set(delta.get("remove_paths", ()))
+        added = delta.get("add_files", [])
+        replaced = {e["path"] for e in added}
+        files = [
+            f
+            for f in files
+            if f["path"] not in removed and f["path"] not in replaced
+        ] + list(added)
+    out = {k: v for k, v in chain[0].items() if k not in _DELTA_KEYS}
+    out["files"] = files
+    return out
+
+
+def read_manifest_meta(table_dir: str, version: int) -> dict:
+    """The manifest's SNAPSHOT-LEVEL fields only (schema, defaults,
+    constraints, deletes, partition_spec, next_row_id, op, ts, ...) —
+    everything EXCEPT the O(files) list, without reconstructing it.
+    This is what makes appends O(changed files): validating a commit
+    needs the prev schema/constraints and the row-id high-water mark,
+    none of which require folding the file list."""
+    raw = _read_raw(table_dir, version)
+    return {
+        k: v for k, v in raw.items() if k not in _DELTA_KEYS and k != "files"
+    }
 
 
 #: Bloom sizing: ~9.6 bits/row + 7 probes ≈ 1% false-positive rate (the
@@ -312,7 +379,7 @@ def _publish(
     table_dir: str,
     version: int,
     op: str,
-    files: list[dict],
+    files: list[dict] | None,
     schema: list[list[str]] | None = None,
     deletes: list[dict] | None = None,
     partition_spec: dict | None = None,
@@ -320,14 +387,81 @@ def _publish(
     defaults: dict | None = None,
     parent: int | None = None,
     constraints: dict | None = None,
+    files_add: list[dict] | None = None,
 ) -> int:
     """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
     name, then ``os.link`` it to its final version name. link(2) fails
     with EEXIST if the version was already published — a plain rename
     would silently REPLACE it, letting two racing writers both "win" the
     same version and orphan one side's data files. Losers get
-    CommitConflictError and must retry against the advanced version."""
+    CommitConflictError and must retry against the advanced version.
+
+    ``files_add`` is the APPEND FAST PATH (mutually exclusive with
+    ``files``): the caller asserts the new snapshot is exactly the DAG
+    parent's live set plus these entries — _publish then stamps and
+    writes a delta segment directly, touching O(new entries) metadata
+    and never folding the parent's file list (the whole point of the
+    delta tier). Every SNAPSHOT_INTERVAL-deep chain still materializes
+    a full snapshot, amortizing the O(live) read/write to 1/interval
+    per commit."""
     os.makedirs(_log_dir(table_dir), exist_ok=True)
+    if files_add is not None:
+        if files is not None:
+            raise ValueError("pass files or files_add, not both")
+        parent_v = parent if parent is not None else version - 1
+        if parent_v < 1:
+            files = list(files_add)  # first commit: full by definition
+        else:
+            parent_raw = _read_raw(table_dir, parent_v)  # missing = caller bug
+            depth = (
+                parent_raw.get("delta_depth", 0) + 1
+                if parent_raw.get("format") == "delta"
+                else 1
+            )
+            if depth >= SNAPSHOT_INTERVAL:
+                files = read_manifest(table_dir, parent_v)["files"] + list(
+                    files_add
+                )
+            else:
+                alloc = int(parent_raw.get("next_row_id", 0))
+                add = []
+                for f in files_add:
+                    f = f if "seq" in f else {**f, "seq": version}
+                    if "first_row_id" not in f and not f.get(
+                        "lineage_in_file"
+                    ):
+                        f = {**f, "first_row_id": alloc}
+                        alloc += int(f.get("rows", 0))
+                    add.append(f)
+                record = {
+                    "version": version,
+                    "op": op,
+                    "ts": time.time(),
+                    "next_row_id": alloc,
+                    "format": "delta",
+                    "base": parent_v,
+                    "delta_depth": depth,
+                    "add_files": add,
+                    "remove_paths": [],
+                }
+                if schema is not None:
+                    record["schema"] = schema
+                if deletes:
+                    record["deletes"] = deletes
+                if partition_spec is not None:
+                    record["partition_spec"] = partition_spec
+                if eq_deletes:
+                    record["eq_deletes"] = [
+                        e if "seq" in e else {**e, "seq": version}
+                        for e in eq_deletes
+                    ]
+                if defaults:
+                    record["defaults"] = defaults
+                if constraints:
+                    record["constraints"] = constraints
+                if parent is not None:
+                    record["parent"] = parent
+                return _write_record(table_dir, version, record)
     # DATA SEQUENCE NUMBERS (Iceberg v2): every file/eq-delete entry is
     # stamped with the version that first committed it, at the single
     # commit point so no writer can forget. Carried-forward entries
@@ -397,11 +531,18 @@ def _publish(
         # are the history DAG (legacy manifests without a parent are
         # linear: parent == version - 1)
         manifest["parent"] = parent
+    record = _delta_or_full(table_dir, version, manifest)
+    return _write_record(table_dir, version, record)
+
+
+def _write_record(table_dir: str, version: int, record: dict) -> int:
+    """The atomic commit point shared by both storage forms: tmp write
+    + create-exclusive os.link (EEXIST = lost the version race)."""
     tmp = os.path.join(
         _log_dir(table_dir), f".v{version:05d}.{uuid.uuid4().hex[:8]}.tmp"
     )
     with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
+        json.dump(record, fh)
     final = os.path.join(_log_dir(table_dir), f"v{version:05d}.json")
     try:
         os.link(tmp, final)
@@ -412,6 +553,67 @@ def _publish(
     finally:
         os.unlink(tmp)
     return version
+
+
+def _delta_or_full(table_dir: str, version: int, manifest: dict) -> dict:
+    """Choose the STORAGE form for a logical manifest: a delta segment
+    against the DAG parent when that is readable and the chain depth
+    stays under SNAPSHOT_INTERVAL, else the full snapshot. The delta
+    carries every snapshot-level field verbatim (they're small and NOT
+    inherited — an empty "constraints" must mean "no constraints", not
+    "ask the parent") and replaces only the O(files) "files" list with
+    add_files / remove_paths. A reconstruction self-check guards the
+    canonical retained-then-added ordering: if folding the delta would
+    not reproduce the intended list exactly, the commit falls back to
+    a full snapshot rather than publish a lossy segment."""
+    files = manifest["files"]
+    parent_v = manifest.get("parent", version - 1)
+    if version <= 1 or parent_v < 1:
+        return manifest
+    try:
+        parent_raw = _read_raw(table_dir, parent_v)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return manifest
+    depth = (
+        parent_raw.get("delta_depth", 0) + 1
+        if parent_raw.get("format") == "delta"
+        else 1
+    )
+    if depth >= SNAPSHOT_INTERVAL:
+        return manifest
+    try:
+        parent_files = read_manifest(table_dir, parent_v)["files"]
+    except (FileNotFoundError, KeyError, json.JSONDecodeError):
+        return manifest
+    base_by_path = {f["path"]: f for f in parent_files}
+    new_paths = {f["path"] for f in files}
+    add = [
+        f
+        for f in files
+        if f["path"] not in base_by_path or base_by_path[f["path"]] != f
+    ]
+    remove = [p for p in base_by_path if p not in new_paths]
+    # self-check: fold must reproduce the intended list EXACTLY
+    # (including order) — otherwise store full
+    removed, replaced = set(remove), {e["path"] for e in add}
+    folded = [
+        f
+        for f in parent_files
+        if f["path"] not in removed and f["path"] not in replaced
+    ] + add
+    if folded != files:
+        return manifest
+    record = {k: v for k, v in manifest.items() if k != "files"}
+    record.update(
+        {
+            "format": "delta",
+            "base": parent_v,
+            "delta_depth": depth,
+            "add_files": add,
+            "remove_paths": remove,
+        }
+    )
+    return record
 
 
 def _schema_entry(df: DataFrame) -> list[list[str]]:
@@ -507,9 +709,9 @@ def commit_append(
         raise CommitConflictError(
             f"expected base version {expected_base}, table is at {prev0}"
         )
-    prev_manifest0 = read_manifest(table_dir, prev0) if prev0 else {}
-    _merged_schema(prev_manifest0.get("schema"), df)  # reject before staging
-    _validate_constraints(df, prev_manifest0.get("constraints") or {})
+    prev_meta0 = read_manifest_meta(table_dir, prev0) if prev0 else {}
+    _merged_schema(prev_meta0.get("schema"), df)  # reject before staging
+    _validate_constraints(df, prev_meta0.get("constraints") or {})
     new = _stage_files(df, table_dir, stat_cols, bloom_cols)
     try:
         while True:
@@ -518,21 +720,25 @@ def commit_append(
                 raise CommitConflictError(
                     f"expected base version {expected_base}, table is at {prev}"
                 )
-            prev_manifest = read_manifest(table_dir, prev) if prev else {}
-            files = list(prev_manifest.get("files", []))
-            schema = _merged_schema(prev_manifest.get("schema"), df)
+            # metadata-only read: validating an append needs the prev
+            # SCHEMA/CONSTRAINTS and snapshot-level fields, never the
+            # O(live) file list — files_add lets _publish write a delta
+            # segment with O(new files) work (the 100-TB commit path)
+            prev_meta = read_manifest_meta(table_dir, prev) if prev else {}
+            schema = _merged_schema(prev_meta.get("schema"), df)
             try:
                 # delete vectors and a declared partition spec carry
                 # forward: appended files are unaffected by existing
                 # position deletes, and files without a recorded
                 # partition value are simply never partition-skipped
                 return _publish(
-                    table_dir, prev + 1, op, files + new, schema,
-                    deletes=prev_manifest.get("deletes"),
-                    partition_spec=prev_manifest.get("partition_spec"),
-                    eq_deletes=prev_manifest.get("eq_deletes"),
-                    defaults=prev_manifest.get("defaults"),
-                    constraints=prev_manifest.get("constraints"),
+                    table_dir, prev + 1, op, None, schema,
+                    deletes=prev_meta.get("deletes"),
+                    partition_spec=prev_meta.get("partition_spec"),
+                    eq_deletes=prev_meta.get("eq_deletes"),
+                    defaults=prev_meta.get("defaults"),
+                    constraints=prev_meta.get("constraints"),
+                    files_add=new,
                 )
             except CommitConflictError:
                 if expected_base is not None or not retry_conflicts:
@@ -912,6 +1118,28 @@ def vacuum(table_dir: str, retain_last: int = 1) -> tuple[int, int]:
         with open(rf) as fh:
             ref_versions.add(json.load(fh)["version"])
     keep_versions = set(range(horizon, cur + 1)) | ref_versions
+    # MATERIALIZE-BEFORE-EXPIRE: a retained version stored as a delta
+    # segment whose base chain passes through a doomed version would
+    # become unreadable once the base is dropped — rewrite every such
+    # manifest as a full snapshot first (ascending order, so a retained
+    # base is settled before its dependents are examined). The atomic
+    # os.replace preserves the version id; logical content is identical
+    # by read_manifest's reconstruction.
+    for v in sorted(keep_versions):
+        try:
+            raw = _read_raw(table_dir, v)
+        except FileNotFoundError:
+            continue
+        if raw.get("format") == "delta" and raw["base"] not in keep_versions:
+            full = read_manifest(table_dir, v)
+            tmp = os.path.join(
+                _log_dir(table_dir), f".v{v:05d}.{uuid.uuid4().hex[:8]}.tmp"
+            )
+            with open(tmp, "w") as fh:
+                json.dump(full, fh)
+            os.replace(
+                tmp, os.path.join(_log_dir(table_dir), f"v{v:05d}.json")
+            )
     live: set[str] = set()
     live_dv: set[str] = set()
     for v in sorted(keep_versions):
@@ -1256,7 +1484,10 @@ def commit_append_partitioned(
         # (appends commute).
         while True:
             head = current_version(table_dir)
-            head_manifest = read_manifest(table_dir, head) if head else {}
+            # metadata-only head read: spec/schema validation never needs
+            # the O(live) file list — files_add publishes a delta segment
+            # (same fast path as commit_append)
+            head_manifest = read_manifest_meta(table_dir, head) if head else {}
             head_spec = head_manifest.get("partition_spec")
             if (
                 head_spec is not None
@@ -1268,19 +1499,19 @@ def commit_append_partitioned(
                     f"writer passed {spec} (pass allow_evolution=True)"
                 )
             schema = _merged_schema(head_manifest.get("schema"), df)
-            files = list(head_manifest.get("files", [])) + entries
             try:
                 return _publish(
                     table_dir,
                     head + 1,
                     op,
-                    files,
+                    None,
                     schema,
                     deletes=head_manifest.get("deletes"),
                     partition_spec=spec,
                     eq_deletes=head_manifest.get("eq_deletes"),
                     defaults=head_manifest.get("defaults"),
                     constraints=head_manifest.get("constraints"),
+                    files_add=entries,
                 )
             except CommitConflictError:
                 continue

@@ -1425,3 +1425,141 @@ def q_stream_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").alias("n_events"),
     ).withColumn("metadata_lists_operator", F.lit(md_ok))
+
+
+@query(
+    "q_stream_state_store_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type,
+           true AS metadata_lists_dedupe
+    FROM events
+    """,
+)
+def q_stream_state_store_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATE STORE READER over a DEDUP operator (VERDICT r14 item 7 —
+    the case where state ≠ output aggregate): q_stream_state_store_read
+    inspects a complete-mode count, whose state IS the aggregate; here
+    the streaming operator is ``dropDuplicates(user_id, event_type)``
+    in APPEND mode, whose state is the LEDGER of keys already seen —
+    data the sink never shows. Reading the checkpoint's state store is
+    therefore a genuine debugging surface: "which idempotency keys does
+    the stream currently hold?", the question an on-call engineer asks
+    when a duplicate slipped through or state grows unexpectedly.
+
+    The ledger is oracled against the batch-equivalent computation —
+    SELECT DISTINCT of the dedup key columns — exact by construction:
+    an unwatermarked dropDuplicates retains every first-seen key
+    forever, so checkpoint state == batch DISTINCT (the watermarked
+    variant bounds state by eviction and is the production form;
+    unbounded retention here is what makes the oracle exact). The
+    ``state-metadata`` listing gates the graded flag (operatorName
+    'dedupe').
+
+    Scale: the state source plans one split per state-store partition —
+    inspection parallelism equals the query's shuffle layout; nothing
+    data-sized flows through the driver."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from .harness import read_events_stream, run_available_now, stage_events
+
+    base = _os.path.join(
+        _tempfile.gettempdir(),
+        f"spark_graft_sinks_{_os.getpid()}",
+        f"ssd_{_uuid.uuid4().hex[:8]}",
+    )
+    stream_dir, _ = stage_events(spark, sf_dir, base)
+    deduped = read_events_stream(spark, stream_dir).select(
+        "user_id", "event_type"
+    ).dropDuplicates(["user_id", "event_type"])
+    ckpt = _os.path.join(base, "ckpt")
+    run_available_now(deduped, "ssd_mem", ckpt, "append")
+    state = spark.read.format("statestore").load(ckpt)
+    md = spark.read.format("state-metadata").load(ckpt).collect()
+    md_ok = any(r.operatorName == "dedupe" for r in md)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("key.event_type").alias("event_type"),
+    ).withColumn("metadata_lists_dedupe", F.lit(md_ok))
+
+
+@query(
+    "q_stream_cdc_hidden_partition",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           max(value) AS max_value,
+           true AS one_commit_per_batch,
+           true AS partitions_pruned
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts < TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+    """,
+)
+def q_stream_cdc_hidden_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING INGESTION × HIDDEN PARTITIONING (VERDICT r14 item 9 —
+    the one table-format × streaming composition not yet exercised):
+    micro-batches land in a manifest table through
+    ``commit_append_partitioned`` under a declared day(ts) transform —
+    one atomic partitioned commit per batch (graded) — and a later
+    reader's plain ts-range predicate prunes to the matching day
+    partitions through the manifest alone (graded), never naming the
+    layout. This is the streaming lakehouse loop: a file-source stream
+    trickles in, every commit records partition values per file, and
+    downstream time-windowed queries skip cold days without either side
+    coordinating. Declared here in the batch-equivalent form over
+    event_id%3 micro-batches (the merge-sink precedent); the REAL
+    writeStream.foreachBatch twin is pinned in tests/test_streaming.py::
+    test_stream_cdc_hidden_partition_foreachbatch.
+
+    Scale: per batch the work is O(batch) — staging repartitions by
+    partition value so each day lands as few files, and the commit is a
+    delta segment (O(new files) metadata). The read plans only the
+    pruned days' files; the 5-day window below touches ~5/30 of the
+    fixture's partitions."""
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition,
+    )
+    from ..sources.tables import load
+
+    base = _os.path.join(
+        _tempfile.gettempdir(), f"spark_graft_sinks_{_os.getpid()}"
+    )
+    _os.makedirs(base, exist_ok=True)
+    table = _os.path.join(base, f"cdc_hidden_{_uuid.uuid4().hex[:8]}")
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for i in range(3):  # three micro-batches, one commit each
+        commit_append_partitioned(
+            e.filter(F.col("event_id") % 3 == i), table, "ts", "day", ["ts"]
+        )
+    v = current_version(table)
+    one_commit_per_batch = v == 3
+    files, total = prune_files_partition(
+        table, v, "2024-01-10 00:00:00", "2024-01-14 23:59:59.999999"
+    )
+    ts_t = dict(e.dtypes)["ts"]
+    lo = F.lit("2024-01-10 00:00:00").cast(ts_t)
+    hi = F.lit("2024-01-15 00:00:00").cast(ts_t)
+    return (
+        spark.read.parquet(*files)
+        .filter((F.col("ts") >= lo) & (F.col("ts") < hi))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.max("value").alias("max_value"),
+        )
+        .withColumn("one_commit_per_batch", F.lit(one_commit_per_batch))
+        .withColumn("partitions_pruned", F.lit(len(files) < total))
+    )

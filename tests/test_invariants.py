@@ -350,18 +350,16 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 79 §2 keys + 286 extras = 365 registered,
-    352 SQL-oracled / 13 rows-only (r14: q_sim_search_topk_vectorized
-    gained a 6-dp-rounded exact oracle; 7 new table-format keys and 3
-    LLM-pipeline keys — $partitions/$refs, MoR MERGE, column defaults,
-    type widening, timestamp travel, branches/fast-forward, PII scrub,
-    repetition gate, domain-mix sampling; plus the portable md5 twins
-    of the MinHash and SimHash families). Keep the arithmetic honest."""
+    """SURVEY.md §2 declares 369 registered keys, 356 SQL-oracled / 13
+    rows-only (r15 additions, all four SQL-oracled: the fixed-rounds
+    BLAS k-means twin, semantic embedding dedup with CC clustering, the
+    dedup-ledger state-store reader, and streaming CDC into the
+    hidden-partitioned table). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 365
-    assert len(oracles) == 352
+    assert len(QUERIES) == 369
+    assert len(oracles) == 356
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -4168,3 +4166,86 @@ def test_policy_scope_exemption_and_drop(spark, sf_dir, tmp_path):
     drop_policy(table, "pii")
     restored = read_with_policy(spark, table, "analyst")
     assert restored.filter(F.col("c_nationkey") >= 13).count() > 0
+
+
+def test_semantic_dedup_plan_has_no_cartesian(spark, sf_dir):
+    """q_dedup_semantic's plan contract: candidates come from the banded
+    LSH bucket equi-join — a cartesian product (or broadcast
+    nested-loop) anywhere in the plan means the bucketing silently
+    degraded to all-pairs, the exact failure mode LSH exists to
+    prevent."""
+    plan = (
+        QUERIES["q_dedup_semantic"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_semantic_dedup_clusters_are_consistent(spark, sf_dir):
+    """Cluster-label sanity for q_dedup_semantic: every label is a
+    member of its own cluster (keep-min representative exists), labels
+    are cluster minima, sizes agree with membership counts, and the
+    kept flag marks exactly the representative."""
+    rows = QUERIES["q_dedup_semantic"](spark, sf_dir).collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        ids = sorted(m.vec_id for m in members)
+        assert ids[0] == cid, (cid, ids[:3])
+        assert all(m.cluster_size == len(members) for m in members)
+        assert [m.vec_id for m in members if m.kept] == [cid]
+
+
+def test_kmeans_fixedrounds_matches_pure_numpy(spark, sf_dir):
+    """The BLAS production loop q_cluster_kmeans_fixedrounds runs must
+    agree with a plain-numpy replay of the same 4 decimal-finished
+    Lloyd rounds — assignment AND centroid trajectory — independently
+    of the DuckDB oracle (belt + suspenders for the gram-vs-fold
+    argmin agreement the oracle hash proves)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.clustering import (
+        _KM_FIXED_ROUNDS,
+        _KM_K,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.emb, dtype=np.float64)
+        for r in load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> cast(x as double)) as emb"
+        )
+        .collect()
+    }
+    ids = sorted(emb)
+    X = np.vstack([emb[i] for i in ids])
+    C = np.vstack([emb[i] for i in range(_KM_K)])
+    q6 = Decimal("1e-6")
+    for _ in range(_KM_FIXED_ROUNDS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        j = d2.argmin(axis=1)
+        newC = np.empty_like(C)
+        for c in range(_KM_K):
+            pts = X[j == c]
+            for p in range(X.shape[1]):
+                s = float(
+                    Decimal(str(np.sum(pts[:, p], dtype=np.float64)))
+                    .quantize(q6, rounding=ROUND_HALF_UP)
+                )
+                newC[c, p] = s / len(pts)
+        C = newC
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    want = {ids[i]: int(d2[i].argmin()) for i in range(len(ids))}
+    got = {
+        r.vec_id: r.cluster
+        for r in QUERIES["q_cluster_kmeans_fixedrounds"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert got == want

@@ -1615,3 +1615,79 @@ def test_drop_duplicates_within_watermark_state_expiry(spark, tmp_path):
     drain()
     assert (1, "2024-01-01 21:00:00") in got, got
     assert [k for k, _ in got].count(1) == 2, got
+
+
+def test_stream_cdc_hidden_partition_foreachbatch(spark, sf_dir, tmp_path):
+    """REAL writeStream.foreachBatch(commit_append_partitioned) — the
+    q_stream_cdc_hidden_partition docstring's promised streaming twin:
+    micro-batches land through the day(ts) hidden-partitioning writer,
+    one atomic partitioned commit per micro-batch, every committed file
+    carries a partition value, and a plain ts-range read over the
+    streamed-in table prunes files AND returns exactly the batch
+    answer."""
+    from pyspark.sql import functions as F
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition,
+        read_manifest,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.streaming.harness import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
+    stream_dir = str(tmp_path / "stream")
+    src = load(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    src.repartition(3).write.mode("overwrite").parquet(stream_dir)
+
+    table = str(tmp_path / "hidden")
+
+    def sink(batch_df, batch_id: int) -> None:
+        commit_append_partitioned(
+            batch_df.select("event_id", "ts", "user_id", "event_type", "value"),
+            table,
+            "ts",
+            "day",
+            ["ts"],
+            op=f"stream_batch_{batch_id}",
+        )
+
+    s = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stream_dir)
+    )
+    q = (
+        s.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt_hidden"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    v = current_version(table)
+    assert v == 3  # one commit per micro-batch
+    m = read_manifest(table, v)
+    assert all("partition" in f for f in m["files"])  # every file valued
+    files, total = prune_files_partition(
+        table, v, "2024-01-10 00:00:00", "2024-01-14 23:59:59.999999"
+    )
+    assert 0 < len(files) < total  # pruning engaged
+    got = (
+        spark.read.parquet(*files)
+        .filter(
+            (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+        )
+        .count()
+    )
+    want = src.filter(
+        (F.col("ts") >= F.lit("2024-01-10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    ).count()
+    assert got == want
