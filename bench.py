@@ -322,6 +322,9 @@ HEADLINE = [
     "q_dedup_semantic",                   # hyperplane-LSH near-dup clusters + CC
     "q_stream_state_store_dedup",         # dedup-ledger checkpoint inspection
     "q_stream_cdc_hidden_partition",      # per-batch partitioned commits + pruning
+    "q_etl_rewrite_manifests",            # $manifests listing + metadata-only compaction
+    "q_stream_python_datasource",         # offset-checkpointed Python stream source
+    "q_scan_manifest_files_distributed",  # executor-side manifest listing
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

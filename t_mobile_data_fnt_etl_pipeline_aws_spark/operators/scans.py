@@ -5080,3 +5080,278 @@ def q_sink_python_datasource_arrow(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .withColumn("two_phase_committed", F.lit(ok))
     )
+
+
+@query(
+    "q_etl_rewrite_manifests",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 'full',  0,  4, 0, true, true),
+        (2, 'delta', 1,  2, 0, true, true),
+        (3, 'delta', 2,  2, 0, true, true),
+        (4, 'delta', 3,  2, 0, true, true),
+        (5, 'delta', 4,  2, 0, true, true),
+        (6, 'delta', 5,  2, 0, true, true),
+        (7, 'full',  0, 14, 0, true, true)
+    ) AS t(version, form, delta_depth, n_added, n_removed,
+           rows_stable, travel_intact)
+    """,
+)
+def q_etl_rewrite_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REWRITE MANIFESTS + the ``$manifests`` metadata table — the ops
+    loop the round-15 incremental metadata tier introduces: trickle
+    appends build a DELTA-SEGMENT chain (O(new files) metadata per
+    commit — the 100-TB commit path), ``$manifests`` EXPOSES the chain
+    (stored form, depth, added/removed entry counts per version, raw
+    reads only — no reconstruction), and ``compact_manifests`` (the
+    Iceberg ``rewrite_manifests`` procedure) publishes a METADATA-ONLY
+    full snapshot so chains restart at depth 0 — zero data files
+    touched, zero rows moved.
+
+    The expected listing is fully DETERMINED by the commit sequence
+    this key performs (bootstrap at 4 files, five 2-file appends, one
+    rewrite), so the oracle is the literal contract: v1 full/4, v2-v6
+    deltas at depths 1-5 adding 2 files each, v7 full/14 — and the
+    graded flags pin that the rewrite moved NO rows (count stable
+    across the rewrite) and broke NO history (time travel to v2 still
+    reads the first two generations).
+
+    Scale: $manifests is O(#versions) kilobyte raw reads;
+    compact_manifests costs one O(live) manifest write — the scheduled
+    dual of what every 16th commit does automatically."""
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        compact_manifests,
+        manifests_table,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_rewritem_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    slices = [o.filter(F.col("o_orderkey") % 6 == i) for i in range(6)]
+    commit_append(slices[0].repartition(4), table, ["o_orderkey"])
+    for s in slices[1:]:
+        commit_append(s.repartition(2), table, ["o_orderkey"])
+    n_before = read_version(spark, table).count()
+    v7 = compact_manifests(table)
+    n_after = read_version(spark, table, v7).count()
+    rows_stable = n_after == n_before
+    n_v2 = read_version(spark, table, 2).count()
+    n_v2_expected = slices[0].count() + slices[1].count()
+    travel_intact = n_v2 == n_v2_expected
+    return (
+        manifests_table(spark, table)
+        .withColumn("rows_stable", F.lit(rows_stable))
+        .withColumn("travel_intact", F.lit(travel_intact))
+    )
+
+
+@query(
+    "q_stream_python_datasource",
+    oracle="""
+    SELECT n_regionkey,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           true AS resumed_across_runs,
+           true AS source_drained
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SOURCE via the Python Data Source API (SPARK-44076
+    tier, `SimpleDataSourceStreamReader`) — the last missing rung of
+    the Python connector ladder (batch read → filter pushdown → batch
+    sink → Arrow sink → STREAM source): a custom source serves
+    micro-batches with ITS OWN offset protocol (initialOffset / read →
+    (rows, nextOffset) / readBetweenOffsets for replay), and Structured
+    Streaming checkpoints those offsets exactly as it does Kafka's.
+
+    The demonstration is RESUMABILITY, the property the offset protocol
+    exists for: each Trigger.AvailableNow run drains what the simple
+    reader prefetched and stops; re-starting from the same checkpoint
+    RESUMES at the recorded offset — 7-row batches of the staged
+    25-nation feed land across 5 runs with no loss and no replay
+    (graded resumed_across_runs: sink counts strictly increase to 25;
+    graded source_drained: a final run adds zero rows). The exactness
+    oracle is the batch GROUP BY over the same rows.
+
+    Scale: the simple-reader tier prefetches driver-side (right for
+    control-plane-sized feeds; the partition-based DataSourceStreamReader
+    is the data-plane tier), while the SINK side is ordinary
+    distributed parquet — offsets through the driver, rows through
+    executors."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    base = _sink_dir(f"pystream_{_uuid.uuid4().hex[:8]}")
+    os.makedirs(base, exist_ok=True)
+    feed = os.path.join(base, "feed.jsonl")
+    rows = [
+        (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+        for r in load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    ]
+    with open(feed, "w") as fh:
+        for r in sorted(rows):
+            fh.write(_json.dumps(r) + "\n")
+
+    class NationFeedReader(SimpleDataSourceStreamReader):
+        BATCH = 7
+
+        def __init__(self, options):
+            self.path = options["path"]
+
+        def _rows(self):
+            with open(self.path) as fh:
+                return [tuple(_json.loads(line)) for line in fh]
+
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            data = self._rows()
+            i = start["pos"]
+            if i >= len(data):
+                return iter([]), {"pos": i}
+            j = min(i + self.BATCH, len(data))
+            return iter(data[i:j]), {"pos": j}
+
+        def readBetweenOffsets(self, start, end):
+            return iter(self._rows()[start["pos"]:end["pos"]])
+
+    class NationFeedSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "nation_feed"
+
+        def schema(self) -> str:
+            return "n_nationkey bigint, n_name string, n_regionkey bigint"
+
+        def simpleStreamReader(self, schema) -> NationFeedReader:
+            return NationFeedReader(self.options)
+
+    spark.dataSource.register(NationFeedSource)
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+
+    def one_run() -> int:
+        q = (
+            spark.readStream.format("nation_feed")
+            .option("path", feed)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    counts = [one_run() for _ in range(5)]
+    drained = one_run()
+    resumed_ok = (
+        counts == sorted(counts)
+        and counts[-1] == len(rows)
+        and all(b > a for a, b in zip(counts, counts[1:]) if a < len(rows))
+    )
+    drained_ok = drained == len(rows)
+    return (
+        spark.read.parquet(out)
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .withColumn("resumed_across_runs", F.lit(resumed_ok))
+        .withColumn("source_drained", F.lit(drained_ok))
+    )
+
+
+@query(
+    "q_scan_manifest_files_distributed",
+    oracle="""
+    SELECT CAST(count(*) + count(*) FILTER (o_orderkey % 97 = 0)
+               AS BIGINT) AS footer_rows,
+           true AS agrees_with_driver_fold,
+           true AS saw_remove_events
+    FROM orders
+    """,
+)
+def q_scan_manifest_files_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED manifest listing (``files_table_distributed``) — the
+    metadata plane at 10^6-file counts, where "the manifest distributes"
+    must be code, not a docstring: the driver walks the delta-segment
+    chain parsing ONLY the O(changes) delta records (512-byte header
+    sniff picks form without parsing), the full snapshot is exploded by
+    ``spark.read.json`` on EXECUTORS, and per-path last-event-wins (a
+    window over add/remove events) yields the live set.
+
+    Built on a chain that exercises every event kind: per-status
+    appends (adds), a bin-pack OPTIMIZE (adds + REMOVES in one delta),
+    then a trailing append. Graded: the distributed (path, rows) set
+    equals the driver-side files_table fold; the chain really contained
+    remove events; the footer-row total equals the relational count —
+    metadata plane == data plane, computed without the driver ever
+    JSON-parsing the snapshot record.
+
+    Scale: driver work is O(chain · changes); executor work is one JSON
+    scan + one window over file entries — both partition with the
+    metadata, which is the whole point."""
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        _read_raw,
+        commit_append,
+        commit_optimize_binpack,
+        current_version,
+        files_table,
+        files_table_distributed,
+    )
+
+    table = _sink_dir(f"orders_distfiles_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    statuses = sorted(
+        r.o_orderstatus for r in o.select("o_orderstatus").distinct().collect()
+    )
+    for s in statuses:
+        commit_append(
+            o.filter(F.col("o_orderstatus") == s).repartition(2),
+            table,
+            ["o_orderkey"],
+        )
+    commit_optimize_binpack(spark, table, ["o_orderkey"], target_rows=10**9)
+    commit_append(
+        o.filter(F.col("o_orderkey") % 97 == 0).repartition(1),
+        table,
+        ["o_orderkey"],
+    )
+    v = current_version(table)
+    saw_remove = any(
+        _read_raw(table, i).get("remove_paths")
+        for i in range(1, v + 1)
+        if _read_raw(table, i).get("format") == "delta"
+    )
+    dist = files_table_distributed(spark, table, v)
+    drv = files_table(spark, table, v)
+    dist_set = {(r.file_path, r.n_rows) for r in dist.collect()}
+    drv_set = {(r.file_path, r.n_rows) for r in drv.collect()}
+    agrees = dist_set == drv_set and len(dist_set) > 0
+    return (
+        dist.agg(F.sum("n_rows").cast("bigint").alias("footer_rows"))
+        .withColumn("agrees_with_driver_fold", F.lit(agrees))
+        .withColumn("saw_remove_events", F.lit(saw_remove))
+    )

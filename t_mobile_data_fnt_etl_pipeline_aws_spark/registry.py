@@ -140,6 +140,9 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_dedup_semantic",
     "q_stream_state_store_dedup",
     "q_stream_cdc_hidden_partition",
+    "q_etl_rewrite_manifests",
+    "q_stream_python_datasource",
+    "q_scan_manifest_files_distributed",
 ]
 
 

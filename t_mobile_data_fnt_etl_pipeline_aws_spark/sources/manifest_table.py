@@ -388,6 +388,7 @@ def _publish(
     parent: int | None = None,
     constraints: dict | None = None,
     files_add: list[dict] | None = None,
+    force_full: bool = False,
 ) -> int:
     """Atomic CREATE-EXCLUSIVE commit point: write the manifest to a tmp
     name, then ``os.link`` it to its final version name. link(2) fails
@@ -531,7 +532,11 @@ def _publish(
         # are the history DAG (legacy manifests without a parent are
         # linear: parent == version - 1)
         manifest["parent"] = parent
-    record = _delta_or_full(table_dir, version, manifest)
+    record = (
+        manifest
+        if force_full
+        else _delta_or_full(table_dir, version, manifest)
+    )
     return _write_record(table_dir, version, record)
 
 
@@ -2607,6 +2612,166 @@ def maintenance_report(
         "n_files long, n_small_files long, footer_rows long, "
         "pos_vector_rows long, eq_vector_values long, n_versions long, "
         "needs_compaction boolean",
+    )
+
+
+def _sniff_delta(path: str) -> bool:
+    """Cheap stored-form probe: delta records carry '"format": "delta"'
+    in their fixed header (version/op/ts/next_row_id/format — written
+    before the O(changes) lists), so the first 512 bytes decide without
+    parsing a potentially-huge full snapshot. A false positive (the
+    marker appearing inside a full record's first file entry) is
+    corrected by the caller's full parse; a miss is impossible for
+    records this module wrote."""
+    with open(path) as fh:
+        return '"format": "delta"' in fh.read(512)
+
+
+def files_table_distributed(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """The DISTRIBUTED live-file listing — the scale path the
+    driver-side ``files_table`` fold documents away: at production file
+    counts (10^5-10^6 entries, GBs of metadata) the driver must not
+    parse the snapshot at all. The delta tier makes that possible:
+    driver-side work walks the segment chain parsing ONLY the delta
+    records (O(changes) each, ≤ SNAPSHOT_INTERVAL of them, located via
+    the 512-byte header sniff) and hands the full snapshot's PATH to
+    executors unparsed — ``spark.read.json`` explodes its file array
+    distributively, the chain's add/remove events union in, and
+    LAST-EVENT-WINS per path (a window, executor-side) yields liveness:
+    a path is live iff its newest event ≤ version is an add.
+
+    Returns (file_path, n_rows, partition); stats stay in the entries
+    (explode them the same way when a distributed stats scan is
+    needed). Row-for-row equal to ``files_table``'s driver fold —
+    pinned by q_scan_manifest_files_distributed's graded flag."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    v = current_version(table_dir) if version is None else version
+    chain: list[dict] = []
+    cur = v
+    while True:
+        p = os.path.join(_log_dir(table_dir), f"v{cur:05d}.json")
+        if not _sniff_delta(p):
+            snap_path, snap_v = p, cur
+            break
+        raw = _read_raw(table_dir, cur)
+        if raw.get("format") != "delta":  # sniff false positive
+            snap_path, snap_v = p, cur
+            break
+        chain.append(raw)
+        cur = raw["base"]
+    snap = spark.read.json(snap_path)
+    part_col = (
+        F.col("f.partition")
+        if "partition" in snap.select(F.explode("files").alias("f"))
+        .select("f.*")
+        .columns
+        else F.lit(None).cast("string")
+    )
+    events = (
+        snap.select(F.explode("files").alias("f"))
+        .select(
+            F.col("f.path").alias("file_path"),
+            F.col("f.rows").cast("long").alias("n_rows"),
+            part_col.alias("partition"),
+            F.lit(snap_v).alias("ver"),
+            F.lit("add").alias("kind"),
+        )
+    )
+    ev_rows = []
+    for raw in chain:
+        ver = int(raw["version"])
+        for f in raw.get("add_files", []):
+            ev_rows.append(
+                (f["path"], int(f.get("rows", 0)), f.get("partition"), ver,
+                 "add")
+            )
+        for pth in raw.get("remove_paths", []):
+            ev_rows.append((pth, None, None, ver, "remove"))
+    if ev_rows:
+        events = events.unionByName(
+            spark.createDataFrame(
+                ev_rows,
+                "file_path string, n_rows long, partition string, "
+                "ver int, kind string",
+            )
+        )
+    w = Window.partitionBy("file_path").orderBy(F.desc("ver"))
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("kind") == "add"))
+        .select("file_path", "n_rows", "partition")
+    )
+
+
+def compact_manifests(table_dir: str, op: str = "rewrite_manifests") -> int:
+    """REWRITE MANIFESTS (the Iceberg ``rewrite_manifests`` procedure):
+    METADATA-ONLY maintenance that publishes a new version whose
+    manifest stores the reconstructed live state as a FULL snapshot —
+    zero data files touched, zero rows moved — so subsequent delta
+    chains restart at depth 0 and a read folds one segment instead of
+    up to SNAPSHOT_INTERVAL. The dual of vacuum's materialize-before-
+    expire: this one is scheduled (run it when $manifests shows deep
+    chains), that one is forced by retention. Time travel is intact —
+    it's an ordinary append-only commit, every prior version still
+    reads. Version races retry (the rewrite commutes with itself;
+    a race with a data commit just re-reconstructs)."""
+    while True:
+        prev = current_version(table_dir)
+        if not prev:
+            raise ValueError("cannot rewrite manifests of an empty table")
+        m = read_manifest(table_dir, prev)
+        try:
+            return _publish(
+                table_dir,
+                prev + 1,
+                op,
+                m["files"],
+                m.get("schema"),
+                deletes=m.get("deletes"),
+                partition_spec=m.get("partition_spec"),
+                eq_deletes=m.get("eq_deletes"),
+                defaults=m.get("defaults"),
+                constraints=m.get("constraints"),
+                force_full=True,
+            )
+        except CommitConflictError:
+            continue
+
+
+def manifests_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The Iceberg ``table$manifests`` metadata table, adapted to the
+    delta tier: one row per reachable version's STORED form — full
+    snapshot or delta segment, chain depth, and added/removed entry
+    counts. This is the ops surface for the metadata plane itself:
+    "how deep are my segment chains / when should rewrite_manifests
+    run", the question the incremental tier introduces. Raw reads only
+    (_read_raw) — listing the forms must not pay reconstruction."""
+    rows = []
+    for v in range(1, current_version(table_dir) + 1):
+        try:
+            raw = _read_raw(table_dir, v)
+        except FileNotFoundError:
+            continue  # vacuumed beyond retention
+        if raw.get("format") == "delta":
+            rows.append(
+                (
+                    v,
+                    "delta",
+                    int(raw.get("delta_depth", 1)),
+                    len(raw.get("add_files", [])),
+                    len(raw.get("remove_paths", [])),
+                )
+            )
+        else:
+            rows.append((v, "full", 0, len(raw.get("files", [])), 0))
+    return spark.createDataFrame(
+        rows,
+        "version int, form string, delta_depth int, "
+        "n_added int, n_removed int",
     )
 
 

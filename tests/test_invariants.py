@@ -350,16 +350,18 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 369 registered keys, 356 SQL-oracled / 13
-    rows-only (r15 additions, all four SQL-oracled: the fixed-rounds
+    """SURVEY.md §2 declares 372 registered keys, 359 SQL-oracled / 13
+    rows-only (r15 additions, all seven SQL-oracled: the fixed-rounds
     BLAS k-means twin, semantic embedding dedup with CC clustering, the
-    dedup-ledger state-store reader, and streaming CDC into the
-    hidden-partitioned table). Keep the arithmetic honest."""
+    dedup-ledger state-store reader, streaming CDC into the
+    hidden-partitioned table, rewrite_manifests + $manifests, the
+    offset-checkpointed Python streaming source, and the distributed
+    manifest listing). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 369
-    assert len(oracles) == 356
+    assert len(QUERIES) == 372
+    assert len(oracles) == 359
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",

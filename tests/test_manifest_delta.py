@@ -172,3 +172,92 @@ def test_rewrite_shaped_commits_self_check_to_canonical_or_full(
     m = mt.read_manifest(table, v)
     assert sum(f["rows"] for f in m["files"]) == 40
     assert mt.read_version(spark, table, v).count() == 40
+
+
+def test_compact_manifests_resets_chain_and_preserves_history(
+    spark, tmp_path
+):
+    """rewrite_manifests: metadata-only full-snapshot commit — chain
+    depth resets, no data file is added/removed/moved, every prior
+    version still reads, and a following append deltas against the
+    fresh snapshot."""
+    table, df = _mk(spark, tmp_path, n_commits=6, parts=1)
+    before = mt.read_manifest(table, 6)
+    v = mt.compact_manifests(table)
+    raw = mt._read_raw(table, v)
+    assert raw.get("format") != "delta" and v == 7
+    after = mt.read_manifest(table, v)
+    assert after["files"] == before["files"]  # zero data movement
+    assert mt.read_version(spark, table, 3).count() == 3 * 40
+    v8 = mt.commit_append(df.repartition(1), table, ["k"])
+    raw8 = mt._read_raw(table, v8)
+    assert raw8.get("format") == "delta" and raw8["delta_depth"] == 1
+    assert raw8["base"] == v
+
+
+def test_manifests_table_lists_stored_forms(spark, tmp_path):
+    table, _ = _mk(spark, tmp_path, n_commits=3, parts=2)
+    rows = {r.version: r for r in mt.manifests_table(spark, table).collect()}
+    assert rows[1].form == "full" and rows[1].n_added == 2
+    assert rows[2].form == "delta" and rows[2].delta_depth == 1
+    assert rows[3].form == "delta" and rows[3].delta_depth == 2
+    assert all(r.n_removed == 0 for r in rows.values())
+
+
+def test_files_table_distributed_matches_driver_fold(spark, tmp_path):
+    """Distributed listing == driver fold across a chain with adds,
+    removes (binpack), a partitioned generation, and a full snapshot
+    in the middle (compact_manifests)."""
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "dist")
+    df = spark.range(2000).selectExpr(
+        "id as k",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60)"
+        " as ts",
+    )
+    mt.commit_append(df.repartition(2), table, ["k"])
+    small = spark.range(50).selectExpr(
+        "id + 10000 as k", "timestamp '2024-02-01 00:00:00' as ts"
+    )
+    for _ in range(3):
+        mt.commit_append(small.repartition(1), table, ["k"])
+    mt.commit_optimize_binpack(spark, table, ["k"], target_rows=500)
+    mt.compact_manifests(table)
+    mt.commit_append(small.repartition(1), table, ["k"])
+    v = mt.current_version(table)
+    dist = {
+        (r.file_path, r.n_rows)
+        for r in mt.files_table_distributed(spark, table, v).collect()
+    }
+    drv = {
+        (r.file_path, r.n_rows)
+        for r in mt.files_table(spark, table, v).collect()
+    }
+    assert dist == drv and dist
+    # an OLDER version reads correctly too (event window respects ver)
+    dist3 = {
+        (r.file_path, r.n_rows)
+        for r in mt.files_table_distributed(spark, table, 3).collect()
+    }
+    drv3 = {
+        (r.file_path, r.n_rows)
+        for r in mt.files_table(spark, table, 3).collect()
+    }
+    assert dist3 == drv3 and dist3
+
+
+def test_files_table_distributed_partitioned_generation(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    table = str(tmp_path / "distpart")
+    df = spark.range(200).selectExpr(
+        "id as k",
+        "timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,id % 5)"
+        " as ts",
+    )
+    mt.commit_append_partitioned(df, table, "ts", "day", ["ts"])
+    got = mt.files_table_distributed(spark, table).collect()
+    assert {r.partition for r in got} == {
+        "2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04", "2024-01-05"
+    }
