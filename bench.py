@@ -325,6 +325,12 @@ HEADLINE = [
     "q_etl_rewrite_manifests",            # $manifests listing + metadata-only compaction
     "q_stream_python_datasource",         # offset-checkpointed Python stream source
     "q_scan_manifest_files_distributed",  # executor-side manifest listing
+    "q_ml_maxabs_scaler",                 # sparsity-preserving exact-stat scaler
+    "q_ml_normalizer_l2",                 # stateless row-wise unit-sphere projection
+    "q_knn_join_portable",                # exact-oracled ANN bucket-join twin
+    "q_text_normalize_nfc",               # Unicode NFC via Arrow-batched UDF
+    "q_join_existence_mark",              # ExistenceJoin (projected IN/EXISTS marks)
+    "q_etl_drop_partition_metadata_only", # whole-file DROP PARTITION commit
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

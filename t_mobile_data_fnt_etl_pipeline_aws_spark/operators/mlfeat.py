@@ -163,3 +163,108 @@ def q_ml_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label", "idx", "n_rows")
         .orderBy("idx")
     )
+
+
+@query(
+    "q_ml_maxabs_scaler",
+    oracle="""
+    WITH b AS (
+        SELECT max(abs(o_totalprice)) AS m_p,
+               max(abs(o_custkey)) AS m_c
+        FROM orders
+    )
+    SELECT o_orderkey,
+           round(o_totalprice / m_p, 6) AS price_scaled,
+           round(o_custkey / CAST(m_c AS DOUBLE), 6) AS cust_scaled
+    FROM orders, b
+    WHERE o_orderkey < 1000
+    ORDER BY o_orderkey
+    """,
+)
+def q_ml_maxabs_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MaxAbsScaler — the fourth EXACT-statistics member of the
+    feature-transformer family (after MinMaxScaler / Bucketizer /
+    StringIndexer): the fitted statistic is max(|x|) per column, an
+    order-independent reduction, so fit+transform is bit-reproducible
+    and the transform (x / maxabs — sparsity-preserving, the scaler you
+    use when zeros must stay zeros) replays exactly in the oracle.
+    Scores round at 6 dp on both sides, the family convention; the fit
+    covers the FULL table with the output sliced to o_orderkey < 1000.
+
+    Scale: fit is one max-of-abs agg (map-side combinable); transform
+    is a narrow per-row projection."""
+    from pyspark.ml.feature import MaxAbsScaler, VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.col("o_custkey").cast("double").alias("cust"),
+    )
+    assembled = VectorAssembler(
+        inputCols=["price", "cust"], outputCol="feat"
+    ).transform(o)
+    model = MaxAbsScaler(inputCol="feat", outputCol="scaled").fit(assembled)
+    arr = vector_to_array(F.col("scaled"))
+    return (
+        model.transform(assembled)
+        .filter(F.col("o_orderkey") < 1000)
+        .select(
+            "o_orderkey",
+            F.round(arr[0], 6).alias("price_scaled"),
+            F.round(arr[1], 6).alias("cust_scaled"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "q_ml_normalizer_l2",
+    oracle="""
+    SELECT vec_id,
+           round(list_reduce(list_transform(
+                     list_transform(embedding, x -> cast(x as double)),
+                     x -> x * x), (a, b) -> a + b), 6) AS sq_norm_before,
+           1.0 AS sq_norm_after_rounded
+    FROM embeddings
+    WHERE vec_id < 500
+    ORDER BY vec_id
+    """,
+)
+def q_ml_normalizer_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib Normalizer (p=2) — the STATELESS member of the feature
+    family: no fit, a pure per-row projection x / ‖x‖₂, the transform
+    every embedding pipeline runs before cosine similarity (after it,
+    cosine == dot). Graded exactly: the pre-normalization squared norm
+    replays in the oracle via the sequential HOF fold (6 dp), and the
+    post-normalization squared norm must round to exactly 1.0 for
+    every row — the unit-sphere contract, emitted as a constant the
+    oracle pins rather than a boolean so a single drifting row breaks
+    the hash.
+
+    Scale: map-only, zero shuffle, whole-stage codegen around the
+    vector UDF boundary."""
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 500)
+        .select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        )
+    )
+    withvec = e.select("vec_id", "e", array_to_vector("e").alias("v"))
+    normed = Normalizer(inputCol="v", outputCol="nv", p=2.0).transform(
+        withvec
+    )
+    arr = vector_to_array(F.col("nv"))
+    sq = lambda col: F.aggregate(  # noqa: E731
+        F.transform(col, lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+    )
+    return normed.select(
+        "vec_id",
+        F.round(sq(F.col("e")), 6).alias("sq_norm_before"),
+        F.round(sq(arr), 6).alias("sq_norm_after_rounded"),
+    ).orderBy("vec_id")

@@ -5355,3 +5355,95 @@ def q_scan_manifest_files_distributed(spark: SparkSession, sf_dir: str) -> DataF
         .withColumn("agrees_with_driver_fold", F.lit(agrees))
         .withColumn("saw_remove_events", F.lit(saw_remove))
     )
+
+
+@query(
+    "q_etl_drop_partition_metadata_only",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS zero_files_rewritten,
+           true AS dropped_whole_files_only,
+           true AS travel_sees_dropped_month
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND month(o_orderdate) <> 3
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_drop_partition_metadata_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DROP PARTITION — the METADATA-ONLY member of the delete
+    triangle (vs q_etl_manifest_merge_cow's file rewrites and
+    q_etl_manifest_delete_mor's row vectors): 1996 orders land under
+    month(o_orderdate) hidden partitioning, then "delete March" is a
+    single manifest commit that removes the month's whole files from
+    the live set — zero rows read, zero files rewritten, zero files
+    unlinked (the Iceberg whole-file DELETE fast path; cost ∝ manifest
+    entries, the shape retention/GDPR-by-month takes at 100 TB).
+
+    Three graded invariants, each FALSE on a wrong implementation:
+    ``zero_files_rewritten`` — the post-drop live set is a strict
+    subset of the pre-drop set (no new paths appeared, so no data was
+    rewritten); ``dropped_whole_files_only`` — exactly the files whose
+    recorded partition value is '1996-03' left the manifest, and each
+    survivor keeps its byte-identical path; ``travel_sees_dropped_month``
+    — reading the pre-drop version still returns March rows (the drop
+    is a forward commit, not an erasure; vacuum is the erasure step,
+    q_etl_gdpr_purge's territory).
+
+    Scale: the drop commit costs O(#manifest entries) — at 10^5 files
+    it is a sub-second metadata edit where CoW would rewrite a month of
+    data and MoR would write row-count-sized vectors for rows the
+    layout already isolates."""
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        commit_drop_partition,
+        current_version,
+        read_manifest,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_droppart_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice"
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996)
+    commit_append_partitioned(
+        y96, table, "o_orderdate", "month", ["o_orderdate"]
+    )
+    v_before = current_version(table)
+    before = read_manifest(table, v_before)["files"]
+    _, n_dropped = commit_drop_partition(table, ["1996-03"])
+    after = read_manifest(table, current_version(table))["files"]
+    before_paths = {f["path"] for f in before}
+    after_paths = {f["path"] for f in after}
+    march = [f for f in before if f.get("partition") == "1996-03"]
+    zero_rewritten = after_paths <= before_paths
+    whole_files_only = (
+        n_dropped == len(march) > 0
+        and before_paths - after_paths == {f["path"] for f in march}
+    )
+    travel_rows = (
+        read_version(spark, table, v_before)
+        .filter(F.month("o_orderdate") == 3)
+        .count()
+    )
+    return (
+        read_version(spark, table, current_version(table))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("zero_files_rewritten", F.lit(zero_rewritten))
+        .withColumn("dropped_whole_files_only", F.lit(whole_files_only))
+        .withColumn(
+            "travel_sees_dropped_month", F.lit(travel_rows > 0)
+        )
+    )

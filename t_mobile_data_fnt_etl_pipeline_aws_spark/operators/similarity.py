@@ -835,3 +835,210 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(errs).alias("max_abs_err"),
         F.size(F.filter(qs, lambda v: F.abs(v) == 127)).alias("n_saturated"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable kNN-join twin (round 15): the ANN bucket-join mechanics under an
+# EXACT end-to-end oracle — the same evidentiary move the dedup family made
+# with q_dedup_minhash_portable / q_dedup_simhash_portable and clustering
+# made with q_dedup_semantic. The production BLAS forms (q_knn_join_bucketed
+# / _multiprobe) stay rows-only; this twin proves the banding + bucket-join
+# + re-rank pipeline hash-exactly with an engine-portable plane family.
+# ---------------------------------------------------------------------------
+
+#: bounded corpus / probe slices, hyperplane count, 4-bit bands, top-k
+_PKNN_CORPUS = 300
+_PKNN_PROBES = 40
+_PKNN_PLANES = 16
+_PKNN_BAND_BITS = 4
+_PKNN_K = 3
+_PKNN_DIM = 64
+
+
+def _pknn_signs() -> list[list[float]]:
+    """Portable Rademacher planes: sign(p, d) = +1 iff the first hex
+    nibble of md5('knn|p|d') has its top bit set (hashlib md5 == SQL
+    md5); its own seed prefix so the family is independent of the
+    semantic-dedup planes."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if hashlib.md5(f"knn|{p}|{d}".encode()).hexdigest()[0]
+            in "89abcdef"
+            else -1.0
+            for d in range(_PKNN_DIM)
+        ]
+        for p in range(_PKNN_PLANES)
+    ]
+
+
+def _pknn_oracle() -> str:
+    signs = _pknn_signs()
+    n_bands = _PKNN_PLANES // _PKNN_BAND_BITS
+    bit_exprs = ", ".join(
+        "CASE WHEN list_reduce(list_transform(list_zip(e, ["
+        + ", ".join(str(s) for s in signs[p])
+        + "]), s -> s[1] * s[2]), (x, y) -> x + y) > 0"
+        " THEN '1' ELSE '0' END"
+        for p in range(_PKNN_PLANES)
+    )
+    return f"""
+    WITH v AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> cast(x as double)) AS e
+        FROM embeddings WHERE vec_id < {_PKNN_CORPUS}
+    ),
+    n AS (
+        SELECT vec_id, e, {_SQL_NORM.format(a="e")} AS nrm FROM v
+    ),
+    fp AS (
+        SELECT vec_id, concat({bit_exprs}) AS f FROM v
+    ),
+    bands AS (
+        SELECT vec_id, b.b AS band,
+               substr(f, b.b * {_PKNN_BAND_BITS} + 1, {_PKNN_BAND_BITS}) AS sig
+        FROM fp CROSS JOIN
+             (SELECT unnest(generate_series(0, {n_bands - 1})) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS pid, b.vec_id AS nid
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.sig = b.sig AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < {_PKNN_PROBES}
+    ),
+    scored AS (
+        SELECT c.pid, c.nid,
+               {_SQL_DOT.format(a="x.e", b="y.e")} / (x.nrm * y.nrm) AS cos_raw
+        FROM cand c JOIN n x ON x.vec_id = c.pid JOIN n y ON y.vec_id = c.nid
+    )
+    SELECT pid AS probe_id, rnk, nid AS neighbor_id,
+           round(cos_raw, 6) AS cosine
+    FROM (
+        SELECT pid, nid, cos_raw,
+               cast(row_number() OVER (PARTITION BY pid
+                                       ORDER BY cos_raw DESC, nid ASC)
+                    as int) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_PKNN_K}
+    ORDER BY probe_id, rnk
+    """
+
+
+@query("q_knn_join_portable", oracle=_pknn_oracle())
+def q_knn_join_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PORTABLE kNN JOIN — the ANN bucket join under an exact oracle:
+    40 probe vectors find their top-3 neighbors in a 300-vector corpus
+    through banded random-hyperplane LSH (16 md5-derived Rademacher
+    planes inlined as literals in BOTH engines, 4×4-bit bands), an
+    ASYMMETRIC bucket equi-join (probe bands against the full corpus
+    index — never all-pairs), exact HOF-fold cosine on candidates only,
+    and row_number top-k per probe with a vec_id tiebreak.
+
+    The DuckDB oracle replays the ENTIRE pipeline — planes, banding,
+    bucket join, cosine, ranking — so the hash-match proves the kNN
+    bucketing mechanics end-to-end, the portable-twin standard the LSH
+    dedup families set. A probe with fewer than k same-bucket
+    candidates returns fewer rows in BOTH engines (LSH recall is the
+    measured property, pinned separately in tests for the BLAS form);
+    the ORDER itself rides the exact sequential left-fold cosine, which
+    is bit-identical across engines, with the output rounded at 6 dp
+    (the family convention).
+
+    Production path stays q_knn_join_bucketed / _multiprobe (BLAS
+    Arrow-batch signatures, engine-seeded planes, rows-only); this twin
+    is the correctness instrument. Scale shape is identical: fingerprints
+    map-only, candidates from the banded bucket join, top-k via a
+    probe-partitioned window — no cartesian anywhere (plan-pinned in
+    tests)."""
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PKNN_CORPUS)
+        .select("vec_id", _as_dbl("embedding").alias("e"))
+    )
+    signs = _pknn_signs()
+    bit = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col("e"),
+                    F.array(*[F.lit(s) for s in signs[p]]),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0"))
+        for p in range(_PKNN_PLANES)
+    ]
+    fp = e.select(
+        "vec_id",
+        F.col("e"),
+        _norm(F.col("e")).alias("nrm"),
+        F.concat(*bit).alias("f"),
+    )
+    n_bands = _PKNN_PLANES // _PKNN_BAND_BITS
+    bands = fp.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(
+                        "f", b * _PKNN_BAND_BITS + 1, _PKNN_BAND_BITS
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "sig"),
+    )
+    cand = (
+        bands.filter(F.col("vec_id") < _PKNN_PROBES)
+        .alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("pid"), F.col("b.vec_id").alias("nid"))
+        .distinct()
+    )
+    x = fp.select(
+        F.col("vec_id").alias("pid"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    y = fp.select(
+        F.col("vec_id").alias("nid"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = (
+        cand.join(x, "pid")
+        .join(y, "nid")
+        .select(
+            "pid",
+            "nid",
+            (
+                _dot(F.col("ea"), F.col("eb"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos_raw"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy(F.desc("cos_raw"), F.asc("nid"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _PKNN_K)
+        .select(
+            F.col("pid").alias("probe_id"),
+            "rnk",
+            F.col("nid").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+        .orderBy("probe_id", "rnk")
+    )

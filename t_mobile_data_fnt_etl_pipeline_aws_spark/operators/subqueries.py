@@ -185,3 +185,58 @@ def q_subquery_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s_name
         """
     )
+
+
+@query(
+    "q_join_existence_mark",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           c_custkey IN (
+               SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+           ) AS has_big_order,
+           EXISTS (
+               SELECT 1 FROM orders o
+               WHERE o.o_custkey = c_custkey
+                 AND o.o_orderpriority = '1-URGENT'
+           ) AS has_urgent_order
+    FROM customer
+    WHERE c_acctbal > 0
+    """,
+)
+def q_join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTENCE JOIN (the mark join): IN / EXISTS in the SELECT list —
+    not the WHERE clause — so the subquery becomes a projected BOOLEAN
+    per probe row instead of a filter. Catalyst cannot rewrite this to
+    semi/anti (both sides of the truth value survive); it plans the
+    dedicated ExistenceJoin type — a hash join that attaches an
+    `exists#N` flag and keeps every probe row. This completes the §2.3
+    join-type matrix: inner/outer/semi/anti/cross/theta/asof are keyed
+    elsewhere; the mark join is the one remaining physical join kind.
+
+    Both marks ride ONE pass over customer: two ExistenceJoins stack in
+    a single plan, each building its hash side independently (verify
+    with .explain(): no per-row subquery, no cartesian).
+
+    Scale: each mark is a broadcast-or-shuffle hash join on the
+    correlation key, the same cost class as q_join_semi — the flag
+    column adds nothing over the semi-join cost model. NULL discipline:
+    the probe and subquery keys are non-null here, so the IN mark never
+    hits the three-valued UNKNOWN case (q_join_null_safe covers that
+    semantics corner)."""
+    _view(spark, sf_dir, "customer")
+    _view(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment,
+               c_custkey IN (
+                   SELECT o_custkey FROM orders WHERE o_totalprice > 150000
+               ) AS has_big_order,
+               EXISTS (
+                   SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c_custkey
+                     AND o.o_orderpriority = '1-URGENT'
+               ) AS has_urgent_order
+        FROM customer
+        WHERE c_acctbal > 0
+        """
+    )

@@ -4,12 +4,20 @@ Token statistics, n-grams, per-document stats, corpus-trained language
 ID, quality scoring, and rolling-hash fingerprints — the filter/score
 stage of an LLM data pipeline, all expressed as JVM-side DataFrame ops
 (split/explode/groupBy + higher-order functions; zero Python UDFs).
+One documented exception: Unicode NFC normalization
+(q_text_normalize_nfc) has no JVM builtin, so it uses the sanctioned
+slow-path form — an Arrow-batched pandas UDF — with its output pinned
+bit-exactly by md5 against the oracle's native nfc_normalize.
 
 Determinism: every score is integer math or single IEEE expressions;
 ratios finish at 6 dp; ranking queries carry unique tiebreaks.
 """
 
 from __future__ import annotations
+
+import pandas as pd  # module-level: pandas-UDF eval-type inference
+# resolves stringified annotations (PEP 563) against module globals
+# (q_text_normalize_nfc's UDF), same as functions/udfs.py.
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -906,3 +914,63 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_text_normalize_nfc",
+    oracle="""
+    WITH raw AS (
+        SELECT doc_id,
+               'Cafe' || chr(769) || ' ' || chr(8491) || ': ' || text AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           length(s) AS n_chars_raw,
+           length(nfc_normalize(s)) AS n_chars_nfc,
+           md5(nfc_normalize(s)) AS nfc_md5,
+           nfc_normalize(s) <> s AS changed
+    FROM raw
+    ORDER BY doc_id
+    """,
+)
+def q_text_normalize_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE NFC NORMALIZATION — the canonicalization step every text
+    corpus runs before dedup/fingerprinting (a decomposed 'e'+U+0301
+    and a composed U+00E9 render identically but hash differently;
+    unnormalized corpora under-deduplicate). No JVM builtin exists, so
+    this is the module's one sanctioned Python op: an Arrow-batched
+    pandas UDF over ``unicodedata.normalize('NFC', ...)`` — batch
+    transfer, zero per-row Python overhead beyond the normalize call.
+
+    Each document is prefixed with a deterministic denormalized probe
+    (combining acute + the U+212B angstrom sign, both of which NFC
+    rewrites) so the op does real composition work on every row, and
+    the FULL normalized string is pinned bit-exactly via md5 against
+    DuckDB's native ``nfc_normalize`` — two independent NFC
+    implementations (Python's unicodedata vs utf8proc) agreeing on
+    every byte, plus code-point lengths before/after and a changed
+    flag.
+
+    Scale: map-only, no shuffle; the UDF boundary transfers one string
+    column each way per Arrow batch. At 100 TB this pipelines with the
+    scan exactly like the PII regex battery."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc(s: pd.Series) -> pd.Series:
+        return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+    probe = "Café Å: "
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit(probe), F.col("text")).alias("s")
+    )
+    n = d.withColumn("nfc", nfc("s"))
+    return n.select(
+        "doc_id",
+        F.length("s").alias("n_chars_raw"),
+        F.length("nfc").alias("n_chars_nfc"),
+        F.md5("nfc").alias("nfc_md5"),
+        (F.col("nfc") != F.col("s")).alias("changed"),
+    ).orderBy("doc_id")

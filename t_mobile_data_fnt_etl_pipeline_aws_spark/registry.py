@@ -143,6 +143,12 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_etl_rewrite_manifests",
     "q_stream_python_datasource",
     "q_scan_manifest_files_distributed",
+    "q_ml_maxabs_scaler",
+    "q_ml_normalizer_l2",
+    "q_knn_join_portable",
+    "q_text_normalize_nfc",
+    "q_join_existence_mark",
+    "q_etl_drop_partition_metadata_only",
 ]
 
 

@@ -2742,6 +2742,65 @@ def compact_manifests(table_dir: str, op: str = "rewrite_manifests") -> int:
             continue
 
 
+def commit_drop_partition(
+    table_dir: str,
+    values: list[str],
+    op: str = "drop_partition",
+) -> tuple[int, int]:
+    """METADATA-ONLY ``DROP PARTITION`` (the Iceberg
+    ``DELETE FROM t WHERE partition_predicate`` whole-file fast path):
+    when every row of a file satisfies the delete predicate — which the
+    manifest KNOWS from the file's recorded partition value — the commit
+    simply removes those entries from the live set. Zero data files are
+    read, rewritten, or unlinked: dropped files stay on disk for time
+    travel (vacuum reclaims them once their versions expire), and the
+    commit costs O(#files in the manifest), never O(rows).
+
+    This is the third member of the delete triangle: copy-on-write
+    MERGE rewrites files (cost ∝ file bytes), merge-on-read vectors
+    mask rows (cost ∝ rows deleted), and partition drop removes whole
+    files (cost ∝ metadata) — the right tool when retention/GDPR lines
+    up with the partition layout, e.g. "drop month 2019-03".
+
+    ``values`` are partition values under the table's declared
+    transform (the same strings ``commit_append_partitioned`` records).
+    Refuses on an unpartitioned table — a predicate that does not align
+    with whole files needs the MoR/CoW paths instead. Returns
+    ``(new_version, files_dropped)``; racing commits retry against the
+    advanced head (the drop re-partitions the new live set)."""
+    want = set(values)
+    while True:
+        prev = current_version(table_dir)
+        if not prev:
+            raise ValueError("cannot drop partitions of an empty table")
+        m = read_manifest(table_dir, prev)
+        if not m.get("partition_spec"):
+            raise ValueError(
+                "table is not partitioned; use merge-on-read or "
+                "copy-on-write deletes for row-level predicates"
+            )
+        keep = [f for f in m["files"] if f.get("partition") not in want]
+        dropped = len(m["files"]) - len(keep)
+        try:
+            return (
+                _publish(
+                    table_dir,
+                    prev + 1,
+                    op,
+                    keep,
+                    m.get("schema"),
+                    deletes=m.get("deletes"),
+                    partition_spec=m.get("partition_spec"),
+                    eq_deletes=m.get("eq_deletes"),
+                    defaults=m.get("defaults"),
+                    constraints=m.get("constraints"),
+                ),
+                dropped,
+            )
+        except CommitConflictError:
+            continue
+
+
 def manifests_table(spark: SparkSession, table_dir: str) -> DataFrame:
     """The Iceberg ``table$manifests`` metadata table, adapted to the
     delta tier: one row per reachable version's STORED form — full

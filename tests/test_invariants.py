@@ -350,18 +350,21 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 372 registered keys, 359 SQL-oracled / 13
-    rows-only (r15 additions, all seven SQL-oracled: the fixed-rounds
+    """SURVEY.md §2 declares 378 registered keys, 365 SQL-oracled / 13
+    rows-only (r15 additions, all thirteen SQL-oracled: the fixed-rounds
     BLAS k-means twin, semantic embedding dedup with CC clustering, the
     dedup-ledger state-store reader, streaming CDC into the
     hidden-partitioned table, rewrite_manifests + $manifests, the
-    offset-checkpointed Python streaming source, and the distributed
-    manifest listing). Keep the arithmetic honest."""
+    offset-checkpointed Python streaming source, the distributed
+    manifest listing, the MaxAbsScaler / L2-Normalizer members of
+    the exact-statistics MLlib family, the portable kNN-join twin,
+    Unicode NFC normalization, the ExistenceJoin mark, and the
+    metadata-only DROP PARTITION). Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 372
-    assert len(oracles) == 359
+    assert len(QUERIES) == 378
+    assert len(oracles) == 365
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -4251,3 +4254,178 @@ def test_kmeans_fixedrounds_matches_pure_numpy(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_knn_portable_plan_has_no_cartesian(spark, sf_dir):
+    """q_knn_join_portable's plan contract: candidates come from the
+    asymmetric banded bucket equi-join; a CartesianProduct or
+    BroadcastNestedLoopJoin anywhere means the LSH degraded to
+    all-pairs — the failure mode the portable twin exists to prove
+    absent (same contract as the semantic-dedup and BLAS forms)."""
+    plan = (
+        QUERIES["q_knn_join_portable"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_knn_portable_matches_bruteforce_topk(spark, sf_dir):
+    """Within-candidate exactness: every (probe, rnk) row the portable
+    kNN emits must agree with a numpy brute-force cosine ranking
+    RESTRICTED to the same candidate set implied by the plane family —
+    recomputed independently here (planes from md5, banding in Python).
+    This pins the Spark side against a third implementation (numpy)
+    in addition to the DuckDB oracle."""
+    import hashlib
+
+    import numpy as np
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.operators.similarity import (
+        _PKNN_BAND_BITS,
+        _PKNN_CORPUS,
+        _PKNN_DIM,
+        _PKNN_K,
+        _PKNN_PLANES,
+        _PKNN_PROBES,
+        _pknn_signs,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    rows = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < _PKNN_CORPUS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    S = np.array(_pknn_signs())
+    bits = (X @ S.T) > 0  # n × planes
+    n_bands = _PKNN_PLANES // _PKNN_BAND_BITS
+    sigs = {
+        ids[i]: [
+            tuple(bits[i, b * _PKNN_BAND_BITS : (b + 1) * _PKNN_BAND_BITS])
+            for b in range(n_bands)
+        ]
+        for i in range(len(ids))
+    }
+    buckets: dict = {}
+    for vid, bs in sigs.items():
+        for b, sig in enumerate(bs):
+            buckets.setdefault((b, sig), []).append(vid)
+    idx = {v: i for i, v in enumerate(ids)}
+    nrm = np.linalg.norm(X, axis=1)
+    want = {}
+    for pid in [v for v in ids if v < _PKNN_PROBES]:
+        cands = set()
+        for b, sig in enumerate(sigs[pid]):
+            cands.update(buckets[(b, sig)])
+        cands.discard(pid)
+        scored = sorted(
+            (
+                (
+                    -(X[idx[pid]] @ X[idx[c]]) / (nrm[idx[pid]] * nrm[idx[c]]),
+                    c,
+                )
+                for c in cands
+            ),
+        )[:_PKNN_K]
+        for rnk, (negcos, c) in enumerate(scored, start=1):
+            want[(pid, rnk)] = c
+    got = {
+        (r.probe_id, r.rnk): r.neighbor_id
+        for r in QUERIES["q_knn_join_portable"](spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_drop_partition_refuses_unpartitioned(spark, sf_dir, tmp_path):
+    """commit_drop_partition must refuse a table without a declared
+    partition spec — a row-level predicate there needs MoR/CoW."""
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        commit_drop_partition,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "plain")
+    commit_append(
+        load(spark, sf_dir, "region"), table, ["r_regionkey"]
+    )
+    with _pytest.raises(ValueError, match="not partitioned"):
+        commit_drop_partition(table, ["1996-03"])
+
+
+def test_drop_partition_travel_and_vacuum(spark, sf_dir, tmp_path):
+    """The drop is a forward commit: time travel to the pre-drop
+    version still reads the dropped month; after vacuum(retain_last=1)
+    the dropped files are physically reclaimed and the live read is
+    unchanged — the metadata drop + vacuum pair is the erasure path."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append_partitioned,
+        commit_drop_partition,
+        current_version,
+        read_manifest,
+        read_version,
+        vacuum,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    table = str(tmp_path / "part")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.year("o_orderdate") == 1996)
+        .select("o_orderkey", "o_orderdate")
+    )
+    commit_append_partitioned(
+        o, table, "o_orderdate", "month", ["o_orderdate"]
+    )
+    v1 = current_version(table)
+    n_total = read_version(spark, table, v1).count()
+    n_march = (
+        read_version(spark, table, v1)
+        .filter(F.month("o_orderdate") == 3)
+        .count()
+    )
+    assert n_march > 0
+    v2, dropped = commit_drop_partition(table, ["1996-03"])
+    assert dropped > 0
+    live = read_version(spark, table, v2)
+    assert live.count() == n_total - n_march
+    assert live.filter(F.month("o_orderdate") == 3).count() == 0
+    # forward-only: travel still sees March
+    assert (
+        read_version(spark, table, v1)
+        .filter(F.month("o_orderdate") == 3)
+        .count()
+        == n_march
+    )
+    # vacuum reclaims the dropped files; the live read is unchanged
+    import os as _os
+
+    dropped_paths = {
+        f["path"] for f in read_manifest(table, v1)["files"]
+    } - {f["path"] for f in read_manifest(table, v2)["files"]}
+    assert dropped_paths and all(_os.path.exists(p) for p in dropped_paths)
+    vacuum(table, retain_last=1)
+    assert all(not _os.path.exists(p) for p in dropped_paths)
+    assert read_version(spark, table, v2).count() == n_total - n_march
+
+
+def test_nfc_normalization_idempotent_and_real(spark, sf_dir):
+    """q_text_normalize_nfc must do real composition work (every row
+    changed: the injected probe guarantees it) and be idempotent — the
+    normalized output's md5 equals the md5 of normalizing it twice."""
+    import unicodedata
+
+    pdf = QUERIES["q_text_normalize_nfc"](spark, sf_dir).toPandas()
+    assert pdf["changed"].all()
+    assert (pdf["n_chars_nfc"] < pdf["n_chars_raw"]).all()
+    probe = "Café Å: "
+    once = unicodedata.normalize("NFC", probe)
+    assert unicodedata.normalize("NFC", once) == once

@@ -1206,3 +1206,15 @@ def test_dq_expectations_single_pass(spark, sf_dir):
 
     df = QUERIES["q_dq_expectations"](spark, sf_dir)
     assert len(read_schemas(df)) == 1, plan_string(df)
+
+
+def test_existence_mark_plans_existence_join(spark, sf_dir):
+    """The projected IN/EXISTS marks must plan as ExistenceJoin hash
+    joins (flag-attaching, row-preserving) — NOT decorrelate to
+    semi/anti (which would drop rows) and NOT fall back to a per-row
+    subquery or nested loop."""
+    df = QUERIES["q_join_existence_mark"](spark, sf_dir)
+    s = plan_string(df)
+    assert "ExistenceJoin" in s, s
+    assert "BroadcastNestedLoopJoin" not in s, s
+    assert "CartesianProduct" not in s, s
