@@ -331,6 +331,13 @@ HEADLINE = [
     "q_text_normalize_nfc",               # Unicode NFC via Arrow-batched UDF
     "q_join_existence_mark",              # ExistenceJoin (projected IN/EXISTS marks)
     "q_etl_drop_partition_metadata_only", # whole-file DROP PARTITION commit
+    "q_pattern_sequence_match",           # MATCH_RECOGNIZE-lite journey regex
+    "q_etl_merge_not_matched_by_source",  # 3-clause MERGE semantics
+    "q_etl_bucket_partition_transform",   # bucket[8] layout + point-lookup prune
+    "q_etl_identity_partition_transform", # identity layout + equality prune
+    "q_sink_python_datasource_stream",    # Python streaming sink 2-phase commit
+    "q_stats_mann_whitney",               # global-rank nonparametric U test
+    "q_graph_label_propagation",          # 3-round synchronous LPA communities
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

@@ -912,3 +912,80 @@ def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "open", "high", "low", "close",
         "n_trades", "volume",
     )
+
+
+@query(
+    "q_pattern_sequence_match",
+    oracle="""
+    WITH j AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS journey
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT user_id,
+           cast(length(journey) as int) AS journey_len,
+           cast(len(regexp_extract_all(journey, 'v[^p]*p')) as int)
+               AS n_view_to_purchase,
+           regexp_matches(journey, 's[^e]*e') AS signup_then_error
+    FROM j
+    ORDER BY user_id
+    """,
+)
+def q_pattern_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW-PATTERN MATCHING over event sequences — the
+    MATCH_RECOGNIZE-class operator (Flink CEP / Trino
+    MATCH_RECOGNIZE), expressed Spark-first as journey-string regex:
+    each user's events collapse to one ordered type-code string
+    (c/e/p/s/v, deterministic (ts, event_id) order), and patterns
+    become regexes over it — `v[^p]*p` counts NON-OVERLAPPING
+    view→…→purchase conversions (the reluctant funnel: each purchase
+    closes the earliest open view, the standard CEP SKIP PAST LAST ROW
+    semantics), `s[^e]*e` flags signup followed by a later error.
+
+    Distinct from q_pattern_error_burst (consecutive-run islands) and
+    q_funnel_conversion (min-ts step ordering): this is the general
+    regex-over-sequence form — any pattern expressible as a regular
+    language runs without new shuffles, because the expensive part
+    (one groupBy building the journey) is shared across all patterns.
+
+    Parity: Java regex and DuckDB's RE2 agree on this POSIX-safe
+    subset (literal chars + negated class + star); both engines'
+    extract-all scans are non-overlapping left-to-right. The journey
+    build is sort_array(collect_list(struct)) — exact (ts, event_id)
+    total order, partition-independent — mirrored by the oracle's
+    ORDER BY inside string_agg.
+
+    Scale: ONE shuffle (groupBy user_id); journeys are KB-sized
+    strings; the regex evaluation is embarrassingly parallel post-agg.
+    At 100 TB the journey build is the same cost class as any
+    per-entity collect_sorted; patterns never rescan the events."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("code"),
+    )
+    j = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "code"))
+                    ),
+                    lambda s: s["code"],
+                ),
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").alias("journey_len"),
+        F.size(F.regexp_extract_all("journey", F.lit("v[^p]*p"), 0)).alias(
+            "n_view_to_purchase"
+        ),
+        F.col("journey").rlike("s[^e]*e").alias("signup_then_error"),
+    ).orderBy("user_id")

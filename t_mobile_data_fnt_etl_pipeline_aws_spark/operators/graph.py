@@ -670,3 +670,150 @@ def q_graph_hierarchy_path(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk GROUP BY node
         """
     )
+
+
+#: LPA: strongest-K undirected edges and synchronous rounds
+_LPA_TOPK = 40
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        rounds.append(f"""
+    v{k} AS (
+        SELECT nbr.node, l.label, count(*) AS c
+        FROM nbr JOIN l{k - 1} l ON nbr.peer = l.node
+        GROUP BY nbr.node, l.label
+    ),
+    l{k} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM v{k}
+        ) WHERE rn = 1
+    )""")
+    return f"""
+    WITH de AS (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(DISTINCT o.o_orderkey) AS w
+        FROM lineitem li
+        JOIN orders o ON li.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        WHERE c.c_nationkey <> s.s_nationkey
+        GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    ue AS (
+        SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+               cast(sum(w) as bigint) AS w
+        FROM de GROUP BY least(src, dst), greatest(src, dst)
+    ),
+    topk AS (
+        SELECT u, v FROM (
+            SELECT u, v,
+                   row_number() OVER (ORDER BY w DESC, u ASC, v ASC) AS rn
+            FROM ue
+        ) WHERE rn <= {_LPA_TOPK}
+    ),
+    nbr AS (
+        SELECT u AS node, v AS peer FROM topk
+        UNION ALL
+        SELECT v AS node, u AS peer FROM topk
+    ),
+    l0 AS (
+        SELECT DISTINCT node, node AS label FROM nbr
+    ),{",".join(rounds)}
+    SELECT l.node, l.label AS community,
+           count(*) OVER (PARTITION BY l.label) AS community_size
+    FROM l{_LPA_ROUNDS} l
+    ORDER BY l.node
+    """
+
+
+@query("q_graph_label_propagation", oracle=_lpa_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL PROPAGATION community detection (Raghavan et al. 2007, the
+    GraphFrames/Pregel workhorse) made DETERMINISTIC and therefore
+    exact-oracle-able: 3 SYNCHRONOUS rounds (_LPA_ROUNDS) over the
+    strongest-40 (_LPA_TOPK) undirected trade edges (top-K by weight with
+    full (w, u, v) tiebreak — a deterministic sparsifier; the dense
+    25-nation clique would trivially collapse to one community), each
+    round re-labeling every node with the MODE of its neighbors'
+    labels, ties broken toward the smaller label — the two places
+    vanilla LPA is nondeterministic (update order, tie choice) pinned
+    to exact rules both engines replay.
+
+    Completes the graph family: PageRank (centrality), triangles
+    (local density), BFS (reachability), CC (components — LPA's
+    degenerate cousin), hierarchy rollups, and now community
+    structure. Integer-only math; no finishing anywhere.
+
+    Scale: per round = one join (labels ⋈ symmetric edges, shuffle on
+    node id) + one hash agg + one node-partitioned window — the
+    standard Pregel round as DataFrame ops, unrolled like PageRank so
+    Catalyst sees ONE plan. Community sizes via a final window."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    from pyspark.sql import Window
+
+    de = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == c["c_custkey"])
+        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count_distinct("o_orderkey").alias("w"))
+    )
+    ue = (
+        de.groupBy(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    topk = (
+        ue.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc("w"), F.asc("u"), F.asc("v"))
+            ),
+        )
+        .filter(F.col("rn") <= _LPA_TOPK)
+        .select("u", "v")
+    )
+    nbr = topk.select(
+        F.col("u").alias("node"), F.col("v").alias("peer")
+    ).unionAll(topk.select(F.col("v").alias("node"), F.col("u").alias("peer")))
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    wmode = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            nbr.join(
+                labels.select(
+                    F.col("node").alias("peer"), F.col("label")
+                ),
+                "peer",
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(wmode))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    wsize = Window.partitionBy("community")
+    return (
+        labels.select("node", F.col("label").alias("community"))
+        .withColumn("community_size", F.count(F.lit(1)).over(wsize))
+        .orderBy("node")
+    )

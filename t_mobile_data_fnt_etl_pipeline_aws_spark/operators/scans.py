@@ -5447,3 +5447,465 @@ def q_etl_drop_partition_metadata_only(
             "travel_sees_dropped_month", F.lit(travel_rows > 0)
         )
     )
+
+
+@query(
+    "q_etl_merge_not_matched_by_source",
+    oracle=f"""
+    WITH t AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice
+        FROM orders WHERE o_orderkey < 3000
+    ),
+    s AS (
+        SELECT o_orderkey, o_orderpriority,
+               o_totalprice + 50 AS o_totalprice
+        FROM orders WHERE o_orderkey >= 1500 AND o_orderkey < 4500
+    ),
+    m AS (
+        SELECT * FROM s
+        UNION ALL
+        SELECT * FROM t
+        WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s)
+          AND o_orderpriority <> '5-LOW'
+    )
+    SELECT o_orderpriority,
+           count(*) AS n_rows,
+           {sql_dsum("o_totalprice", "total_price")},
+           true AS merge_counts_consistent,
+           true AS single_commit
+    FROM m GROUP BY o_orderpriority
+    """,
+)
+def q_etl_merge_not_matched_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MERGE with all THREE clause families — the full Delta/Iceberg
+    `MERGE INTO` surface, including the 2023-era
+    `WHEN NOT MATCHED BY SOURCE` clause the sync/CDC workloads need:
+    WHEN MATCHED → update to the source value; WHEN NOT MATCHED →
+    insert the source row; WHEN NOT MATCHED BY SOURCE AND pred →
+    delete (target rows the source no longer carries, gated here to
+    priority '5-LOW' — the predicate'd form, since an unconditional
+    by-source delete is just "replace with source"). One full-outer
+    join computes all three dispositions in a single pass; one
+    commit_replace publishes the result (graded single_commit: exactly
+    one version advance). q_etl_manifest_merge_cow covers the pruned
+    file-subset rewrite; this key covers CLAUSE SEMANTICS, so it
+    replaces the whole (small) target and grades the row algebra.
+
+    merge_counts_consistent pins the disposition arithmetic computed
+    from the live join: rows_after == n_source + n_target_only_kept,
+    and the deleted set is exactly the '5-LOW' target-only keys — a
+    wrong join type (inner/left) or clause order breaks it.
+
+    Scale: the merge join shuffles both sides on the key once;
+    disposition logic is a projection. At 100 TB the same plan runs
+    with the pruned-rewrite file targeting of the CoW key — clause
+    semantics and file targeting compose orthogonally."""
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append,
+        commit_replace,
+        current_version,
+        read_version,
+    )
+
+    table = _sink_dir(f"orders_merge3_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    price_t = dict(o.dtypes)["o_totalprice"]
+    commit_append(
+        o.filter(F.col("o_orderkey") < 3000).repartition(4),
+        table,
+        ["o_orderkey"],
+    )
+    v1 = current_version(table)
+    src = (
+        o.filter((F.col("o_orderkey") >= 1500) & (F.col("o_orderkey") < 4500))
+        .withColumn(
+            "o_totalprice",
+            (F.col("o_totalprice") + F.lit(50)).cast(price_t),
+        )
+    )
+    t = read_version(spark, table, v1)
+    joined = t.alias("t").join(
+        src.alias("s"), on=F.col("t.o_orderkey") == F.col("s.o_orderkey"),
+        how="full_outer",
+    )
+    in_src = F.col("s.o_orderkey").isNotNull()
+    in_tgt = F.col("t.o_orderkey").isNotNull()
+    keep_target_only = (
+        in_tgt & ~in_src & (F.col("t.o_orderpriority") != "5-LOW")
+    )
+    merged = joined.filter(in_src | keep_target_only).select(
+        F.when(in_src, F.col("s.o_orderkey"))
+        .otherwise(F.col("t.o_orderkey"))
+        .alias("o_orderkey"),
+        F.when(in_src, F.col("s.o_orderpriority"))
+        .otherwise(F.col("t.o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.when(in_src, F.col("s.o_totalprice"))
+        .otherwise(F.col("t.o_totalprice"))
+        .cast(price_t)
+        .alias("o_totalprice"),
+    )
+    commit_replace(merged, table, ["o_orderkey"], op="merge")
+    v2 = current_version(table)
+    n_target = t.count()
+    n_source = src.count()
+    n_deleted = joined.filter(
+        in_tgt & ~in_src & (F.col("t.o_orderpriority") == "5-LOW")
+    ).count()
+    live = read_version(spark, table, v2)
+    n_after = live.count()
+    consistent = n_after == n_source + (n_target - n_source_overlap(t, src)) - n_deleted
+    return (
+        live.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum(F.col("o_totalprice"), "total_price"),
+        )
+        .withColumn("merge_counts_consistent", F.lit(bool(consistent)))
+        .withColumn("single_commit", F.lit(v2 == v1 + 1))
+    )
+
+
+def n_source_overlap(t: DataFrame, s: DataFrame) -> int:
+    """Matched-key count for the merge arithmetic (|target ∩ source|)."""
+    return t.select("o_orderkey").join(
+        s.select("o_orderkey"), "o_orderkey"
+    ).count()
+
+
+@query(
+    "q_etl_bucket_partition_transform",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           true AS pruned_to_one_bucket,
+           true AS bucket_values_consistent
+    FROM orders WHERE o_custkey = 37
+    ORDER BY o_orderkey
+    """,
+)
+def q_etl_bucket_partition_transform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BUCKET PARTITION TRANSFORM (Iceberg ``bucket[N]``): orders land
+    under bucket[8](o_custkey) — a PORTABLE hash layout (md5 mod N,
+    derived inside the write plan JVM-side and replayed by hashlib on
+    the predicate side) — and a point lookup on the raw key prunes to
+    the ONE matching bucket through the manifest, reading ~1/8 of the
+    files with zero layout knowledge in the query. This is the
+    transform that turns key-equality workloads (CDC upserts, entity
+    lookups) into O(1/N) scans when temporal layouts don't apply, and
+    the layout storage-partitioned joins build on.
+
+    Graded: ``pruned_to_one_bucket`` pins files_read < total AND that
+    every surviving file carries the probe key's bucket value;
+    ``bucket_values_consistent`` re-derives each matched row's bucket
+    in the READ plan and pins it equal to the probe's — a write-side /
+    predicate-side hash divergence (the silent wrong-file failure
+    mode) breaks it. Exactness: the pruned scan re-applies the
+    predicate, so the rows must equal the oracle's regardless of
+    pruning.
+
+    Scale: the bucket shuffle at write is the same cost class as any
+    partitioned write; the lookup is O(#manifest entries) + 1/N of the
+    data."""
+    import hashlib as _hashlib
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition_value,
+        read_manifest,
+    )
+
+    table = _sink_dir(f"orders_bucket_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    commit_append_partitioned(o, table, "o_custkey", "bucket[8]", ["o_custkey"])
+    v = current_version(table)
+    probe = 37
+    files, total = prune_files_partition_value(table, v, probe)
+    want_bucket = str(
+        int(_hashlib.md5(str(probe).encode()).hexdigest()[:15], 16) % 8
+    )
+    by_path = {
+        f["path"]: f.get("partition")
+        for f in read_manifest(table, v)["files"]
+    }
+    pruned_ok = 0 < len(files) < total and all(
+        by_path[p] == want_bucket for p in files
+    )
+    rows = spark.read.parquet(*files).filter(F.col("o_custkey") == probe)
+    rederived = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(8),
+    ).cast("string")
+    return rows.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.lit(pruned_ok).alias("pruned_to_one_bucket"),
+        (rederived == F.lit(want_bucket)).alias("bucket_values_consistent"),
+    ).orderBy("o_orderkey")
+
+
+@query(
+    "q_etl_identity_partition_transform",
+    oracle=f"""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           {sql_dsum("o_totalprice", "revenue")},
+           true AS pruned_to_one_partition
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_etl_identity_partition_transform(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IDENTITY PARTITION TRANSFORM (the classic Hive layout, declared
+    Iceberg-style): orders land under identity(o_orderpriority) — five
+    partitions — and an equality predicate on the raw column prunes to
+    exactly the matching partition's files through the manifest. The
+    difference from Hive: the layout is DECLARED metadata
+    (partition_spec), so the same prune_files_partition_value call
+    serves identity, bucket, and temporal transforms, files keep their
+    own transform under evolution, and a query never names a layout
+    directory. Completes the transform family: temporal
+    (q_etl_hidden_partitioning), bucket (the key above), identity
+    (here).
+
+    Graded: pruned_to_one_partition pins files_read < total and every
+    surviving file carrying exactly the probe value.
+
+    Scale: identity on a low-cardinality column is the
+    retention/tenant layout; pruning is O(#manifest entries) and the
+    scan reads 1/|values| of the data."""
+    import uuid as _uuid
+
+    from ..sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition_value,
+        read_manifest,
+    )
+
+    table = _sink_dir(f"orders_identity_{_uuid.uuid4().hex[:8]}")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    commit_append_partitioned(
+        o, table, "o_orderpriority", "identity", ["o_orderkey"]
+    )
+    v = current_version(table)
+    probe = "1-URGENT"
+    files, total = prune_files_partition_value(table, v, probe)
+    by_path = {
+        f["path"]: f.get("partition")
+        for f in read_manifest(table, v)["files"]
+    }
+    pruned_ok = 0 < len(files) < total and all(
+        by_path[p] == probe for p in files
+    )
+    return (
+        spark.read.parquet(*files)
+        .filter(F.col("o_orderpriority") == probe)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+        .withColumn("pruned_to_one_partition", F.lit(pruned_ok))
+    )
+
+
+@query(
+    "q_sink_python_datasource_stream",
+    oracle="""
+    SELECT n_regionkey,
+           count(*) AS n_nations,
+           cast(sum(n_nationkey) as bigint) AS key_sum,
+           true AS one_commit_per_batch,
+           true AS exactly_once_rows
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def q_sink_python_datasource_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING SINK via the Python Data Source API
+    (``DataSourceStreamWriter``) — the write-side completion of the
+    connector ladder's streaming rung (q_stream_python_datasource is
+    the read side): a file-source stream (maxFilesPerTrigger=1, so the
+    25-nation feed arrives as genuine multi-batch micro-batches under
+    Trigger.AvailableNow) lands in a user-defined sink that implements
+    Spark's per-batch TWO-PHASE commit:
+
+      1. ``write(iterator)`` runs per executor task per micro-batch,
+         staging under a task-unique temp name;
+      2. ``commit(messages, batchId)`` runs once on the driver per
+         micro-batch, promoting temp files AND appending one record to
+         the sink's own commit log keyed by batchId — the idempotence
+         hook: a batch re-delivered after a failure (same batchId)
+         would be detected and skipped, which is exactly how
+         foreachBatch/Delta sinks achieve effective exactly-once over
+         Spark's at-least-once batch replay;
+      3. ``abort(messages, batchId)`` discards the staged generation.
+
+    Graded: one_commit_per_batch — the commit log carries exactly one
+    record per DISTINCT batchId and more than one batch ran (the
+    multi-batch claim); exactly_once_rows — re-reading ONLY
+    commit-logged files yields exactly the 25 source rows, no loss, no
+    replay. Exactness rides the oracle's batch GROUP BY.
+
+    Scale: rows flow executor-side; only commit messages (file names)
+    cross to the driver — the same asymmetry every production sink
+    protocol has."""
+    import json as _json
+    import uuid as _uuid
+
+    from pyspark import TaskContext
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    base = _sink_dir(f"pystreamsink_{_uuid.uuid4().hex[:8]}")
+    feed_dir = os.path.join(base, "feed")
+    out_dir = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    os.makedirs(out_dir, exist_ok=True)
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.repartition(5).write.mode("overwrite").parquet(feed_dir)
+
+    class _Staged(WriterCommitMessage):
+        def __init__(self, tmp_name: str, n_rows: int):
+            self.tmp_name = tmp_name
+            self.n_rows = n_rows
+
+    class NationStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.dir = options["path"]
+
+        def write(self, iterator):
+            ctx = TaskContext.get()
+            tmp = (
+                f".tmp-{ctx.partitionId()}-{ctx.taskAttemptId()}-"
+                f"{_uuid.uuid4().hex[:8]}"
+            )
+            k = 0
+            with open(os.path.join(self.dir, tmp), "w") as fh:
+                for row in iterator:
+                    fh.write(
+                        f"{row['n_nationkey']}|{row['n_name']}|"
+                        f"{row['n_regionkey']}\n"
+                    )
+                    k += 1
+            return _Staged(tmp, k)
+
+        def commit(self, messages, batchId) -> None:
+            log = os.path.join(self.dir, "_commits.jsonl")
+            seen = set()
+            if os.path.exists(log):
+                with open(log) as fh:
+                    seen = {_json.loads(line)["batch"] for line in fh}
+            if batchId in seen:  # replayed batch: idempotent skip
+                for m in messages:
+                    try:
+                        os.remove(os.path.join(self.dir, m.tmp_name))
+                    except OSError:
+                        pass
+                return
+            names = []
+            for i, m in enumerate(messages):
+                final = f"batch-{batchId:05d}-{i:05d}.csv"
+                os.replace(
+                    os.path.join(self.dir, m.tmp_name),
+                    os.path.join(self.dir, final),
+                )
+                names.append(final)
+            with open(log, "a") as fh:
+                fh.write(
+                    _json.dumps(
+                        {
+                            "batch": batchId,
+                            "files": names,
+                            "rows": sum(m.n_rows for m in messages),
+                        }
+                    )
+                    + "\n"
+                )
+
+        def abort(self, messages, batchId) -> None:
+            for m in messages:
+                if m is not None:
+                    try:
+                        os.remove(os.path.join(self.dir, m.tmp_name))
+                    except OSError:
+                        pass
+
+    class NationStreamSink(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "nation_stream_sink"
+
+        def streamWriter(self, schema, overwrite):
+            return NationStreamWriter(self.options)
+
+    spark.dataSource.register(NationStreamSink)
+    q = (
+        spark.readStream.schema(n.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed_dir)
+        .writeStream.format("nation_stream_sink")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    log = os.path.join(out_dir, "_commits.jsonl")
+    with open(log) as fh:
+        commits = [_json.loads(line) for line in fh]
+    batch_ids = [c["batch"] for c in commits]
+    one_per_batch = len(batch_ids) == len(set(batch_ids)) > 1
+    recs = []
+    for c in commits:
+        for name in c["files"]:
+            with open(os.path.join(out_dir, name)) as fh:
+                for line in fh:
+                    k, nm, rk = line.rstrip("\n").split("|")
+                    recs.append((int(k), nm, int(rk)))
+    exactly_once = sorted(recs) == sorted(
+        (int(r.n_nationkey), r.n_name, int(r.n_regionkey))
+        for r in n.collect()
+    )
+    back = spark.createDataFrame(
+        recs, schema="n_nationkey bigint, n_name string, n_regionkey bigint"
+    )
+    return (
+        back.groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("n_nationkey").alias("key_sum"),
+        )
+        .withColumn("one_commit_per_batch", F.lit(one_per_batch))
+        .withColumn("exactly_once_rows", F.lit(exactly_once))
+        .orderBy("n_regionkey")
+    )

@@ -1075,3 +1075,123 @@ def q_stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+@query(
+    "q_stats_mann_whitney",
+    oracle="""
+    WITH s AS (
+        SELECT o_totalprice AS v,
+               o_orderpriority = '1-URGENT' AS in_a
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    r AS (
+        SELECT in_a,
+               rank() OVER (ORDER BY v)
+                   + (count(*) OVER (PARTITION BY v) - 1) / 2.0 AS avg_rank,
+               v
+        FROM s
+    ),
+    ties AS (
+        SELECT cast(sum(t * t * t - t) as double) AS tie_term
+        FROM (SELECT count(*) AS t FROM s GROUP BY v)
+    ),
+    agg AS (
+        SELECT cast(sum(CASE WHEN in_a THEN 1 ELSE 0 END) as bigint) AS n_a,
+               cast(sum(CASE WHEN in_a THEN 0 ELSE 1 END) as bigint) AS n_b,
+               sum(CASE WHEN in_a THEN avg_rank ELSE 0 END) AS r_a
+        FROM r
+    )
+    SELECT n_a, n_b,
+           r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+           cast(n_a as double) * n_b
+               - (r_a - n_a * (n_a + 1) / 2.0) AS u_b,
+           round(
+               ((r_a - n_a * (n_a + 1) / 2.0)
+                   - cast(n_a as double) * n_b / 2.0)
+               / sqrt(cast(n_a as double) * n_b / 12.0
+                      * ((n_a + n_b + 1)
+                         - tie_term
+                           / (cast(n_a + n_b as double)
+                              * (n_a + n_b - 1)))),
+               6) AS z_score
+    FROM agg CROSS JOIN ties
+    """,
+)
+def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) — the NONPARAMETRIC
+    two-sample test (does order value for 1-URGENT stochastically
+    dominate 5-LOW?), completing the test family: Welch t (means,
+    parametric), KS (distributions, sup-norm), χ² (categorical),
+    U (ordinal ranks, the one robust to outliers and any monotone
+    transform).
+
+    Exactness: ranks are INTEGER math — midrank = rank() +
+    (tie_count−1)/2, a dyadic half that doubles represent exactly; the
+    rank-sum, U statistics, and the tie-corrected term Σ(t³−t) are
+    exact integer/half sums well inside 2^53, identical in both
+    engines by construction. Only the final z normalization is IEEE
+    (one fixed expression on identical exact inputs), rounded at 6 dp
+    — the established stats-family convention (no decimal finishing
+    needed because nothing upstream of z ever rounds).
+
+    Scale: one global rank — the same cost class as any ORDER BY
+    (range-partitioned sort); tie counts ride a value-keyed hash agg;
+    everything else folds to one row. No per-row Python anywhere."""
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    s = o.select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").alias("in_a"),
+    )
+    from pyspark.sql import Window
+
+    r = s.select(
+        "in_a",
+        (
+            F.rank().over(Window.orderBy("v"))
+            + (F.count(F.lit(1)).over(Window.partitionBy("v")) - 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    tie_term = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t") * F.col("t") * F.col("t") - F.col("t")
+            ).cast("double").alias("tie_term")
+        )
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("in_a"), F.col("avg_rank")).otherwise(0.0)).alias(
+            "r_a"
+        ),
+    )
+    j = agg.crossJoin(tie_term)
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    n_ab = F.col("n_a").cast("double") * F.col("n_b")
+    big_n = F.col("n_a") + F.col("n_b")
+    sigma = F.sqrt(
+        n_ab
+        / 12.0
+        * (
+            (big_n + 1)
+            - F.col("tie_term")
+            / (big_n.cast("double") * (big_n - 1))
+        )
+    )
+    return j.select(
+        "n_a",
+        "n_b",
+        u_a.alias("u_a"),
+        (n_ab - u_a).alias("u_b"),
+        F.round((u_a - n_ab / 2.0) / sigma, 6).alias("z_score"),
+    )

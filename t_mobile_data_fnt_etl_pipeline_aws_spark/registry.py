@@ -149,6 +149,13 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_text_normalize_nfc",
     "q_join_existence_mark",
     "q_etl_drop_partition_metadata_only",
+    "q_pattern_sequence_match",
+    "q_etl_merge_not_matched_by_source",
+    "q_etl_bucket_partition_transform",
+    "q_etl_identity_partition_transform",
+    "q_sink_python_datasource_stream",
+    "q_stats_mann_whitney",
+    "q_graph_label_propagation",
 ]
 
 

@@ -1397,6 +1397,61 @@ def commit_rewrite(
 #: value range without the query knowing the layout.
 _PARTITION_TRANSFORMS = {"year": 4, "month": 7, "day": 10}
 
+#: Iceberg's non-temporal transforms: identity (the value itself) and
+#: bucket[N] (portable hash mod N — md5 of the string form, so hashlib
+#: replays the JVM expression exactly for predicate-side mapping).
+_BUCKET_RE = re.compile(r"bucket\[(\d+)\]")
+
+
+def _transform_expr(part_col: str, transform: str):
+    """Partition-value Column for a declared transform, or None if the
+    transform is unknown. The bucket hash is md5-based ON PURPOSE (not
+    xxhash64): the predicate side must replay it OUTSIDE the JVM
+    (``partition_value_of``), and hashlib md5 == F.md5 on the same
+    UTF-8 string bytes."""
+    from pyspark.sql import functions as F
+
+    if transform in _PARTITION_TRANSFORMS:
+        fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[
+            transform
+        ]
+        return F.date_format(F.col(part_col), fmt)
+    if transform == "identity":
+        return F.col(part_col).cast("string")
+    m = _BUCKET_RE.fullmatch(transform)
+    if m:
+        return F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col(part_col).cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(m.group(1))),
+        ).cast("string")
+    return None
+
+
+def partition_value_of(transform: str | None, value) -> str | None:
+    """Map a raw-column EQUALITY literal through a transform to the
+    partition value a file written under that transform would carry —
+    the Python replay of ``_transform_expr`` (temporal: ISO prefix;
+    identity: str; bucket[N]: md5 mod N). None = unknown transform
+    (callers must keep the file: pruning is an optimization, never a
+    correctness gate)."""
+    if transform in _PARTITION_TRANSFORMS:
+        return str(value)[: _PARTITION_TRANSFORMS[transform]]
+    if transform == "identity":
+        return str(value)
+    m = _BUCKET_RE.fullmatch(transform or "")
+    if m:
+        import hashlib
+
+        return str(
+            int(hashlib.md5(str(value).encode()).hexdigest()[:15], 16)
+            % int(m.group(1))
+        )
+    return None
+
 
 def commit_append_partitioned(
     df: DataFrame,
@@ -1425,10 +1480,11 @@ def commit_append_partitioned(
     extra pass."""
     from pyspark.sql import functions as F
 
-    if transform not in _PARTITION_TRANSFORMS:
+    pval_expr = _transform_expr(part_col, transform)
+    if pval_expr is None:
         raise ValueError(
-            f"unsupported transform {transform!r}; "
-            f"pick one of {sorted(_PARTITION_TRANSFORMS)}"
+            f"unsupported transform {transform!r}; pick one of "
+            f"{sorted(_PARTITION_TRANSFORMS)} + ['identity', 'bucket[N]']"
         )
     prev = current_version(table_dir)
     prev_manifest = read_manifest(table_dir, prev) if prev else {}
@@ -1441,7 +1497,6 @@ def commit_append_partitioned(
             f"the spec; existing files keep pruning under the transform "
             f"they were written with)"
         )
-    fmt = {"year": "yyyy", "month": "yyyy-MM", "day": "yyyy-MM-dd"}[transform]
     _merged_schema(prev_manifest.get("schema"), df)  # reject before staging
     _validate_constraints(df, prev_manifest.get("constraints") or {})
 
@@ -1450,7 +1505,7 @@ def commit_append_partitioned(
     os.makedirs(_data_dir(table_dir), exist_ok=True)
     staging = os.path.join(table_dir, f"_staging_{uuid.uuid4().hex[:8]}")
     (
-        df.withColumn("__pval", F.date_format(F.col(part_col), fmt))
+        df.withColumn("__pval", pval_expr)
         .repartition("__pval")
         .write.partitionBy("__pval")
         .mode("overwrite")
@@ -1542,13 +1597,14 @@ def evolve_partition_spec(
     recorded in their entries, so they keep pruning under the layout
     they were WRITTEN with; files appended after a removal simply
     carry no value and degrade to stats-only pruning. ``spec`` must be
-    ``{"col": ..., "transform": year|month|day}`` or None."""
+    ``{"col": ..., "transform": year|month|day|identity|bucket[N]}`` or
+    None."""
     if spec is not None:
         t = spec.get("transform")
-        if t not in _PARTITION_TRANSFORMS:
+        if _transform_expr(spec.get("col", "_"), t or "") is None:
             raise ValueError(
-                f"unsupported transform {t!r}; "
-                f"pick one of {sorted(_PARTITION_TRANSFORMS)}"
+                f"unsupported transform {t!r}; pick one of "
+                f"{sorted(_PARTITION_TRANSFORMS)} + ['identity', 'bucket[N]']"
             )
         if "col" not in spec:
             raise ValueError("partition spec needs a 'col'")
@@ -1809,6 +1865,32 @@ def prune_files_partition(
             keep.append(f["path"])
             continue
         if str(lo)[:n] <= f["partition"] <= str(hi)[:n]:
+            keep.append(f["path"])
+    return keep, len(files)
+
+
+def prune_files_partition_value(
+    table_dir: str, version: int, value
+) -> tuple[list[str], int]:
+    """EQUALITY-predicate partition pruning for ANY transform family:
+    map the raw-column literal through each file's own recorded
+    transform (``partition_value_of`` — identity, bucket[N], or the
+    temporal prefixes) and keep files whose partition value matches.
+    This is what makes bucket[N] layouts useful: a point lookup on the
+    bucketed key reads 1/N of the files with zero layout knowledge in
+    the query. Same safety posture as the range form: unvalued files
+    and unknown transforms are always kept."""
+    manifest = read_manifest(table_dir, version)
+    spec = manifest.get("partition_spec")
+    files = manifest["files"]
+    default_t = spec.get("transform") if spec is not None else None
+    keep = []
+    for f in files:
+        if "partition" not in f:
+            keep.append(f["path"])
+            continue
+        want = partition_value_of(f.get("ptransform", default_t), value)
+        if want is None or f["partition"] == want:
             keep.append(f["path"])
     return keep, len(files)
 

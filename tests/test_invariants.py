@@ -350,8 +350,8 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 378 registered keys, 365 SQL-oracled / 13
-    rows-only (r15 additions, all thirteen SQL-oracled: the fixed-rounds
+    """SURVEY.md §2 declares 385 registered keys, 372 SQL-oracled / 13
+    rows-only (r15 additions, all twenty SQL-oracled: the fixed-rounds
     BLAS k-means twin, semantic embedding dedup with CC clustering, the
     dedup-ledger state-store reader, streaming CDC into the
     hidden-partitioned table, rewrite_manifests + $manifests, the
@@ -359,12 +359,16 @@ def test_registry_totals_match_survey():
     manifest listing, the MaxAbsScaler / L2-Normalizer members of
     the exact-statistics MLlib family, the portable kNN-join twin,
     Unicode NFC normalization, the ExistenceJoin mark, and the
-    metadata-only DROP PARTITION). Keep the arithmetic honest."""
+    metadata-only DROP PARTITION, the MATCH_RECOGNIZE-lite sequence
+    matcher, the 3-clause MERGE, the bucket/identity partition
+    transforms, the Python streaming sink, the Mann-Whitney U test,
+    and label-propagation communities). Keep the arithmetic
+    honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 378
-    assert len(oracles) == 365
+    assert len(QUERIES) == 385
+    assert len(oracles) == 372
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -4429,3 +4433,119 @@ def test_nfc_normalization_idempotent_and_real(spark, sf_dir):
     probe = "Café Å: "
     once = unicodedata.normalize("NFC", probe)
     assert unicodedata.normalize("NFC", once) == once
+
+
+def test_bucket_transform_jvm_python_agree(spark):
+    """The bucket[N] partition value derived INSIDE the write plan
+    (F.md5 → conv → pmod) must equal the predicate-side hashlib replay
+    (partition_value_of) for every key — a divergence silently prunes
+    the WRONG file (row loss, the worst failure class)."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        _transform_expr,
+        partition_value_of,
+    )
+
+    keys = list(range(0, 5000, 37)) + [2**40 + 7, 999999999999]
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = {
+        r.k: r.b
+        for r in df.select(
+            "k", _transform_expr("k", "bucket[8]").alias("b")
+        ).collect()
+    }
+    for k in keys:
+        assert got[k] == partition_value_of("bucket[8]", k), k
+    # bounded range
+    assert all(0 <= int(v) < 8 for v in got.values())
+
+
+def test_partition_value_pruning_identity_and_bucket(spark, sf_dir, tmp_path):
+    """Equality pruning through identity and bucket transforms: the
+    surviving files carry exactly the mapped value; unvalued files are
+    always kept; unknown transforms degrade to keep-everything."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append_partitioned,
+        current_version,
+        prune_files_partition_value,
+        read_manifest,
+        read_version,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    # identity
+    t1 = str(tmp_path / "ident")
+    commit_append_partitioned(
+        o, t1, "o_orderpriority", "identity", ["o_orderkey"]
+    )
+    v = current_version(t1)
+    files, total = prune_files_partition_value(t1, v, "2-HIGH")
+    by_path = {
+        f["path"]: f.get("partition") for f in read_manifest(t1, v)["files"]
+    }
+    assert 0 < len(files) < total
+    assert all(by_path[p] == "2-HIGH" for p in files)
+    got = spark.read.parquet(*files).filter(
+        F.col("o_orderpriority") == "2-HIGH"
+    )
+    want = o.filter(F.col("o_orderpriority") == "2-HIGH")
+    assert got.count() == want.count()
+    # bucket: every row of the probe key lands in the surviving files
+    t2 = str(tmp_path / "buck")
+    commit_append_partitioned(o, t2, "o_custkey", "bucket[4]", ["o_orderkey"])
+    v2 = current_version(t2)
+    probe = 37
+    files2, total2 = prune_files_partition_value(t2, v2, probe)
+    assert 0 < len(files2) < total2
+    got2 = spark.read.parquet(*files2).filter(F.col("o_custkey") == probe)
+    assert got2.count() == o.filter(F.col("o_custkey") == probe).count() > 0
+    # a value matching nothing still keeps every unvalued file and
+    # never errors or over-prunes live data
+    files3, total3 = prune_files_partition_value(t2, v2, 10**15)
+    assert len(files3) <= total3  # never errors, never over-prunes live
+    # read_version still returns every row regardless of pruning
+    assert read_version(spark, t2, v2).count() == o.count()
+
+
+def test_evolve_spec_accepts_bucket_and_identity(spark, sf_dir, tmp_path):
+    """Spec evolution to bucket/identity validates; junk rejects."""
+    import pytest as _pytest
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.manifest_table import (
+        commit_append,
+        evolve_partition_spec,
+    )
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.tables import load
+
+    t = str(tmp_path / "evo")
+    commit_append(
+        load(spark, sf_dir, "region"), t, ["r_regionkey"]
+    )
+    evolve_partition_spec(t, {"col": "r_regionkey", "transform": "bucket[16]"})
+    evolve_partition_spec(t, {"col": "r_name", "transform": "identity"})
+    with _pytest.raises(ValueError, match="unsupported transform"):
+        evolve_partition_spec(t, {"col": "r_name", "transform": "bucket[x]"})
+
+
+def test_mann_whitney_u_identity_and_direction(spark, sf_dir):
+    """U_a + U_b == n_a * n_b (the rank-sum identity — wrong ranks or
+    a dropped tie correction break it), and the z sign agrees with the
+    mean-rank direction."""
+    row = QUERIES["q_stats_mann_whitney"](spark, sf_dir).collect()[0]
+    assert row.u_a + row.u_b == row.n_a * row.n_b
+    assert (row.z_score > 0) == (row.u_a > row.n_a * row.n_b / 2.0)
+
+
+def test_label_propagation_communities_consistent(spark, sf_dir):
+    """Every community label is itself a node of the subgraph, sizes
+    agree with membership counts, and at least one round of real
+    propagation happened (not every node kept its own label)."""
+    pdf = QUERIES["q_graph_label_propagation"](spark, sf_dir).toPandas()
+    nodes = set(pdf["node"])
+    assert set(pdf["community"]) <= nodes
+    sizes = pdf.groupby("community").size()
+    for comm, grp in pdf.groupby("community"):
+        assert (grp["community_size"] == sizes[comm]).all()
+    assert (pdf["community"] != pdf["node"]).any()
