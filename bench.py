@@ -338,6 +338,7 @@ HEADLINE = [
     "q_sink_python_datasource_stream",    # Python streaming sink 2-phase commit
     "q_stats_mann_whitney",               # global-rank nonparametric U test
     "q_graph_label_propagation",          # 3-round synchronous LPA communities
+    "q_udf_grouped_apply_arrow",          # zero-pandas grouped-map Arrow rung
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor

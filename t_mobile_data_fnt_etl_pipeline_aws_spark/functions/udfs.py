@@ -651,3 +651,64 @@ def q_udf_pandas_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", featurize("text").alias("f")).select(
         "doc_id", "f.nchars", "f.n_words", "f.first_word"
     )
+
+
+@query(
+    "q_udf_grouped_apply_arrow",
+    oracle="""
+    SELECT o_orderpriority,
+           cast(count(*) as bigint) AS n_orders,
+           cast(min(o_orderkey) as bigint) AS min_key,
+           cast(max(o_orderkey) as bigint) AS max_key,
+           cast(sum(o_custkey) as bigint) AS cust_sum
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_udf_grouped_apply_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map over RAW ARROW (``groupBy().applyInArrow``, Spark 4)
+    — the zero-pandas rung of the grouped-map ladder: the function
+    receives each group as a ``pyarrow.Table`` and returns one,
+    skipping the Arrow→pandas conversion q_udtf_grouped_map pays (no
+    index materialization, no dtype coercion, no object boxing for
+    strings) — the right tier when the per-group logic is itself
+    columnar (pyarrow.compute kernels). Completes the Arrow ladder:
+    scalar (q_udf_arrow_optimized), map (q_udf_map_in_arrow), grouped
+    map (this), cogrouped pandas (q_udf_cogrouped_map).
+
+    Exactness: all-integer pyarrow.compute aggregations (count/min/max/
+    int64 sum — no floats anywhere), so the oracle replays bit-exactly.
+
+    Scale: same shuffle as any groupBy; one Arrow batch per group
+    crosses the boundary, columnar both ways."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_custkey"
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        keys = t.column("o_orderkey")
+        return pa.table(
+            {
+                "o_orderpriority": [t.column("o_orderpriority")[0].as_py()],
+                "n_orders": [t.num_rows],
+                "min_key": [pc.min(keys).as_py()],
+                "max_key": [pc.max(keys).as_py()],
+                "cust_sum": [pc.sum(t.column("o_custkey")).as_py()],
+            }
+        )
+
+    return (
+        o.groupBy("o_orderpriority")
+        .applyInArrow(
+            summarize,
+            schema=(
+                "o_orderpriority string, n_orders bigint, min_key bigint,"
+                " max_key bigint, cust_sum bigint"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -788,9 +788,18 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _LPA_TOPK)
         .select("u", "v")
     )
+    # Materialize the tiny (2·_LPA_TOPK rows) symmetric edge list ONCE:
+    # the unrolled rounds reference it 2·rounds+2 times, and without
+    # truncation Catalyst would replay the full lineitem join and the
+    # top-K window per reference (measured 8× plan duplication). Same
+    # localCheckpoint discipline as alternating_cc; the top-K window
+    # itself runs over the ≤300-row nation-pair aggregate, never base
+    # rows.
     nbr = topk.select(
         F.col("u").alias("node"), F.col("v").alias("peer")
-    ).unionAll(topk.select(F.col("v").alias("node"), F.col("u").alias("peer")))
+    ).unionAll(
+        topk.select(F.col("v").alias("node"), F.col("u").alias("peer"))
+    ).localCheckpoint()
     labels = nbr.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -1136,8 +1136,14 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the established stats-family convention (no decimal finishing
     needed because nothing upstream of z ever rounds).
 
-    Scale: one global rank — the same cost class as any ORDER BY
-    (range-partitioned sort); tie counts ride a value-keyed hash agg;
+    Scale: the global rank NEVER runs a partition-less window over
+    base rows (the one-task funnel the plan suite forbids) — it is the
+    equidepth/zorder two-level construction: within-shard rank()
+    partitioned by a $1000 price shard (bounded shard count at any SF)
+    plus a broadcast prefix-sum of per-shard counts (the only global
+    window, over the ~hundreds-row shard table). Ties share a shard by
+    construction (same value ⇒ same shard), so the composed rank is
+    exactly the global rank(). Tie counts ride a value-keyed hash agg;
     everything else folds to one row. No per-row Python anywhere."""
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
@@ -1145,13 +1151,28 @@ def q_stats_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = o.select(
         F.col("o_totalprice").alias("v"),
         (F.col("o_orderpriority") == "1-URGENT").alias("in_a"),
-    )
+    ).withColumn("shard", F.floor(F.col("v") / 1000).cast("long"))
     from pyspark.sql import Window
 
-    r = s.select(
+    counts = s.groupBy("shard").agg(F.count(F.lit(1)).alias("c"))
+    woff = Window.orderBy("shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = counts.select(
+        "shard",
+        F.coalesce(F.sum("c").over(woff), F.lit(0))
+        .cast("long")
+        .alias("off"),
+    )
+    j = s.join(F.broadcast(off), "shard")
+    rank_min = (
+        F.rank().over(Window.partitionBy("shard").orderBy("v"))
+        + F.col("off")
+    )
+    r = j.select(
         "in_a",
         (
-            F.rank().over(Window.orderBy("v"))
+            rank_min
             + (F.count(F.lit(1)).over(Window.partitionBy("v")) - 1) / 2.0
         ).alias("avg_rank"),
     )

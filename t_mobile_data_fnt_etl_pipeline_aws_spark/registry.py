@@ -156,6 +156,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_sink_python_datasource_stream",
     "q_stats_mann_whitney",
     "q_graph_label_propagation",
+    "q_udf_grouped_apply_arrow",
 ]
 
 

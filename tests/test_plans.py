@@ -164,12 +164,16 @@ def test_no_unpartitioned_window_over_raw_input(spark, sf_dir):
     # ks_drift: the two CDF cumsums run over the per-$1000-BUCKET count
     # table (~500 rows bounded by the fixed price domain at any SF) —
     # same tiny-aggregate class as skyline's price shards.
+    # mann_whitney: one prefix-sum over the per-$1000-price-shard COUNT
+    # table (bounded by the price domain at any SF) — the equidepth
+    # construction; base-table ranks are shard-partitioned.
     allowed = {
         "q_stream_watermark_late": 1,
         "q_sort_zorder_layout": 1,
         "q_skyline_pareto": 1,
         "q_profile_histogram_equidepth": 1,
         "q_stats_ks_drift": 4,
+        "q_stats_mann_whitney": 1,
     }
     offenders = {}
     for key, fn in QUERIES.items():
