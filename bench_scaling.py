@@ -392,6 +392,36 @@ def run_metadata_curves() -> dict:
         }
     out["commit_vs_file_count"] = commit_curve
 
+    # (4) DROP PARTITION vs manifest entry count — pure metadata: the
+    # whole-file delete fast path folds the live list once (O(manifest
+    # entries), zero data IO). Claim: milliseconds at 10^5 entries,
+    # independent of row counts — where CoW would rewrite a partition
+    # of data and MoR would write row-sized vectors.
+    drop_curve = {}
+    for n in (1_000, 10_000, 100_000):
+        tbl = os.path.join(meta_dir, f"drop_{n}")
+        entries = [
+            {
+                "path": f"{tbl}/data/{i:08x}.parquet",
+                "rows": 100,
+                "stats": {"k": [i * 100, i * 100 + 99]},
+                "partition": f"1995-{(i % 12) + 1:02d}",
+                "ptransform": "month",
+            }
+            for i in range(n)
+        ]
+        mt._publish(
+            tbl, 1, "bootstrap", entries, [["k", "bigint"]],
+            partition_spec={"col": "k", "transform": "month"},
+        )
+        t0 = _t.perf_counter()
+        _, dropped = mt.commit_drop_partition(tbl, ["1995-03"])
+        drop_curve[n] = {
+            "drop_ms": round((_t.perf_counter() - t0) * 1000, 2),
+            "files_dropped": dropped,
+        }
+    out["drop_partition_vs_entries"] = drop_curve
+
     from t_mobile_data_fnt_etl_pipeline_aws_spark import get_spark
 
     spark = get_spark("spark-graft-metadata-scaling")
@@ -504,6 +534,30 @@ def _append_metadata_md(curves: dict) -> None:
         "rows — the table is never rewritten. Both confirm cost",
         "tracks the WORK, not the table.",
     ]
+    dp = curves.get("drop_partition_vs_entries")
+    if dp:
+        lines += [
+            "",
+            "DROP PARTITION (whole-file delete fast path, pure",
+            "metadata — one live-list fold, zero data IO):",
+            "",
+            "| manifest entries | drop commit | files dropped |",
+            "|---|---|---|",
+        ]
+        for n in sorted(dp):
+            r = dp[n]
+            lines.append(
+                f"| {n:,} | {r['drop_ms']:.1f} ms | "
+                f"{r['files_dropped']:,} |"
+            )
+        lines += [
+            "",
+            "Linear in the MANIFEST length only (ms at 10^4 entries,",
+            "~seconds at 10^5 — the manifest read+publish cost class,",
+            "zero data IO at every point) — the delete-triangle claim",
+            "(cost ∝ metadata, vs CoW's data rewrite and MoR's row",
+            "vectors) measured.",
+        ]
     with open(
         os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SCALING.md"
