@@ -704,9 +704,22 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference BPE run exactly (tests/test_invariants.py::
     test_bpe_train_matches_reference). Rows-only: 10 rounds of
     data-dependent argmax + string rewriting have no SQL-expressible
-    form; the exact Python-reference equality is the stronger check.
+    form; the exact Python-reference equality is the stronger check —
+    and the 3-round q_bpe_train_portable twin additionally proves the
+    loop's mechanics against a full SQL replay.
     """
-    n_merges = 10
+    return spark.createDataFrame(
+        _train_merges(spark, sf_dir, 10),
+        "merge_rank int, left string, right string, pair_count bigint",
+    )
+
+
+def _train_merges(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """The distributed Sennrich loop shared by q_bpe_train_merges (10
+    rounds, rows-only, Python-reference-proven) and
+    q_bpe_train_portable (3 rounds, full SQL-oracle replay)."""
     d = load(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(F.split("text", " ")).alias("w"))
@@ -767,8 +780,91 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         vocab = vocab.select("cnt", merged.alias("syms")).localCheckpoint()
 
+    return merges
+
+
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """DuckDB replay of the ENTIRE training loop for ``n_rounds``
+    merges: word-type counts, the double-space symbol encoding (the
+    q_bpe_apply trick — applying merge (l, r) leftmost-scan is the
+    literal replace(' l  r ' → ' lr ')), per-round pair counts with
+    the (count desc, left, right) argmax, and the chained re-encoding.
+    The fold-equivalence argument from q_bpe_apply carries over: the
+    trainer's array fold and this string replace produce identical
+    segmentations round for round."""
+    parts = ["""
+    WITH words AS (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    v0 AS (
+        SELECT cnt,
+               concat(regexp_replace(w, '(.)', ' \\1 ', 'g'), ' </w> ')
+                   AS enc
+        FROM words
+    )"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+    p{k} AS (
+        SELECT lft, rgt, cast(sum(cnt) as bigint) AS pc FROM (
+            SELECT cnt, l[i] AS lft, l[i + 1] AS rgt
+            FROM (
+                SELECT cnt, l,
+                       unnest(generate_series(1, len(l) - 1)) AS i
+                FROM (SELECT cnt,
+                             string_split(trim(enc), '  ') AS l
+                      FROM v{k - 1})
+            )
+        ) GROUP BY lft, rgt
+    ),
+    m{k} AS (
+        SELECT lft, rgt, pc FROM p{k}
+        ORDER BY pc DESC, lft ASC, rgt ASC LIMIT 1
+    ),
+    v{k} AS (
+        SELECT cnt,
+               replace(enc,
+                       ' ' || (SELECT lft FROM m{k}) || '  '
+                           || (SELECT rgt FROM m{k}) || ' ',
+                       ' ' || (SELECT lft FROM m{k})
+                           || (SELECT rgt FROM m{k}) || ' ') AS enc
+        FROM v{k - 1}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT cast({k} as int) AS merge_rank, lft AS \"left\","
+        f" rgt AS \"right\", pc AS pair_count FROM m{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + f" {selects} ORDER BY merge_rank"
+
+
+@query("q_bpe_train_portable", oracle=_bpe_train_oracle(3))
+def q_bpe_train_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE TRAINING under an exact end-to-end oracle — the
+    portable-twin standard applied to the LAST algorithmic rows-only
+    family: the SAME distributed Sennrich loop as q_bpe_train_merges
+    (shared `_train_merges` — word-type hash agg, per-round pair
+    explode + argmax with deterministic (count desc, lexicographic)
+    ties, leftmost-scan array fold) run for exactly 3 rounds, while
+    the DuckDB oracle independently replays ALL of it — pair counting,
+    argmax, and the merge applications — via the double-space string
+    encoding whose replace() is provably the same leftmost scan as the
+    fold (the q_bpe_apply argument). A divergence in ANY round's pair
+    count, tiebreak, or merge application changes a later round's
+    argmax and breaks the hash — so the training mechanics themselves
+    are now hash-proven, complementing the 10-round production form's
+    Python-reference equality test.
+
+    Scale: identical plan to the production trainer — the corpus pass
+    is one hash agg; rounds run on the corpus-size-independent
+    word-type table; 3 rounds keeps the oracle's chained-CTE replay
+    cheap at any SF."""
     return spark.createDataFrame(
-        merges, "merge_rank int, left string, right string, pair_count bigint"
+        _train_merges(spark, sf_dir, 3),
+        "merge_rank int, left string, right string, pair_count bigint",
     )
 
 

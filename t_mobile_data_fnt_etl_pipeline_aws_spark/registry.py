@@ -157,6 +157,7 @@ _POST_WINDOW_ADDITIONS: list[str] = [
     "q_stats_mann_whitney",
     "q_graph_label_propagation",
     "q_udf_grouped_apply_arrow",
+    "q_bpe_train_portable",
 ]
 
 

@@ -350,8 +350,8 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 386 registered keys, 373 SQL-oracled / 13
-    rows-only (r15 additions, all twenty-one SQL-oracled: the fixed-rounds
+    """SURVEY.md §2 declares 387 registered keys, 374 SQL-oracled / 13
+    rows-only (r15 additions, all twenty-two SQL-oracled: the fixed-rounds
     BLAS k-means twin, semantic embedding dedup with CC clustering, the
     dedup-ledger state-store reader, streaming CDC into the
     hidden-partitioned table, rewrite_manifests + $manifests, the
@@ -362,13 +362,14 @@ def test_registry_totals_match_survey():
     metadata-only DROP PARTITION, the MATCH_RECOGNIZE-lite sequence
     matcher, the 3-clause MERGE, the bucket/identity partition
     transforms, the Python streaming sink, the Mann-Whitney U test,
-    label-propagation communities, and the applyInArrow grouped map).
+    label-propagation communities, the applyInArrow grouped map, and
+    the 3-round BPE-training portable twin).
     Keep the arithmetic honest."""
     from t_mobile_data_fnt_etl_pipeline_aws_spark.registry import all_oracles
 
     oracles = all_oracles()
-    assert len(QUERIES) == 386
-    assert len(oracles) == 373
+    assert len(QUERIES) == 387
+    assert len(oracles) == 374
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
