@@ -339,7 +339,9 @@ HEADLINE = [
     "q_stats_mann_whitney",               # global-rank nonparametric U test
     "q_graph_label_propagation",          # 3-round synchronous LPA communities
     "q_udf_grouped_apply_arrow",          # zero-pandas grouped-map Arrow rung
-    "q_bpe_train_portable",               # 3-round SQL-oracled BPE trainer twin
+    # (q_bpe_train_portable / q_bpe_train_merges stay OFF the headline:
+    # the driver-loop trainer rounds are checkpoint-bound fixed overhead,
+    # not scan throughput — the correctness gate covers them at sf0.01)
     # NOTE on anchors: every ANCHOR_KEYS entry MUST be in this list —
     # an anchor missing from the record leaves the next round's confirm
     # gate with no prior and silently degrades it to single-anchor
