@@ -378,9 +378,13 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda a, x: a + x,
         )
     )
+    # Materialize the ≤300-row fingerprint table once: bands self-join +
+    # the two cosine-verify joins otherwise replay the 16 interpreted
+    # HOF hyperplane folds 4× per run (guide §2.4, same fix as the
+    # portable kNN twin).
     fp = e.select(
         "vec_id", F.col("e"), norm.alias("nrm"), F.concat(*bit).alias("f")
-    )
+    ).localCheckpoint()
     n_bands = _SEM_PLANES // _SEM_BAND_BITS
     bands = fp.select(
         "vec_id",

@@ -143,6 +143,14 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     par = spark.sparkContext.defaultParallelism
     d = load(spark, sf_dir, "documents").repartition(par)
     mersenne = F.lit(2147483647).cast("bigint")  # 2^31 - 1
+    # Round-15 (guide §2.4): the repartition barriers stopped expression
+    # inlining but NOT subtree recompute — under Spark 4.1 + AQE the
+    # band self-join and the two verify joins get no ReusedExchange, so
+    # the plan scanned documents and re-ran the shingle+hash pipeline
+    # 4× (before-plan plans/r15/q_dedup_fuzzy_minhash_before.txt: four
+    # `Scan parquet` branches, zero ReusedExchange). localCheckpoint
+    # materializes shingles+hashes ONCE; it also subsumes the barrier
+    # role (nothing collapses across a checkpoint).
     docs = (
         d.select("doc_id", _shingles(_tokens()).alias("shingles"))
         .filter(F.size("shingles") > 0)
@@ -150,7 +158,8 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hashes",
             F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), mersenne)),
         )
-        .repartition(par, "doc_id")  # barrier: materialize shingles+hashes
+        .repartition(par, "doc_id")  # spread rows before materializing
+        .localCheckpoint()
     )
     base = docs
     # permutation constants hoisted to plan literals (seeded via sha256 in
@@ -178,7 +187,8 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         ).alias("sig"),
-    ).repartition(par, "doc_id")  # barrier: stop sig inlining 16× into bands
+    ).localCheckpoint()  # barrier (stops 16× sig inlining) + single compute
+    # of the 64-permutation signatures for both band-join sides
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -1105,8 +1115,17 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     production path.
     """
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    sh = d.select("doc_id", _shingles(_tokens()).alias("shingles")).filter(
-        F.size("shingles") > 0
+    # Materialize the two small intermediates each downstream subtree
+    # replays (guide §2.4): `sh` feeds the explode AND both verify-side
+    # joins (3 references), `mins` feeds all 4 per-band selects unioned
+    # into `bands`, which then self-joins (8 references) — the
+    # before-plan (plans/r15/q_dedup_minhash_portable_before.txt) shows
+    # every reference recomputing the shingle split + per-perm md5-min
+    # aggregate from the parquet scan, zero ReusedExchange.
+    sh = (
+        d.select("doc_id", _shingles(_tokens()).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .localCheckpoint()
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     K, R = 8, 2
@@ -1115,7 +1134,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
             for k in range(K)
         ]
-    )
+    ).localCheckpoint()
     bands = None
     for b in range(K // R):
         cols = [F.col(f"m{b * R + j}") for j in range(R)]
@@ -1247,6 +1266,12 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(64)
         ]
     )
+    # Materialize the tiny fingerprint table (≤500 rows) ONCE before the
+    # band self-join: without it each join side replays the whole
+    # upstream (explode → token-count agg → 64-column bit-sum agg) — the
+    # before-plan (plans/r15/q_dedup_simhash_portable_before.txt) shows
+    # 12 Exchanges and zero ReusedExchange, i.e. the 64-sum aggregate
+    # runs twice per run (guide §2.4: remove repeated subtrees).
     fp = bits.select(
         "doc_id",
         F.concat(
@@ -1255,7 +1280,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for i in range(64)
             ]
         ).alias("fingerprint"),
-    )
+    ).localCheckpoint()
     bands = fp.select(
         "doc_id",
         "fingerprint",

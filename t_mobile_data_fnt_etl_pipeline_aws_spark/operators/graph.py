@@ -530,12 +530,23 @@ def q_graph_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     the manual loop remains the scale-preferred form on cyclic graphs;
     the recursive form wins on readability and on DAGs where walk
     count ≈ path count. Having both, hash-equal, is the point.
+
+    Round-15 optimization (guide §2.4 — remove repeated subtrees): the
+    edge build (4-table star join + top-3 window) used to live INSIDE
+    the recursive CTE text, and Spark's UnionLoop re-executes the full
+    recursive-step subtree each level — the before-plan
+    (plans/r15/q_graph_bfs_recursive_sql_before.txt, ops 6-28) shows the
+    whole lineitem join under the loop, i.e. 8 full star joins per run
+    (7.3 s at sf0.1). The edge list (≤ 3 rows/nation) is now built once,
+    localCheckpoint-materialized, and the recursion joins the
+    materialized view — same rows, same recursive-CTE semantics, the
+    loop now touches only frontier × edges per level.
     """
     for t in ("lineitem", "orders", "customer", "supplier", "nation"):
         load(spark, sf_dir, t).createOrReplaceTempView(f"bfs_{t}")
-    return spark.sql(
+    spark.sql(
         """
-        WITH RECURSIVE e AS (
+        WITH e AS (
             SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
                    count(*) AS w
             FROM bfs_lineitem l
@@ -544,20 +555,22 @@ def q_graph_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN bfs_supplier s ON l.l_suppkey = s.s_suppkey
             WHERE c.c_nationkey <> s.s_nationkey
             GROUP BY 1, 2
-        ),
-        edges AS (
-            SELECT src, dst FROM (
-                SELECT src, dst,
-                       row_number() OVER (
-                           PARTITION BY src ORDER BY w DESC, dst) AS rn
-                FROM e
-            ) WHERE rn <= 3
-        ),
-        bfs(node, hops) AS (
+        )
+        SELECT src, dst FROM (
+            SELECT src, dst,
+                   row_number() OVER (
+                       PARTITION BY src ORDER BY w DESC, dst) AS rn
+            FROM e
+        ) WHERE rn <= 3
+        """
+    ).localCheckpoint().createOrReplaceTempView("bfs_edges_mat")
+    return spark.sql(
+        """
+        WITH RECURSIVE bfs(node, hops) AS (
             SELECT CAST(0 AS BIGINT) AS node, 0 AS hops
             UNION ALL
             SELECT e2.dst AS node, b.hops + 1 AS hops
-            FROM bfs b JOIN edges e2 ON e2.src = b.node
+            FROM bfs b JOIN bfs_edges_mat e2 ON e2.src = b.node
             WHERE b.hops < 8
         )
         SELECT n.n_nationkey, n.n_name,

@@ -225,9 +225,16 @@ def _banded_knn_join(
                 {"vec_id": pdf["vec_id"], "unit": list(units)}
             )
 
+    # Materialize the signature table once (guide §2.4/§4): the bucket
+    # self-join references it on BOTH sides (the probe side additionally
+    # through the Hamming-1 explode), and without materialization each
+    # side re-runs the embeddings scan + Arrow round-trip + BLAS matmul
+    # (before-plan plans/r15/q_knn_join_bucketed_before.txt: two
+    # MapInPandas nodes for one signature pass, no ReusedExchange).
+    # O(n·bands) rows of three ints — small relative to the embeddings.
     bands = e.mapInPandas(
         signatures, schema="vec_id bigint, band_id int, bucket bigint"
-    )
+    ).localCheckpoint()
     probe = bands
     if multiprobe:
         # probe-side Hamming-1 expansion: each band row fans out to its
@@ -257,9 +264,11 @@ def _banded_knn_join(
         # trades ≤4× duplicate cheap work for one full-candidate-set
         # shuffle, the dominant cost at scale.
     )
+    # Same for the unit vectors: joined twice (vec_a and vec_b sides) —
+    # one normalization pass instead of two.
     units = e.mapInPandas(
         unit_vectors, schema="vec_id bigint, unit array<double>"
-    )
+    ).localCheckpoint()
     pairs = cand.join(
         units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua")),
         on="vec_a",
@@ -974,12 +983,16 @@ def q_knn_join_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.lit("0"))
         for p in range(_PKNN_PLANES)
     ]
+    # Materialize the 300-row fingerprint table once: the band self-join
+    # plus the two verify-side joins otherwise replay the 16
+    # interpreted HOF sign folds 4× per run (guide §2.4; before-plan
+    # plans/r15/q_knn_join_portable_before.txt shows no ReusedExchange).
     fp = e.select(
         "vec_id",
         F.col("e"),
         _norm(F.col("e")).alias("nrm"),
         F.concat(*bit).alias("f"),
-    )
+    ).localCheckpoint()
     n_bands = _PKNN_PLANES // _PKNN_BAND_BITS
     bands = fp.select(
         "vec_id",

@@ -140,7 +140,12 @@ def _file_stats(path: str, stat_cols: list[str]) -> dict:
     strings) so prune_files compares typed values, never str() forms."""
     import pyarrow.parquet as pq
 
-    md = pq.ParquetFile(path).metadata
+    return _file_stats_from_meta(pq.ParquetFile(path).metadata, stat_cols)
+
+
+def _file_stats_from_meta(md, stat_cols: list[str]) -> dict:
+    """`_file_stats` over an already-parsed footer (FileMetaData) —
+    lets _stage_files reuse its single footer read."""
     out: dict[str, list] = {}
     for rg in range(md.num_row_groups):
         rgm = md.row_group(rg)
@@ -347,19 +352,26 @@ def _stage_files(
     df.write.mode("overwrite").parquet(staging)
     entries = []
     for f in sorted(glob.glob(os.path.join(staging, "*.parquet"))):
+        # ONE footer parse per file (round-15: this loop used to open
+        # the footer four times — zero-row check, rows, schema, stats —
+        # a 4× metadata-read tax on every commit of every manifest key).
+        pf = pq.ParquetFile(f)
+        md = pf.metadata
         # Spark emits zero-row part files for empty partitions; a real
         # format never registers them (they carry no stats and would
         # defeat every files_with_stats == n_files exactness check).
-        if pq.ParquetFile(f).metadata.num_rows == 0:
+        if md.num_rows == 0:
             continue
         dest = os.path.join(_data_dir(table_dir), f"{uuid.uuid4().hex}.parquet")
+        schema_names = pf.schema_arrow.names
+        pf.close()
         os.rename(f, dest)
         entry = {
             "path": dest,
-            "rows": pq.ParquetFile(dest).metadata.num_rows,
-            "stats": _file_stats(dest, stat_cols),
+            "rows": md.num_rows,
+            "stats": _file_stats_from_meta(md, stat_cols),
         }
-        if "__row_id" in pq.ParquetFile(dest).schema_arrow.names:
+        if "__row_id" in schema_names:
             # lineage-materializing rewrite (compact_with_lineage):
             # row ids live IN the file; no fresh allocation for it
             entry["lineage_in_file"] = True
