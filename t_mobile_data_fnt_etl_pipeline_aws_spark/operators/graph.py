@@ -114,7 +114,12 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = nations.crossJoin(F.broadcast(nn)).select(
         "n_nationkey", (F.lit(1.0) / F.col("cnt").cast("double")).alias("r")
     )
-    ew = edges.join(wt, "src")
+    # Round-15 (guide §2.4): each unrolled iteration references `ew`,
+    # and the before-plan (plans/r15/q_graph_pagerank_before.txt, ~33
+    # parquet scans, no ReusedExchange) shows the 4-table edge build
+    # replayed per iteration. Materialize the ≤625-row weighted edge
+    # list once; the oracle's CTE chain computes edges once the same way.
+    ew = edges.join(wt, "src").localCheckpoint()
     for _ in range(_ITERS):
         contrib = (
             ew.join(
@@ -323,12 +328,20 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Round-15 (guide §2.4): the oracle needed MATERIALIZED hints for
+    # ue/o_edges/tri (each referenced 2-3×; DuckDB's inlining re-expands
+    # the 4-table subtree per reference) — the Spark side had the SAME
+    # disease: the before-plan (plans/r15/q_graph_triangles_before.txt)
+    # is 291 KB with ~90 parquet scans and zero ReusedExchange, the
+    # whole trade-graph join replayed per reference. localCheckpoint is
+    # Spark's MATERIALIZED: each ≤325-row intermediate computes once.
     ue = (
         de.filter(F.col("src") != F.col("dst"))
         .select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
+        .localCheckpoint()
     )
     deg = (
         ue.select(F.col("u").alias("node"))
@@ -348,11 +361,14 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
+        .localCheckpoint()  # referenced 3× (e1/e2/e3)
     )
     e1 = o_edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = o_edges.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     e3 = o_edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
-    tri = e1.join(e2, "t_b").join(e3, ["t_a", "t_c"])
+    tri = (
+        e1.join(e2, "t_b").join(e3, ["t_a", "t_c"]).localCheckpoint()
+    )  # referenced 3× (the per-node union)
     per_node = (
         tri.select(F.col("t_a").alias("node"))
         .union(tri.select(F.col("t_b").alias("node")))

@@ -91,7 +91,12 @@ def _entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the name vocabulary, so the pairing cost is corpus-size-
     independent — the whole reason to resolve types, not instances.
     """
-    types = load(spark, sf_dir, "part").select("p_name").distinct()
+    # Materialized once (round-15, guide §2.4): `types` feeds both
+    # blocking passes' two join sides plus the CC node list — 5
+    # references each replaying the scan + distinct.
+    types = (
+        load(spark, sf_dir, "part").select("p_name").distinct().localCheckpoint()
+    )
     head = F.split(F.col("p_name"), " ").getItem(0)
     tail = F.element_at(F.split(F.col("p_name"), " "), -1)
     a = types.select(

@@ -76,6 +76,12 @@ def q_assoc_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # Round-15 note (guide §1 — measure, then keep or revert): `items`
+    # backs 5 references with no ReusedExchange, but materializing it
+    # was MEASURED SLOWER (1.73 → 3.22 s at sf0.1): the intermediate is
+    # ~0.5M rows, so serializing it costs more than the replayed
+    # broadcast-join recomputes it feeds. Left as recompute — the
+    # checkpoint trick pays only for small decision tables.
     items = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .select("l_orderkey", "p_brand")

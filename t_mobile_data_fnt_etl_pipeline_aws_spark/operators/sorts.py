@@ -173,8 +173,14 @@ def q_sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lit("1992-01-01").cast("timestamp_ntz")
         ).alias("d2"),
     )
-    keyed = dims.withColumn("zkey", F.expr(_zkey_expr("div"))).withColumn(
-        "shard", F.expr("zkey div 65536")
+    # Materialized once (round-15, guide §2.4): `keyed` feeds the
+    # shard-count aggregate AND the ranked join, and each reference
+    # recomputed the 32-term Morton interleave from the scan
+    # (plans/r15/q_sort_zorder_layout_before.txt: 3 scans, 0 reuse).
+    keyed = (
+        dims.withColumn("zkey", F.expr(_zkey_expr("div")))
+        .withColumn("shard", F.expr("zkey div 65536"))
+        .localCheckpoint()
     )
     from pyspark.sql import Window
 

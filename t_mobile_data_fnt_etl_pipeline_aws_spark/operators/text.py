@@ -736,19 +736,35 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at(toks, i), F.element_at(toks, i + 1)
         ),
     )
-    per_doc_bigram = (
-        d.select("doc_id", F.explode(bigrams).alias("bg"))
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(F.max("cnt").alias("top_bigram_n"))
+    # Round-15 (guide §2.3/§2.4): the top-bigram count used to explode
+    # every bigram into a (doc_id, bg) hash-agg shuffle (~2M rows at
+    # sf0.1) plus a second agg and a join back. The max-repeat of a
+    # bigram is the longest equal-run in the SORTED bigram array — one
+    # array_sort + one fold per row, map-side, no shuffle, no join;
+    # the only exchange left is the ≤#sources-row rollup.
+    acc0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def _run_step(acc, x):
+        run = F.when(
+            x == acc.getField("prev"), acc.getField("run") + F.lit(1)
+        ).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.getField("best"), run).alias("best"),
+        )
+
+    top_bigram = F.aggregate(
+        F.array_sort(bigrams), acc0, _run_step, lambda a: a.getField("best")
     )
     per_doc = d.select(
-        "doc_id",
         "source",
         F.size(toks).alias("n_tok"),
         F.size(F.array_distinct(toks)).alias("n_uniq"),
-    ).join(per_doc_bigram, "doc_id")
+        top_bigram.alias("top_bigram_n"),
+    )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col("n_tok") - F.col("n_uniq")).cast("bigint").alias("dup_tokens"),

@@ -412,6 +412,83 @@ def spark_ddl_from_avro(schema: dict) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Arrow transport (round-15, guide §4): the Python Data Source row path
+# pickles every row across the JVM↔Python boundary — measured ~2-3 s of
+# the q_scan_avro_python write at sf0.1 with the codec itself at ~0.3 s.
+# The writer receives pyarrow RecordBatches (DataSourceArrowWriter) and
+# the reader yields them, so the boundary is columnar both ways; the
+# spec codec underneath is unchanged. Types with engine-side timezone
+# semantics (plain timestamp-micros) stay on the row path — Arrow
+# transport must never change a value.
+# ---------------------------------------------------------------------------
+
+
+def _pa_type_from_avro(typ):
+    """Arrow type for an Avro field type, or None when the field must
+    stay on the row path (tz-aware timestamps)."""
+    import pyarrow as pa
+
+    if isinstance(typ, list):
+        inner = next(t for t in typ if t != "null")
+        return _pa_type_from_avro(inner)
+    base = _base_type(typ)
+    logical = _logical(typ)
+    if logical == "date":
+        return pa.date32()
+    if logical == "local-timestamp-micros":
+        return pa.timestamp("us")
+    if logical == "timestamp-micros":
+        return None  # session-tz semantics: keep the row path
+    return {
+        "long": pa.int64(),
+        "int": pa.int32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "bytes": pa.binary(),
+        "boolean": pa.bool_(),
+    }.get(base)
+
+
+def pa_schema_from_avro(schema: dict):
+    """pyarrow schema for an Avro record, or None if any field is
+    Arrow-transport-unsafe."""
+    import pyarrow as pa
+
+    fields = []
+    for f in schema["fields"]:
+        t = _pa_type_from_avro(f["type"])
+        if t is None:
+            return None
+        fields.append(pa.field(f["name"], t))
+    return pa.schema(fields)
+
+
+def rows_to_arrow_batches(rows, pa_schema, batch_rows: int = 4096):
+    """Pack an iterator of value tuples into Arrow RecordBatches."""
+    import pyarrow as pa
+
+    buf = []
+
+    def _flush():
+        cols = list(zip(*buf)) if buf else [[] for _ in pa_schema]
+        return pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(col), type=f.type)
+                for col, f in zip(cols, pa_schema)
+            ],
+            schema=pa_schema,
+        )
+
+    for r in rows:
+        buf.append(r)
+        if len(buf) >= batch_rows:
+            yield _flush()
+            buf = []
+    if buf:
+        yield _flush()
+
+
+# ---------------------------------------------------------------------------
 # Python Data Source plumbing (SPARK-44076): format name "avro_py"
 # ---------------------------------------------------------------------------
 
@@ -425,6 +502,7 @@ def make_avro_source():
     from pyspark import TaskContext
     from pyspark.sql.datasource import (
         DataSource,
+        DataSourceArrowWriter,
         DataSourceReader,
         DataSourceWriter,
         InputPartition,
@@ -469,6 +547,38 @@ def make_avro_source():
             )
             return _Staged(tmp)
 
+    class AvroPyArrowWriter(DataSourceArrowWriter, AvroPyWriter):
+        """Arrow-transport variant (round-15, guide §4): same staging /
+        commit / abort protocol, but tasks receive pyarrow RecordBatches
+        instead of pickled rows — the boundary cost drops from per-row
+        pickling to one columnar to_pylist per batch. Chosen by
+        ``writer()`` whenever every field is Arrow-transport-safe."""
+
+        def write(self, iterator):
+            ctx = TaskContext.get()
+            tmp = (
+                f".tmp-{ctx.partitionId()}-{ctx.taskAttemptId()}-"
+                f"{uuid.uuid4().hex[:8]}"
+            )
+            names = [f["name"] for f in self.avro_schema["fields"]]
+
+            def rows():
+                for batch in iterator:
+                    bnames = batch.schema.names
+                    cols = [
+                        batch.column(bnames.index(n)).to_pylist()
+                        for n in names
+                    ]
+                    yield from zip(*cols)
+
+            write_container(
+                os.path.join(self.dir, tmp),
+                self.avro_schema,
+                rows(),
+                codec=self.codec,
+            )
+            return _Staged(tmp)
+
         def commit(self, messages) -> None:
             for i, m in enumerate(messages):
                 os.replace(
@@ -506,11 +616,21 @@ def make_avro_source():
                 # spec Schema Resolution: consumer-side evolution —
                 # resolve each file's WRITER schema against the reader
                 # schema executor-side (defaults, drops, promotions)
-                yield from read_container_resolved(
+                eff = self.reader_schema
+                rows = read_container_resolved(
                     partition.path, self.reader_schema
                 )
             else:
-                yield from read_container(partition.path)
+                eff, _, _, _ = read_header(partition.path)
+                rows = read_container(partition.path)
+            # Arrow transport when every field is safe (round-15, guide
+            # §4): yield RecordBatches instead of per-row pickled tuples;
+            # values are identical — only the boundary format changes.
+            pa_schema = pa_schema_from_avro(eff)
+            if pa_schema is None:
+                yield from rows
+            else:
+                yield from rows_to_arrow_batches(rows, pa_schema)
 
     class AvroPySource(DataSource):
         @classmethod
@@ -535,7 +655,16 @@ def make_avro_source():
             return AvroPyReader(self.options)
 
         def writer(self, schema, overwrite: bool) -> AvroPyWriter:
-            return AvroPyWriter(self.options, schema, overwrite)
+            # Arrow transport when safe; row path otherwise (tz-aware
+            # timestamp values differ between the two transports, so
+            # those schemas keep the original path).
+            cls = (
+                AvroPyArrowWriter
+                if pa_schema_from_avro(avro_schema_from_spark(schema))
+                is not None
+                else AvroPyWriter
+            )
+            return cls(self.options, schema, overwrite)
 
     return AvroPySource
 
