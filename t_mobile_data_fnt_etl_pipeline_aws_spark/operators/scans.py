@@ -1138,7 +1138,8 @@ def q_events_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the public wire format, verified against the protobuf docs' own
     byte vectors in tests/test_protobuf_codec.py).
 
-    Two mapInPandas stages, both executor-side over Arrow batches:
+    Two map stages (mapInPandas encode, mapInArrow decode), both
+    executor-side over Arrow batches:
 
       1. encode: each event row becomes one proto3 message (6 fields:
          varint ids, fixed64 double, length-delimited strings; fields
@@ -1155,7 +1156,7 @@ def q_events_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     messages. Parity: the oracle reads the same 3 columns straight
     from parquet; any wire-format bug flags at the exact row.
     """
-    from ..sources.protobuf_python import decode_message, encode_message
+    from ..sources.protobuf_python import decode_flat_batch, encode_flat_batch
 
     pb_schema = {
         "event_id": (1, "int64"),
@@ -1168,43 +1169,57 @@ def q_events_protobuf_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted = {1: ("event_id", "int64"), 4: ("event_type", "string"),
               5: ("value", "double")}
 
+    # Round-16 (guide §4.2): both stages run the BATCH codec — the wire
+    # bytes and decoded values are identical to the per-message path
+    # (pinned byte-for-byte by tests/test_protobuf_codec.py); only the
+    # per-row Python dispatch is gone.
     def encode_batches(batches):
         import pandas as pd
 
         for pdf in batches:
-            ts_us = pdf["ts"].astype("int64") // 1000  # ns -> us
-            out = [
-                encode_message(
-                    pb_schema,
-                    {
-                        "event_id": int(eid),
-                        "ts_us": int(t),
-                        "user_id": int(uid),
-                        "event_type": et,
-                        "value": float(v),
-                        "props": pr,
-                    },
-                )
-                for eid, t, uid, et, v, pr in zip(
-                    pdf["event_id"], ts_us, pdf["user_id"],
-                    pdf["event_type"], pdf["value"], pdf["props"],
-                )
-            ]
-            yield pd.DataFrame({"pb": out})
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+            buf, offs = encode_flat_batch(
+                pb_schema,
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "ts_us": ts_us,
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_type": pdf["event_type"].tolist(),
+                    "value": pdf["value"].to_numpy(),
+                    "props": pdf["props"].tolist(),
+                },
+            )
+            yield pd.DataFrame(
+                {"pb": [buf[offs[i] : offs[i + 1]] for i in range(len(offs) - 1)]}
+            )
 
     def decode_batches(batches):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            recs = [decode_message(b, wanted) for b in pdf["pb"]]
-            yield pd.DataFrame.from_records(
-                recs, columns=["event_id", "event_type", "value"]
+        for rb in batches:
+            arr = rb.column(0)
+            n = len(arr)
+            off = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            data = arr.buffers()[2]
+            cols = decode_flat_batch(
+                data.to_pybytes() if data is not None else b"", off, wanted
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(cols["event_id"], pa.int64()),
+                    cols["event_type"],
+                    pa.array(cols["value"], pa.float64()),
+                ],
+                ["event_id", "event_type", "value"],
             )
 
     encoded = load(spark, sf_dir, "events").mapInPandas(
         encode_batches, "pb binary"
     )
-    return encoded.mapInPandas(
+    return encoded.mapInArrow(
         decode_batches, "event_id bigint, event_type string, value double"
     )
 
@@ -1221,11 +1236,11 @@ def q_events_protobuf_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEN-framed repeated sub-messages) encoded and flattened back,
     entirely executor-side.
 
-      1. groupBy(user_id).applyInPandas: each user's events become ONE
+      1. groupBy(user_id).applyInArrow: each user's events become ONE
          proto3 message {user_id; repeated Event{event_id, value}} —
          the engine's shuffle does the grouping, the codec only sees
          one group per call;
-      2. mapInPandas decode: iterate the repeated sub-messages and
+      2. mapInArrow decode: iterate the repeated sub-messages and
          re-flatten to (user_id, event_id, value) rows.
 
     The wire features this exercises beyond q_events_protobuf_decode:
@@ -1242,51 +1257,63 @@ def q_events_protobuf_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
     format (packed-repeated byte vector from the protobuf docs pinned
     in tests/test_protobuf_codec.py).
     """
-    from ..sources.protobuf_python import decode_message, encode_message
+    from ..sources.protobuf_python import (
+        decode_event_envelopes,
+        encode_event_envelope,
+    )
 
-    event_sub = {"event_id": (1, "int64"), "value": (2, "double")}
-    envelope = {
-        "user_id": (1, "int64"),
-        "events": (2, ("repeated", ("message", event_sub))),
-    }
+    # Round-16 (guide §4.2): envelopes are encoded/decoded by the BATCH
+    # envelope codec — byte- and value-identical to the per-message path
+    # (pinned by tests/test_protobuf_codec.py); the grouped-map boundary
+    # runs on Arrow (applyInArrow) so no per-group pandas frames are
+    # built. The wire shape and the one grouping shuffle are unchanged.
+    def encode_group(tbl):
+        import pyarrow as pa
 
-    def encode_group(pdf):
-        import pandas as pd
-
-        msg = encode_message(
-            envelope,
-            {
-                "user_id": int(pdf["user_id"].iloc[0]),
-                "events": [
-                    {"event_id": int(e), "value": float(v)}
-                    for e, v in zip(pdf["event_id"], pdf["value"])
-                ],
-            },
+        msg = encode_event_envelope(
+            tbl.column("user_id")[0].as_py(),
+            tbl.column("event_id").to_numpy(),
+            tbl.column("value").to_numpy(),
         )
-        return pd.DataFrame({"pb": [msg]})
+        return pa.table({"pb": pa.array([msg], pa.binary())})
 
     def decode_batches(batches):
-        import pandas as pd
+        import numpy as np
+        import pyarrow as pa
 
-        for pdf in batches:
-            users, eids, vals = [], [], []
-            for b in pdf["pb"]:
-                m = decode_message(b, envelope)
-                for ev in m["events"]:
-                    users.append(m["user_id"])
-                    eids.append(ev["event_id"])
-                    vals.append(ev["value"])
-            yield pd.DataFrame(
-                {"user_id": users, "event_id": eids, "value": vals}
+        for rb in batches:
+            arr = rb.column(0)
+            n = len(arr)
+            off = np.frombuffer(arr.buffers()[1], np.int32)[
+                arr.offset : arr.offset + n + 1
+            ].astype(np.int64)
+            data = arr.buffers()[2]
+            buf = data.to_pybytes() if data is not None else b""
+            users, eids, voffs = decode_event_envelopes(buf, off)
+            vo = np.array(voffs, np.int64)
+            vals = np.zeros(len(vo), np.float64)
+            has = vo >= 0
+            if has.any():
+                got = np.frombuffer(buf, np.uint8)[
+                    vo[has][:, None] + np.arange(8)
+                ]
+                vals[has] = np.ascontiguousarray(got).view("<f8")[:, 0]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(users, pa.int64()),
+                    pa.array(eids, pa.int64()),
+                    pa.array(vals, pa.float64()),
+                ],
+                ["user_id", "event_id", "value"],
             )
 
     envelopes = (
         load(spark, sf_dir, "events")
         .select("user_id", "event_id", "value")
         .groupBy("user_id")
-        .applyInPandas(encode_group, "pb binary")
+        .applyInArrow(encode_group, "pb binary")
     )
-    return envelopes.mapInPandas(
+    return envelopes.mapInArrow(
         decode_batches, "user_id bigint, event_id bigint, value double"
     )
 
@@ -2452,8 +2479,15 @@ def q_etl_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORDER — the graded properties fold over the final live set.
     from concurrent.futures import ThreadPoolExecutor
 
+    # Job descriptions are only thread-scoped under pinned-thread mode
+    # (ADVICE r15): in non-pinned deployments the pool's threads share
+    # py4j JVM threads and local properties bleed across racing jobs —
+    # label only when PYSPARK_PIN_THREAD is on (the 4.x default).
+    _pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() == "true"
+
     def _trickle(i: int) -> int:
-        spark.sparkContext.setJobDescription(f"binpack trickle {i}")
+        if _pinned:
+            spark.sparkContext.setJobDescription(f"binpack trickle {i}")
         return commit_append(
             o.filter((k % 5 >= 3) & (k % 8 == i)).repartition(1),
             table,
@@ -2470,10 +2504,15 @@ def q_etl_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     big_path = max(m0["files"], key=lambda f: f["rows"])["path"]
     dv0 = sum(d["rows"] for d in m0.get("deletes", []))
     # materialized once: feeds both the zero-moved join and the count
-    # (guide §2.4 — a lineage read replays masks + broadcast id map)
-    pre_lin = read_version_with_lineage(spark, table, v_d).select(
-        "o_orderkey", F.col("_row_id").alias("pre_id")
-    ).localCheckpoint()
+    # (guide §2.4 — a lineage read replays masks + broadcast id map);
+    # table-sized → lineage-keeping persist (VERDICT r15 item 4)
+    from ..functions.dfutil import materialized
+
+    pre_lin = materialized(
+        read_version_with_lineage(spark, table, v_d).select(
+            "o_orderkey", F.col("_row_id").alias("pre_id")
+        )
+    )
     n_small_rows = sum(
         f["rows"] for f in m0["files"] if f["path"] != big_path
     )
@@ -2482,9 +2521,11 @@ def q_etl_optimize_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m1 = read_manifest(table, v_o)
     dv1 = sum(d["rows"] for d in m1.get("deletes", []))
-    post_lin = read_version_with_lineage(spark, table, v_o).select(
-        "o_orderkey", F.col("_row_id").alias("post_id")
-    ).localCheckpoint()
+    post_lin = materialized(
+        read_version_with_lineage(spark, table, v_o).select(
+            "o_orderkey", F.col("_row_id").alias("post_id")
+        )
+    )
     moved = (
         pre_lin.join(post_lin, "o_orderkey")
         .filter(F.col("pre_id") != F.col("post_id"))
@@ -2666,20 +2707,23 @@ def q_etl_row_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # to replay the whole masked lineage read (parquet scan + delete
     # anti-join + broadcast id map). Materialize each once, and fold
     # count + distinct-count into ONE aggregate pass.
-    pre = (
+    from ..functions.dfutil import materialized
+
+    pre = materialized(
         read_version_with_lineage(spark, table, v_d)
         .select("o_orderkey", F.col("_row_id").alias("pre_id"))
-        .localCheckpoint()
     )
-    n_pre, n_pre_ids = pre.agg(
-        F.count(F.lit(1)), F.count_distinct("pre_id")
+    n_pre, n_pre_ids, n_pre_nonnull = pre.agg(
+        F.count(F.lit(1)), F.count_distinct("pre_id"), F.count("pre_id")
     ).first()
-    ids_unique = n_pre_ids == n_pre
+    # count_distinct ignores NULLs (ADVICE r15): require every _row_id
+    # non-null AND distinct so a null lineage id can't slip past the
+    # uniqueness check.
+    ids_unique = n_pre_ids == n_pre and n_pre_nonnull == n_pre
     v_c = compact_with_lineage(spark, table, ["o_orderdate"])
-    post = (
+    post = materialized(
         read_version_with_lineage(spark, table, v_c)
         .select("o_orderkey", F.col("_row_id").alias("post_id"))
-        .localCheckpoint()
     )
     moved = (
         pre.join(post, "o_orderkey")
@@ -3522,14 +3566,22 @@ def q_etl_manifest_delete_equality(spark: SparkSession, sf_dir: str) -> DataFram
         r.yr
         for r in o.select(F.year("o_orderdate").alias("yr")).distinct().collect()
     )
-    v = 0
-    for yr in years:
-        v = commit_append(
+    # Round-16 (guide §2.6, the binpack precedent): the per-year appends
+    # are independent OCC writers and nothing downstream reads version
+    # ORDER (the no-rewrite check compares the same run's v vs v_del
+    # live sets, which equality deletes never touch) — overlap them.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one_year(yr: int) -> int:
+        return commit_append(
             o.filter(F.year("o_orderdate") == yr).repartition(2),
             table,
             ["o_orderdate"],
             op=f"append_y{yr}",
         )
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        v = max(pool.map(_one_year, years))
     # blind commit: the doomed-key set comes from the caller, not from
     # scanning the table (values-proportional, zero data reads)
     doomed_keys = o.filter(F.col("o_orderkey") % 131 == 0).select("o_orderkey")
@@ -5285,17 +5337,51 @@ def q_stream_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Exact sink row count from parquet FOOTERS (round-15, guide §1/
         # §6): the per-run progress probe needs only a count, and six
         # full spark.read.parquet(...).count() jobs were ~0.3 s each of
-        # pure scan-job overhead on a 25-row sink. Footer num_rows is
-        # the same exact number (it is what metadata-only count uses);
-        # the returned DataFrame below still reads through Spark.
-        import glob as _glob
+        # pure scan-job overhead on a 25-row sink. Round-16 (ADVICE
+        # r15): enumerate files from the sink's _spark_metadata COMMIT
+        # LOG, not a directory glob — the committed set is defined by
+        # the log, and a failed/retried micro-batch task's orphan part
+        # file must not be counted (spark.read below excludes it too).
+        from urllib.parse import urlparse as _urlparse
 
         import pyarrow.parquet as _pq
 
-        return sum(
-            _pq.read_metadata(p).num_rows
-            for p in _glob.glob(os.path.join(out, "*.parquet"))
+        meta = os.path.join(out, "_spark_metadata")
+        if not os.path.isdir(meta):
+            return 0
+        entries = [
+            f
+            for f in os.listdir(meta)
+            if not f.endswith((".crc", ".tmp")) and f[0].isdigit()
+        ]
+
+        def _bid(name: str) -> int:
+            return int(name.split(".")[0])
+
+        compacts = [f for f in entries if f.endswith(".compact")]
+        base = max(compacts, key=_bid) if compacts else None
+        chosen = ([base] if base else []) + sorted(
+            (
+                f
+                for f in entries
+                if "." not in f and (base is None or _bid(f) > _bid(base))
+            ),
+            key=_bid,
         )
+        paths = []
+        for f in chosen:
+            with open(os.path.join(meta, f)) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line or line.startswith("v"):
+                        continue
+                    rec = _json.loads(line)
+                    if rec.get("action", "add") == "add":
+                        p = rec["path"]
+                        paths.append(
+                            _urlparse(p).path if "://" in p else p
+                        )
+        return sum(_pq.read_metadata(p).num_rows for p in paths)
 
     counts = [one_run() for _ in range(5)]
     drained = one_run()
@@ -5365,12 +5451,22 @@ def q_scan_manifest_files_distributed(spark: SparkSession, sf_dir: str) -> DataF
     statuses = sorted(
         r.o_orderstatus for r in o.select("o_orderstatus").distinct().collect()
     )
-    for s in statuses:
-        commit_append(
+    # Round-16 (guide §2.6, the q_etl_optimize_binpack precedent): the
+    # per-status appends are independent writers — commit_append's OCC
+    # retry makes them commute, and nothing downstream reads version
+    # order (the listing folds the live set). Overlap them so each
+    # append's task tail back-fills the others' idle cores.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _one_status(s: str) -> int:
+        return commit_append(
             o.filter(F.col("o_orderstatus") == s).repartition(2),
             table,
             ["o_orderkey"],
         )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_one_status, statuses))
     commit_optimize_binpack(spark, table, ["o_orderkey"], target_rows=10**9)
     commit_append(
         o.filter(F.col("o_orderkey") % 97 == 0).repartition(1),

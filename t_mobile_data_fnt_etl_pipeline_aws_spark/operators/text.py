@@ -729,41 +729,44 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side work, one hash aggregate by source. Scan-bound at 100 TB.
     """
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-        ),
-    )
-    # Round-15 (guide §2.3/§2.4): the top-bigram count used to explode
-    # every bigram into a (doc_id, bg) hash-agg shuffle (~2M rows at
-    # sf0.1) plus a second agg and a join back. The max-repeat of a
-    # bigram is the longest equal-run in the SORTED bigram array — one
-    # array_sort + one fold per row, map-side, no shuffle, no join;
-    # the only exchange left is the ≤#sources-row rollup.
-    acc0 = F.struct(
-        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-    )
+    # Round-15 (guide §2.3/§2.4) removed the bigram explode shuffle by
+    # folding the sorted bigram array map-side. Round-16 (guide §4.2):
+    # that interpreted HOF fold (array_sort + per-slot struct fold, not
+    # codegen'd) was the remaining cost — the per-doc stats are all
+    # INTEGERS (token count, distinct count, max bigram multiplicity),
+    # so one Arrow-batched kernel computes the identical values with a
+    # hash counter per doc; the rollup below is unchanged. Tokens split
+    # on a literal space exactly like F.split (leading/trailing empties
+    # kept by both); bigram tuples have the same multiplicities as the
+    # concat_ws strings (tokens cannot contain the separator).
+    def _rep_kernel(batches):
+        from collections import Counter
 
-    def _run_step(acc, x):
-        run = F.when(
-            x == acc.getField("prev"), acc.getField("run") + F.lit(1)
-        ).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            run.alias("run"),
-            F.greatest(acc.getField("best"), run).alias("best"),
-        )
+        import pyarrow as pa
 
-    top_bigram = F.aggregate(
-        F.array_sort(bigrams), acc0, _run_step, lambda a: a.getField("best")
-    )
-    per_doc = d.select(
-        "source",
-        F.size(toks).alias("n_tok"),
-        F.size(F.array_distinct(toks)).alias("n_uniq"),
-        top_bigram.alias("top_bigram_n"),
+        for rb in batches:
+            n_tok, n_uniq, top = [], [], []
+            for t in rb.column(1).to_pylist():
+                toks = t.split(" ")
+                n_tok.append(len(toks))
+                n_uniq.append(len(set(toks)))
+                if len(toks) > 1:
+                    top.append(max(Counter(zip(toks, toks[1:])).values()))
+                else:
+                    top.append(0)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.array(n_tok, pa.int32()),
+                    pa.array(n_uniq, pa.int32()),
+                    pa.array(top, pa.int32()),
+                ],
+                ["source", "n_tok", "n_uniq", "top_bigram_n"],
+            )
+
+    per_doc = d.select("source", "text").mapInArrow(
+        _rep_kernel,
+        "source string, n_tok int, n_uniq int, top_bigram_n int",
     )
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -246,3 +246,155 @@ def test_schema_resolution_illegal_promotion_errors(tmp_path):
               "fields": [{"name": "x", "type": "long"}]}
     with pytest.raises(ValueError, match="promote"):
         list(read_container_resolved(p, reader))
+
+
+# ---------------------------------------------------------------------------
+# round-16 vectorized block codec: byte-identity with the row path
+# ---------------------------------------------------------------------------
+
+
+def _arrow_batch(rows):
+    import pyarrow as pa
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        pa_schema_from_avro,
+    )
+
+    pa_schema = pa_schema_from_avro(SCHEMA)
+    cols = list(zip(*rows)) if rows else [[] for _ in pa_schema]
+    return pa.RecordBatch.from_arrays(
+        [pa.array(list(c), type=f.type) for c, f in zip(cols, pa_schema)],
+        schema=pa_schema,
+    )
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_write_container_arrow_byte_identical(tmp_path, codec):
+    """The numpy block encoder must produce EXACTLY the bytes of the
+    row-at-a-time reference — same header, same 4096-row block cuts
+    (across incoming batch edges), same deflate frames."""
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        write_container_arrow,
+    )
+
+    rows = _rows(10_000)
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir()
+    b.mkdir()
+    write_container(str(a / "part.avro"), SCHEMA, rows, codec=codec)
+    batch = _arrow_batch(rows)
+    # odd-sized batches force block cuts across batch boundaries
+    batches = [batch.slice(0, 3000), batch.slice(3000, 1), batch.slice(3001)]
+    n = write_container_arrow(
+        str(b / "part.avro"), SCHEMA, batches, codec=codec
+    )
+    assert n == len(rows)
+    assert (a / "part.avro").read_bytes() == (b / "part.avro").read_bytes()
+
+
+def test_read_container_arrow_matches_row_reader(tmp_path):
+    """Columnar decode must yield exactly the row reader's values
+    (nulls, dates, naive timestamps, negative longs included)."""
+    import pyarrow as pa
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        read_container_arrow,
+    )
+
+    rows = _rows(5000) + [(-(2**45), None, -0.0, False,
+                           datetime.date(1969, 12, 31),
+                           datetime.datetime(1969, 12, 31, 23, 59, 59))]
+    path = str(tmp_path / "f.avro")
+    write_container(path, SCHEMA, rows, codec="deflate")
+    ref = list(read_container(path))
+    tbl = pa.Table.from_batches(list(read_container_arrow(path)))
+    got = list(
+        zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])
+    )
+    assert got == [tuple(r) for r in ref]
+
+
+def test_read_container_arrow_resolved_matches_row_resolved(tmp_path):
+    """Columnar schema resolution (drops / defaults / promotions) must
+    equal the row-path resolved reader value-for-value."""
+    import pyarrow as pa
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        pa_schema_from_avro,
+        read_container_arrow_resolved,
+        read_container_resolved,
+    )
+
+    rows = _rows(3000)
+    path = str(tmp_path / "f.avro")
+    write_container(path, SCHEMA, rows)
+    reader_v2 = {
+        "type": "record",
+        "name": "t2",
+        "fields": [
+            {"name": "k", "type": "double"},  # long -> double promotion
+            {"name": "s", "type": ["null", "string"]},
+            {"name": "chan", "type": "string", "default": "LEGACY"},
+        ],
+    }
+    ref = list(read_container_resolved(path, reader_v2))
+    tbl = pa.Table.from_batches(
+        list(
+            read_container_arrow_resolved(
+                path, reader_v2, pa_schema_from_avro(reader_v2)
+            )
+        )
+    )
+    got = list(
+        zip(*[tbl.column(i).to_pylist() for i in range(tbl.num_columns)])
+    )
+    assert got == [tuple(r) for r in ref]
+
+
+def test_row_path_writer_commits(tmp_path):
+    """ADVICE r15 (high): the plain row-path AvroPyWriter — still
+    selected for Arrow-unsafe schemas (tz-aware TimestampType) — must
+    promote its staged files and write _SUCCESS. Exercised through a
+    real Spark write so the two-phase commit protocol runs."""
+    import datetime
+
+    import pytest
+
+    pyspark = pytest.importorskip("pyspark")
+    from pyspark.sql import SparkSession
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.avro_python import (
+        make_avro_source,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[2]")
+        .appName("avro-rowpath-commit")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.dataSource.register(make_avro_source())
+    out = str(tmp_path / "tz_sink")
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2001, 2, 3, 4, 5, 6)),
+         (2, datetime.datetime(2002, 3, 4, 5, 6, 7))],
+        "k bigint, ts timestamp",  # tz-aware -> Arrow-unsafe -> row path
+    )
+    df.repartition(1).write.format("avro_py").option("path", out).mode(
+        "overwrite"
+    ).save()
+    import os
+
+    assert os.path.exists(os.path.join(out, "_SUCCESS")), (
+        "row-path writer did not commit"
+    )
+    back = sorted(
+        (r.k, r.ts)
+        for r in spark.read.format("avro_py").option("path", out).load().collect()
+    )
+    assert back == [
+        (1, datetime.datetime(2001, 2, 3, 4, 5, 6)),
+        (2, datetime.datetime(2002, 3, 4, 5, 6, 7)),
+    ]

@@ -324,3 +324,172 @@ def test_sqlite_identifier_validation(tmp_path):
         load_table_to_sqlite(
             str(tmp_path / "x.db"), "t; --", "CREATE TABLE t (k INT)", [], "k"
         )
+
+
+# ---------------------------------------------------------------------------
+# round-16 vectorized batch codec: byte-identity with the row path
+# ---------------------------------------------------------------------------
+
+_EVENT_SCHEMA = {
+    "event_id": (1, "int64"),
+    "ts_us": (2, "int64"),
+    "user_id": (3, "int64"),
+    "event_type": (4, "string"),
+    "value": (5, "double"),
+    "props": (6, "string"),
+}
+_EVENT_WANTED = {
+    1: ("event_id", "int64"),
+    4: ("event_type", "string"),
+    5: ("value", "double"),
+}
+
+
+def _event_cols(n):
+    import numpy as np
+
+    return {
+        "event_id": np.array(
+            [0 if i % 97 == 0 else (i if i % 3 else -i) for i in range(n)],
+            np.int64,
+        ),
+        "ts_us": np.array([i * 1_000_003 for i in range(n)], np.int64),
+        "user_id": np.array([i % 37 for i in range(n)], np.int64),
+        "event_type": ["" if i % 53 == 0 else f"type_{i % 7}" for i in range(n)],
+        "value": np.array(
+            [
+                0.0 if i % 50 == 0 else (-0.0 if i % 51 == 0 else i * 0.5 - 7)
+                for i in range(n)
+            ]
+        ),
+        "props": [None if i % 88 == 0 else f"p={i % 9}" for i in range(n)],
+    }
+
+
+def test_encode_flat_batch_byte_identical():
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.protobuf_python import (
+        encode_flat_batch,
+        encode_message,
+    )
+
+    n = 2000
+    cols = _event_cols(n)
+
+    def py(v):
+        import numpy as np
+
+        if isinstance(v, np.integer):
+            return int(v)
+        if isinstance(v, np.floating):
+            return float(v)
+        return v
+
+    ref = [
+        encode_message(
+            _EVENT_SCHEMA, {k: py(cols[k][i]) for k in _EVENT_SCHEMA}
+        )
+        for i in range(n)
+    ]
+    buf, offs = encode_flat_batch(_EVENT_SCHEMA, cols)
+    assert [buf[offs[i] : offs[i + 1]] for i in range(n)] == ref
+
+
+def test_decode_flat_batch_matches_row_decode():
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.protobuf_python import (
+        decode_flat_batch,
+        decode_message,
+        encode_flat_batch,
+    )
+
+    n = 2000
+    buf, offs = encode_flat_batch(_EVENT_SCHEMA, _event_cols(n))
+    ref = [
+        decode_message(buf[offs[i] : offs[i + 1]], _EVENT_WANTED)
+        for i in range(n)
+    ]
+    got = decode_flat_batch(buf, offs, _EVENT_WANTED)
+    assert list(got["event_id"]) == [r["event_id"] for r in ref]
+    assert got["event_type"].to_pylist() == [r["event_type"] for r in ref]
+    assert list(got["value"]) == [r["value"] for r in ref]
+
+
+def test_event_envelope_encode_identical_both_paths():
+    """The small-group inline loop AND the large-group numpy scatter
+    must both reproduce encode_message byte-for-byte (incl. uid=0,
+    eid=0 and -0.0 omission edges)."""
+    import numpy as np
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.protobuf_python import (
+        encode_event_envelope,
+        encode_message,
+    )
+
+    env = {
+        "user_id": (1, "int64"),
+        "events": (
+            2,
+            ("repeated", ("message", {"event_id": (1, "int64"),
+                                      "value": (2, "double")})),
+        ),
+    }
+    for uid in (0, 5, 2**40):
+        for n in (1, 130, 1500):  # spans the 1024 inline/numpy crossover
+            eids = [0 if j == 0 else (j * 7 - 3) * 9973 for j in range(n)]
+            vals = [
+                0.0 if j % 10 == 0 else (-0.0 if j % 11 == 1 else j * 0.5)
+                for j in range(n)
+            ]
+            ref = encode_message(
+                env,
+                {
+                    "user_id": uid,
+                    "events": [
+                        {"event_id": e, "value": v}
+                        for e, v in zip(eids, vals)
+                    ],
+                },
+            )
+            got = encode_event_envelope(
+                uid, np.array(eids, np.int64), np.array(vals)
+            )
+            assert got == ref, (uid, n)
+
+
+def test_decode_event_envelopes_matches_row_decode():
+    import numpy as np
+
+    from t_mobile_data_fnt_etl_pipeline_aws_spark.sources.protobuf_python import (
+        decode_event_envelopes,
+        decode_message,
+        encode_event_envelope,
+    )
+
+    env = {
+        "user_id": (1, "int64"),
+        "events": (
+            2,
+            ("repeated", ("message", {"event_id": (1, "int64"),
+                                      "value": (2, "double")})),
+        ),
+    }
+    bufs, ref = [], []
+    for uid in range(40):
+        n = (uid % 9) + 1
+        eids = [0 if j == 0 else uid * 1000 + j for j in range(n)]
+        vals = [0.0 if j % 4 == 0 else uid - j * 0.25 for j in range(n)]
+        msg = encode_event_envelope(uid, np.array(eids, np.int64), np.array(vals))
+        bufs.append(msg)
+        m = decode_message(msg, env)
+        ref.extend(
+            (m["user_id"], e["event_id"], e["value"]) for e in m["events"]
+        )
+    big = b"".join(bufs)
+    offs = np.zeros(len(bufs) + 1, np.int64)
+    offs[1:] = np.cumsum([len(b) for b in bufs])
+    users, eids, voffs = decode_event_envelopes(big, offs)
+    vo = np.array(voffs, np.int64)
+    vals = np.zeros(len(vo))
+    has = vo >= 0
+    got8 = np.frombuffer(big, np.uint8)[vo[has][:, None] + np.arange(8)]
+    vals[has] = np.ascontiguousarray(got8).view("<f8")[:, 0]
+    assert list(zip(users, eids, vals)) == ref
