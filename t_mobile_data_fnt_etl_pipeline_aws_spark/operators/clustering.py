@@ -93,7 +93,7 @@ def alternating_cc(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, int]:
     k's plan doesn't re-plan rounds 1..k-1.
     """
     E = edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    E = E.filter(F.col("u") != F.col("v")).localCheckpoint()
+    E = E.filter(F.col("u") != F.col("v")).localCheckpoint()  # row-cap: candidate-pair edges of the callers' bounded slices (<=500 docs / <=300 vecs)
     prev_sig: tuple | None = None
     rounds = 0
     while rounds < 20:
@@ -123,7 +123,13 @@ def alternating_cc(nodes: DataFrame, edges: DataFrame) -> tuple[DataFrame, int]:
             )
             .filter(F.col("node") != F.col("parent"))
             .distinct()
-            .localCheckpoint()
+            # LAZY checkpoint (round-16, job-count audit): the signature
+            # agg right below is the materializing action, so the round
+            # costs ONE job instead of checkpoint-job + agg-job — the
+            # loop's cost is 2×(rounds+1) job floors otherwise.
+            # row-cap: star edges, <= #nodes of the callers' bounded
+            # slices, driver-loop state
+            .localCheckpoint(eager=False)
         )
         rounds += 1
         # decimal accumulator: ANSI mode throws on bigint sum overflow
@@ -384,7 +390,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # portable kNN twin).
     fp = e.select(
         "vec_id", F.col("e"), norm.alias("nrm"), F.concat(*bit).alias("f")
-    ).localCheckpoint()
+    ).localCheckpoint()  # row-cap: <=300 fingerprints (bounded vec_id slice)
     n_bands = _SEM_PLANES // _SEM_BAND_BITS
     bands = fp.select(
         "vec_id",
@@ -772,8 +778,29 @@ def q_cluster_kmeans_fixedrounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = spark_sess.createDataFrame(
         [(c, list(ce)) for c, ce in cent_rows], "c_id int, ce array<double>"
     )
-    return _km_estep(e, cent).select(
-        "vec_id", F.col("c_id").alias("cluster"), F.col("d2").alias("dist2")
+    # Round-16 (VERDICT r15 item 7): the exact tail used to crossJoin ×k
+    # and pick argmin via a row_number window (a 4× fan-out plus a
+    # vec_id-partitioned shuffle+sort). The BLAS assign already yields
+    # the SAME argmin — every round above moves mass by it, so any
+    # disagreement with the oracle's fold-argmin would have broken the
+    # hash in round 1 — and the OUTPUT d2 stays the exact sequential
+    # HOF fold, now computed once against the single assigned centroid
+    # (broadcast k-row join) instead of k times. Oracle hash-match
+    # re-proven at sf0.001/0.01 (and sf0.1 once, round-16 session).
+    d2_exact = F.aggregate(
+        F.zip_with(F.col("emb"), F.col("ce"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        _km_blas_assign(e, cent_rows)
+        .select("vec_id", "emb", "c_id")
+        .join(F.broadcast(cent), "c_id")
+        .select(
+            "vec_id",
+            F.col("c_id").alias("cluster"),
+            d2_exact.alias("dist2"),
+        )
     )
 
 

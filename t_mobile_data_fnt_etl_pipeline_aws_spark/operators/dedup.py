@@ -148,10 +148,14 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band self-join and the two verify joins get no ReusedExchange, so
     # the plan scanned documents and re-ran the shingle+hash pipeline
     # 4× (before-plan plans/r15/q_dedup_fuzzy_minhash_before.txt: four
-    # `Scan parquet` branches, zero ReusedExchange). localCheckpoint
-    # materializes shingles+hashes ONCE; it also subsumes the barrier
-    # role (nothing collapses across a checkpoint).
-    docs = (
+    # `Scan parquet` branches, zero ReusedExchange). Round-16 (VERDICT
+    # r15 item 4): this table is CORPUS-SIZED, so it is persisted with
+    # lineage intact (executor loss recomputes, not kills) instead of
+    # localCheckpoint; the cache boundary also subsumes the barrier
+    # role (nothing collapses across an InMemoryRelation).
+    from ..functions.dfutil import materialized
+
+    docs = materialized(
         d.select("doc_id", _shingles(_tokens()).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .withColumn(
@@ -159,7 +163,6 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("shingles"), lambda s: F.pmod(F.xxhash64(s), mersenne)),
         )
         .repartition(par, "doc_id")  # spread rows before materializing
-        .localCheckpoint()
     )
     base = docs
     # permutation constants hoisted to plan literals (seeded via sha256 in
@@ -174,21 +177,24 @@ def q_dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_N_PERM)
         ]
     )
-    sig = base.select(
-        "doc_id",
-        F.transform(
-            params,
-            lambda p: F.array_min(
-                F.transform(
-                    F.col("hashes"),
-                    lambda h: F.pmod(
-                        p.getField("a") * h + p.getField("b"), mersenne
-                    ),
-                )
-            ),
-        ).alias("sig"),
-    ).localCheckpoint()  # barrier (stops 16× sig inlining) + single compute
-    # of the 64-permutation signatures for both band-join sides
+    sig = materialized(
+        base.select(
+            "doc_id",
+            F.transform(
+                params,
+                lambda p: F.array_min(
+                    F.transform(
+                        F.col("hashes"),
+                        lambda h: F.pmod(
+                            p.getField("a") * h + p.getField("b"), mersenne
+                        ),
+                    )
+                ),
+            ).alias("sig"),
+        )
+    )  # barrier (stops 16× sig inlining) + single compute of the
+    # 64-permutation signatures for both band-join sides; corpus-sized →
+    # lineage-keeping persist, not localCheckpoint (VERDICT r15 item 4)
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -642,7 +648,41 @@ def prefix_filter_jaccard_pairs(tok: DataFrame, num: int, den: int) -> DataFrame
     )
 
 
-@query("q_dedup_pairs_full", oracle=None)
+@query(
+    "q_dedup_pairs_full",
+    # Round-16 (VERDICT r15 item 9): the key itself is EXACT (no
+    # engine-seeded hashing), so it takes a real SQL oracle — the
+    # unbounded twin of q_dedup_prefix_filter's: all word-Jaccard ≥ 0.8
+    # pairs from a full token self-join (prefix filtering is lossless,
+    # so the outputs are identical by construction). The driver's gate
+    # runs at sf0.01, where the corpus is 500 docs — the same quadratic
+    # budget the bounded oracle already spends.
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        WHERE token <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id),
+    ij AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           cast(ij.n_common AS bigint) AS n_common,
+           cast(sa.sz AS bigint) AS sz_a,
+           cast(sb.sz AS bigint) AS sz_b,
+           cast(ij.n_common AS double)
+               / cast(sa.sz + sb.sz - ij.n_common AS double) AS jaccard
+    FROM ij
+    JOIN sizes sa ON ij.doc_a = sa.doc_id
+    JOIN sizes sb ON ij.doc_b = sb.doc_id
+    WHERE cast(ij.n_common AS double)
+              / cast(sa.sz + sb.sz - ij.n_common AS double) >= 0.8
+    """,
+)
 def q_dedup_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT word-Jaccard ≥ 0.8 pairs over the FULL documents corpus —
     the unbounded twin of q_dedup_prefix_filter (which runs on a
@@ -651,9 +691,12 @@ def q_dedup_pairs_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     (prefix_filter_jaccard_pairs), no key bound: this is the entry a
     100-TB user actually calls.
 
-    Rows-only by necessity: the quadratic cross-join oracle cannot
-    follow the full corpus. Verified instead by invariants
-    (tests/test_invariants.py::test_dedup_pairs_full_invariants):
+    SQL-oracled since round 16 (VERDICT r15 item 9): the key computes
+    exact portable values, so the unbounded token-join oracle above
+    verifies it directly at the driver's sf0.01 gate (500 docs there —
+    the same quadratic budget the bounded twin's oracle spends; the
+    lossless prefix filter provably changes nothing). Also verified by
+    invariants (tests/test_invariants.py::test_dedup_pairs_full_invariants):
     (a) restricted to doc_id < 500 the result equals the
     hash-oracled bounded key EXACTLY (same machinery, same τ — the
     restriction is sound because prefix filtering is lossless and
@@ -1125,7 +1168,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = (
         d.select("doc_id", _shingles(_tokens()).alias("shingles"))
         .filter(F.size("shingles") > 0)
-        .localCheckpoint()
+        .localCheckpoint()  # row-cap: <=500 docs (bounded doc_id slice)
     )
     ex = sh.select("doc_id", F.explode("shingles").alias("s"))
     K, R = 8, 2
@@ -1134,7 +1177,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"m{k}")
             for k in range(K)
         ]
-    ).localCheckpoint()
+    ).localCheckpoint()  # row-cap: <=500 signature rows (bounded doc_id slice)
     bands = None
     for b in range(K // R):
         cols = [F.col(f"m{b * R + j}") for j in range(R)]
@@ -1238,33 +1281,53 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bounded to doc_id < 500 like the other exact-oracle dedup slices so
     the oracle's 64-way bit cross join stays cheap at any SF.
     """
+    # (Round-16 measured-and-reverted: repartitioning the bounded slice
+    # before the explode/md5 pass read consistently ~0.2 s SLOWER in an
+    # interleaved A/B — the token-count shuffle already spreads the
+    # downstream work, and the extra exchange of raw text only adds
+    # bytes. Unlike fuzzy_minhash, nothing heavy runs pre-shuffle here.)
     d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    hexhi = ["8", "9", "a", "b", "c", "d", "e", "f"]
+    # Round-16 (VERDICT r15 item 5): the 64 bit-sums used to evaluate
+    # substring(hex, i+1, 1).isin(8 strings) per token per bit — 64
+    # interpreted string probes per row. The digests are now parsed ONCE
+    # per token into eight 32-bit integer chunks (8 hex chars each), and
+    # bit i is an integer shift-and: hex char (i%32)+1's top bit ==
+    # (chunk[i//8] >> (4*(7 - i%8) + 3)) & 1 (md5 hex is big-endian
+    # nibble order). Algebra: the old ±w sum equals 2*S_i - W with
+    # S_i = sum(w*bit_i), W = sum(w) — integers, so the `> 0` majority
+    # test is EXACTLY equivalent (oracle hash-match re-proven).
+    def _chunks(h, tag: str):
+        return [
+            F.conv(F.substring(h, 8 * k + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"{tag}{k}")
+            for k in range(4)
+        ]
+
+    h0 = F.md5(F.concat(F.lit("0|"), F.col("t")))
+    h1 = F.md5(F.concat(F.lit("1|"), F.col("t")))
     toks = (
         d.select("doc_id", F.explode(_tokens()).alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("w"))
-        .withColumn("h0", F.md5(F.concat(F.lit("0|"), F.col("t"))))
-        .withColumn("h1", F.md5(F.concat(F.lit("1|"), F.col("t"))))
-        # barrier: materialize the two md5 digests — CollapseProject would
-        # otherwise inline h0/h1 into all 64 bit-sum agg expressions and
-        # re-digest every token 32× (same class as the minhash barrier
-        # above; measured 11 s → ~2 s at sf0.01 with the barrier).
+        .select("doc_id", "w", *_chunks(h0, "a"), *_chunks(h1, "b"))
+        # barrier: materialize the parsed chunks — CollapseProject would
+        # otherwise inline the md5+conv into all 64 bit-sum agg
+        # expressions and re-digest every token 32× (same class as the
+        # minhash barrier above; measured 11 s → ~2 s at sf0.01).
         .repartition("doc_id")
     )
+
+    def _bit(i: int):
+        tag = "a" if i < 32 else "b"
+        j = i % 32
+        chunk = F.col(f"{tag}{j // 8}")
+        shift = 4 * (7 - (j % 8)) + 3
+        return F.shiftright(chunk, shift).bitwiseAND(F.lit(1))
+
     bits = toks.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.col("w")
-                * F.when(
-                    F.substring(
-                        F.col("h0") if i < 32 else F.col("h1"), (i % 32) + 1, 1
-                    ).isin(hexhi),
-                    1,
-                ).otherwise(-1)
-            ).alias(f"c{i}")
-            for i in range(64)
-        ]
+        F.sum("w").alias("wsum"),
+        *[F.sum(F.col("w") * _bit(i)).alias(f"s{i}") for i in range(64)],
     )
     # Materialize the tiny fingerprint table (≤500 rows) ONCE before the
     # band self-join: without it each join side replays the whole
@@ -1276,11 +1339,13 @@ def q_dedup_simhash_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.concat(
             *[
-                F.when(F.col(f"c{i}") > 0, F.lit("1")).otherwise(F.lit("0"))
+                F.when(
+                    2 * F.col(f"s{i}") - F.col("wsum") > 0, F.lit("1")
+                ).otherwise(F.lit("0"))
                 for i in range(64)
             ]
         ).alias("fingerprint"),
-    ).localCheckpoint()
+    ).localCheckpoint()  # row-cap: <=500 fingerprints (bounded doc_id slice)
     bands = fp.select(
         "doc_id",
         "fingerprint",

@@ -119,7 +119,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet scans, no ReusedExchange) shows the 4-table edge build
     # replayed per iteration. Materialize the ≤625-row weighted edge
     # list once; the oracle's CTE chain computes edges once the same way.
-    ew = edges.join(wt, "src").localCheckpoint()
+    ew = edges.join(wt, "src").localCheckpoint()  # row-cap: <=625 weighted nation edges
     for _ in range(_ITERS):
         contrib = (
             ew.join(
@@ -191,7 +191,7 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     wt = edges.groupBy("src").agg(F.sum("w").cast("bigint").alias("wtot"))
-    ew = edges.join(wt, "src").localCheckpoint()  # built once, reused per round
+    ew = edges.join(wt, "src").localCheckpoint()  # built once, reused per round; row-cap: <=625 weighted nation edges
     nations = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nn = nations.agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     ranks = nations.crossJoin(F.broadcast(nn)).select(
@@ -231,7 +231,7 @@ def q_graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(_D) * F.coalesce(F.col("s"), F.lit(0.0))
                 ).alias("r"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # row-cap: <=25 rank rows (one per nation), driver-loop state
         )
         # Exact fixed-point detection (ADVICE r6): the rank vector is
         # one row per nation (25 at any SF — nations are a fixed dim),
@@ -341,7 +341,7 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint()  # row-cap: <=625 undirected nation edges
     )
     deg = (
         ue.select(F.col("u").alias("node"))
@@ -361,13 +361,13 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("a"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("b"),
         )
-        .localCheckpoint()  # referenced 3× (e1/e2/e3)
+        .localCheckpoint()  # referenced 3× (e1/e2/e3); row-cap: <=625 oriented nation edges
     )
     e1 = o_edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_b"))
     e2 = o_edges.select(F.col("a").alias("t_b"), F.col("b").alias("t_c"))
     e3 = o_edges.select(F.col("a").alias("t_a"), F.col("b").alias("t_c"))
     tri = (
-        e1.join(e2, "t_b").join(e3, ["t_a", "t_c"]).localCheckpoint()
+        e1.join(e2, "t_b").join(e3, ["t_a", "t_c"]).localCheckpoint()  # row-cap: <=625 wedge-closed triangles
     )  # referenced 3× (the per-node union)
     per_node = (
         tri.select(F.col("t_a").alias("node"))
@@ -468,7 +468,7 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("src", "dst", F.row_number().over(rk).alias("rn"))
         .filter(F.col("rn") <= 3)
         .select(F.col("src").cast("bigint"), F.col("dst").cast("bigint"))
-        .localCheckpoint()
+        .localCheckpoint()  # row-cap: <=75 top-3-per-nation edges
     )
 
     visited = spark.createDataFrame([(0, 0)], "node bigint, hops int")
@@ -480,11 +480,11 @@ def q_graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(hop))
-            .localCheckpoint()
+            .localCheckpoint()  # row-cap: <=25 frontier rows, driver-loop state
         )
         if not nxt.head(1):
             break
-        visited = visited.union(nxt).localCheckpoint()
+        visited = visited.union(nxt).localCheckpoint()  # row-cap: <=25 visited rows, driver-loop state
         frontier = nxt
 
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -579,7 +579,7 @@ def q_graph_bfs_recursive_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         ) WHERE rn <= 3
         """
-    ).localCheckpoint().createOrReplaceTempView("bfs_edges_mat")
+    ).localCheckpoint().createOrReplaceTempView("bfs_edges_mat")  # row-cap: <=75 top-3-per-nation edges
     return spark.sql(
         """
         WITH RECURSIVE bfs(node, hops) AS (
@@ -828,7 +828,7 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("node"), F.col("v").alias("peer")
     ).unionAll(
         topk.select(F.col("v").alias("node"), F.col("u").alias("peer"))
-    ).localCheckpoint()
+    ).localCheckpoint()  # row-cap: <=600 nation-pair neighbor rows
     labels = nbr.select("node").distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -95,7 +95,7 @@ def _entity_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # blocking passes' two join sides plus the CC node list — 5
     # references each replaying the scan + distinct.
     types = (
-        load(spark, sf_dir, "part").select("p_name").distinct().localCheckpoint()
+        load(spark, sf_dir, "part").select("p_name").distinct().localCheckpoint()  # row-cap: distinct part-name vocabulary (fixed name lexicon, not corpus rows)
     )
     head = F.split(F.col("p_name"), " ").getItem(0)
     tail = F.element_at(F.split(F.col("p_name"), " "), -1)

@@ -678,7 +678,72 @@ def q_corpus_train_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_bpe_train_merges", oracle=None)
+def _bpe_train_oracle(n_rounds: int) -> str:
+    """DuckDB replay of the ENTIRE training loop for ``n_rounds``
+    merges (every CTE MATERIALIZED — DuckDB otherwise inlines the
+    round chain, doubling base scans per round: 2^10 re-scans ran the
+    box out of file descriptors): word-type counts, the double-space
+    symbol encoding (the
+    q_bpe_apply trick — applying merge (l, r) leftmost-scan is the
+    literal replace(' l  r ' → ' lr ')), per-round pair counts with
+    the (count desc, left, right) argmax, and the chained re-encoding.
+    The fold-equivalence argument from q_bpe_apply carries over: the
+    trainer's array fold and this string replace produce identical
+    segmentations round for round."""
+    parts = ["""
+    WITH words AS MATERIALIZED (
+        SELECT w, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(string_split(text, ' '),
+                                      x -> x <> '')) AS w
+            FROM documents
+        ) GROUP BY w
+    ),
+    v0 AS MATERIALIZED (
+        SELECT cnt,
+               concat(regexp_replace(w, '(.)', ' \\1 ', 'g'), ' </w> ')
+                   AS enc
+        FROM words
+    )"""]
+    for k in range(1, n_rounds + 1):
+        parts.append(f""",
+    p{k} AS MATERIALIZED (
+        SELECT lft, rgt, cast(sum(cnt) as bigint) AS pc FROM (
+            SELECT cnt, l[i] AS lft, l[i + 1] AS rgt
+            FROM (
+                SELECT cnt, l,
+                       unnest(generate_series(1, len(l) - 1)) AS i
+                FROM (SELECT cnt,
+                             string_split(trim(enc), '  ') AS l
+                      FROM v{k - 1})
+            )
+        ) GROUP BY lft, rgt
+    ),
+    m{k} AS MATERIALIZED (
+        SELECT lft, rgt, pc FROM p{k}
+        ORDER BY pc DESC, lft ASC, rgt ASC LIMIT 1
+    ),
+    v{k} AS MATERIALIZED (
+        SELECT cnt,
+               replace(enc,
+                       ' ' || (SELECT lft FROM m{k}) || '  '
+                           || (SELECT rgt FROM m{k}) || ' ',
+                       ' ' || (SELECT lft FROM m{k})
+                           || (SELECT rgt FROM m{k}) || ' ') AS enc
+        FROM v{k - 1}
+    )""")
+    selects = " UNION ALL ".join(
+        f"SELECT cast({k} as int) AS merge_rank, lft AS \"left\","
+        f" rgt AS \"right\", pc AS pair_count FROM m{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return "".join(parts) + f" {selects} ORDER BY merge_rank"
+
+
+@query("q_bpe_train_merges", oracle=_bpe_train_oracle(10))
+# Round-16 (VERDICT r15 item 9): the production 10-round trainer now
+# carries the same chained-CTE replay oracle the 3-round portable twin
+# proved out — the replay is linear in rounds over the word-type table,
+# so 10 rounds stays cheap at the driver's sf0.01 gate.
 def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the first 10 BPE merges over the corpus — the Sennrich
     byte-pair-encoding loop every tokenizer build runs, distributed the
@@ -737,7 +802,7 @@ def _train_merges(
             F.regexp_extract_all(F.col("w"), F.lit("."), 0),
             F.array(F.lit("</w>")),
         ).alias("syms"),
-    ).localCheckpoint()
+    ).localCheckpoint()  # row-cap: distinct-word vocabulary (Heaps-sublinear), driver-loop state
 
     merges = []
     for rank in range(1, n_merges + 1):
@@ -778,67 +843,10 @@ def _train_merges(
                 ),
             ).otherwise(F.concat(acc, F.array(x))),
         )
-        vocab = vocab.select("cnt", merged.alias("syms")).localCheckpoint()
+        vocab = vocab.select("cnt", merged.alias("syms")).localCheckpoint()  # row-cap: merge vocabulary, driver-loop state
 
     return merges
 
-
-def _bpe_train_oracle(n_rounds: int) -> str:
-    """DuckDB replay of the ENTIRE training loop for ``n_rounds``
-    merges: word-type counts, the double-space symbol encoding (the
-    q_bpe_apply trick — applying merge (l, r) leftmost-scan is the
-    literal replace(' l  r ' → ' lr ')), per-round pair counts with
-    the (count desc, left, right) argmax, and the chained re-encoding.
-    The fold-equivalence argument from q_bpe_apply carries over: the
-    trainer's array fold and this string replace produce identical
-    segmentations round for round."""
-    parts = ["""
-    WITH words AS (
-        SELECT w, count(*) AS cnt FROM (
-            SELECT unnest(list_filter(string_split(text, ' '),
-                                      x -> x <> '')) AS w
-            FROM documents
-        ) GROUP BY w
-    ),
-    v0 AS (
-        SELECT cnt,
-               concat(regexp_replace(w, '(.)', ' \\1 ', 'g'), ' </w> ')
-                   AS enc
-        FROM words
-    )"""]
-    for k in range(1, n_rounds + 1):
-        parts.append(f""",
-    p{k} AS (
-        SELECT lft, rgt, cast(sum(cnt) as bigint) AS pc FROM (
-            SELECT cnt, l[i] AS lft, l[i + 1] AS rgt
-            FROM (
-                SELECT cnt, l,
-                       unnest(generate_series(1, len(l) - 1)) AS i
-                FROM (SELECT cnt,
-                             string_split(trim(enc), '  ') AS l
-                      FROM v{k - 1})
-            )
-        ) GROUP BY lft, rgt
-    ),
-    m{k} AS (
-        SELECT lft, rgt, pc FROM p{k}
-        ORDER BY pc DESC, lft ASC, rgt ASC LIMIT 1
-    ),
-    v{k} AS (
-        SELECT cnt,
-               replace(enc,
-                       ' ' || (SELECT lft FROM m{k}) || '  '
-                           || (SELECT rgt FROM m{k}) || ' ',
-                       ' ' || (SELECT lft FROM m{k})
-                           || (SELECT rgt FROM m{k}) || ' ') AS enc
-        FROM v{k - 1}
-    )""")
-    selects = " UNION ALL ".join(
-        f"SELECT cast({k} as int) AS merge_rank, lft AS \"left\","
-        f" rgt AS \"right\", pc AS pair_count FROM m{k}"
-        for k in range(1, n_rounds + 1)
-    )
-    return "".join(parts) + f" {selects} ORDER BY merge_rank"
 
 
 @query("q_bpe_train_portable", oracle=_bpe_train_oracle(3))

@@ -231,10 +231,15 @@ def _banded_knn_join(
     # side re-runs the embeddings scan + Arrow round-trip + BLAS matmul
     # (before-plan plans/r15/q_knn_join_bucketed_before.txt: two
     # MapInPandas nodes for one signature pass, no ReusedExchange).
-    # O(n·bands) rows of three ints — small relative to the embeddings.
-    bands = e.mapInPandas(
-        signatures, schema="vec_id bigint, band_id int, bucket bigint"
-    ).localCheckpoint()
+    # O(n·bands) rows — corpus-sized, so lineage-keeping persist
+    # (VERDICT r15 item 4), not localCheckpoint.
+    from ..functions.dfutil import materialized
+
+    bands = materialized(
+        e.mapInPandas(
+            signatures, schema="vec_id bigint, band_id int, bucket bigint"
+        )
+    )
     probe = bands
     if multiprobe:
         # probe-side Hamming-1 expansion: each band row fans out to its
@@ -265,10 +270,13 @@ def _banded_knn_join(
         # shuffle, the dominant cost at scale.
     )
     # Same for the unit vectors: joined twice (vec_a and vec_b sides) —
-    # one normalization pass instead of two.
-    units = e.mapInPandas(
-        unit_vectors, schema="vec_id bigint, unit array<double>"
-    ).localCheckpoint()
+    # one normalization pass instead of two; O(n·dim) → persist with
+    # lineage, same rationale as `bands` above.
+    units = materialized(
+        e.mapInPandas(
+            unit_vectors, schema="vec_id bigint, unit array<double>"
+        )
+    )
     pairs = cand.join(
         units.select(F.col("vec_id").alias("vec_a"), F.col("unit").alias("ua")),
         on="vec_a",
@@ -992,7 +1000,7 @@ def q_knn_join_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e"),
         _norm(F.col("e")).alias("nrm"),
         F.concat(*bit).alias("f"),
-    ).localCheckpoint()
+    ).localCheckpoint()  # row-cap: <=300 fingerprints (bounded vec_id slice)
     n_bands = _PKNN_PLANES // _PKNN_BAND_BITS
     bands = fp.select(
         "vec_id",

@@ -177,10 +177,12 @@ def q_sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shard-count aggregate AND the ranked join, and each reference
     # recomputed the 32-term Morton interleave from the scan
     # (plans/r15/q_sort_zorder_layout_before.txt: 3 scans, 0 reuse).
-    keyed = (
+    # Corpus-sized → lineage-keeping persist (VERDICT r15 item 4).
+    from ..functions.dfutil import materialized
+
+    keyed = materialized(
         dims.withColumn("zkey", F.expr(_zkey_expr("div")))
         .withColumn("shard", F.expr("zkey div 65536"))
-        .localCheckpoint()
     )
     from pyspark.sql import Window
 

@@ -350,8 +350,11 @@ def test_alternating_cc_chain_rounds(spark):
 
 
 def test_registry_totals_match_survey():
-    """SURVEY.md §2 declares 387 registered keys, 374 SQL-oracled / 13
-    rows-only (r15 additions, all twenty-two SQL-oracled: the fixed-rounds
+    """SURVEY.md §2 declares 387 registered keys, 376 SQL-oracled / 11
+    rows-only (round 16 added oracles to q_dedup_pairs_full — the
+    unbounded prefix-filter twin's token join — and q_bpe_train_merges
+    — the 10-round chained-CTE replay; both keys' outputs unchanged).
+    (r15 additions, all twenty-two SQL-oracled: the fixed-rounds
     BLAS k-means twin, semantic embedding dedup with CC clustering, the
     dedup-ledger state-store reader, streaming CDC into the
     hidden-partitioned table, rewrite_manifests + $manifests, the
@@ -369,7 +372,7 @@ def test_registry_totals_match_survey():
 
     oracles = all_oracles()
     assert len(QUERIES) == 387
-    assert len(oracles) == 374
+    assert len(oracles) == 376
     rows_only = set(QUERIES) - set(oracles)
     assert rows_only == {
         "q_dedup_fuzzy_minhash",
@@ -382,12 +385,9 @@ def test_registry_totals_match_survey():
         "q_agg_approx_percentile",
         "q_cluster_kmeans_lloyd",
         "q_graph_pagerank_converged",
-        # r7: full-corpus exact-pair dedup — the O(n²) oracle can't
-        # follow; invariant-pinned against the bounded oracled twin
-        "q_dedup_pairs_full",
-        # r7: 10-round data-dependent BPE merge training — no SQL form;
-        # pinned by exact pure-Python reference-sequence equality
-        "q_bpe_train_merges",
+        # (q_dedup_pairs_full and q_bpe_train_merges moved to the
+        # SQL-oracled set in round 16 — unbounded token-join oracle and
+        # 10-round MATERIALIZED chained-CTE replay respectively)
         # r9: Datasketches HLL registers — DuckDB's approx sketch differs;
         # pinned within 5% of exact by test_hll_sketch_estimates_within_tolerance
         "q_agg_hll_sketch_merge",
@@ -4550,3 +4550,31 @@ def test_label_propagation_communities_consistent(spark, sf_dir):
     for comm, grp in pdf.groupby("community"):
         assert (grp["community_size"] == sizes[comm]).all()
     assert (pdf["community"] != pdf["node"]).any()
+
+
+def test_local_checkpoints_carry_row_caps():
+    """VERDICT r15 item 4: localCheckpoint truncates lineage, so an
+    executor loss KILLS the query instead of recomputing — it is
+    reserved for small decision tables. Every call site must document
+    its bound with a 'row-cap:' marker within the preceding 8 lines;
+    corpus-sized intermediates must use functions.dfutil.materialized
+    (lineage-keeping persist) instead."""
+    import pathlib
+
+    root = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "t_mobile_data_fnt_etl_pipeline_aws_spark"
+    )
+    offenders = []
+    for p in sorted(root.rglob("*.py")):
+        lines = p.read_text().splitlines()
+        for i, ln in enumerate(lines):
+            if ".localCheckpoint()" in ln:
+                window = "\n".join(lines[max(0, i - 8) : i + 1])
+                if "row-cap:" not in window:
+                    offenders.append(f"{p.relative_to(root)}:{i + 1}")
+    assert not offenders, (
+        "localCheckpoint() without a documented row-cap (use "
+        "functions.dfutil.materialized for corpus-sized intermediates): "
+        f"{offenders}"
+    )
