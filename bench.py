@@ -515,20 +515,13 @@ COMPUTE_BOUND = frozenset({
     "q_dedup_pairs_full",
 })
 
-#: Quiet-host re-pins (VERDICT r14 item 2): per-key MEDIAN across three
-#: independent isolated measurements — the r14 judge's fresh-JVM triples
-#: (kmeans 2.40 / pagerank 2.28 / multiprobe 3.31) and two round-15-open
-#: quiet-host bench-protocol runs (2.63,2.52 / 2.58,2.87 / 2.57,4.46).
-#: These OVERRIDE the history median for exactly these keys until the
-#: rolling history catches up — the r14 records hold contention-inflated
-#: samples (multiprobe 8.57 vs 3.31 isolated) and r13-era records hold
-#: pre-drift lows (kmeans 1.29), so a median-of-5 over them would keep
-#: minting phantom flags either way.
-PINNED_PRIORS: dict[str, float] = {
-    "q_cluster_kmeans": 2.5,
-    "q_graph_pagerank": 2.6,
-    "q_knn_join_multiprobe": 3.3,
-}
+#: Quiet-host re-pins — EXPIRED round 16 (VERDICT r15 item 6): the pins
+#: (q_cluster_kmeans 2.5, q_graph_pagerank 2.6, q_knn_join_multiprobe
+#: 3.3, added r15 over contention-inflated r14 history) shielded those
+#: three keys from their own drift gate. The rolling median-of-5 now
+#: spans the r15 quiet-host records (pagerank 1.32, multiprobe 1.63 in
+#: the driver's r15 run), so history governs again.
+PINNED_PRIORS: dict[str, float] = {}
 
 
 def confirm_regressions(
@@ -639,6 +632,9 @@ def compact_summary(payload: dict) -> dict:
         "value": payload["value"],
         "unit": "sec",
         "sf": payload["sf"],
+        # core-count proof rides in the tail-captured line too
+        "master": payload.get("master"),
+        "default_parallelism": payload.get("default_parallelism"),
         "n_queries": len(timings),
         "n_regressions": len(payload["regressions"]),
         "n_cleared_flags": len(payload.get("cleared_flags") or {}),
@@ -764,6 +760,14 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Core-count contract proof (VERDICT r15 item 2): the resolved
+        # master and the session's effective parallelism, so a scaling
+        # run can VERIFY $SPARK_GRAFT_CPUS was honored instead of
+        # inferring it from driver-loop keys whose cost is job-floor
+        # bound (the r15 `suspect_cpus_ignored` false alarm).
+        "master": spark.sparkContext.master,
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS") or None,
         # queries whose median drifted > DRIFT_FACTOR x vs the
         # newest usable bench record on disk (empty = no drift); the
         # flag rides along in the JSON rather than failing the
