@@ -400,11 +400,22 @@ def load_prior_timings(repo_dir: str) -> dict[str, float]:
     lucky (or marathon-JVM-slowed) sample from defining the baseline a
     2x drift gate compares against."""
     import glob
+    import re
     import statistics
 
+    # Canonical record names only (round-16): BENCH_LOCAL_r16_driver_c8
+    # is an 8-CORE record and BENCH_LOCAL_r16_baseline a pre-change
+    # snapshot — neither may feed the 32-core drift prior.
+    _canon = re.compile(
+        r"^(BENCH_LOCAL_r\d+(_full|_final|_cont\d*|_first)?|BENCH_r\d+)\.json$"
+    )
     paths = sorted(
-        glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json"))
-        + glob.glob(os.path.join(repo_dir, "BENCH_r*.json")),
+        (
+            p
+            for p in glob.glob(os.path.join(repo_dir, "BENCH_LOCAL_r*.json"))
+            + glob.glob(os.path.join(repo_dir, "BENCH_r*.json"))
+            if _canon.match(os.path.basename(p))
+        ),
         key=lambda p: (os.path.basename(p).rsplit("_r", 1)[-1],
                        "BENCH_LOCAL" in os.path.basename(p)),
     )
