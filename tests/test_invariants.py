@@ -27,8 +27,9 @@ def test_dedup_exact_partitions_the_corpus(spark, sf_dir):
 
 
 def test_dedup_pairs_full_invariants(spark, sf_dir):
-    """q_dedup_pairs_full is rows-only (the O(n²) oracle can't follow
-    the full corpus), so pin it three ways: (a) restricted to the
+    """q_dedup_pairs_full gained a full SQL oracle in round 16 (the
+    unbounded token-join twin); these invariants predate it and stay as
+    belt-and-braces: (a) restricted to the
     bounded slice it must equal the hash-oracled q_dedup_prefix_filter
     EXACTLY — prefix filtering is lossless and a pair's Jaccard
     depends only on the pair, so restriction commutes with the
